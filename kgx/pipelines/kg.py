@@ -1,0 +1,221 @@
+"""The KG-construction pipeline (SURVEY.md §3.4 lifecycle).
+
+pages --map_batches--> texts --map_batches--> chunks --actor pool-->
+extracted(tagged) --groupby×2--> nodes --broadcast join + groupby--> edges,
+claims --> sorted canonical Parquet tables, with per-stage checkpoint
+manifests (skip-on-match resume) and per-partition lineage.
+
+Stage boundaries are Parquet checkpoints by design: (a) the north_rule
+requires killed-run resume from the last completed block, and (b) the
+tagged extraction output fans out to three consumers (nodes/edges/claims)
+without recomputing extraction.  Within a stage, execution is Ray Data's
+streaming executor — blocks flow with backpressure; nothing materializes
+the whole dataset in memory.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import time
+
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+import ray
+import ray.data as rd
+
+from kgx.functions.chunker import chunk_text
+from kgx.functions.html_text import EXTRACTOR_VERSION, extract_text
+from kgx.stages.canonicalize import canonicalize
+from kgx.stages.edges import (build_alias_map, resolve_and_dedup_claims,
+                              resolve_and_dedup_edges)
+from kgx.stages.extract import GazetteerExtractor, LLMExtractor, TermExtractor
+from kgx.state import manifest as mf
+
+EXTRACTORS = {
+    "gazetteer": GazetteerExtractor,
+    "term": TermExtractor,
+    "llm": LLMExtractor,
+}
+
+
+@dataclasses.dataclass
+class KGConfig:
+    """Pipeline knobs (reference analog: GraphRAGConfig,
+    /root/reference/config.py:13-53)."""
+    chunk_size: int = 200
+    chunk_overlap: int = 50
+    min_strength: float = 0.5          # /root/reference/config.py:37
+    extractor: str = "gazetteer"
+    lang_filter: str | None = None     # e.g. "en" to keep only that lang
+    n_salts: int = 32
+    instance_cap: int = 200
+    extract_concurrency: int = 4       # actor-pool size for extraction
+    extract_batch_size: int = 256
+    resolve_concurrency: int = 4
+    resolve_batch_size: int = 4096
+
+    def to_dict(self) -> dict:
+        return dataclasses.asdict(self)
+
+
+def extract_text_batch(batch: pa.Table) -> pa.Table:
+    """HTML->text over one pages batch.  Rows with a pre-extracted non-null
+    ``text`` pass through byte-identically (input_hint invariant); others
+    run the pinned pure extractor over ``html``."""
+    htmls = batch["html"].to_pylist()
+    texts = batch["text"].to_pylist()
+    out = [t if t is not None else extract_text(h)
+           for h, t in zip(htmls, texts)]
+    return pa.table({
+        "url": batch["url"].combine_chunks(),
+        "text": pa.array(out, pa.string()),
+        "lang": batch["lang"].combine_chunks(),
+    })
+
+
+def make_chunk_batch_fn(size: int, overlap: int):
+    """1->N row expansion: texts batch -> chunks batch (M1/M2)."""
+    def chunk_batch(batch: pa.Table) -> pa.Table:
+        urls, chunk_ids, idxs, texts, ntoks = [], [], [], [], []
+        for url, text in zip(batch["url"].to_pylist(),
+                             batch["text"].to_pylist()):
+            for row in chunk_text(text or "", url, size, overlap):
+                urls.append(row["url"])
+                chunk_ids.append(row["chunk_id"])
+                idxs.append(row["chunk_index"])
+                texts.append(row["text"])
+                ntoks.append(row["n_tokens"])
+        return pa.table({
+            "url": pa.array(urls, pa.string()),
+            "chunk_id": pa.array(chunk_ids, pa.string()),
+            "chunk_index": pa.array(idxs, pa.int32()),
+            "text": pa.array(texts, pa.string()),
+            "n_tokens": pa.array(ntoks, pa.int32()),
+        })
+    return chunk_batch
+
+
+def _run_stage(out_dir, stage, input_fp, cfg_hash, build_and_write, resume):
+    """Skip the stage when its manifest matches; else (re)run it."""
+    if resume and mf.stage_is_done(out_dir, stage, input_fp, cfg_hash):
+        return False
+    mf.begin_stage(out_dir, stage)
+    t0 = time.perf_counter()
+    build_and_write(mf.stage_dir(out_dir, stage))
+    mf.finish_stage(out_dir, stage, input_fp, cfg_hash,
+                    time.perf_counter() - t0)
+    return True
+
+
+def run_pipeline(pages_path: str, out_dir: str,
+                 cfg: KGConfig | None = None, *,
+                 resume: bool = True,
+                 pages_ds_factory=None) -> dict:
+    """Run the full KG-construction pipeline; returns stage output paths.
+
+    ``pages_ds_factory`` optionally overrides how the pages Dataset is
+    built (e.g. adapting the testdata documents table); the default reads
+    the sharded pages Parquet with column pruning.
+    """
+    cfg = cfg or KGConfig()
+    base_cfg = cfg.to_dict()
+    base_cfg["extractor_version"] = EXTRACTOR_VERSION
+    input_fp = mf.fingerprint_input(pages_path)
+    paths = {s: mf.stage_dir(out_dir, s)
+             for s in ("texts", "chunks", "extracted", "nodes", "edges",
+                       "claims")}
+
+    def chash(stage: str) -> str:
+        return mf.config_hash({**base_cfg, "stage": stage})
+
+    # 1. texts: html -> text (stateless tasks; html column dropped after)
+    def build_texts(sdir):
+        if pages_ds_factory is not None:
+            ds = pages_ds_factory()
+        else:
+            ds = rd.read_parquet(pages_path,
+                                 columns=["url", "html", "text", "lang"])
+        ds = ds.map_batches(extract_text_batch, batch_format="pyarrow")
+        if cfg.lang_filter:
+            ds = ds.map_batches(
+                lambda t: t.filter(pc.equal(t["lang"], cfg.lang_filter)),
+                batch_format="pyarrow")
+        ds.write_parquet(sdir)
+    _run_stage(out_dir, "texts", input_fp, chash("texts"), build_texts, resume)
+
+    # 2. chunks: token-window expansion (stateless tasks)
+    fp_texts = mf.fingerprint_input(paths["texts"])
+
+    def build_chunks(sdir):
+        ds = rd.read_parquet(paths["texts"], columns=["url", "text"])
+        ds = ds.map_batches(
+            make_chunk_batch_fn(cfg.chunk_size, cfg.chunk_overlap),
+            batch_format="pyarrow")
+        ds.write_parquet(sdir)
+    _run_stage(out_dir, "chunks", fp_texts, chash("chunks"), build_chunks,
+               resume)
+
+    # 3. extraction: actor pool, tagged single-pass output (checkpointed once,
+    #    consumed three times)
+    fp_chunks = mf.fingerprint_input(paths["chunks"])
+
+    def build_extracted(sdir):
+        ds = rd.read_parquet(paths["chunks"],
+                             columns=["url", "chunk_id", "text"])
+        ds = ds.map_batches(EXTRACTORS[cfg.extractor],
+                            batch_format="pyarrow",
+                            batch_size=cfg.extract_batch_size,
+                            concurrency=cfg.extract_concurrency)
+        ds.write_parquet(sdir)
+    _run_stage(out_dir, "extracted", fp_chunks, chash("extracted"),
+               build_extracted, resume)
+
+    # 4. nodes: salted two-phase canonicalization shuffle + global sort
+    fp_ext = mf.fingerprint_input(paths["extracted"])
+
+    def build_nodes(sdir):
+        mentions = rd.read_parquet(
+            paths["extracted"],
+            columns=["kind", "url", "chunk_id", "mention", "norm_mention",
+                     "type", "description"],
+            filter=pc.field("kind") == "mention")
+        nodes = canonicalize(mentions, n_salts=cfg.n_salts,
+                             cap=cfg.instance_cap)
+        nodes.write_parquet(sdir)
+    _run_stage(out_dir, "nodes", fp_ext, chash("nodes"), build_nodes, resume)
+
+    # 5+6. edges & claims: broadcast alias map (ray.put once) + grouped dedup
+    nodes_tbl = pq.read_table(paths["nodes"],
+                              columns=["entity_id", "name", "aliases"])
+    alias_ref = ray.put(build_alias_map(nodes_tbl))
+    fp_nodes = mf.fingerprint_input(paths["nodes"])
+
+    def build_edges(sdir):
+        triples = rd.read_parquet(
+            paths["extracted"],
+            columns=["kind", "url", "chunk_id", "subj", "pred", "obj",
+                     "strength"],
+            filter=pc.field("kind") == "triple")
+        edges = resolve_and_dedup_edges(
+            triples, alias_ref, min_strength=cfg.min_strength,
+            cap=cfg.instance_cap, concurrency=cfg.resolve_concurrency,
+            batch_size=cfg.resolve_batch_size)
+        edges.write_parquet(sdir)
+    _run_stage(out_dir, "edges", fp_ext + fp_nodes, chash("edges"),
+               build_edges, resume)
+
+    def build_claims(sdir):
+        claims = rd.read_parquet(
+            paths["extracted"],
+            columns=["kind", "url", "chunk_id", "content", "entities"],
+            filter=pc.field("kind") == "claim")
+        claims = resolve_and_dedup_claims(
+            claims, alias_ref, cap=cfg.instance_cap,
+            concurrency=cfg.resolve_concurrency,
+            batch_size=cfg.resolve_batch_size)
+        claims.write_parquet(sdir)
+    _run_stage(out_dir, "claims", fp_ext + fp_nodes, chash("claims"),
+               build_claims, resume)
+
+    return paths

@@ -1,0 +1,231 @@
+"""Edge / claim resolution and dedup.
+
+Endpoint resolution is a **broadcast hash join** (SURVEY.md §2.4 J1/J2): the
+canonical alias map ``norm_name -> (entity_id, canonical_name)`` built from
+the (small, post-canonicalization) nodes table is ``ray.put`` once and read
+by every resolver actor in ``__init__`` — never re-shipped per batch, never
+an all-to-all shuffle.  The reference builds the same name->id dict in
+driver memory (/root/reference/indexing/simple_graph_builder.py:74-78) and
+drops relationships with an unresolvable endpoint (:88-97) and claims with
+zero resolved entities (:136-138); we preserve both drop rules but key the
+lookup on ``normalize(name)`` so alias surface variants resolve.
+
+Edge dedup follows ``KnowledgeGraph.add_relationship`` /
+``Relationship.merge`` (/root/reference/models/knowledge_graph.py:47-68,
+models/relationship.py:35-57) with two documented upgrades: the group key is
+the full ``(subj_id, pred, obj_id)`` triple (the north_rule output; the
+reference ignores the predicate in its key) and strength is the **true
+mean** carried as (sum, count) — the reference's running average-of-averages
+is order-dependent.  Claim dedup follows ``add_claim``
+(/root/reference/models/knowledge_graph.py:70-101): key ``lower(content)``,
+union entity_ids and instances.
+
+All groupbys run over per-batch pre-combined state rows, as in
+``kgx.stages.canonicalize``.
+"""
+
+from __future__ import annotations
+
+import json
+
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray
+
+from kgx.functions.normalize import claim_id, edge_id, normalize
+from kgx.stages.canonicalize import _cap_instances, DEFAULT_INSTANCE_CAP
+
+DEFAULT_MIN_STRENGTH = 0.5  # /root/reference/config.py:37
+
+EDGES_SCHEMA = pa.schema([
+    ("edge_id", pa.string()),
+    ("subj_id", pa.string()),
+    ("obj_id", pa.string()),
+    ("subj_name", pa.string()),
+    ("obj_name", pa.string()),
+    ("pred", pa.string()),
+    ("strength", pa.float64()),
+    ("n_instances", pa.int64()),
+    ("instances", pa.list_(pa.struct([("url", pa.string()),
+                                      ("chunk_id", pa.string())]))),
+])
+
+CLAIMS_SCHEMA = pa.schema([
+    ("claim_id", pa.string()),
+    ("content", pa.string()),
+    ("entity_ids", pa.list_(pa.string())),
+    ("n_instances", pa.int64()),
+    ("instances", pa.list_(pa.struct([("url", pa.string()),
+                                      ("chunk_id", pa.string())]))),
+])
+
+
+def build_alias_map(nodes_table: pa.Table) -> dict[str, tuple[str, str]]:
+    """norm_name -> (entity_id, canonical_name) from the nodes table.
+
+    The canonicalization key IS the normalized name, so ``entity_id =
+    sha1(norm)`` and every raw mention resolves through ``normalize``.
+    Small by construction (one row per canonical entity); at extreme scale
+    the design switch-over is a two-sided co-shuffle on norm_name keyed by
+    a threshold on ``nodes.count()`` (SURVEY.md §7 hard parts).
+    """
+    alias: dict[str, tuple[str, str]] = {}
+    names = nodes_table["name"].to_pylist()
+    ids = nodes_table["entity_id"].to_pylist()
+    aliases_col = nodes_table["aliases"].to_pylist()
+    for eid, name, aliases in zip(ids, names, aliases_col):
+        for surface in [name] + (aliases or []):
+            alias[normalize(surface)] = (eid, name)
+    return alias
+
+
+class ResolveTriples:
+    """Actor-pool stage: raw (subj, pred, obj, strength) triples ->
+    pre-combined edge state rows keyed by (subj_id, pred, obj_id).
+
+    Resolution + strength filter + in-batch combine in a single pass so the
+    downstream groupby only moves one state row per key per batch.
+    """
+
+    def __init__(self, alias_ref, *, min_strength: float = DEFAULT_MIN_STRENGTH,
+                 cap: int = DEFAULT_INSTANCE_CAP):
+        self.alias = ray.get(alias_ref) if isinstance(
+            alias_ref, ray.ObjectRef) else alias_ref
+        self.min_strength = min_strength
+        self.cap = cap
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        states: dict[tuple[str, str, str], dict] = {}
+        for url, chunk_id, subj, pred, obj, strength in zip(
+                batch["url"].to_pylist(), batch["chunk_id"].to_pylist(),
+                batch["subj"].to_pylist(), batch["pred"].to_pylist(),
+                batch["obj"].to_pylist(), batch["strength"].to_pylist()):
+            if strength is None or strength < self.min_strength:
+                continue
+            s = self.alias.get(normalize(subj))
+            o = self.alias.get(normalize(obj))
+            if s is None or o is None:
+                continue  # drop unresolvable endpoints (J1 semantics)
+            key = (s[0], pred, o[0])
+            st = states.get(key)
+            if st is None:
+                st = states[key] = {"sn": s[1], "on": o[1], "sum": 0.0,
+                                    "n": 0, "inst": []}
+            st["sum"] += float(strength)
+            st["n"] += 1
+            st["inst"] = _cap_instances(st["inst"] + [(url, chunk_id)], self.cap)
+        keys = sorted(states)
+        return pa.table({
+            "subj_id": pa.array([k[0] for k in keys], pa.string()),
+            "pred": pa.array([k[1] for k in keys], pa.string()),
+            "obj_id": pa.array([k[2] for k in keys], pa.string()),
+            "state": pa.array([json.dumps(states[k], sort_keys=True)
+                               for k in keys], pa.string()),
+        })
+
+
+def _finalize_edge_group(group: pa.Table, cap: int) -> pa.Table:
+    subj_id = group["subj_id"][0].as_py()
+    pred = group["pred"][0].as_py()
+    obj_id = group["obj_id"][0].as_py()
+    sn = on = None
+    total, n, inst = 0.0, 0, []
+    for s in group["state"].to_pylist():
+        st = json.loads(s)
+        sn, on = st["sn"], st["on"]
+        total += st["sum"]
+        n += st["n"]
+        inst = _cap_instances(inst + st["inst"], cap)
+    row = {
+        "edge_id": [edge_id(subj_id, pred, obj_id)],
+        "subj_id": [subj_id], "obj_id": [obj_id],
+        "subj_name": [sn], "obj_name": [on], "pred": [pred],
+        "strength": [total / n],
+        "n_instances": [n],
+        "instances": [[{"url": u, "chunk_id": c} for u, c in inst]],
+    }
+    return pa.table({f.name: pa.array(row[f.name], f.type) for f in EDGES_SCHEMA})
+
+
+def resolve_and_dedup_edges(triples_ds, alias_ref, *,
+                            min_strength: float = DEFAULT_MIN_STRENGTH,
+                            cap: int = DEFAULT_INSTANCE_CAP,
+                            concurrency=4, batch_size: int = 4096):
+    """triples_raw Dataset -> canonical edges Dataset with global dedup-sort."""
+    combined = triples_ds.map_batches(
+        ResolveTriples, batch_format="pyarrow", batch_size=batch_size,
+        concurrency=concurrency,
+        fn_constructor_kwargs={"alias_ref": alias_ref,
+                               "min_strength": min_strength, "cap": cap})
+    edges = combined.groupby(["subj_id", "pred", "obj_id"]).map_groups(
+        lambda g: _finalize_edge_group(g, cap), batch_format="pyarrow")
+    return edges.sort(["subj_id", "pred", "obj_id"])
+
+
+class ResolveClaims:
+    """Actor-pool stage: raw claims -> pre-combined claim state rows keyed by
+    lower(content).  Claims with zero resolved entities are dropped
+    (/root/reference/indexing/simple_graph_builder.py:136-138)."""
+
+    def __init__(self, alias_ref, *, cap: int = DEFAULT_INSTANCE_CAP):
+        self.alias = ray.get(alias_ref) if isinstance(
+            alias_ref, ray.ObjectRef) else alias_ref
+        self.cap = cap
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        states: dict[str, dict] = {}
+        for url, chunk_id, content, entities in zip(
+                batch["url"].to_pylist(), batch["chunk_id"].to_pylist(),
+                batch["content"].to_pylist(), batch["entities"].to_pylist()):
+            if not content:
+                continue
+            ids = sorted({self.alias[normalize(e)][0] for e in (entities or [])
+                          if normalize(e) in self.alias})
+            if not ids:
+                continue
+            key = content.lower()
+            st = states.get(key)
+            if st is None:
+                st = states[key] = {"c": content, "ids": [], "n": 0, "inst": []}
+            st["c"] = min(st["c"], content)  # deterministic raw-content pick
+            st["ids"] = sorted(set(st["ids"]) | set(ids))
+            st["n"] += 1
+            st["inst"] = _cap_instances(st["inst"] + [(url, chunk_id)], self.cap)
+        keys = sorted(states)
+        return pa.table({
+            "content_key": pa.array(keys, pa.string()),
+            "state": pa.array([json.dumps(states[k], sort_keys=True)
+                               for k in keys], pa.string()),
+        })
+
+
+def _finalize_claim_group(group: pa.Table, cap: int) -> pa.Table:
+    key = group["content_key"][0].as_py()
+    content, ids, n, inst = None, set(), 0, []
+    for s in group["state"].to_pylist():
+        st = json.loads(s)
+        content = st["c"] if content is None else min(content, st["c"])
+        ids |= set(st["ids"])
+        n += st["n"]
+        inst = _cap_instances(inst + st["inst"], cap)
+    row = {
+        "claim_id": [claim_id(key)],
+        "content": [content],
+        "entity_ids": [sorted(ids)],
+        "n_instances": [n],
+        "instances": [[{"url": u, "chunk_id": c} for u, c in inst]],
+    }
+    return pa.table({f.name: pa.array(row[f.name], f.type) for f in CLAIMS_SCHEMA})
+
+
+def resolve_and_dedup_claims(claims_ds, alias_ref, *,
+                             cap: int = DEFAULT_INSTANCE_CAP,
+                             concurrency=4, batch_size: int = 4096):
+    """claims_raw Dataset -> canonical claims Dataset sorted by claim_id."""
+    combined = claims_ds.map_batches(
+        ResolveClaims, batch_format="pyarrow", batch_size=batch_size,
+        concurrency=concurrency,
+        fn_constructor_kwargs={"alias_ref": alias_ref, "cap": cap})
+    claims = combined.groupby("content_key").map_groups(
+        lambda g: _finalize_claim_group(g, cap), batch_format="pyarrow")
+    return claims.sort("claim_id")

@@ -1,0 +1,288 @@
+"""Triple / mention / claim extraction stages (actor-pool ``map_batches``).
+
+The reference extracts entities+relationships per chunk with an LLM
+(/root/reference/extraction/simple_entity_extractor.py:60-125) and claims
+per chunk (/root/reference/extraction/simple_claim_extractor.py:96-133),
+over unbounded ``asyncio.gather`` in one process.  Here each extractor is a
+callable CLASS used as ``chunks.map_batches(Cls, batch_format="pyarrow",
+concurrency=N)`` — state (compiled gazetteer/pattern regexes, or an LLM
+client) is built once per actor in ``__init__``; ``__call__`` processes one
+Arrow batch of chunks and emits a single tagged Arrow table holding all
+three extraction kinds (``mention`` / ``triple`` / ``claim``), which the
+pipeline checkpoints once and then projects three ways — Ray Data has no
+multi-output operator, and this avoids recomputing extraction per output.
+
+Extractors implement the same interface (SURVEY.md §2.10):
+
+- ``GazetteerExtractor`` — deterministic NER + pattern relation typing over
+  a fixed gazetteer (used for all tests and benchmarks; recovers the
+  synthetic corpus's planted facts exactly).
+- ``TermExtractor`` — deterministic term mentions + within-chunk
+  co-occurrence relations for arbitrary text (used over generic corpora
+  such as the testdata ``documents`` table; fully SQL-expressible).
+- ``LLMExtractor`` — production path mirroring the reference's JSON
+  prompt/parse/fallback semantics; the HTTP call is stubbed in this
+  sandbox (no network), but the parsers are real and unit-tested.
+"""
+
+from __future__ import annotations
+
+import json
+import re
+
+import pyarrow as pa
+
+from kgx.functions.normalize import normalize
+from kgx.synth import GAZETTEER, RELATION_PATTERNS
+
+EXTRACTED_SCHEMA = pa.schema([
+    ("kind", pa.string()),
+    ("url", pa.string()),
+    ("chunk_id", pa.string()),
+    ("mention", pa.string()),
+    ("norm_mention", pa.string()),
+    ("type", pa.string()),
+    ("description", pa.string()),
+    ("subj", pa.string()),
+    ("pred", pa.string()),
+    ("obj", pa.string()),
+    ("strength", pa.float32()),
+    ("content", pa.string()),
+    ("entities", pa.list_(pa.string())),
+])
+
+_SENT_SPLIT = re.compile(r"(?<=[.!?])\s+")
+
+
+class _Rows:
+    """Column-wise accumulator for the tagged EXTRACTED_SCHEMA table."""
+
+    def __init__(self) -> None:
+        self.cols: dict[str, list] = {f.name: [] for f in EXTRACTED_SCHEMA}
+
+    def mention(self, url, chunk_id, mention, norm, etype, desc):
+        self._row(kind="mention", url=url, chunk_id=chunk_id, mention=mention,
+                  norm_mention=norm, type=etype, description=desc)
+
+    def triple(self, url, chunk_id, subj, pred, obj, strength):
+        self._row(kind="triple", url=url, chunk_id=chunk_id, subj=subj,
+                  pred=pred, obj=obj, strength=strength)
+
+    def claim(self, url, chunk_id, content, entities):
+        self._row(kind="claim", url=url, chunk_id=chunk_id, content=content,
+                  entities=entities)
+
+    def _row(self, **kw):
+        for name, col in self.cols.items():
+            col.append(kw.get(name))
+
+    def table(self) -> pa.Table:
+        return pa.table(
+            {f.name: pa.array(self.cols[f.name], f.type) for f in EXTRACTED_SCHEMA})
+
+
+class GazetteerExtractor:
+    """Deterministic NER + relation typing against a fixed gazetteer.
+
+    Per-actor state built once in ``__init__``: a longest-first,
+    case-insensitive alternation over every alias surface form, one compiled
+    regex per relation sentence pattern, and the claim pattern.  Relation
+    endpoints are, by construction, mentions found in the same chunk —
+    preserving the reference's intra-chunk endpoint constraint
+    (/root/reference/extraction/simple_entity_extractor.py:205-208).
+    """
+
+    def __init__(self, gazetteer: dict[str, tuple[str, list[str]]] | None = None):
+        gaz = gazetteer or GAZETTEER
+        self.norm2type: dict[str, str] = {}
+        self.norm2canon: dict[str, str] = {}
+        surfaces: list[str] = []
+        for canonical, (etype, aliases) in gaz.items():
+            key = normalize(canonical)
+            self.norm2type[key] = etype
+            self.norm2canon[key] = canonical
+            surfaces.extend(aliases)
+        surfaces = sorted(set(surfaces), key=len, reverse=True)
+        alt = "|".join(re.escape(s) for s in surfaces)
+        self.mention_re = re.compile(rf"\b(?:{alt})\b", re.IGNORECASE)
+        self.rel_res: list[tuple[re.Pattern, str, float]] = []
+        for tmpl, pred, strength, _st, _ot in RELATION_PATTERNS:
+            mid = tmpl.split("{a}")[1].split("{b}")[0].strip()
+            rx = re.compile(
+                rf"\b(?P<a>{alt})\s+{re.escape(mid)}\s+(?P<b>{alt})", re.IGNORECASE)
+            self.rel_res.append((rx, pred, strength))
+        self.claim_re = re.compile(r"\bIt is reported that\b", re.IGNORECASE)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        out = _Rows()
+        urls = batch["url"].to_pylist()
+        chunk_ids = batch["chunk_id"].to_pylist()
+        texts = batch["text"].to_pylist()
+        for url, chunk_id, text in zip(urls, chunk_ids, texts):
+            if not text:
+                continue
+            for m in self.mention_re.finditer(text):
+                surface = m.group(0)
+                norm = normalize(surface)
+                canon = self.norm2canon.get(norm)
+                if canon is None:
+                    continue
+                etype = self.norm2type[norm]
+                desc = f"{canon} is a {etype.lower()} mentioned as {surface}"
+                out.mention(url, chunk_id, surface, norm, etype, desc)
+            for sent in _SENT_SPLIT.split(text):
+                for rx, pred, strength in self.rel_res:
+                    for m in rx.finditer(sent):
+                        out.triple(url, chunk_id, m.group("a"), pred,
+                                   m.group("b"), strength)
+                if self.claim_re.search(sent):
+                    ents = [m.group(0) for m in self.mention_re.finditer(sent)]
+                    if ents:
+                        out.claim(url, chunk_id, sent.strip(), ents)
+        return out.table()
+
+
+class TermExtractor:
+    """Generic deterministic extractor for arbitrary lowercase-ish text.
+
+    Mentions are token occurrences matching ``[a-z]{4,}`` (type ``TERM``);
+    relations are within-chunk co-occurrence pairs of distinct terms
+    (``pred="co_occurs_with"``, strength 0.6), capped at ``max_terms``
+    distinct terms per chunk (in first-occurrence order) so the pair
+    fan-out stays bounded at scale.  No claims.
+    """
+
+    PRED = "co_occurs_with"
+    STRENGTH = 0.6
+
+    def __init__(self, min_len: int = 4, max_terms: int = 64):
+        self.term_re = re.compile(rf"\b[a-z]{{{min_len},}}\b")
+        self.max_terms = max_terms
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        out = _Rows()
+        urls = batch["url"].to_pylist()
+        chunk_ids = batch["chunk_id"].to_pylist()
+        texts = batch["text"].to_pylist()
+        for url, chunk_id, text in zip(urls, chunk_ids, texts):
+            if not text:
+                continue
+            terms = self.term_re.findall(text)
+            for t in terms:
+                out.mention(url, chunk_id, t, t, "TERM", f"term {t}")
+            distinct: list[str] = []
+            seen: set[str] = set()
+            for t in terms:
+                if t not in seen:
+                    seen.add(t)
+                    distinct.append(t)
+                    if len(distinct) >= self.max_terms:
+                        break
+            distinct.sort()
+            for i, a in enumerate(distinct):
+                for b in distinct[i + 1:]:
+                    out.triple(url, chunk_id, a, self.PRED, b, self.STRENGTH)
+        return out.table()
+
+
+# --------------------------------------------------------------------------
+# LLM extractor: real parsers, stubbed transport (no network in sandbox).
+# --------------------------------------------------------------------------
+
+_FALLBACK_ENTITY_RE = re.compile(r"(.+?)\s*\(([^)]+)\)")
+
+
+def parse_json_response(raw: str) -> dict:
+    """Robust JSON substring extraction, mirroring
+    ``LLMClient.extract_json`` (/root/reference/utils/llm_client.py:100-155):
+    take the ``find('{')``..``rfind('}')`` substring, ``json.loads`` it, and
+    degrade to an error dict instead of raising."""
+    start, end = raw.find("{"), raw.rfind("}")
+    if start == -1 or end <= start:
+        return {"error": "no JSON object found", "raw_response": raw}
+    try:
+        return json.loads(raw[start:end + 1])
+    except json.JSONDecodeError as exc:
+        return {"error": f"invalid JSON: {exc}", "raw_response": raw}
+
+
+def parse_extraction(payload: dict, url: str, chunk_id: str) -> pa.Table:
+    """Validate an LLM extraction payload into the tagged schema, mirroring
+    ``_parse_json_extraction``
+    (/root/reference/extraction/simple_entity_extractor.py:170-218): entities
+    need ``name`` + ``type`` (description defaults to ``"A {type}"``);
+    relationship endpoints must name entities from the SAME chunk else the
+    relationship is dropped; strength defaults to 0.5."""
+    out = _Rows()
+    names = set()
+    for ent in payload.get("entities") or []:
+        name, etype = ent.get("name"), ent.get("type")
+        if not name or not etype:
+            continue
+        desc = ent.get("description") or f"A {etype}"
+        names.add(name)
+        out.mention(url, chunk_id, name, normalize(name), etype, desc)
+    for rel in payload.get("relationships") or []:
+        s, t = rel.get("source"), rel.get("target")
+        if s in names and t in names:
+            out.triple(url, chunk_id, s, rel.get("description") or "related to",
+                       t, float(rel.get("strength", 0.5)))
+    return out.table()
+
+
+def parse_fallback_entities(raw: str, url: str, chunk_id: str) -> pa.Table:
+    """Fallback line parser ``"Entity Name (Entity Type)"`` mirroring
+    ``_extract_simple_fallback``
+    (/root/reference/extraction/simple_entity_extractor.py:220-278);
+    relationships are dropped on this path, as in the reference."""
+    out = _Rows()
+    for line in raw.splitlines():
+        m = _FALLBACK_ENTITY_RE.search(line.strip())
+        if m:
+            name, etype = m.group(1).strip(), m.group(2).strip()
+            if name:
+                out.mention(url, chunk_id, name, normalize(name), etype,
+                            f"A {etype}")
+    return out.table()
+
+
+class LLMExtractor:
+    """Actor-pool LLM extraction stage (production path).
+
+    ``__init__`` would construct the HTTP client once per actor (the
+    reference builds one aiohttp client per process,
+    /root/reference/utils/llm_client.py:24-99); ``__call__`` would fan a
+    batch of chunks out as bounded-concurrency requests, parse each with
+    :func:`parse_json_response` -> :func:`parse_extraction`, and degrade to
+    :func:`parse_fallback_entities`.  There is no network in this sandbox,
+    so the transport raises unless an endpoint is explicitly configured.
+    """
+
+    def __init__(self, endpoint: str | None = None, model: str = "local",
+                 temperature: float = 0.1, max_concurrency: int = 8):
+        self.endpoint = endpoint
+        self.model = model
+        self.temperature = temperature
+        self.max_concurrency = max_concurrency
+
+    def _complete(self, prompt: str) -> str:
+        raise NotImplementedError(
+            "LLMExtractor transport requires a configured endpoint; "
+            "use GazetteerExtractor/TermExtractor in this environment.")
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        tables = []
+        for url, chunk_id, text in zip(batch["url"].to_pylist(),
+                                       batch["chunk_id"].to_pylist(),
+                                       batch["text"].to_pylist()):
+            if not text:
+                continue
+            raw = self._complete(text)
+            payload = parse_json_response(raw)
+            if "error" in payload:
+                tables.append(parse_fallback_entities(raw, url, chunk_id))
+            else:
+                tables.append(parse_extraction(payload, url, chunk_id))
+        if not tables:
+            return EXTRACTED_SCHEMA.empty_table()
+        return pa.concat_tables(tables)
