@@ -27,7 +27,7 @@ from __future__ import annotations
 
 from html.parser import HTMLParser
 
-EXTRACTOR_VERSION = "kgx-html-1"
+EXTRACTOR_VERSION = "kgx-html-2"
 
 # Subtrees that are never content.
 _SKIP_TAGS = frozenset({
@@ -51,23 +51,25 @@ class _TextExtractor(HTMLParser):
         self._skip_depth = 0
         self._parts: list[str] = []
 
+    _BREAK = "\x00"  # block-boundary sentinel; source newlines are spaces
+
     def handle_starttag(self, tag, attrs):
         if tag in _SKIP_TAGS:
             self._skip_depth += 1
         elif tag in _BLOCK_TAGS:
-            self._parts.append("\n")
+            self._parts.append(self._BREAK)
 
     def handle_endtag(self, tag):
         if tag in _SKIP_TAGS:
             if self._skip_depth > 0:
                 self._skip_depth -= 1
         elif tag in _BLOCK_TAGS:
-            self._parts.append("\n")
+            self._parts.append(self._BREAK)
 
     def handle_startendtag(self, tag, attrs):
         # self-closing (<br/>, <hr/>): a void skip tag has no subtree to skip
         if tag in _BLOCK_TAGS:
-            self._parts.append("\n")
+            self._parts.append(self._BREAK)
 
     def handle_data(self, data):
         if self._skip_depth == 0 and data:
@@ -75,10 +77,10 @@ class _TextExtractor(HTMLParser):
 
     def text(self) -> str:
         lines = []
-        for line in "".join(self._parts).split("\n"):
-            line = " ".join(line.split())
-            if line:
-                lines.append(line)
+        for seg in "".join(self._parts).split(self._BREAK):
+            seg = " ".join(seg.split())
+            if seg:
+                lines.append(seg)
         return "\n".join(lines)
 
 

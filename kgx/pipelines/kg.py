@@ -50,13 +50,25 @@ class KGConfig:
     lang_filter: str | None = None     # e.g. "en" to keep only that lang
     n_salts: int = 32
     instance_cap: int = 200
-    extract_concurrency: int = 4       # actor-pool size for extraction
+    # Performance knobs (never part of the checkpoint config hash — they
+    # cannot change results, only wall time).  ``None`` concurrency resolves
+    # at run time to an autoscaling pool (1, cluster_cpus - 2): a fixed pool
+    # equal to the CPU count deadlocks the fused read stage on small hosts.
+    extract_concurrency: int | tuple | None = None
     extract_batch_size: int = 256
-    resolve_concurrency: int = 4
+    resolve_concurrency: int | tuple | None = None
     resolve_batch_size: int = 4096
+
+    _PERF_KNOBS = ("extract_concurrency", "extract_batch_size",
+                   "resolve_concurrency", "resolve_batch_size", "n_salts")
 
     def to_dict(self) -> dict:
         return dataclasses.asdict(self)
+
+    def semantic_dict(self) -> dict:
+        """Only the knobs that change pipeline RESULTS (checkpoint identity)."""
+        return {k: v for k, v in dataclasses.asdict(self).items()
+                if k not in self._PERF_KNOBS}
 
 
 def extract_text_batch(batch: pa.Table) -> pa.Table:
@@ -119,8 +131,12 @@ def run_pipeline(pages_path: str, out_dir: str,
     the sharded pages Parquet with column pruning.
     """
     cfg = cfg or KGConfig()
-    base_cfg = cfg.to_dict()
+    base_cfg = cfg.semantic_dict()
     base_cfg["extractor_version"] = EXTRACTOR_VERSION
+    ncpu = int(ray.cluster_resources().get("CPU", 4))
+    pool = (1, max(1, ncpu - 2))
+    extract_conc = cfg.extract_concurrency or pool
+    resolve_conc = cfg.resolve_concurrency or pool
     input_fp = mf.fingerprint_input(pages_path)
     paths = {s: mf.stage_dir(out_dir, s)
              for s in ("texts", "chunks", "extracted", "nodes", "edges",
@@ -166,7 +182,7 @@ def run_pipeline(pages_path: str, out_dir: str,
         ds = ds.map_batches(EXTRACTORS[cfg.extractor],
                             batch_format="pyarrow",
                             batch_size=cfg.extract_batch_size,
-                            concurrency=cfg.extract_concurrency)
+                            concurrency=extract_conc)
         ds.write_parquet(sdir)
     _run_stage(out_dir, "extracted", fp_chunks, chash("extracted"),
                build_extracted, resume)
@@ -199,7 +215,7 @@ def run_pipeline(pages_path: str, out_dir: str,
             filter=pc.field("kind") == "triple")
         edges = resolve_and_dedup_edges(
             triples, alias_ref, min_strength=cfg.min_strength,
-            cap=cfg.instance_cap, concurrency=cfg.resolve_concurrency,
+            cap=cfg.instance_cap, concurrency=resolve_conc,
             batch_size=cfg.resolve_batch_size)
         edges.write_parquet(sdir)
     _run_stage(out_dir, "edges", fp_ext + fp_nodes, chash("edges"),
@@ -212,7 +228,7 @@ def run_pipeline(pages_path: str, out_dir: str,
             filter=pc.field("kind") == "claim")
         claims = resolve_and_dedup_claims(
             claims, alias_ref, cap=cfg.instance_cap,
-            concurrency=cfg.resolve_concurrency,
+            concurrency=resolve_conc,
             batch_size=cfg.resolve_batch_size)
         claims.write_parquet(sdir)
     _run_stage(out_dir, "claims", fp_ext + fp_nodes, chash("claims"),

@@ -1,0 +1,114 @@
+"""Unit tests for the pure operators (FIXTURES.md §4 micro-fixtures)."""
+
+import pyarrow as pa
+import pytest
+
+from kgx.functions.chunker import chunk_text, chunk_token_windows
+from kgx.functions.html_text import extract_text
+from kgx.functions.normalize import claim_id, edge_id, entity_id, normalize
+
+
+class TestNormalize:
+    # oracle semantics: /root/reference/extraction/entity_resolver.py:14-20
+    @pytest.mark.parametrize("raw,want", [
+        ("Café-Au_Lait!", "cafe au lait"),
+        ("  United   States ", "united states"),
+        ("UNITED-STATES", "united states"),
+        ("Ada Loveláce", "ada lovelace"),
+        ("already clean", "already clean"),
+        ("Release 2.0 (beta)", "release 2 0 beta"),
+        ("", ""),
+        ("!!!", ""),
+    ])
+    def test_cases(self, raw, want):
+        assert normalize(raw) == want
+
+    def test_ids_deterministic(self):
+        assert entity_id("acme") == entity_id("acme")
+        assert entity_id("acme") != entity_id("acme corp")
+        assert edge_id("a", "p", "b") != edge_id("b", "p", "a")
+        assert claim_id("x") == claim_id("x")
+
+
+class TestChunker:
+    # window semantics: /root/reference/extraction/text_chunker.py:63,89-115
+    def test_empty_doc(self):
+        assert chunk_text("", "d") == []
+        assert chunk_text("   ", "d") == []
+
+    def test_short_doc_single_chunk(self):
+        rows = chunk_text("a b c", "d", size=10, overlap=2)
+        assert len(rows) == 1
+        assert rows[0]["chunk_id"] == "d_0"
+        assert rows[0]["text"] == "a b c"
+
+    def test_exact_size_single_chunk(self):
+        assert len(chunk_text("a b c d", "d", size=4, overlap=1)) == 1
+
+    def test_just_over_size(self):
+        rows = chunk_text("a b c d e", "d", size=4, overlap=1)
+        assert len(rows) == 2
+        assert rows[0]["text"] == "a b c d"
+        assert rows[1]["text"] == "d e"  # stride 3, overlap 1
+
+    def test_overlap_clamped_to_half_size(self):
+        # overlap 9 > size//2 -> clamped to 5 -> stride 5
+        starts = chunk_token_windows(30, 10, 9)
+        assert starts == [0, 5, 10, 15, 20]
+
+    def test_full_coverage_and_overlap(self):
+        toks = [str(i) for i in range(537)]
+        rows = chunk_text(" ".join(toks), "d", size=100, overlap=20)
+        covered = set()
+        for r in rows:
+            covered.update(r["text"].split())
+        assert covered == set(toks)
+        # consecutive chunks share exactly `overlap` tokens
+        a = rows[0]["text"].split()
+        b = rows[1]["text"].split()
+        assert a[-20:] == b[:20]
+
+
+class TestHtmlText:
+    # /root/repo-owned oracle: same function in pipeline and test (SURVEY §7.1)
+    def test_basic_blocks(self):
+        html = b"<html><body><p>Hello <b>world</b>.</p><p>Second.</p></body></html>"
+        assert extract_text(html) == "Hello world.\nSecond."
+
+    def test_boilerplate_stripped(self):
+        html = (b"<html><head><title>T</title><style>x{}</style>"
+                b"<script>var a=1;</script></head><body>"
+                b"<nav>Home News</nav><header><h1>Title</h1></header>"
+                b"<p>Body text.</p><footer>footer text</footer></body></html>")
+        assert extract_text(html) == "Body text."
+
+    def test_entities_unescaped(self):
+        assert extract_text(b"<p>A &amp; B &lt;3</p>") == "A & B <3"
+
+    def test_whitespace_normalized(self):
+        assert extract_text(b"<p>a\n   b\t c</p>") == "a b c"
+
+    def test_none_and_empty(self):
+        assert extract_text(None) == ""
+        assert extract_text(b"") == ""
+
+    def test_broken_markup_deterministic(self):
+        broken = b"<html><body><p>kept text</p><div class='x"
+        out1, out2 = extract_text(broken), extract_text(broken)
+        assert out1 == out2
+        assert "kept text" in out1
+
+    def test_non_utf8_bytes_replaced(self):
+        out = extract_text(b"<p>caf\xe9</p>")  # latin-1 byte
+        assert out.startswith("caf")
+
+    def test_bom_stripped(self):
+        assert extract_text("﻿<p>x</p>".encode("utf-8")) == "x"
+
+    def test_unclosed_script_drops_rest(self):
+        html = b"<p>before</p><script>var x=1; <p>not text</p>"
+        assert extract_text(html) == "before"
+
+    def test_idempotent_across_runs(self):
+        html = ("<html><body>" + "<p>p&aacute;ra</p>" * 50 + "</body></html>").encode()
+        assert extract_text(html) == extract_text(html)

@@ -1,0 +1,110 @@
+"""End-to-end: Ray pipeline == sequential oracle, P/R >= 0.95 vs truth,
+byte-identical text per url, checkpoint resume (FIXTURES.md §3/§4)."""
+
+import glob
+import os
+
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+import pytest
+
+from kgx.functions.html_text import extract_text
+from kgx.oracle import run_oracle, triple_pr
+from kgx.pipelines.kg import KGConfig, run_pipeline
+
+
+@pytest.fixture(scope="module")
+def run(smoke_corpus, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("kgout"))
+    paths = run_pipeline(smoke_corpus["pages"], out, KGConfig())
+    return {"paths": paths, "out": out, **smoke_corpus}
+
+
+class TestE2E:
+    def test_pipeline_equals_sequential_oracle(self, run):
+        oracle = run_oracle(pq.read_table(run["pages"]))
+        for name in ("nodes", "edges", "claims"):
+            got = pq.read_table(run["paths"][name])
+            key = got.schema.names[0]
+            assert got.sort_by(key).to_pylist() == \
+                oracle[name].sort_by(key).to_pylist(), name
+
+    def test_triple_pr_vs_truth(self, run):
+        nodes = pq.read_table(run["paths"]["nodes"])
+        edges = pq.read_table(run["paths"]["edges"])
+        p, r = triple_pr(edges, nodes, pq.read_table(run["truth"]))
+        assert p >= 0.95 and r >= 0.95, (p, r)
+
+    def test_text_byte_identical_per_url(self, run):
+        """input_hint invariant: per-url extracted text == the pinned
+        sequential extractor's output; pre-filled rows pass through."""
+        pages = pq.read_table(run["pages"])
+        texts = pq.read_table(run["paths"]["texts"])
+        got = dict(zip(texts["url"].to_pylist(), texts["text"].to_pylist()))
+        for row in pages.to_pylist():
+            want = row["text"] if row["text"] is not None \
+                else extract_text(row["html"])
+            assert got[row["url"]] == want, row["url"]
+
+    def test_strength_filter_applied(self, run):
+        edges = pq.read_table(run["paths"]["edges"])
+        assert edges.num_rows > 0
+        assert pc.min(edges["strength"]).as_py() >= 0.5
+        # the 0.4 'visited' pattern must never materialize
+        assert "visited" not in set(edges["pred"].to_pylist())
+
+    def test_nodes_sorted_and_ids_content_hashed(self, run):
+        nodes = pq.read_table(run["paths"]["nodes"])
+        ids = nodes["entity_id"].to_pylist()
+        assert ids == sorted(ids)
+        from kgx.functions.normalize import entity_id, normalize
+        row = nodes.slice(0, 1).to_pylist()[0]
+        assert row["entity_id"] == entity_id(normalize(row["name"]))
+
+    def test_head_entity_instances_capped_count_exact(self, run):
+        nodes = pq.read_table(run["paths"]["nodes"])
+        us = nodes.filter(pc.equal(nodes["name"], "United States")).to_pylist()
+        assert len(us) == 1
+        assert us[0]["n_instances"] >= len(us[0]["instances"])
+        assert us[0]["type"] == "LOCATION"
+
+    def test_lineage_records_every_stage(self, run):
+        files = {os.path.basename(f) for f in
+                 glob.glob(os.path.join(run["out"], "lineage", "*.parquet"))}
+        assert files == {"texts.parquet", "chunks.parquet",
+                         "extracted.parquet", "nodes.parquet",
+                         "edges.parquet", "claims.parquet"}
+        lin = pq.read_table(os.path.join(run["out"], "lineage",
+                                         "extracted.parquet"))
+        assert lin.num_rows >= 1
+        assert set(lin.schema.names) == {"stage", "partition", "file", "rows",
+                                         "bytes", "wall_s"}
+
+
+class TestResume:
+    def test_rerun_skips_all_stages(self, run):
+        mtimes = {f: os.path.getmtime(f) for f in
+                  glob.glob(os.path.join(run["out"], "*", "_MANIFEST.json"))}
+        run_pipeline(run["pages"], run["out"], KGConfig())
+        after = {f: os.path.getmtime(f) for f in
+                 glob.glob(os.path.join(run["out"], "*", "_MANIFEST.json"))}
+        assert mtimes == after
+
+    def test_killed_stage_recovers_identically(self, run):
+        edges_before = pq.read_table(run["paths"]["edges"]).to_pylist()
+        os.remove(os.path.join(run["out"], "edges", "_MANIFEST.json"))
+        nodes_m = os.path.getmtime(
+            os.path.join(run["out"], "nodes", "_MANIFEST.json"))
+        run_pipeline(run["pages"], run["out"], KGConfig())
+        assert pq.read_table(run["paths"]["edges"]).to_pylist() == edges_before
+        assert os.path.getmtime(
+            os.path.join(run["out"], "nodes", "_MANIFEST.json")) == nodes_m
+
+    def test_config_change_invalidates(self, run, tmp_path):
+        out = str(tmp_path)
+        run_pipeline(run["pages"], out, KGConfig(chunk_size=120))
+        chunks_m = os.path.getmtime(
+            os.path.join(out, "chunks", "_MANIFEST.json"))
+        run_pipeline(run["pages"], out, KGConfig(chunk_size=80))
+        assert os.path.getmtime(
+            os.path.join(out, "chunks", "_MANIFEST.json")) != chunks_m
