@@ -1,16 +1,15 @@
-"""Driver contract for the graft builder (Ray Data target).
+"""Driver contract: entry() smoke, queries() pipelines, oracle_sql() checks.
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+Ray is initialised by the driver BEFORE this module is imported; nothing
+here (or in kgx) calls ray.init()/ray.shutdown().
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Every SQL string is the exact semantic mirror of its Ray pipeline — same
+tokenization regexes (RE2 on both sides), same float operation order, and
+integer arithmetic (``floor(x*100+0.5)`` cents, integer floor-division
+averages) wherever distributed summation order could otherwise flip a
+bit.  Approximate/stateful operators (MinHash-LSH, SimHash, winnowing,
+LSH top-k, fake media decode, gazetteer KG over the synthetic corpus)
+have no oracle entry → rows-only check, by design.
 """
 
 from __future__ import annotations
@@ -18,27 +17,478 @@ from __future__ import annotations
 from collections.abc import Callable
 from typing import Any
 
+SF0001 = "/root/testdata/sf0.001"
+
+# Shared SQL fragments — keep in lockstep with kgx.ops.text constants.
+_TERM_RE = r"\b[a-z]{4,}\b"
+_WS_RE = r"\S+"
+_BPE_RE = r"[a-z]+|[A-Z]+|[0-9]+|[^A-Za-z0-9\s]"
+_STOP_SQL = "('a','an','and','in','is','of','on','the','to','with')"
+_LANG_RES = {
+    "de": r"\b(?:der|die|das|und|nicht|ist|ein)\b",
+    "en": r"\b(?:the|a|of|and|is|to|in)\b",
+    "es": r"\b(?:el|los|las|una|que|es|y)\b",
+    "fr": r"\b(?:le|les|des|une|est|et|dans)\b",
+}
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship KG-construction pipeline over the sf0.001 documents table:
+    chunk -> term extraction (actor pool) -> salted canonicalization ->
+    broadcast edge resolution + dedup; returns the canonical edges."""
+    from kgx.pipelines.docs_kg import kg_tables
+    return kg_tables(SF0001)["edges"]
+
+
+# ----------------------------------------------------------------------
+# Ray-side query callables
+# ----------------------------------------------------------------------
+
+def _q_kg_chunks(sf_dir: str):
+    from kgx.pipelines.docs_kg import chunk_documents
+    return chunk_documents(sf_dir)
+
+
+def _q_kg_chunks_win(sf_dir: str):
+    from kgx.pipelines.docs_kg import chunk_documents
+    return chunk_documents(sf_dir, chunk_size=32, chunk_overlap=8)
+
+
+def _q_kg_mentions(sf_dir: str):
+    import pyarrow.compute as pc
+    from kgx.pipelines.docs_kg import extract_documents
+    ds = extract_documents(sf_dir)
+    return ds.map_batches(
+        lambda t: t.filter(pc.equal(t["kind"], "mention")).select(
+            ["url", "chunk_id", "mention", "type"]),
+        batch_format="pyarrow")
+
+
+def _q_kg_nodes(sf_dir: str):
+    from kgx.pipelines.docs_kg import kg_tables
+    nodes = kg_tables(sf_dir)["nodes"]
+    return nodes.select_columns(["name", "type", "n_instances"])
+
+
+def _q_kg_edges(sf_dir: str):
+    import pyarrow as pa
+    from kgx.pipelines.docs_kg import kg_tables
+    edges = kg_tables(sf_dir)["edges"]
+
+    def project(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "subj_name": t["subj_name"],
+            "pred": t["pred"],
+            "obj_name": t["obj_name"],
+            "strength": pa.array(
+                [round(s, 6) for s in t["strength"].to_pylist()],
+                pa.float64()),
+            "n_instances": t["n_instances"],
+        })
+    return edges.map_batches(project, batch_format="pyarrow")
+
+
+def _q_text_tokens(sf_dir: str):
+    import ray.data as rd
+    from kgx.ops.text import token_stats_batch
+    return rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text"]).map_batches(
+        token_stats_batch, batch_format="pyarrow")
+
+
+def _q_text_quality(sf_dir: str):
+    import ray.data as rd
+    from kgx.ops.text import quality_batch
+    return rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text"]).map_batches(
+        quality_batch, batch_format="pyarrow")
+
+
+def _q_text_lang(sf_dir: str):
+    import ray.data as rd
+    from kgx.ops.text import lang_id_batch
+    return rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text"]).map_batches(
+        lang_id_batch, batch_format="pyarrow")
+
+
+def _q_text_fingerprint(sf_dir: str):
+    import ray.data as rd
+    from kgx.ops.text import fingerprint_batch
+    return rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text"]).map_batches(
+        fingerprint_batch, batch_format="pyarrow")
+
+
+def _q_text_winnow(sf_dir: str):
+    import ray.data as rd
+    from kgx.ops.text import winnow_batch
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"]).map_batches(
+        winnow_batch, batch_format="pyarrow")
+    return ds.select_columns(["doc_id", "n_fingerprints"])
+
+
+def _q_dedup_exact(sf_dir: str):
+    import ray.data as rd
+    from kgx.ops.dedup import exact_dup_groups
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text"])
+    return exact_dup_groups(docs)
+
+
+def _q_dedup_jaccard(sf_dir: str):
+    import ray.data as rd
+    from kgx.ops.dedup import jaccard_pairs
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text"])
+    return jaccard_pairs(docs, threshold=0.8)
+
+
+def _q_dedup_minhash(sf_dir: str):
+    import ray.data as rd
+    from kgx.ops.dedup import minhash_lsh_pairs
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text"])
+    return minhash_lsh_pairs(docs)
+
+
+def _q_dedup_simhash(sf_dir: str):
+    import ray.data as rd
+    from kgx.ops.dedup import simhash_pairs
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text"])
+    return simhash_pairs(docs, max_hamming=8)
+
+
+def _q_dedup_embedding(sf_dir: str):
+    import ray.data as rd
+    from kgx.ops.dedup import embedding_dup_pairs
+    emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                          columns=["vec_id", "embedding"])
+    return embedding_dup_pairs(emb, threshold=0.45)
+
+
+def _q_simsearch_topk(sf_dir: str):
+    import ray.data as rd
+    from kgx.ops.simsearch import cosine_topk
+    emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                          columns=["vec_id", "embedding"])
+    return cosine_topk(emb, query_ids=list(range(8)), k=10)
+
+
+def _q_simsearch_lsh(sf_dir: str):
+    import ray.data as rd
+    from kgx.ops.simsearch import lsh_topk
+    emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                          columns=["vec_id", "embedding"])
+    return lsh_topk(emb, query_ids=list(range(8)), k=10)
+
+
+def _q_events_window(sf_dir: str):
+    import ray.data as rd
+    from kgx.ops.window import tumbling_window_agg
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["ts", "event_type", "value"])
+    return tumbling_window_agg(ev, width_s=3600)
+
+
+def _q_rel_pricing(sf_dir: str):
+    from kgx.ops.relational import pricing_summary
+    return pricing_summary(sf_dir)
+
+
+def _q_rel_top_customers(sf_dir: str):
+    from kgx.ops.relational import top_customers
+    return top_customers(sf_dir, n=10)
+
+
+def _q_rel_distinct(sf_dir: str):
+    from kgx.ops.relational import distinct_pairs
+    return distinct_pairs(sf_dir, "lineitem", ["l_returnflag", "l_linestatus"])
+
+
+def _q_rel_order_counts(sf_dir: str):
+    from kgx.ops.relational import order_priority_counts
+    return order_priority_counts(sf_dir)
+
+
+def _q_multimodal_stats(sf_dir: str):
+    from kgx.ops.multimodal import docs_as_media, media_stats_batch
+    return docs_as_media(sf_dir).map_batches(
+        media_stats_batch, batch_format="pyarrow", batch_size=64)
+
+
+def _q_multimodal_decode(sf_dir: str):
+    from kgx.ops.multimodal import ImageDecodeStage, docs_as_media
+    return docs_as_media(sf_dir).map_batches(
+        ImageDecodeStage, batch_format="pyarrow", batch_size=64,
+        concurrency=(1, 4), fn_constructor_kwargs={"fake": True})
+
+
+def _q_kg_synth_nodes(sf_dir: str):
+    """Gazetteer KG pipeline over the deterministic synthetic pages corpus
+    (the sandbox stand-in for Common-Crawl shards); sf_dir is unused.
+    Rows-only check — the corpus is not a driver view."""
+    import pyarrow.compute as pc
+    import ray.data as rd
+    from kgx.pipelines.kg import make_chunk_batch_fn, extract_text_batch
+    from kgx.stages.canonicalize import canonicalize
+    from kgx.stages.extract import GazetteerExtractor
+    from kgx.synth import write_pages
+    pages_dir = write_pages("/tmp/kgx_entry_synth", 300, seed=11)
+    ds = rd.read_parquet(pages_dir, columns=["url", "html", "text", "lang"])
+    ds = ds.map_batches(extract_text_batch, batch_format="pyarrow")
+    ds = ds.map_batches(make_chunk_batch_fn(200, 50), batch_format="pyarrow")
+    ds = ds.map_batches(GazetteerExtractor, batch_format="pyarrow",
+                        concurrency=(1, 4))
+    mentions = ds.map_batches(
+        lambda t: t.filter(pc.equal(t["kind"], "mention")).select(
+            ["url", "chunk_id", "mention", "norm_mention", "type",
+             "description"]),
+        batch_format="pyarrow")
+    nodes = canonicalize(mentions)
+    return nodes.select_columns(["entity_id", "name", "type", "n_instances"])
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
-
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        # KG-construction pipeline (SURVEY.md §2) over the documents table
+        "kg_chunks": _q_kg_chunks,
+        "kg_chunks_win": _q_kg_chunks_win,
+        "kg_mentions": _q_kg_mentions,
+        "kg_nodes": _q_kg_nodes,
+        "kg_edges": _q_kg_edges,
+        "kg_synth_nodes": _q_kg_synth_nodes,
+        # text analysis
+        "text_tokens": _q_text_tokens,
+        "text_quality": _q_text_quality,
+        "text_lang": _q_text_lang,
+        "text_fingerprint": _q_text_fingerprint,
+        "text_winnow": _q_text_winnow,
+        # deduplication
+        "dedup_exact": _q_dedup_exact,
+        "dedup_jaccard": _q_dedup_jaccard,
+        "dedup_minhash": _q_dedup_minhash,
+        "dedup_simhash": _q_dedup_simhash,
+        "dedup_embedding": _q_dedup_embedding,
+        # similarity search
+        "simsearch_topk": _q_simsearch_topk,
+        "simsearch_lsh": _q_simsearch_lsh,
+        # windowed aggregate over the event stream
+        "events_window": _q_events_window,
+        # relational surface
+        "rel_pricing": _q_rel_pricing,
+        "rel_top_customers": _q_rel_top_customers,
+        "rel_distinct": _q_rel_distinct,
+        "rel_order_counts": _q_rel_order_counts,
+        # multimodal plumbing
+        "multimodal_stats": _q_multimodal_stats,
+        "multimodal_decode": _q_multimodal_decode,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    lang_counts = ",\n        ".join(
+        f"len(regexp_extract_all(text, '{rx}')) AS c_{lang}"
+        for lang, rx in _LANG_RES.items())
+    return {
+        "kg_chunks": f"""
+            WITH t AS (
+              SELECT 'doc://' || doc_id AS url,
+                     string_split_regex(trim(text), '\\s+') AS toks
+              FROM documents WHERE trim(text) <> '')
+            SELECT url, url || '_0' AS chunk_id, CAST(0 AS INT) AS chunk_index,
+                   array_to_string(toks, ' ') AS text,
+                   CAST(len(toks) AS INT) AS n_tokens
+            FROM t
+        """,
+        "kg_chunks_win": """
+            WITH t AS (
+              SELECT 'doc://' || doc_id AS url,
+                     string_split_regex(trim(text), '\\s+') AS toks
+              FROM documents WHERE trim(text) <> ''),
+            c AS (
+              SELECT url, toks, len(toks) AS n,
+                     CASE WHEN len(toks) <= 32 THEN 1
+                          ELSE 1 + CAST(ceil((len(toks) - 32) / 24.0) AS INT)
+                     END AS n_chunks
+              FROM t),
+            e AS (
+              SELECT url, toks, unnest(generate_series(0, n_chunks - 1)) AS i
+              FROM c)
+            SELECT url, url || '_' || i AS chunk_id, CAST(i AS INT) AS chunk_index,
+                   array_to_string(toks[i*24 + 1 : i*24 + 32], ' ') AS text,
+                   CAST(len(toks[i*24 + 1 : i*24 + 32]) AS INT) AS n_tokens
+            FROM e
+        """,
+        "kg_mentions": f"""
+            WITH t AS (
+              SELECT 'doc://' || doc_id AS url,
+                     'doc://' || doc_id || '_0' AS chunk_id,
+                     regexp_extract_all(text, '{_TERM_RE}') AS terms
+              FROM documents)
+            SELECT url, chunk_id, unnest(terms) AS mention, 'TERM' AS type
+            FROM t
+        """,
+        "kg_nodes": f"""
+            SELECT term AS name, 'TERM' AS type, count(*) AS n_instances
+            FROM (SELECT unnest(regexp_extract_all(text, '{_TERM_RE}')) AS term
+                  FROM documents)
+            GROUP BY term
+        """,
+        "kg_edges": f"""
+            WITH dt AS (
+              SELECT doc_id,
+                     unnest(list_distinct(regexp_extract_all(text, '{_TERM_RE}'))) AS term
+              FROM documents)
+            SELECT a.term AS subj_name, 'co_occurs_with' AS pred,
+                   b.term AS obj_name, CAST(0.6 AS DOUBLE) AS strength,
+                   count(*) AS n_instances
+            FROM dt a JOIN dt b ON a.doc_id = b.doc_id AND a.term < b.term
+            GROUP BY 1, 2, 3
+        """,
+        "text_tokens": f"""
+            SELECT doc_id, length(text) AS n_chars,
+                   len(regexp_extract_all(text, '{_WS_RE}')) AS n_ws_tokens,
+                   len(regexp_extract_all(text, '{_BPE_RE}')) AS n_re_tokens
+            FROM documents
+        """,
+        "text_quality": f"""
+            WITH t AS (
+              SELECT doc_id,
+                     length(regexp_replace(text, '\\s+', '', 'g')) AS n_nonws,
+                     regexp_extract_all(text, '{_WS_RE}') AS toks
+              FROM documents),
+            q AS (
+              SELECT doc_id,
+                     len(toks) AS n_tokens,
+                     len(list_distinct(toks)) AS n_distinct_tokens,
+                     n_nonws,
+                     len(list_filter(toks, x -> x IN {_STOP_SQL})) AS n_stop
+              FROM t)
+            SELECT doc_id, n_tokens, n_distinct_tokens,
+                   round(n_distinct_tokens / CAST(greatest(n_tokens, 1) AS DOUBLE), 6)
+                     AS type_token_ratio,
+                   round(n_nonws / CAST(greatest(n_tokens, 1) AS DOUBLE), 6)
+                     AS mean_token_len,
+                   round(n_stop / CAST(greatest(n_tokens, 1) AS DOUBLE), 6)
+                     AS stopword_ratio,
+                   CAST(4000 * least(n_tokens, 100)
+                        + (300000 * n_distinct_tokens) // greatest(n_tokens, 1)
+                        + (300000 * n_stop) // greatest(n_tokens, 1) AS BIGINT)
+                     AS quality_score_ppm
+            FROM q
+        """,
+        "text_lang": f"""
+            WITH c AS (
+              SELECT doc_id, {lang_counts}
+              FROM documents)
+            SELECT doc_id,
+                   CASE WHEN greatest(c_de, c_en, c_es, c_fr) = 0 THEN 'und'
+                        WHEN c_de >= c_en AND c_de >= c_es AND c_de >= c_fr THEN 'de'
+                        WHEN c_en >= c_es AND c_en >= c_fr THEN 'en'
+                        WHEN c_es >= c_fr THEN 'es'
+                        ELSE 'fr' END AS pred_lang,
+                   greatest(c_de, c_en, c_es, c_fr) AS marker_hits
+            FROM c
+        """,
+        "text_fingerprint": """
+            SELECT doc_id, md5(text) AS fingerprint, strlen(text) AS n_bytes
+            FROM documents
+        """,
+        "dedup_exact": """
+            SELECT md5(text) AS fingerprint, min(doc_id) AS rep_doc_id,
+                   count(*) AS n_docs
+            FROM documents GROUP BY 1
+        """,
+        "dedup_jaccard": f"""
+            WITH dt AS (
+              SELECT doc_id,
+                     unnest(list_distinct(regexp_extract_all(text, '{_TERM_RE}'))) AS term
+              FROM documents),
+            sz AS (SELECT doc_id, count(*) AS n FROM dt GROUP BY 1),
+            inter AS (
+              SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS i
+              FROM dt a JOIN dt b ON a.term = b.term AND a.doc_id < b.doc_id
+              GROUP BY 1, 2)
+            SELECT da AS doc_a, db AS doc_b,
+                   CAST(i AS DOUBLE) / (sa.n + sb.n - i) AS jaccard
+            FROM inter
+            JOIN sz sa ON sa.doc_id = da
+            JOIN sz sb ON sb.doc_id = db
+            WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.8
+        """,
+        "dedup_embedding": """
+            WITH e AS (
+              SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+            SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+                   round(list_cosine_similarity(a.v, b.v), 6) AS cosine
+            FROM e a JOIN e b ON a.vec_id < b.vec_id
+            WHERE list_cosine_similarity(a.v, b.v) >= 0.45
+        """,
+        "simsearch_topk": """
+            WITH e AS (
+              SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+            q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 8),
+            s AS (
+              SELECT qid, vec_id,
+                     round(list_cosine_similarity(qv, v), 6) AS score,
+                     row_number() OVER (
+                       PARTITION BY qid
+                       ORDER BY list_cosine_similarity(qv, v) DESC, vec_id ASC)
+                       AS rank
+              FROM q JOIN e ON vec_id <> qid)
+            SELECT qid AS query_id, vec_id AS neighbor_id, score, rank
+            FROM s WHERE rank <= 10
+        """,
+        "events_window": """
+            SELECT make_timestamp((epoch_us(ts) // 3600000000) * 3600000000)
+                     AS window_start,
+                   event_type,
+                   count(*) AS n_events,
+                   round(sum(value), 2) AS sum_value,
+                   min(value) AS min_value,
+                   max(value) AS max_value
+            FROM events GROUP BY 1, 2
+        """,
+        "rel_pricing": """
+            WITH l AS (
+              SELECT l_returnflag, l_linestatus,
+                     CAST(floor(l_quantity * 100.0 + 0.5) AS BIGINT) AS qty_c,
+                     CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT) AS ext_c,
+                     CAST(floor(l_discount * 100.0 + 0.5) AS BIGINT) AS disc_c
+              FROM lineitem
+              WHERE l_shipdate <= TIMESTAMP '1998-09-01 00:00:00')
+            SELECT l_returnflag, l_linestatus,
+                   CAST(sum(qty_c) AS BIGINT) AS sum_qty_cents,
+                   CAST(sum(ext_c) AS BIGINT) AS sum_price_cents,
+                   CAST(sum(disc_c) AS BIGINT) AS sum_disc_cents,
+                   CAST((sum(qty_c) * 10000) // count(*) AS BIGINT)
+                     AS avg_qty_micro,
+                   count(*) AS count_order
+            FROM l GROUP BY 1, 2
+        """,
+        "rel_top_customers": """
+            SELECT c.c_custkey, c.c_name,
+                   CAST(sum(CAST(floor(o.o_totalprice * 100.0 + 0.5) AS BIGINT))
+                        AS BIGINT) AS revenue_cents,
+                   count(*) AS n_orders
+            FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+            GROUP BY 1, 2
+            ORDER BY revenue_cents DESC, c_custkey ASC
+            LIMIT 10
+        """,
+        "rel_distinct": """
+            SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem
+        """,
+        "rel_order_counts": """
+            SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders
+            FROM orders GROUP BY 1, 2
+        """,
+        "multimodal_stats": """
+            SELECT 'doc-' || doc_id AS media_id, strlen(text) AS n_bytes,
+                   md5(text) AS checksum
+            FROM documents
+        """,
+    }

@@ -1,0 +1,407 @@
+"""Deduplication operators: exact, n-gram Jaccard, MinHash+LSH, SimHash,
+embedding-cosine.
+
+Scale design notes (100 TB path):
+
+- **Exact** dedup is a hash-partition groupby on the content fingerprint —
+  the only all-to-all move is one narrow (fingerprint, doc_id) table.
+- **Exact Jaccard / embedding-cosine** are the *baseline* quadratic paths:
+  the small side (doc->term-set incidence matrix / normalized embedding
+  matrix) is pulled once, ``ray.put`` once, and every block scores against
+  the broadcast matrix with one numpy matmul — zero-copy reads, no
+  per-batch reshipping.  They are exact (and DuckDB-oracle-checked) but
+  assume the derived small side fits one node; past that, the scale path is
+  the LSH variants below, which shuffle only (bucket_key, doc_id) rows.
+- **MinHash+LSH** (shingle -> minhash -> band -> bucket groupby) and
+  **SimHash** (bit-sampling bands) never materialize a pairwise matrix:
+  candidates come out of ``groupby(band, bucket).map_groups`` and are
+  deduplicated by a second pair-keyed groupby.  Both are deterministic
+  (seeded permutations, content hashes) but approximate, so their driver
+  checks are rows-only.
+
+The reference has no dedup beyond case-insensitive entity-name equality
+(/root/reference/models/knowledge_graph.py:25-45); these operators are the
+training-data-pipeline surface.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+
+from kgx.ops.text import WS_TOKEN_RE  # noqa: F401  (shared tokenization)
+
+TERM_RE = r"\b[a-z]{4,}\b"
+
+_MERSENNE = (1 << 61) - 1
+
+
+# ----------------------------------------------------------------------
+# Exact dedup
+# ----------------------------------------------------------------------
+
+def fingerprint_docs_batch(batch: pa.Table) -> pa.Table:
+    """(doc_id, text) -> (doc_id, fingerprint md5)."""
+    return pa.table({
+        "doc_id": batch["doc_id"],
+        "fingerprint": pa.array(
+            [hashlib.md5(t.encode("utf-8")).hexdigest()
+             for t in batch["text"].to_pylist()], pa.string()),
+    })
+
+
+def _dedup_group(group: pa.Table) -> pa.Table:
+    ids = sorted(group["doc_id"].to_pylist())
+    return pa.table({
+        "fingerprint": pa.array([group["fingerprint"][0].as_py()], pa.string()),
+        "rep_doc_id": pa.array([ids[0]], pa.int64()),
+        "n_docs": pa.array([len(ids)], pa.int64()),
+    })
+
+
+def exact_dup_groups(docs_ds):
+    """documents -> one row per distinct content fingerprint with the
+    smallest doc_id as the kept representative (hash-partition + per-group
+    first; the canonical exact-dedup shape)."""
+    fp = docs_ds.map_batches(fingerprint_docs_batch, batch_format="pyarrow")
+    return fp.groupby("fingerprint").map_groups(
+        _dedup_group, batch_format="pyarrow")
+
+
+# ----------------------------------------------------------------------
+# Doc-term incidence helpers (shared by Jaccard exact + MinHash verify)
+# ----------------------------------------------------------------------
+
+def term_sets_batch(batch: pa.Table, pattern: str = TERM_RE) -> pa.Table:
+    """(doc_id, text) -> (doc_id, terms: sorted distinct list)."""
+    import re
+    rx = re.compile(pattern)
+    terms = [sorted(set(rx.findall(t))) for t in batch["text"].to_pylist()]
+    return pa.table({
+        "doc_id": batch["doc_id"],
+        "terms": pa.array(terms, pa.list_(pa.string())),
+    })
+
+
+def collect_incidence(term_sets_ds):
+    """Pull the (small) doc->term-set table and build the incidence matrix.
+
+    Returns (doc_ids int64 array, vocab list, B bool matrix n_docs x vocab).
+    Driver-side by design — this is the broadcast small side of the exact
+    quadratic baseline; see module docstring for the scale path.
+    """
+    import ray
+    tbl = pa.concat_tables([ray.get(r) for r in term_sets_ds.to_arrow_refs()])
+    doc_ids = np.asarray(tbl["doc_id"].to_pylist(), dtype=np.int64)
+    order = np.argsort(doc_ids)
+    doc_ids = doc_ids[order]
+    sets = [tbl["terms"][int(i)].as_py() for i in order]
+    vocab = sorted({t for s in sets for t in s})
+    index = {t: i for i, t in enumerate(vocab)}
+    B = np.zeros((len(sets), len(vocab)), dtype=bool)
+    for r, s in enumerate(sets):
+        for t in s:
+            B[r, index[t]] = True
+    return doc_ids, vocab, B
+
+
+def jaccard_pairs(docs_ds, *, threshold: float = 0.8,
+                  pattern: str = TERM_RE):
+    """Exact n-gram (term-set) Jaccard near-dup pairs >= threshold.
+
+    Each block of documents is scored against the broadcast incidence
+    matrix with one integer matmul; emits (doc_a < doc_b, jaccard).
+    """
+    import ray
+
+    sets_ds = docs_ds.map_batches(
+        lambda b: term_sets_batch(b, pattern), batch_format="pyarrow")
+    sets_ds = sets_ds.materialize()
+    doc_ids, _vocab, B = collect_incidence(sets_ds)
+    sizes = B.sum(axis=1).astype(np.int64)
+    bref = ray.put((doc_ids, B.astype(np.int8), sizes))
+
+    class ScoreBlock:
+        def __init__(self, bref):
+            self.doc_ids, self.B, self.sizes = ray.get(bref)
+            self.pos = {d: i for i, d in enumerate(self.doc_ids)}
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            rows = np.asarray(
+                [self.pos[d] for d in batch["doc_id"].to_pylist()],
+                dtype=np.int64)
+            inter = self.B[rows].astype(np.int64) @ self.B.T.astype(np.int64)
+            na = self.sizes[rows][:, None]
+            nb = self.sizes[None, :]
+            union = na + nb - inter
+            with np.errstate(divide="ignore", invalid="ignore"):
+                j = np.where(union > 0, inter / union, 0.0)
+            a_ids = self.doc_ids[rows][:, None]
+            b_ids = self.doc_ids[None, :]
+            mask = (j >= threshold) & (a_ids < b_ids)
+            ai, bi = np.nonzero(mask)
+            return pa.table({
+                "doc_a": pa.array(a_ids[ai, 0], pa.int64()),
+                "doc_b": pa.array(b_ids[0, bi], pa.int64()),
+                "jaccard": pa.array(j[ai, bi], pa.float64()),
+            })
+
+    return sets_ds.map_batches(
+        ScoreBlock, batch_format="pyarrow", concurrency=(1, 8),
+        fn_constructor_kwargs={"bref": bref})
+
+
+# ----------------------------------------------------------------------
+# MinHash + LSH
+# ----------------------------------------------------------------------
+
+def _shingle_hashes(tokens: list[str], k: int) -> np.ndarray:
+    if len(tokens) < k:
+        joined = [" ".join(tokens)] if tokens else []
+    else:
+        joined = [" ".join(tokens[i:i + k]) for i in range(len(tokens) - k + 1)]
+    if not joined:
+        return np.zeros(0, dtype=np.uint64)
+    return np.unique(np.asarray(
+        [int.from_bytes(hashlib.blake2b(s.encode(), digest_size=8).digest(),
+                        "big") for s in joined], dtype=np.uint64))
+
+
+def _perm_params(num_perm: int, seed: int) -> tuple[np.ndarray, np.ndarray]:
+    rng = np.random.default_rng(seed)
+    a = rng.integers(1, _MERSENNE, size=num_perm, dtype=np.uint64)
+    b = rng.integers(0, _MERSENNE, size=num_perm, dtype=np.uint64)
+    return a, b
+
+
+def minhash_signature(shingles: np.ndarray, a: np.ndarray,
+                      b: np.ndarray) -> np.ndarray:
+    """num_perm minhash values via (a*x + b) mod 2^61-1, vectorized."""
+    if len(shingles) == 0:
+        return np.full(len(a), _MERSENNE, dtype=np.uint64)
+    x = shingles.astype(object)[:, None]  # object to avoid uint64 overflow
+    vals = (x * a.astype(object) + b.astype(object)) % _MERSENNE
+    return np.asarray(vals.min(axis=0), dtype=np.uint64)
+
+
+class MinHashBands:
+    """Actor-pool stage: documents batch -> (band, bucket, doc_id, sig) rows.
+
+    Permutation parameters are derived once per actor in ``__init__`` from
+    the seed (deterministic across the pool)."""
+
+    def __init__(self, *, num_perm: int = 64, bands: int = 16, k: int = 3,
+                 seed: int = 13):
+        assert num_perm % bands == 0
+        self.num_perm, self.bands, self.k = num_perm, bands, k
+        self.rows_per_band = num_perm // bands
+        self.a, self.b = _perm_params(num_perm, seed)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        band_col, bucket_col, doc_col, sig_col = [], [], [], []
+        for doc_id, text in zip(batch["doc_id"].to_pylist(),
+                                batch["text"].to_pylist()):
+            sig = minhash_signature(
+                _shingle_hashes(text.split(), self.k), self.a, self.b)
+            sig_list = sig.tolist()
+            for band in range(self.bands):
+                chunk = sig[band * self.rows_per_band:
+                            (band + 1) * self.rows_per_band]
+                bucket = hashlib.blake2b(
+                    chunk.tobytes(), digest_size=8).hexdigest()
+                band_col.append(band)
+                bucket_col.append(bucket)
+                doc_col.append(doc_id)
+                sig_col.append(sig_list)
+        return pa.table({
+            "band": pa.array(band_col, pa.int32()),
+            "bucket": pa.array(bucket_col, pa.string()),
+            "doc_id": pa.array(doc_col, pa.int64()),
+            "sig": pa.array(sig_col, pa.list_(pa.uint64())),
+        })
+
+
+def _band_group_pairs(group: pa.Table) -> pa.Table:
+    """All pairs within one LSH bucket, with signature-estimated Jaccard."""
+    ids = group["doc_id"].to_pylist()
+    sigs = group["sig"].to_pylist()
+    order = np.argsort(ids)
+    a_col, b_col, est = [], [], []
+    for i in range(len(order)):
+        for j in range(i + 1, len(order)):
+            x, y = order[i], order[j]
+            if ids[x] == ids[y]:
+                continue
+            sx, sy = np.asarray(sigs[x]), np.asarray(sigs[y])
+            a_col.append(ids[x])
+            b_col.append(ids[y])
+            est.append(float((sx == sy).mean()))
+    return pa.table({
+        "doc_a": pa.array(a_col, pa.int64()),
+        "doc_b": pa.array(b_col, pa.int64()),
+        "est_jaccard": pa.array(est, pa.float64()),
+    })
+
+
+def _first_pair(group: pa.Table) -> pa.Table:
+    return group.slice(0, 1)
+
+
+def minhash_lsh_pairs(docs_ds, *, num_perm: int = 64, bands: int = 16,
+                      k: int = 3, seed: int = 13,
+                      min_est_jaccard: float = 0.5):
+    """MinHash+LSH candidate near-dup pairs (deterministic, approximate).
+
+    shingle -> minhash -> band-bucket groupby -> in-bucket pairs ->
+    pair-keyed groupby dedup.  Only (band, bucket, doc, sig) rows shuffle.
+    """
+    banded = docs_ds.map_batches(
+        MinHashBands, batch_format="pyarrow", concurrency=(1, 8),
+        fn_constructor_kwargs={"num_perm": num_perm, "bands": bands,
+                               "k": k, "seed": seed})
+    cand = banded.groupby(["band", "bucket"]).map_groups(
+        _band_group_pairs, batch_format="pyarrow")
+    cand = cand.map_batches(
+        lambda t: t.filter(
+            pa.compute.greater_equal(t["est_jaccard"], min_est_jaccard)),
+        batch_format="pyarrow")
+    return cand.groupby(["doc_a", "doc_b"]).map_groups(
+        _first_pair, batch_format="pyarrow")
+
+
+# ----------------------------------------------------------------------
+# SimHash
+# ----------------------------------------------------------------------
+
+def simhash64(tokens: list[str]) -> int:
+    """64-bit SimHash over token tf weights (blake2b token hashes)."""
+    if not tokens:
+        return 0
+    acc = np.zeros(64, dtype=np.int64)
+    counts: dict[str, int] = {}
+    for t in tokens:
+        counts[t] = counts.get(t, 0) + 1
+    shifts = np.arange(64, dtype=np.uint64)
+    for t, w in counts.items():
+        h = np.uint64(int.from_bytes(
+            hashlib.blake2b(t.encode(), digest_size=8).digest(), "big"))
+        bits = (h >> shifts) & np.uint64(1)
+        acc += np.where(bits == np.uint64(1), w, -w)
+    return int(((acc > 0).astype(np.uint64) << np.arange(64, dtype=np.uint64))
+               .sum())
+
+
+def simhash_batch(batch: pa.Table) -> pa.Table:
+    """(doc_id, text) -> (doc_id, simhash uint64)."""
+    hs = [simhash64(t.split()) for t in batch["text"].to_pylist()]
+    return pa.table({
+        "doc_id": batch["doc_id"],
+        "simhash": pa.array(hs, pa.uint64()),
+    })
+
+
+def _simhash_band_rows(batch: pa.Table, bands: int = 4) -> pa.Table:
+    width = 64 // bands
+    mask = (1 << width) - 1
+    band_col, val_col, doc_col, h_col = [], [], [], []
+    for doc_id, h in zip(batch["doc_id"].to_pylist(),
+                         batch["simhash"].to_pylist()):
+        for band in range(bands):
+            band_col.append(band)
+            val_col.append((h >> (band * width)) & mask)
+            doc_col.append(doc_id)
+            h_col.append(h)
+    return pa.table({
+        "band": pa.array(band_col, pa.int32()),
+        "val": pa.array(val_col, pa.uint64()),
+        "doc_id": pa.array(doc_col, pa.int64()),
+        "simhash": pa.array(h_col, pa.uint64()),
+    })
+
+
+def simhash_pairs(docs_ds, *, bands: int = 4, max_hamming: int = 3):
+    """SimHash near-dup pairs with hamming distance <= max_hamming.
+
+    Band-equality blocking guarantees recall for distances < bands
+    (pigeonhole); pairs are verified in-bucket and deduplicated by a
+    pair-keyed groupby.
+    """
+    sh = docs_ds.map_batches(simhash_batch, batch_format="pyarrow")
+    banded = sh.map_batches(
+        lambda b: _simhash_band_rows(b, bands), batch_format="pyarrow")
+
+    def bucket_pairs(group: pa.Table) -> pa.Table:
+        ids = group["doc_id"].to_pylist()
+        hs = group["simhash"].to_pylist()
+        order = np.argsort(ids)
+        a_col, b_col, d_col = [], [], []
+        for i in range(len(order)):
+            for j in range(i + 1, len(order)):
+                x, y = order[i], order[j]
+                if ids[x] == ids[y]:
+                    continue
+                d = bin(hs[x] ^ hs[y]).count("1")
+                if d <= max_hamming:
+                    a_col.append(ids[x])
+                    b_col.append(ids[y])
+                    d_col.append(d)
+        return pa.table({
+            "doc_a": pa.array(a_col, pa.int64()),
+            "doc_b": pa.array(b_col, pa.int64()),
+            "hamming": pa.array(d_col, pa.int32()),
+        })
+
+    cand = banded.groupby(["band", "val"]).map_groups(
+        bucket_pairs, batch_format="pyarrow")
+    return cand.groupby(["doc_a", "doc_b"]).map_groups(
+        _first_pair, batch_format="pyarrow")
+
+
+# ----------------------------------------------------------------------
+# Embedding-cosine near-dup
+# ----------------------------------------------------------------------
+
+def embedding_dup_pairs(emb_ds, *, threshold: float = 0.45):
+    """Exact embedding-cosine near-dup pairs >= threshold.
+
+    The normalized embedding matrix is pulled once, broadcast via
+    ``ray.put``, and each block scores with one float64 matmul.  Exact and
+    oracle-checked; the approximate scale path is LSH bucketing
+    (:func:`kgx.ops.simsearch.lsh_topk` uses the same hyperplane trick).
+    """
+    import ray
+
+    tbl = pa.concat_tables([ray.get(r) for r in emb_ds.select_columns(
+        ["vec_id", "embedding"]).to_arrow_refs()])
+    ids = np.asarray(tbl["vec_id"].to_pylist(), dtype=np.int64)
+    order = np.argsort(ids)
+    ids = ids[order]
+    M = np.asarray(tbl["embedding"].to_pylist(), dtype=np.float64)[order]
+    M = M / np.linalg.norm(M, axis=1, keepdims=True)
+    mref = ray.put((ids, M))
+
+    class ScoreBlock:
+        def __init__(self, mref):
+            self.ids, self.M = ray.get(mref)
+            self.pos = {d: i for i, d in enumerate(self.ids)}
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            rows = np.asarray(
+                [self.pos[d] for d in batch["vec_id"].to_pylist()],
+                dtype=np.int64)
+            S = self.M[rows] @ self.M.T
+            a_ids = self.ids[rows][:, None]
+            b_ids = self.ids[None, :]
+            mask = (S >= threshold) & (a_ids < b_ids)
+            ai, bi = np.nonzero(mask)
+            return pa.table({
+                "vec_a": pa.array(a_ids[ai, 0], pa.int64()),
+                "vec_b": pa.array(b_ids[0, bi], pa.int64()),
+                "cosine": pa.array(np.round(S[ai, bi], 6), pa.float64()),
+            })
+
+    return emb_ds.map_batches(
+        ScoreBlock, batch_format="pyarrow", concurrency=(1, 8),
+        fn_constructor_kwargs={"mref": mref})

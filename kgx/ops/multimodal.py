@@ -1,0 +1,126 @@
+"""Multimodal column plumbing: opaque binary payloads + typed metadata.
+
+The engine treats image/audio/video as ``binary`` columns with a
+``media_type`` tag and a metadata struct; decode / feature-extract /
+resize / frame-sample are actor-pool ``map_batches`` stages.  The decode
+libraries (PIL / ffmpeg / soundfile) are not in this container, so the
+decoders are **stubs behind import-try** (clearly marked) — but the
+Ray-side plumbing (schema, batch sizing, actor signature, output layout)
+is real and tested:
+
+- :func:`docs_as_media` — adapt any text table into the media shape.
+- :func:`media_stats_batch` — byte length + md5 checksum (real, vectorized
+  enough; oracle-checked).
+- :func:`byte_histogram_batch` — 16-bin byte-value histogram as a
+  ``list<float>`` feature column (real; numpy ``bincount`` per payload) —
+  the stand-in for an embedding/feature-extraction stage.
+- :class:`ImageDecodeStage` — actor-pool decode stage; raises
+  ``NotImplementedError`` without PIL unless ``fake=True``, in which case
+  it emits a deterministic fake (width/height/channels derived from the
+  payload hash) so pipelines are testable end-to-end.
+
+Batch-size note: payloads are the wide column — callers should pass a
+small ``batch_size`` (e.g. 32–64) to ``map_batches`` for real media so a
+batch x actor-pool concurrency fits the worker heap.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+import ray.data as rd
+
+MEDIA_SCHEMA = pa.schema([
+    ("media_id", pa.string()),
+    ("media_type", pa.string()),
+    ("payload", pa.binary()),
+])
+
+try:  # pragma: no cover - not installed in this container
+    from PIL import Image  # noqa: F401
+    _HAVE_PIL = True
+except ImportError:
+    _HAVE_PIL = False
+
+
+def docs_as_media(sf_dir: str):
+    """documents -> media-shaped Dataset (text payload as utf-8 bytes)."""
+    def to_media(batch: pa.Table) -> pa.Table:
+        ids = [f"doc-{d}" for d in batch["doc_id"].to_pylist()]
+        payloads = [t.encode("utf-8") for t in batch["text"].to_pylist()]
+        return pa.table({
+            "media_id": pa.array(ids, pa.string()),
+            "media_type": pa.array(["text/plain"] * len(ids), pa.string()),
+            "payload": pa.array(payloads, pa.binary()),
+        })
+    return rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text"]).map_batches(
+        to_media, batch_format="pyarrow")
+
+
+def media_stats_batch(batch: pa.Table) -> pa.Table:
+    """payload -> (media_id, n_bytes, checksum md5)."""
+    payloads = batch["payload"].to_pylist()
+    return pa.table({
+        "media_id": batch["media_id"],
+        "n_bytes": pa.array([len(p) for p in payloads], pa.int64()),
+        "checksum": pa.array([hashlib.md5(p).hexdigest() for p in payloads],
+                             pa.string()),
+    })
+
+
+def byte_histogram_batch(batch: pa.Table, *, bins: int = 16) -> pa.Table:
+    """payload -> normalized byte-value histogram feature (list<float>)."""
+    feats = []
+    for p in batch["payload"].to_pylist():
+        if not p:
+            feats.append([0.0] * bins)
+            continue
+        arr = np.frombuffer(p, dtype=np.uint8)
+        hist = np.bincount(arr >> (8 - bins.bit_length() + 1),
+                           minlength=bins)[:bins]
+        feats.append(np.round(hist / len(arr), 6).tolist())
+    return pa.table({
+        "media_id": batch["media_id"],
+        "feature": pa.array(feats, pa.list_(pa.float32())),
+    })
+
+
+class ImageDecodeStage:
+    """Actor-pool decode stage (STUB without PIL).
+
+    Real deployments construct the decoder once per actor here; in this
+    container there is no image library, so ``fake=True`` produces a
+    deterministic fake decode (dims from the payload hash) and
+    ``fake=False`` raises ``NotImplementedError`` at construction.
+    """
+
+    def __init__(self, *, fake: bool = not _HAVE_PIL):
+        if not fake and not _HAVE_PIL:
+            raise NotImplementedError(
+                "image decoding requires PIL, which is not installed; "
+                "construct with fake=True for the deterministic stub")
+        self.fake = fake
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        widths, heights, channels = [], [], []
+        for p in batch["payload"].to_pylist():
+            if self.fake or not _HAVE_PIL:
+                h = hashlib.blake2b(p or b"", digest_size=4).digest()
+                widths.append(64 + h[0] % 192)
+                heights.append(64 + h[1] % 192)
+                channels.append(1 + h[2] % 3)
+            else:  # pragma: no cover
+                import io
+                img = Image.open(io.BytesIO(p))
+                widths.append(img.width)
+                heights.append(img.height)
+                channels.append(len(img.getbands()))
+        return pa.table({
+            "media_id": batch["media_id"],
+            "width": pa.array(widths, pa.int32()),
+            "height": pa.array(heights, pa.int32()),
+            "channels": pa.array(channels, pa.int32()),
+        })

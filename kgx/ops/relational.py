@@ -1,0 +1,158 @@
+"""Relational operator demonstrations over the TPC-H-ish testdata tables.
+
+These exercise the engine's general data-processing surface — pruning
+reads, vectorized filters, partial-aggregate groupbys, broadcast hash
+joins, global sort + limit — with exact DuckDB oracles.  Money sums use
+integer cents via ``floor(x*100 + 0.5)`` (identical IEEE double ops on
+both sides — numpy rounds half-to-even while DuckDB rounds half away from
+zero, so ``round`` would diverge on exact .5 products) so distributed
+summation is exact and order-independent; averages are exact integer
+floor-divisions of those sums.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray
+import ray.data as rd
+
+
+def _cents(col) -> pa.Array:
+    """floor(x*100 + 0.5) as int64 — SQL: cast(floor(x*100 + 0.5) as bigint)."""
+    return pc.cast(pc.floor(pc.add(pc.multiply(col, 100.0), 0.5)), pa.int64())
+
+
+def pricing_summary(sf_dir: str, *, cutoff: str = "1998-09-01"):
+    """TPC-H Q1-shaped aggregate over lineitem (filter -> partial groupby
+    -> final merge).  Returns one row per (l_returnflag, l_linestatus)."""
+    cutoff_ts = np.datetime64(cutoff).astype("datetime64[us]").astype("int64")
+
+    def partial(batch: pa.Table) -> pa.Table:
+        mask = pc.less_equal(pc.cast(batch["l_shipdate"], pa.int64()),
+                             cutoff_ts)
+        b = batch.filter(mask)
+        ext_c = _cents(b["l_extendedprice"])
+        disc_c = _cents(b["l_discount"])
+        qty_c = _cents(b["l_quantity"])
+        t = pa.table({
+            "l_returnflag": b["l_returnflag"],
+            "l_linestatus": b["l_linestatus"],
+            "qty_c": qty_c,
+            "ext_c": ext_c,
+            "disc_c": disc_c,
+        })
+        return (t.group_by(["l_returnflag", "l_linestatus"])
+                 .aggregate([("qty_c", "sum"), ("ext_c", "sum"),
+                             ("disc_c", "sum"), ("qty_c", "count")]))
+
+    def final(group: pa.Table) -> pa.Table:
+        qty = sum(group["qty_c_sum"].to_pylist())
+        ext = sum(group["ext_c_sum"].to_pylist())
+        disc = sum(group["disc_c_sum"].to_pylist())
+        n = sum(group["qty_c_count"].to_pylist())
+        return pa.table({
+            "l_returnflag": group["l_returnflag"].slice(0, 1),
+            "l_linestatus": group["l_linestatus"].slice(0, 1),
+            "sum_qty_cents": pa.array([qty], pa.int64()),
+            "sum_price_cents": pa.array([ext], pa.int64()),
+            "sum_disc_cents": pa.array([disc], pa.int64()),
+            "avg_qty_micro": pa.array([(qty * 10000) // n], pa.int64()),
+            "count_order": pa.array([n], pa.int64()),
+        })
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_returnflag", "l_linestatus", "l_quantity",
+                 "l_extendedprice", "l_discount", "l_shipdate"])
+    partial_ds = ds.map_batches(partial, batch_format="pyarrow")
+    return partial_ds.groupby(["l_returnflag", "l_linestatus"]).map_groups(
+        final, batch_format="pyarrow")
+
+
+def top_customers(sf_dir: str, *, n: int = 10):
+    """Revenue per customer: broadcast hash join (small customer table
+    ``ray.put`` once) + partial-aggregated groupby + global sort + limit.
+
+    Returns the top-n (c_custkey, c_name, revenue_cents, n_orders) by
+    (revenue desc, custkey asc).
+    """
+    cust = rd.read_parquet(f"{sf_dir}/customer.parquet",
+                           columns=["c_custkey", "c_name"])
+    cust_tbl = pa.concat_tables([ray.get(r) for r in cust.to_arrow_refs()])
+    name_map = dict(zip(cust_tbl["c_custkey"].to_pylist(),
+                        cust_tbl["c_name"].to_pylist()))
+    mref = ray.put(name_map)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = pa.table({
+            "o_custkey": batch["o_custkey"],
+            "price_c": _cents(batch["o_totalprice"]),
+        })
+        return (t.group_by(["o_custkey"])
+                 .aggregate([("price_c", "sum"), ("price_c", "count")]))
+
+    def finalize(group: pa.Table) -> pa.Table:
+        # closure over the ObjectRef: the dict ships once per worker via
+        # the object store, not once per group
+        names = ray.get(mref)
+        key = group["o_custkey"][0].as_py()
+        rev = sum(group["price_c_sum"].to_pylist())
+        cnt = sum(group["price_c_count"].to_pylist())
+        name = names.get(key)
+        if name is None:              # inner-join semantics: drop unknowns
+            return pa.table({
+                "c_custkey": pa.array([], pa.int64()),
+                "c_name": pa.array([], pa.string()),
+                "revenue_cents": pa.array([], pa.int64()),
+                "n_orders": pa.array([], pa.int64()),
+            })
+        return pa.table({
+            "c_custkey": pa.array([key], pa.int64()),
+            "c_name": pa.array([name], pa.string()),
+            "revenue_cents": pa.array([rev], pa.int64()),
+            "n_orders": pa.array([cnt], pa.int64()),
+        })
+
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                             columns=["o_custkey", "o_totalprice"])
+    per_cust = orders.map_batches(partial, batch_format="pyarrow")
+    agg = per_cust.groupby("o_custkey").map_groups(
+        finalize, batch_format="pyarrow")
+    top = agg.sort(["revenue_cents", "c_custkey"],
+                   descending=[True, False]).limit(n)
+    return top
+
+
+def distinct_pairs(sf_dir: str, table: str, cols: list[str]):
+    """Distinct combinations of ``cols`` via in-batch distinct + groupby
+    (never ships duplicate rows into the shuffle)."""
+    ds = rd.read_parquet(f"{sf_dir}/{table}.parquet", columns=cols)
+    pre = ds.map_batches(
+        lambda b: b.group_by(cols).aggregate([]), batch_format="pyarrow")
+    return pre.groupby(cols).map_groups(
+        lambda g: g.slice(0, 1), batch_format="pyarrow")
+
+
+def order_priority_counts(sf_dir: str):
+    """Orders per (o_orderstatus, o_orderpriority) — partial-agg groupby."""
+    ds = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                         columns=["o_orderstatus", "o_orderpriority"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = batch.append_column("one", pa.array([1] * len(batch), pa.int64()))
+        return (t.group_by(["o_orderstatus", "o_orderpriority"])
+                 .aggregate([("one", "sum")]))
+
+    def final(group: pa.Table) -> pa.Table:
+        return pa.table({
+            "o_orderstatus": group["o_orderstatus"].slice(0, 1),
+            "o_orderpriority": group["o_orderpriority"].slice(0, 1),
+            "n_orders": pa.array([sum(group["one_sum"].to_pylist())],
+                                 pa.int64()),
+        })
+
+    return (ds.map_batches(partial, batch_format="pyarrow")
+              .groupby(["o_orderstatus", "o_orderpriority"])
+              .map_groups(final, batch_format="pyarrow"))

@@ -1,0 +1,167 @@
+"""Similarity search over an embedding column (list<float>).
+
+- :func:`cosine_topk` — exact brute-force cosine top-k: the query matrix is
+  broadcast once (``ray.put``), every block of the corpus scores against it
+  with one numpy matmul, each block emits only its per-query top-k, and a
+  final tiny ``groupby(query_id)`` merges the partial top-ks.  The shuffle
+  moves at most n_queries * k rows per block — never the score matrix.
+- :func:`lsh_topk` — the scale path: seeded random-hyperplane signatures
+  bucket the corpus; each query searches only its bucket (and is scored
+  exactly within it).  Approximate; rows-only driver check.
+
+The reference's analog is the VectorRAG baseline's torch.topk over all
+chunk embeddings in one process (/root/reference/baselines/vector_rag.py:34-38).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import ray
+
+
+def _pull_queries(emb_ds, query_ids: list[int]):
+    """Materialize the (small) query matrix driver-side, ordered by id."""
+    qset = set(query_ids)
+    tbl = pa.concat_tables(
+        [ray.get(r) for r in emb_ds.select_columns(["vec_id", "embedding"])
+         .to_arrow_refs()])
+    ids = tbl["vec_id"].to_pylist()
+    embs = tbl["embedding"].to_pylist()
+    picked = {i: e for i, e in zip(ids, embs) if i in qset}
+    qids = sorted(picked)
+    Q = np.asarray([picked[i] for i in qids], dtype=np.float64)
+    Q = Q / np.linalg.norm(Q, axis=1, keepdims=True)
+    return np.asarray(qids, dtype=np.int64), Q
+
+
+class _BlockTopK:
+    """Score one corpus block against the broadcast query matrix and emit
+    the block-local top-k per query (partial top-k combiner)."""
+
+    def __init__(self, qref, k: int):
+        self.qids, self.Q = ray.get(qref)
+        self.k = k
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = np.asarray(batch["vec_id"].to_pylist(), dtype=np.int64)
+        M = np.asarray(batch["embedding"].to_pylist(), dtype=np.float64)
+        M = M / np.linalg.norm(M, axis=1, keepdims=True)
+        S = self.Q @ M.T                      # n_queries x block_rows
+        q_col, n_col, s_col = [], [], []
+        for qi in range(len(self.qids)):
+            scores = S[qi]
+            keep = np.flatnonzero(ids != self.qids[qi])   # exclude self
+            # deterministic partial top-k: score desc, vec_id asc
+            order = keep[np.lexsort((ids[keep], -scores[keep]))][:self.k]
+            q_col.extend([self.qids[qi]] * len(order))
+            n_col.extend(ids[order].tolist())
+            s_col.extend(scores[order].tolist())
+        return pa.table({
+            "query_id": pa.array(q_col, pa.int64()),
+            "neighbor_id": pa.array(n_col, pa.int64()),
+            "score": pa.array(s_col, pa.float64()),
+        })
+
+
+def _merge_topk(group: pa.Table, k: int) -> pa.Table:
+    ids = np.asarray(group["neighbor_id"].to_pylist(), dtype=np.int64)
+    scores = np.asarray(group["score"].to_pylist(), dtype=np.float64)
+    order = np.lexsort((ids, -scores))[:k]
+    qid = group["query_id"][0].as_py()
+    return pa.table({
+        "query_id": pa.array([qid] * len(order), pa.int64()),
+        "neighbor_id": pa.array(ids[order], pa.int64()),
+        "score": pa.array(np.round(scores[order], 6), pa.float64()),
+        "rank": pa.array(np.arange(1, len(order) + 1), pa.int64()),
+    })
+
+
+def cosine_topk(emb_ds, query_ids: list[int], *, k: int = 10):
+    """Exact cosine top-k neighbors for each query id (self excluded).
+
+    Returns (query_id, neighbor_id, score rounded 6dp, rank 1..k) with the
+    deterministic tie-break (score desc, neighbor_id asc).
+    """
+    qref = ray.put(_pull_queries(emb_ds, query_ids))
+    partial = emb_ds.map_batches(
+        _BlockTopK, batch_format="pyarrow", concurrency=(1, 8),
+        fn_constructor_kwargs={"qref": qref, "k": k})
+    return partial.groupby("query_id").map_groups(
+        lambda g: _merge_topk(g, k), batch_format="pyarrow")
+
+
+# ----------------------------------------------------------------------
+# LSH-bucketed approximate variant (the 100 TB path)
+# ----------------------------------------------------------------------
+
+def _hyperplanes(dim: int, n_bits: int, seed: int) -> np.ndarray:
+    return np.random.default_rng(seed).standard_normal((n_bits, dim))
+
+
+def _sign_bucket(M: np.ndarray, H: np.ndarray) -> np.ndarray:
+    bits = (M @ H.T) > 0                       # rows x n_bits
+    weights = (1 << np.arange(H.shape[0], dtype=np.int64))
+    return bits.astype(np.int64) @ weights
+
+
+def lsh_topk(emb_ds, query_ids: list[int], *, k: int = 10, n_bits: int = 4,
+             seed: int = 29):
+    """Approximate top-k: random-hyperplane bucket, exact scoring in-bucket.
+
+    Each corpus block emits (bucket, vec_id, embedding) only for buckets
+    that contain at least one query; the per-bucket groupby then scores
+    queries against their bucket exactly.  Misses neighbors that land in
+    other buckets (by design); recall improves with fewer bits / multiple
+    tables.
+    """
+    qids, Q = _pull_queries(emb_ds, query_ids)
+    dim = Q.shape[1]
+    H = _hyperplanes(dim, n_bits, seed)
+    qbuckets = _sign_bucket(Q, H)
+    wanted = set(qbuckets.tolist())
+    qref = ray.put((qids, Q, qbuckets))
+    href = ray.put(H)
+
+    def tag_buckets(batch: pa.Table) -> pa.Table:
+        M = np.asarray(batch["embedding"].to_pylist(), dtype=np.float64)
+        M = M / np.linalg.norm(M, axis=1, keepdims=True)
+        buckets = _sign_bucket(M, ray.get(href))
+        mask = np.asarray([b in wanted for b in buckets.tolist()])
+        idx = np.flatnonzero(mask)
+        return pa.table({
+            "bucket": pa.array(buckets[idx], pa.int64()),
+            "vec_id": pa.array(
+                np.asarray(batch["vec_id"].to_pylist(),
+                           dtype=np.int64)[idx], pa.int64()),
+            "embedding": pa.array(
+                [batch["embedding"][int(i)].as_py() for i in idx],
+                pa.list_(pa.float32())),
+        })
+
+    def bucket_topk(group: pa.Table) -> pa.Table:
+        bucket = group["bucket"][0].as_py()
+        qids_, Q_, qb = ray.get(qref)
+        sel = np.flatnonzero(qb == bucket)
+        ids = np.asarray(group["vec_id"].to_pylist(), dtype=np.int64)
+        M = np.asarray(group["embedding"].to_pylist(), dtype=np.float64)
+        M = M / np.linalg.norm(M, axis=1, keepdims=True)
+        S = Q_[sel] @ M.T
+        q_col, n_col, s_col, r_col = [], [], [], []
+        for row, qi in enumerate(sel):
+            keep = np.flatnonzero(ids != qids_[qi])
+            order = keep[np.lexsort((ids[keep], -S[row][keep]))][:k]
+            q_col.extend([qids_[qi]] * len(order))
+            n_col.extend(ids[order].tolist())
+            s_col.extend(np.round(S[row][order], 6).tolist())
+            r_col.extend(range(1, len(order) + 1))
+        return pa.table({
+            "query_id": pa.array(q_col, pa.int64()),
+            "neighbor_id": pa.array(n_col, pa.int64()),
+            "score": pa.array(s_col, pa.float64()),
+            "rank": pa.array(r_col, pa.int64()),
+        })
+
+    tagged = emb_ds.map_batches(tag_buckets, batch_format="pyarrow")
+    return tagged.groupby("bucket").map_groups(
+        bucket_topk, batch_format="pyarrow")

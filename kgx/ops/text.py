@@ -1,0 +1,170 @@
+"""Text-analysis operators over a document corpus.
+
+All are stateless vectorized ``map_batches`` transforms (pyarrow.compute /
+polars kernels — no Python loop over rows in the hot path) over a table
+with at least ``(doc_id, text)``:
+
+- :func:`token_stats_batch` — whitespace + regex ("BPE-ish") token counts;
+- :func:`quality_batch` — quality-scoring features (type/token ratio, mean
+  token length, stopword ratio) and a composite score;
+- :func:`lang_id_batch` — marker-token n-gram-free language-ID heuristic;
+- :func:`fingerprint_batch` — exact md5 fingerprint + byte length;
+- :func:`winnow_batch` — winnowing rolling-hash document fingerprints
+  (Schleimer et al., SIGMOD 2003), the document-fingerprinting primitive
+  for shingle-level provenance.
+
+Each has an exact ANSI-SQL equivalent registered in ``__ray_entry__
+.oracle_sql`` (winnowing excepted — rows-only check).  The reference has no
+text-analysis stage at all (its corpus handling is a directory read,
+/root/reference/graphrag_lite_x.py:130-148); these operators are the
+training-data-pipeline surface the 100 TB target needs.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import zlib
+
+import numpy as np
+import polars as pl
+import pyarrow as pa
+import pyarrow.compute as pc
+
+# Whitespace tokens and a BPE-ish regex tokenization (letter runs / digit
+# runs / single punctuation), shared verbatim with the SQL oracles.
+WS_TOKEN_RE = r"\S+"
+BPE_TOKEN_RE = r"[a-z]+|[A-Z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+# Fixed stopword list (shared with the SQL oracle; keep sorted).
+STOPWORDS = ("a", "an", "and", "in", "is", "of", "on", "the", "to", "with")
+
+# Marker tokens per language for the heuristic language-ID.  Deterministic
+# argmax by (count desc, lang asc); all-zero -> "und".
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "de": ("der", "die", "das", "und", "nicht", "ist", "ein"),
+    "en": ("the", "a", "of", "and", "is", "to", "in"),
+    "es": ("el", "los", "las", "una", "que", "es", "y"),
+    "fr": ("le", "les", "des", "une", "est", "et", "dans"),
+}
+
+
+def _count_re(col: pa.ChunkedArray | pa.Array, pattern: str) -> pa.Array:
+    return pc.count_substring_regex(col, pattern)
+
+
+def token_stats_batch(batch: pa.Table) -> pa.Table:
+    """(doc_id, text) -> per-doc token counts, fully vectorized."""
+    text = batch["text"]
+    return pa.table({
+        "doc_id": batch["doc_id"],
+        "n_chars": pc.cast(pc.utf8_length(text), pa.int64()),
+        "n_ws_tokens": pc.cast(_count_re(text, WS_TOKEN_RE), pa.int64()),
+        "n_re_tokens": pc.cast(_count_re(text, BPE_TOKEN_RE), pa.int64()),
+    })
+
+
+def quality_batch(batch: pa.Table) -> pa.Table:
+    """(doc_id, text) -> quality features + composite score.
+
+    type_token_ratio needs a per-row distinct count — done with polars list
+    kernels (vectorized), everything else with pyarrow.compute.  Floats are
+    rounded to 6 dp so the DuckDB oracle hashes identically.
+    """
+    text = batch["text"]
+    n_tok = pc.cast(_count_re(text, WS_TOKEN_RE), pa.int64())
+    # total non-whitespace chars -> mean token length without materializing
+    # token lists
+    squashed = pc.replace_substring_regex(text, r"\s+", "")
+    n_nonws = pc.cast(pc.utf8_length(squashed), pa.int64())
+
+    df = pl.from_arrow(pa.table({"text": text}))
+    toks = df["text"].str.extract_all(WS_TOKEN_RE)
+    n_distinct = toks.list.n_unique().cast(pl.Int64)
+    n_stop = (toks.list.eval(pl.element().is_in(list(STOPWORDS)))
+              .list.sum().cast(pl.Int64))
+
+    n_tok_np = n_tok.to_numpy(zero_copy_only=False).astype(np.int64)
+    safe = np.maximum(n_tok_np, 1)
+    safe_f = safe.astype(np.float64)
+    ttr = np.round(n_distinct.to_numpy().astype(np.float64) / safe_f, 6)
+    mean_len = np.round(
+        n_nonws.to_numpy(zero_copy_only=False).astype(np.float64) / safe_f, 6)
+    stop_ratio = np.round(n_stop.to_numpy().astype(np.float64) / safe_f, 6)
+    # composite score in exact integer parts-per-million (floor division):
+    # float weights would park k/64-style ratios exactly on .5e-6 rounding
+    # boundaries, where numpy (half-to-even) and SQL (half-away) disagree
+    score_ppm = (4000 * np.minimum(n_tok_np, 100)
+                 + (300000 * n_distinct.to_numpy().astype(np.int64)) // safe
+                 + (300000 * n_stop.to_numpy().astype(np.int64)) // safe)
+    return pa.table({
+        "doc_id": batch["doc_id"],
+        "n_tokens": n_tok,
+        "n_distinct_tokens": pa.array(n_distinct.to_numpy(), pa.int64()),
+        "type_token_ratio": pa.array(ttr, pa.float64()),
+        "mean_token_len": pa.array(mean_len, pa.float64()),
+        "stopword_ratio": pa.array(stop_ratio, pa.float64()),
+        "quality_score_ppm": pa.array(score_ppm, pa.int64()),
+    })
+
+
+def lang_id_batch(batch: pa.Table) -> pa.Table:
+    """(doc_id, text) -> predicted language by marker-token counts."""
+    text = batch["text"]
+    langs = sorted(LANG_MARKERS)
+    counts = []
+    for lang in langs:
+        pattern = r"\b(?:" + "|".join(LANG_MARKERS[lang]) + r")\b"
+        counts.append(
+            _count_re(text, pattern).to_numpy(zero_copy_only=False)
+            .astype(np.int64))
+    C = np.stack(counts, axis=1)                      # n_rows x n_langs
+    best = C.argmax(axis=1)                           # ties -> smallest index
+    best_count = C[np.arange(len(C)), best]           # = lang asc (sorted)
+    pred = np.where(best_count > 0, np.array(langs)[best], "und")
+    return pa.table({
+        "doc_id": batch["doc_id"],
+        "pred_lang": pa.array(pred.tolist(), pa.string()),
+        "marker_hits": pa.array(best_count, pa.int64()),
+    })
+
+
+def fingerprint_batch(batch: pa.Table) -> pa.Table:
+    """(doc_id, text) -> exact md5 fingerprint + utf-8 byte length."""
+    texts = batch["text"].to_pylist()
+    return pa.table({
+        "doc_id": batch["doc_id"],
+        "fingerprint": pa.array(
+            [hashlib.md5(t.encode("utf-8")).hexdigest() for t in texts],
+            pa.string()),
+        "n_bytes": pa.array([len(t.encode("utf-8")) for t in texts],
+                            pa.int64()),
+    })
+
+
+def _winnow(tokens: list[str], k: int, w: int) -> list[int]:
+    """Winnowing fingerprint: min hash in each window of w k-gram hashes,
+    deduplicated while preserving first-selection order."""
+    if len(tokens) < k:
+        return []
+    hashes = [zlib.crc32(" ".join(tokens[i:i + k]).encode()) & 0xFFFFFFFF
+              for i in range(len(tokens) - k + 1)]
+    if len(hashes) <= w:
+        return [min(hashes)]
+    out, seen = [], set()
+    for i in range(len(hashes) - w + 1):
+        m = min(hashes[i:i + w])
+        if m not in seen:
+            seen.add(m)
+            out.append(m)
+    return out
+
+
+def winnow_batch(batch: pa.Table, *, k: int = 3, w: int = 4) -> pa.Table:
+    """(doc_id, text) -> winnowing fingerprint set per document."""
+    texts = batch["text"].to_pylist()
+    prints = [_winnow(t.split(), k, w) for t in texts]
+    return pa.table({
+        "doc_id": batch["doc_id"],
+        "fingerprints": pa.array(prints, pa.list_(pa.int64())),
+        "n_fingerprints": pa.array([len(p) for p in prints], pa.int64()),
+    })

@@ -1,0 +1,101 @@
+"""In-memory (checkpoint-free) KG composition over a generic text corpus.
+
+Same stages as :mod:`kgx.pipelines.kg` (chunk -> extract -> canonicalize ->
+resolve/dedup edges) but composed as one lazy Dataset expression with no
+Parquet checkpoints between stages — the shape used by the driver's
+correctness queries and by tests, where the input is the testdata
+``documents`` table adapted to the pages shape.  ``run_pipeline`` remains
+the production path (checkpoints + lineage + resume).
+
+The alias map for edge resolution is built by executing the (small,
+post-canonicalization) nodes dataset and ``ray.put``-ing the dict once —
+the same broadcast-join pattern as the checkpointed pipeline.
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray
+import ray.data as rd
+
+from kgx.pipelines.kg import make_chunk_batch_fn
+from kgx.stages.canonicalize import canonicalize
+from kgx.stages.edges import build_alias_map, resolve_and_dedup_edges
+from kgx.stages.extract import TermExtractor
+
+
+def read_documents(sf_dir: str):
+    """documents table -> pages-shaped Dataset (url, text)."""
+    def to_pages(batch: pa.Table) -> pa.Table:
+        urls = [f"doc://{d}" for d in batch["doc_id"].to_pylist()]
+        return pa.table({
+            "url": pa.array(urls, pa.string()),
+            "text": batch["text"].combine_chunks(),
+        })
+    return rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text"]).map_batches(
+        to_pages, batch_format="pyarrow")
+
+
+def chunk_documents(sf_dir: str, *, chunk_size: int = 200,
+                    chunk_overlap: int = 50):
+    """documents -> chunks Dataset (url, chunk_id, chunk_index, text,
+    n_tokens)."""
+    return read_documents(sf_dir).map_batches(
+        make_chunk_batch_fn(chunk_size, chunk_overlap),
+        batch_format="pyarrow")
+
+
+def extract_documents(sf_dir: str, *, chunk_size: int = 200,
+                      chunk_overlap: int = 50, extractor=TermExtractor,
+                      concurrency=None, batch_size: int = 256):
+    """documents -> tagged extraction Dataset (mentions/triples/claims)."""
+    conc = concurrency or _default_pool()
+    return chunk_documents(sf_dir, chunk_size=chunk_size,
+                           chunk_overlap=chunk_overlap).map_batches(
+        extractor, batch_format="pyarrow", batch_size=batch_size,
+        concurrency=conc)
+
+
+def _default_pool() -> tuple:
+    ncpu = int(ray.cluster_resources().get("CPU", 4))
+    return (1, max(1, ncpu - 2))
+
+
+def kg_tables(sf_dir: str, *, chunk_size: int = 200, chunk_overlap: int = 50,
+              min_strength: float = 0.5, n_salts: int = 16,
+              cap: int = 200) -> dict:
+    """Full in-memory KG build over the documents table.
+
+    Returns ``{"nodes": Dataset, "edges": Dataset}``.  The extraction
+    dataset is materialized once (it feeds both the nodes shuffle and the
+    edges shuffle); at this point it is the narrow tagged table, not the
+    corpus.
+    """
+    extracted = extract_documents(
+        sf_dir, chunk_size=chunk_size, chunk_overlap=chunk_overlap)
+    extracted = extracted.materialize()
+
+    mentions = extracted.map_batches(
+        lambda t: t.filter(pc.equal(t["kind"], "mention")).select(
+            ["url", "chunk_id", "mention", "norm_mention", "type",
+             "description"]),
+        batch_format="pyarrow")
+    nodes = canonicalize(mentions, n_salts=n_salts, cap=cap).materialize()
+
+    # nodes is small post-canonicalization; pull the three alias-map columns
+    # to the driver once and broadcast the dict via ray.put (J1 pattern).
+    nodes_tbl = pa.concat_tables(
+        [ray.get(r) for r in nodes.select_columns(
+            ["entity_id", "name", "aliases"]).to_arrow_refs()])
+    alias_ref = ray.put(build_alias_map(nodes_tbl))
+
+    triples = extracted.map_batches(
+        lambda t: t.filter(pc.equal(t["kind"], "triple")).select(
+            ["url", "chunk_id", "subj", "pred", "obj", "strength"]),
+        batch_format="pyarrow")
+    edges = resolve_and_dedup_edges(
+        triples, alias_ref, min_strength=min_strength, cap=cap,
+        concurrency=_default_pool())
+    return {"nodes": nodes, "edges": edges}

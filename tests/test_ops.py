@@ -1,0 +1,143 @@
+"""Unit tests for the training-data operators (kgx.ops.*)."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+import ray.data as rd
+
+from kgx.ops.dedup import (exact_dup_groups, jaccard_pairs,
+                           minhash_lsh_pairs, minhash_signature,
+                           _perm_params, _shingle_hashes, simhash64,
+                           simhash_pairs)
+from kgx.ops.multimodal import ImageDecodeStage, byte_histogram_batch
+from kgx.ops.simsearch import cosine_topk
+from kgx.ops.text import _winnow, lang_id_batch, quality_batch, \
+    token_stats_batch
+from kgx.ops.window import assign_tumbling
+
+
+def docs_ds(texts):
+    return rd.from_arrow(pa.table({
+        "doc_id": pa.array(range(len(texts)), pa.int64()),
+        "text": pa.array(texts, pa.string()),
+    }))
+
+
+def test_token_stats():
+    out = token_stats_batch(pa.table({
+        "doc_id": pa.array([1, 2], pa.int64()),
+        "text": pa.array(["one two  three", "a-b c3d!"], pa.string()),
+    }))
+    assert out["n_ws_tokens"].to_pylist() == [3, 2]
+    # a, -, b, c, 3, d, !  -> 7 BPE-ish tokens
+    assert out["n_re_tokens"].to_pylist() == [3, 7]
+
+
+def test_quality_ratios():
+    out = quality_batch(pa.table({
+        "doc_id": pa.array([1], pa.int64()),
+        "text": pa.array(["the cat the dog"], pa.string()),
+    }))
+    assert out["n_tokens"].to_pylist() == [4]
+    assert out["n_distinct_tokens"].to_pylist() == [3]
+    assert out["stopword_ratio"].to_pylist() == [0.5]  # 'the' twice / 4
+
+
+def test_lang_id():
+    out = lang_id_batch(pa.table({
+        "doc_id": pa.array([1, 2, 3], pa.int64()),
+        "text": pa.array(["the cat is on the mat", "der hund ist da und",
+                          "zzz qqq"], pa.string()),
+    }))
+    assert out["pred_lang"].to_pylist() == ["en", "de", "und"]
+
+
+def test_winnow_deterministic_and_short():
+    toks = "a b c d e f g h".split()
+    f1 = _winnow(toks, 3, 4)
+    assert f1 == _winnow(toks, 3, 4)
+    assert _winnow(["a"], 3, 4) == []
+    assert len(_winnow(["a", "b", "c"], 3, 4)) == 1
+
+
+def test_exact_dedup_groups(ray_session):
+    ds = docs_ds(["same text", "same text", "other"])
+    out = exact_dup_groups(ds).to_pandas().sort_values("rep_doc_id")
+    assert out["n_docs"].tolist() == [2, 1]
+    assert out["rep_doc_id"].tolist() == [0, 2]
+
+
+def test_jaccard_pairs_exact(ray_session):
+    ds = docs_ds(["alpha beta gamma delta", "alpha beta gamma echo",
+                  "zulu yankee xray whiskey"])
+    out = jaccard_pairs(ds, threshold=0.5).to_pandas()
+    assert len(out) == 1
+    assert (out.iloc[0]["doc_a"], out.iloc[0]["doc_b"]) == (0, 1)
+    assert out.iloc[0]["jaccard"] == pytest.approx(3 / 5)
+
+
+def test_minhash_signature_properties():
+    a, b = _perm_params(32, seed=1)
+    s1 = _shingle_hashes("the quick brown fox jumps".split(), 3)
+    sig1 = minhash_signature(s1, a, b)
+    assert sig1.shape == (32,)
+    assert (minhash_signature(s1, a, b) == sig1).all()
+    # near-identical docs share most minhash values
+    s2 = _shingle_hashes("the quick brown fox leaps".split(), 3)
+    sim = (minhash_signature(s2, a, b) == sig1).mean()
+    s3 = _shingle_hashes("completely different words entirely here".split(), 3)
+    dis = (minhash_signature(s3, a, b) == sig1).mean()
+    assert sim > dis
+
+
+def test_minhash_lsh_finds_near_dups(ray_session):
+    near = "the quick brown fox jumps over the lazy dog again and again"
+    ds = docs_ds([near, near + " today",
+                  "an entirely unrelated document about databases"])
+    out = minhash_lsh_pairs(ds, min_est_jaccard=0.3).to_pandas()
+    assert {(0, 1)} <= set(zip(out["doc_a"], out["doc_b"]))
+    assert (2 not in set(out["doc_a"]) and 2 not in set(out["doc_b"]))
+
+
+def test_simhash_near_dups(ray_session):
+    base = "one two three four five six seven eight nine ten"
+    assert simhash64(base.split()) == simhash64(base.split())
+    # band blocking guarantees recall only for hamming < n_bands; an exact
+    # duplicate (hamming 0) must always be found, a far doc must not
+    ds = docs_ds([base, base,
+                  "totally different content matter entirely unrelated"])
+    out = simhash_pairs(ds, max_hamming=3).to_pandas()
+    assert set(zip(out["doc_a"], out["doc_b"])) == {(0, 1)}
+
+
+def test_cosine_topk_exact(ray_session):
+    vecs = np.eye(4, dtype=np.float32).tolist()
+    vecs[1] = [0.9, 0.1, 0.0, 0.0]
+    ds = rd.from_arrow(pa.table({
+        "vec_id": pa.array(range(4), pa.int64()),
+        "embedding": pa.array(vecs, pa.list_(pa.float32())),
+    }))
+    out = cosine_topk(ds, query_ids=[0], k=2).to_pandas()
+    assert out["neighbor_id"].tolist() == [1, 2]
+    assert out["rank"].tolist() == [1, 2]
+
+
+def test_tumbling_assignment():
+    ts = pa.array([0, 3_599_999_999, 3_600_000_000], pa.timestamp("us"))
+    out = assign_tumbling(pa.table({"ts": ts}), width_s=3600)
+    got = [v.value for v in out["window_start"]]
+    assert got == [0, 0, 3_600_000_000]
+
+
+def test_byte_histogram_and_fake_decode():
+    batch = pa.table({
+        "media_id": pa.array(["a", "b"], pa.string()),
+        "payload": pa.array([b"\x00" * 8, b""], pa.binary()),
+    })
+    hist = byte_histogram_batch(batch)
+    assert hist["feature"][0].as_py()[0] == pytest.approx(1.0)
+    assert hist["feature"][1].as_py() == [0.0] * 16
+    dec = ImageDecodeStage(fake=True)(batch)
+    again = ImageDecodeStage(fake=True)(batch)
+    assert dec["width"].to_pylist() == again["width"].to_pylist()
+    assert all(64 <= w < 256 for w in dec["width"].to_pylist())
