@@ -1,0 +1,215 @@
+"""Benchmark harness (driver contract).
+
+Runs the headline KG-construction pipeline plus the operator suite over
+``$GRAFT_SF_DIR`` (default /root/testdata/sf0.1) with
+``ray.init(address="local", num_cpus=$RAY_GRAFT_CPUS)`` (default 32) and
+prints ONE JSON line::
+
+    {"metric": ..., "value": total_sec, "unit": "sec",
+     "queries": {name: sec, ...}, "sf": ..., "num_cpus": N, ...}
+
+``--scaling`` runs the headline pipeline twice in FRESH processes
+(num_cpus=8 then num_cpus=32) on the same input and reports both
+throughputs plus scaling efficiency = (thr32/thr8)/4 — the sandbox
+evidence for the north_rule's N->4N cluster criterion (no real multi-node
+cluster here).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shutil
+import subprocess
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+DEFAULT_SF_DIR = "/root/testdata/sf0.1"
+PAGES_PER_SF = 3_000_000        # synthetic pages corpus scale: sf * this
+FILLER_SCALE = 8                # ~10 KB Common-Crawl-ish pages
+BENCH_SEED = 42
+
+
+def _sf_of(sf_dir: str) -> float:
+    base = os.path.basename(sf_dir.rstrip("/"))
+    try:
+        return float(base.replace("sf", ""))
+    except ValueError:
+        return 0.0
+
+
+def _consume(ds) -> int:
+    """Fully execute a Dataset, streaming; returns row count."""
+    import pandas as pd
+    import pyarrow as pa
+    if isinstance(ds, (pd.DataFrame,)):
+        return len(ds)
+    if isinstance(ds, pa.Table):
+        return ds.num_rows
+    n = 0
+    for batch in ds.iter_batches(batch_size=4096, batch_format="pyarrow"):
+        n += batch.num_rows
+    return n
+
+
+def _pages_corpus(n_pages: int) -> str:
+    """Deterministic synthetic pages corpus, cached across runs."""
+    from kgx.synth import write_pages
+    out = f"/tmp/kgx_bench_pages_{n_pages}_s{BENCH_SEED}_f{FILLER_SCALE}"
+    return write_pages(out, n_pages, seed=BENCH_SEED,
+                       filler_scale=FILLER_SCALE)
+
+
+def run_headline(sf_dir: str, num_cpus: int) -> dict:
+    """KG construction over the synthetic pages corpus (the north-star job):
+    read -> html->text -> chunk -> actor-pool extraction -> salted
+    canonicalization -> broadcast edge resolution -> sorted Parquet."""
+    import pyarrow.parquet as pq
+    from kgx.pipelines.kg import KGConfig, run_pipeline
+
+    n_pages = max(200, int(_sf_of(sf_dir) * PAGES_PER_SF)) or 1000
+    pages_path = _pages_corpus(n_pages)
+    out_dir = f"/tmp/kgx_bench_out_{num_cpus}"
+    shutil.rmtree(out_dir, ignore_errors=True)
+
+    # Warm the worker pool (first execution in a fresh session pays worker
+    # startup + import cost; that's cluster bring-up, not pipeline throughput).
+    import ray.data as rd
+    rd.range(num_cpus * 4).map_batches(lambda b: b).count()
+
+    t0 = time.perf_counter()
+    paths = run_pipeline(pages_path, out_dir, KGConfig(), resume=False)
+    wall = time.perf_counter() - t0
+    n_triples = pq.read_metadata_or_rows = sum(
+        pq.ParquetFile(os.path.join(paths["edges"], f)).metadata.num_rows
+        for f in os.listdir(paths["edges"]) if f.endswith(".parquet"))
+    n_nodes = sum(
+        pq.ParquetFile(os.path.join(paths["nodes"], f)).metadata.num_rows
+        for f in os.listdir(paths["nodes"]) if f.endswith(".parquet"))
+    return {
+        "wall_sec": round(wall, 3),
+        "n_pages": n_pages,
+        "n_nodes": n_nodes,
+        "n_edges": n_triples,
+        "pages_per_sec": round(n_pages / wall, 2),
+        "triples_per_sec": round(n_triples / wall, 2),
+    }
+
+
+def _operator_queries(sf_dir: str) -> dict:
+    """name -> thunk returning a Dataset to consume (timed individually)."""
+    import ray.data as rd
+
+    def docs():
+        return rd.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text"])
+
+    def emb():
+        return rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                               columns=["vec_id", "embedding"])
+
+    from kgx.ops import dedup, relational, simsearch, text, window
+    from kgx.pipelines.docs_kg import kg_tables
+
+    return {
+        "kg_docs_edges": lambda: kg_tables(sf_dir)["edges"],
+        "text_quality": lambda: docs().map_batches(
+            text.quality_batch, batch_format="pyarrow"),
+        "text_lang": lambda: docs().map_batches(
+            text.lang_id_batch, batch_format="pyarrow"),
+        "text_tokens": lambda: docs().map_batches(
+            text.token_stats_batch, batch_format="pyarrow"),
+        "dedup_exact": lambda: dedup.exact_dup_groups(docs()),
+        "dedup_minhash": lambda: dedup.minhash_lsh_pairs(docs()),
+        "dedup_simhash": lambda: dedup.simhash_pairs(docs(), max_hamming=8),
+        "dedup_embedding": lambda: dedup.embedding_dup_pairs(
+            emb(), threshold=0.45),
+        "simsearch_topk": lambda: simsearch.cosine_topk(
+            emb(), query_ids=list(range(8)), k=10),
+        "events_window": lambda: window.tumbling_window_agg(
+            rd.read_parquet(f"{sf_dir}/events.parquet",
+                            columns=["ts", "event_type", "value"]),
+            width_s=3600),
+        "rel_pricing": lambda: relational.pricing_summary(sf_dir),
+        "rel_top_customers": lambda: relational.top_customers(sf_dir, n=10),
+    }
+
+
+def run_suite(sf_dir: str, num_cpus: int, headline_only: bool) -> dict:
+    import ray
+    ray.init(address="local", num_cpus=num_cpus, include_dashboard=False,
+             ignore_reinit_error=True, logging_level="ERROR")
+    try:
+        queries: dict[str, float] = {}
+        head = run_headline(sf_dir, num_cpus)
+        queries["kg_pages"] = head["wall_sec"]
+        if not headline_only:
+            for name, thunk in _operator_queries(sf_dir).items():
+                t0 = time.perf_counter()
+                _consume(thunk())
+                queries[name] = round(time.perf_counter() - t0, 3)
+        total = round(sum(queries.values()), 3)
+        return {
+            "metric": "kgx_pipeline_suite_wall",
+            "value": total,
+            "unit": "sec",
+            "queries": queries,
+            "sf": _sf_of(sf_dir),
+            "num_cpus": num_cpus,
+            "headline": head,
+        }
+    finally:
+        ray.shutdown()
+
+
+def run_scaling(sf_dir: str) -> dict:
+    """Same headline job in fresh processes at 8 and 32 CPUs."""
+    results = {}
+    for ncpu in (8, 32):
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu),
+                   GRAFT_SF_DIR=sf_dir)
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--headline-only"],
+            env=env, capture_output=True, text=True, check=True)
+        line = [ln for ln in out.stdout.strip().splitlines()
+                if ln.startswith("{")][-1]
+        results[ncpu] = json.loads(line)
+    thr8 = results[8]["headline"]["pages_per_sec"]
+    thr32 = results[32]["headline"]["pages_per_sec"]
+    eff = round((thr32 / thr8) / 4.0, 4)
+    return {
+        "metric": "scaling_efficiency_8_to_32_cpus",
+        "value": eff,
+        "unit": "ratio",
+        "queries": {"headline_8cpu": results[8]["headline"]["wall_sec"],
+                    "headline_32cpu": results[32]["headline"]["wall_sec"]},
+        "sf": _sf_of(sf_dir),
+        "num_cpus": 32,
+        "throughput_pages_per_sec": {"8": thr8, "32": thr32},
+        "triples_per_sec": {
+            "8": results[8]["headline"]["triples_per_sec"],
+            "32": results[32]["headline"]["triples_per_sec"]},
+        "n_pages": results[32]["headline"]["n_pages"],
+    }
+
+
+def main() -> None:
+    p = argparse.ArgumentParser()
+    p.add_argument("--scaling", action="store_true")
+    p.add_argument("--headline-only", action="store_true")
+    args = p.parse_args()
+
+    sf_dir = os.environ.get("GRAFT_SF_DIR", DEFAULT_SF_DIR)
+    num_cpus = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+
+    if args.scaling:
+        print(json.dumps(run_scaling(sf_dir)))
+    else:
+        print(json.dumps(run_suite(sf_dir, num_cpus, args.headline_only)))
+
+
+if __name__ == "__main__":
+    main()

@@ -22,7 +22,7 @@ import ray.data as rd
 from kgx.pipelines.kg import make_chunk_batch_fn
 from kgx.stages.canonicalize import canonicalize
 from kgx.stages.edges import build_alias_map, resolve_and_dedup_edges
-from kgx.stages.extract import TermExtractor
+from kgx.stages.extract import TermExtractor, make_task_extractor
 
 
 def read_documents(sf_dir: str):
@@ -49,18 +49,19 @@ def chunk_documents(sf_dir: str, *, chunk_size: int = 200,
 
 def extract_documents(sf_dir: str, *, chunk_size: int = 200,
                       chunk_overlap: int = 50, extractor=TermExtractor,
-                      concurrency=None, batch_size: int = 256):
-    """documents -> tagged extraction Dataset (mentions/triples/claims)."""
-    conc = concurrency or _default_pool()
-    return chunk_documents(sf_dir, chunk_size=chunk_size,
-                           chunk_overlap=chunk_overlap).map_batches(
-        extractor, batch_format="pyarrow", batch_size=batch_size,
-        concurrency=conc)
+                      concurrency=None, batch_size: int = 1024):
+    """documents -> tagged extraction Dataset (mentions/triples/claims).
 
-
-def _default_pool() -> tuple:
-    ncpu = int(ray.cluster_resources().get("CPU", 4))
-    return (1, max(1, ncpu - 2))
+    Task-based with per-worker cached extractor state by default; pass
+    ``concurrency`` to host the extractor on an actor pool."""
+    chunks = chunk_documents(sf_dir, chunk_size=chunk_size,
+                             chunk_overlap=chunk_overlap)
+    if concurrency is None:
+        return chunks.map_batches(make_task_extractor(extractor),
+                                  batch_format="pyarrow",
+                                  batch_size=batch_size)
+    return chunks.map_batches(extractor, batch_format="pyarrow",
+                              batch_size=batch_size, concurrency=concurrency)
 
 
 def kg_tables(sf_dir: str, *, chunk_size: int = 200, chunk_overlap: int = 50,
@@ -96,6 +97,5 @@ def kg_tables(sf_dir: str, *, chunk_size: int = 200, chunk_overlap: int = 50,
             ["url", "chunk_id", "subj", "pred", "obj", "strength"]),
         batch_format="pyarrow")
     edges = resolve_and_dedup_edges(
-        triples, alias_ref, min_strength=min_strength, cap=cap,
-        concurrency=_default_pool())
+        triples, alias_ref, min_strength=min_strength, cap=cap)
     return {"nodes": nodes, "edges": edges}

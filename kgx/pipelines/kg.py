@@ -29,7 +29,8 @@ from kgx.functions.html_text import EXTRACTOR_VERSION, extract_text
 from kgx.stages.canonicalize import canonicalize
 from kgx.stages.edges import (build_alias_map, resolve_and_dedup_claims,
                               resolve_and_dedup_edges)
-from kgx.stages.extract import GazetteerExtractor, LLMExtractor, TermExtractor
+from kgx.stages.extract import (GazetteerExtractor, LLMExtractor,
+                                TermExtractor, make_task_extractor)
 from kgx.state import manifest as mf
 
 EXTRACTORS = {
@@ -55,9 +56,9 @@ class KGConfig:
     # at run time to an autoscaling pool (1, cluster_cpus - 2): a fixed pool
     # equal to the CPU count deadlocks the fused read stage on small hosts.
     extract_concurrency: int | tuple | None = None
-    extract_batch_size: int = 256
+    extract_batch_size: int = 1024
     resolve_concurrency: int | tuple | None = None
-    resolve_batch_size: int = 4096
+    resolve_batch_size: int = 32768
 
     _PERF_KNOBS = ("extract_concurrency", "extract_batch_size",
                    "resolve_concurrency", "resolve_batch_size", "n_salts")
@@ -134,9 +135,16 @@ def run_pipeline(pages_path: str, out_dir: str,
     base_cfg = cfg.semantic_dict()
     base_cfg["extractor_version"] = EXTRACTOR_VERSION
     ncpu = int(ray.cluster_resources().get("CPU", 4))
-    pool = (1, max(1, ncpu - 2))
-    extract_conc = cfg.extract_concurrency or pool
-    resolve_conc = cfg.resolve_concurrency or pool
+    # Deterministic extractors/resolvers run as plain map_batches TASKS with
+    # per-worker cached state (no pool startup, work stealing everywhere);
+    # the LLM extractor — real per-actor state (model client) — runs on an
+    # actor pool starting at half the target width so ramp-up doesn't
+    # dominate (max leaves CPUs for the fused read tasks; a fixed pool ==
+    # CPU count deadlocks small hosts).
+    pool = (max(1, (ncpu - 2) // 2), max(1, ncpu - 2))
+    extract_conc = cfg.extract_concurrency or (
+        pool if cfg.extractor == "llm" else None)
+    resolve_conc = cfg.resolve_concurrency
     input_fp = mf.fingerprint_input(pages_path)
     paths = {s: mf.stage_dir(out_dir, s)
              for s in ("texts", "chunks", "extracted", "nodes", "edges",
@@ -179,10 +187,15 @@ def run_pipeline(pages_path: str, out_dir: str,
     def build_extracted(sdir):
         ds = rd.read_parquet(paths["chunks"],
                              columns=["url", "chunk_id", "text"])
-        ds = ds.map_batches(EXTRACTORS[cfg.extractor],
-                            batch_format="pyarrow",
-                            batch_size=cfg.extract_batch_size,
-                            concurrency=extract_conc)
+        cls = EXTRACTORS[cfg.extractor]
+        if extract_conc is None:
+            ds = ds.map_batches(make_task_extractor(cls),
+                                batch_format="pyarrow",
+                                batch_size=cfg.extract_batch_size)
+        else:
+            ds = ds.map_batches(cls, batch_format="pyarrow",
+                                batch_size=cfg.extract_batch_size,
+                                concurrency=extract_conc)
         ds.write_parquet(sdir)
     _run_stage(out_dir, "extracted", fp_chunks, chash("extracted"),
                build_extracted, resume)

@@ -88,7 +88,12 @@ def _argmax_count(counts: dict) -> str:
 def combine_mentions_batch(batch: pa.Table, *,
                            n_salts: int = DEFAULT_N_SALTS,
                            cap: int = DEFAULT_INSTANCE_CAP) -> pa.Table:
-    """In-batch combiner: mentions batch -> one (norm, salt, state) row/key."""
+    """In-batch combiner: mentions batch -> one (norm, salt, state) row/key.
+
+    Instances/aliases accumulate raw per batch (bounded by the batch row
+    count) and are deduped/sorted/capped ONCE per key at emit — per-row
+    ``sorted(set(...))`` maintenance is quadratic on hot keys.
+    """
     states: dict[str, dict] = {}
     salts: dict[str, int] = {}
     for url, chunk_id, mention, norm, etype, desc in zip(
@@ -105,11 +110,12 @@ def combine_mentions_batch(batch: pa.Table, *,
         st["tc"][etype] = st["tc"].get(etype, 0) + 1
         st["d"] = _better_desc(st["d"], desc or "")
         st["n"] += 1
-        if len(st["inst"]) < cap or (url, chunk_id) < tuple(st["inst"][-1]):
-            st["inst"] = _cap_instances(st["inst"] + [(url, chunk_id)], cap)
-        if mention not in st["al"]:
-            st["al"] = sorted(set(st["al"]) | {mention})
+        st["inst"].append((url, chunk_id))
     keys = sorted(states)
+    for k in keys:
+        st = states[k]
+        st["inst"] = _cap_instances(st["inst"], cap)
+        st["al"] = sorted(st["nc"])
     return pa.table({
         "norm_mention": pa.array(keys, pa.string()),
         "salt": pa.array([salts[k] for k in keys], pa.int32()),
@@ -150,17 +156,20 @@ def finalize_group(group: pa.Table, *,
 
 
 def canonicalize(mentions_ds, *, n_salts: int = DEFAULT_N_SALTS,
-                 cap: int = DEFAULT_INSTANCE_CAP):
+                 cap: int = DEFAULT_INSTANCE_CAP,
+                 combine_batch_size: int = 65536):
     """mentions Dataset -> canonical nodes Dataset, sorted by entity_id.
 
     ``mentions_ds`` needs columns (url, chunk_id, mention, norm_mention,
     type, description).  The two groupbys are the only shuffles; both run
-    over pre-combined state rows (<= one row per key per input block, then
-    <= n_salts rows per key).
+    over pre-combined state rows (<= one row per key per combine batch,
+    then <= n_salts rows per key).  The combine batch is large on purpose:
+    each shuffled block carries one state row per key per batch, so bigger
+    batches mean a smaller all-to-all.
     """
     combined = mentions_ds.map_batches(
         lambda b: combine_mentions_batch(b, n_salts=n_salts, cap=cap),
-        batch_format="pyarrow")
+        batch_format="pyarrow", batch_size=combine_batch_size)
     partial = combined.groupby(["norm_mention", "salt"]).map_groups(
         lambda g: reduce_partial_group(g, cap=cap), batch_format="pyarrow")
     nodes = partial.groupby("norm_mention").map_groups(

@@ -113,8 +113,10 @@ class ResolveTriples:
                                     "n": 0, "inst": []}
             st["sum"] += float(strength)
             st["n"] += 1
-            st["inst"] = _cap_instances(st["inst"] + [(url, chunk_id)], self.cap)
+            st["inst"].append((url, chunk_id))
         keys = sorted(states)
+        for k in keys:
+            states[k]["inst"] = _cap_instances(states[k]["inst"], self.cap)
         return pa.table({
             "subj_id": pa.array([k[0] for k in keys], pa.string()),
             "pred": pa.array([k[1] for k in keys], pa.string()),
@@ -122,6 +124,25 @@ class ResolveTriples:
             "state": pa.array([json.dumps(states[k], sort_keys=True)
                                for k in keys], pa.string()),
         })
+
+
+# Per-worker resolver cache for task-based execution: the broadcast alias
+# dict is ray.get once per worker process (zero-copy plasma read) and
+# reused by every task on that worker — never re-shipped per batch.
+_WORKER_RESOLVER_CACHE: dict[tuple, object] = {}
+
+
+def make_task_resolver(cls, alias_ref, **kwargs):
+    key = (cls.__qualname__, getattr(alias_ref, "hex", lambda: id(alias_ref))(),
+           tuple(sorted(kwargs.items())))
+
+    def resolve_batch(batch: pa.Table) -> pa.Table:
+        r = _WORKER_RESOLVER_CACHE.get(key)
+        if r is None:
+            r = _WORKER_RESOLVER_CACHE[key] = cls(alias_ref, **kwargs)
+        return r(batch)
+
+    return resolve_batch
 
 
 def _finalize_edge_group(group: pa.Table, cap: int) -> pa.Table:
@@ -150,13 +171,23 @@ def _finalize_edge_group(group: pa.Table, cap: int) -> pa.Table:
 def resolve_and_dedup_edges(triples_ds, alias_ref, *,
                             min_strength: float = DEFAULT_MIN_STRENGTH,
                             cap: int = DEFAULT_INSTANCE_CAP,
-                            concurrency=4, batch_size: int = 4096):
-    """triples_raw Dataset -> canonical edges Dataset with global dedup-sort."""
-    combined = triples_ds.map_batches(
-        ResolveTriples, batch_format="pyarrow", batch_size=batch_size,
-        concurrency=concurrency,
-        fn_constructor_kwargs={"alias_ref": alias_ref,
-                               "min_strength": min_strength, "cap": cap})
+                            concurrency=None, batch_size: int = 32768):
+    """triples_raw Dataset -> canonical edges Dataset with global dedup-sort.
+
+    Task-based by default (per-worker cached broadcast alias map); pass
+    ``concurrency`` to host the resolver on an actor pool instead.
+    """
+    if concurrency is None:
+        combined = triples_ds.map_batches(
+            make_task_resolver(ResolveTriples, alias_ref,
+                               min_strength=min_strength, cap=cap),
+            batch_format="pyarrow", batch_size=batch_size)
+    else:
+        combined = triples_ds.map_batches(
+            ResolveTriples, batch_format="pyarrow", batch_size=batch_size,
+            concurrency=concurrency,
+            fn_constructor_kwargs={"alias_ref": alias_ref,
+                                   "min_strength": min_strength, "cap": cap})
     edges = combined.groupby(["subj_id", "pred", "obj_id"]).map_groups(
         lambda g: _finalize_edge_group(g, cap), batch_format="pyarrow")
     return edges.sort(["subj_id", "pred", "obj_id"])
@@ -188,10 +219,13 @@ class ResolveClaims:
             if st is None:
                 st = states[key] = {"c": content, "ids": [], "n": 0, "inst": []}
             st["c"] = min(st["c"], content)  # deterministic raw-content pick
-            st["ids"] = sorted(set(st["ids"]) | set(ids))
+            st["ids"].extend(ids)
             st["n"] += 1
-            st["inst"] = _cap_instances(st["inst"] + [(url, chunk_id)], self.cap)
+            st["inst"].append((url, chunk_id))
         keys = sorted(states)
+        for k in keys:
+            states[k]["ids"] = sorted(set(states[k]["ids"]))
+            states[k]["inst"] = _cap_instances(states[k]["inst"], self.cap)
         return pa.table({
             "content_key": pa.array(keys, pa.string()),
             "state": pa.array([json.dumps(states[k], sort_keys=True)
@@ -220,12 +254,20 @@ def _finalize_claim_group(group: pa.Table, cap: int) -> pa.Table:
 
 def resolve_and_dedup_claims(claims_ds, alias_ref, *,
                              cap: int = DEFAULT_INSTANCE_CAP,
-                             concurrency=4, batch_size: int = 4096):
-    """claims_raw Dataset -> canonical claims Dataset sorted by claim_id."""
-    combined = claims_ds.map_batches(
-        ResolveClaims, batch_format="pyarrow", batch_size=batch_size,
-        concurrency=concurrency,
-        fn_constructor_kwargs={"alias_ref": alias_ref, "cap": cap})
+                             concurrency=None, batch_size: int = 32768):
+    """claims_raw Dataset -> canonical claims Dataset sorted by claim_id.
+
+    Task-based by default; see :func:`resolve_and_dedup_edges`.
+    """
+    if concurrency is None:
+        combined = claims_ds.map_batches(
+            make_task_resolver(ResolveClaims, alias_ref, cap=cap),
+            batch_format="pyarrow", batch_size=batch_size)
+    else:
+        combined = claims_ds.map_batches(
+            ResolveClaims, batch_format="pyarrow", batch_size=batch_size,
+            concurrency=concurrency,
+            fn_constructor_kwargs={"alias_ref": alias_ref, "cap": cap})
     claims = combined.groupby("content_key").map_groups(
         lambda g: _finalize_claim_group(g, cap), batch_format="pyarrow")
     return claims.sort("claim_id")

@@ -105,13 +105,32 @@ class GazetteerExtractor:
         surfaces = sorted(set(surfaces), key=len, reverse=True)
         alt = "|".join(re.escape(s) for s in surfaces)
         self.mention_re = re.compile(rf"\b(?:{alt})\b", re.IGNORECASE)
-        self.rel_res: list[tuple[re.Pattern, str, float]] = []
+        self.rel_res: list[tuple[re.Pattern, str, float, str]] = []
         for tmpl, pred, strength, _st, _ot in RELATION_PATTERNS:
             mid = tmpl.split("{a}")[1].split("{b}")[0].strip()
             rx = re.compile(
                 rf"\b(?P<a>{alt})\s+{re.escape(mid)}\s+(?P<b>{alt})", re.IGNORECASE)
-            self.rel_res.append((rx, pred, strength))
+            self.rel_res.append((rx, pred, strength, mid.lower()))
         self.claim_re = re.compile(r"\bIt is reported that\b", re.IGNORECASE)
+        # Per-actor memo: surface form -> mention tuple.  The alternation
+        # guarantees a tiny closed set of matched surfaces, so this dict
+        # stays bounded by the gazetteer size and skips re-normalizing the
+        # same surface millions of times across a shard.
+        self._surface_memo: dict[str, tuple | None] = {}
+
+    def _mention_of(self, surface: str) -> tuple | None:
+        hit = self._surface_memo.get(surface)
+        if hit is None and surface not in self._surface_memo:
+            norm = normalize(surface)
+            canon = self.norm2canon.get(norm)
+            if canon is None:
+                hit = None
+            else:
+                etype = self.norm2type[norm]
+                hit = (surface, norm, etype,
+                       f"{canon} is a {etype.lower()} mentioned as {surface}")
+            self._surface_memo[surface] = hit
+        return hit
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         out = _Rows()
@@ -121,25 +140,52 @@ class GazetteerExtractor:
         for url, chunk_id, text in zip(urls, chunk_ids, texts):
             if not text:
                 continue
-            for m in self.mention_re.finditer(text):
-                surface = m.group(0)
-                norm = normalize(surface)
-                canon = self.norm2canon.get(norm)
-                if canon is None:
-                    continue
-                etype = self.norm2type[norm]
-                desc = f"{canon} is a {etype.lower()} mentioned as {surface}"
-                out.mention(url, chunk_id, surface, norm, etype, desc)
+            # One sentence pass: mentions, then relations/claims only on
+            # sentences that can possibly hold them (>=2 mentions and the
+            # pattern's literal middle text present) — filler sentences
+            # never pay the big-alternation relation regexes.
             for sent in _SENT_SPLIT.split(text):
-                for rx, pred, strength in self.rel_res:
-                    for m in rx.finditer(sent):
-                        out.triple(url, chunk_id, m.group("a"), pred,
-                                   m.group("b"), strength)
-                if self.claim_re.search(sent):
-                    ents = [m.group(0) for m in self.mention_re.finditer(sent)]
-                    if ents:
-                        out.claim(url, chunk_id, sent.strip(), ents)
+                ments = []
+                for m in self.mention_re.finditer(sent):
+                    hit = self._mention_of(m.group(0))
+                    if hit is None:
+                        continue
+                    ments.append(hit[0])
+                    out.mention(url, chunk_id, hit[0], hit[1], hit[2], hit[3])
+                if len(ments) >= 2:
+                    # collapsed-whitespace lowering so the literal substring
+                    # prefilter can never miss what the \s+ regex would match
+                    low = " ".join(sent.lower().split())
+                    for rx, pred, strength, mid_low in self.rel_res:
+                        if mid_low not in low:
+                            continue
+                        for m in rx.finditer(sent):
+                            out.triple(url, chunk_id, m.group("a"), pred,
+                                       m.group("b"), strength)
+                if ments and self.claim_re.search(sent):
+                    out.claim(url, chunk_id, sent.strip(), ments)
         return out.table()
+
+
+# Per-worker extractor cache for task-based execution: deterministic
+# extractors carry only compiled-regex state, so plain map_batches tasks
+# with a once-per-worker-process build beat an actor pool (no pool
+# startup, work stealing across all CPUs).  Stateful extractors that hold
+# a model/client (LLMExtractor) still run as an actor pool.
+_WORKER_EXTRACTOR_CACHE: dict[str, object] = {}
+
+
+def make_task_extractor(cls, **kwargs):
+    """A picklable batch fn running ``cls(**kwargs)`` cached per worker."""
+    key = f"{cls.__module__}.{cls.__qualname__}:{sorted(kwargs.items())!r}"
+
+    def extract_batch(batch: pa.Table) -> pa.Table:
+        ex = _WORKER_EXTRACTOR_CACHE.get(key)
+        if ex is None:
+            ex = _WORKER_EXTRACTOR_CACHE[key] = cls(**kwargs)
+        return ex(batch)
+
+    return extract_batch
 
 
 class TermExtractor:

@@ -126,19 +126,25 @@ def _pick_surface(rng: random.Random, canonical: str) -> str:
     return rng.choice(GAZETTEER[canonical][1])
 
 
-def generate_pages(n_pages: int, seed: int = 42) -> tuple[pa.Table, pa.Table]:
-    """Build the pages table and the truth_triples sidecar.
+def generate_rows(lo: int, hi: int, seed: int = 42,
+                  filler_scale: int = 1
+                  ) -> tuple[pa.Table, dict[tuple[str, str, str], set[str]]]:
+    """Build pages ``[lo, hi)`` and their truth partial.
 
-    Returns ``(pages, truth_triples)`` as Arrow tables.
+    Each page is generated from its own ``random.Random(f"{seed}:{i}")``, so
+    output is deterministic and independent of how the index range is
+    sharded — parallel generation produces byte-identical pages.
+    ``filler_scale`` multiplies the filler-sentence count (1 = test-sized
+    ~1.5 KB pages; 8 ≈ Common-Crawl-ish ~10 KB pages for benchmarks).
     """
-    rng = random.Random(seed)
     by_type = _by_type()
 
     urls, tss, htmls, texts, langs = [], [], [], [], []
     truth: dict[tuple[str, str, str], set[str]] = {}
 
     base_ts = 1_750_000_000_000_000  # fixed epoch-us anchor
-    for i in range(n_pages):
+    for i in range(lo, hi):
+        rng = random.Random(f"{seed}:{i}")
         url = f"https://site-{i % 7}.example/article-{i}"
         lang = "en" if rng.random() > 0.06 else rng.choice(["de", "fr"])
         sentences: list[str] = []
@@ -174,6 +180,7 @@ def generate_pages(n_pages: int, seed: int = 42) -> tuple[pa.Table, pa.Table]:
 
         # filler; ~15% of pages become long (span several chunks)
         n_filler = rng.randint(3, 6) if rng.random() > 0.15 else rng.randint(60, 120)
+        n_filler *= filler_scale
         for _ in range(n_filler):
             sentences.append(rng.choice(_FILLER).strip().rstrip(".") + ".")
         rng.shuffle(sentences)
@@ -223,41 +230,74 @@ def generate_pages(n_pages: int, seed: int = 42) -> tuple[pa.Table, pa.Table]:
         "text": pa.array(texts, pa.string()),
         "lang": pa.array(langs, pa.string()),
     })
+    return pages, truth
 
+
+def _truth_table(truth: dict[tuple[str, str, str], set[str]]) -> pa.Table:
     keys = sorted(truth.keys())
-    truth_tbl = pa.table({
+    return pa.table({
         "subj_norm": pa.array([k[0] for k in keys], pa.string()),
         "pred": pa.array([k[1] for k in keys], pa.string()),
         "obj_norm": pa.array([k[2] for k in keys], pa.string()),
         "urls": pa.array([sorted(truth[k]) for k in keys], pa.list_(pa.string())),
     })
-    return pages, truth_tbl
+
+
+def generate_pages(n_pages: int, seed: int = 42,
+                   filler_scale: int = 1) -> tuple[pa.Table, pa.Table]:
+    """Build the full pages table and the truth_triples sidecar."""
+    pages, truth = generate_rows(0, n_pages, seed, filler_scale)
+    return pages, _truth_table(truth)
 
 
 def write_pages(out_dir: str, n_pages: int, seed: int = 42,
-                n_shards: int = 8) -> str:
+                n_shards: int = 8, filler_scale: int = 1) -> str:
     """Write a sharded pages dataset + truth sidecar; idempotent.
 
     Layout: ``{out_dir}/pages/part-*.parquet`` (>=n_shards files so small
     runs still exercise parallel reads) and ``{out_dir}/truth_triples.parquet``.
-    Returns the pages directory path.
+    Large corpora are generated in parallel with Ray tasks when a session is
+    up — per-page seeding makes the bytes identical either way.  Returns the
+    pages directory path.
     """
+    import ray
+
     pages_dir = os.path.join(out_dir, "pages")
     done = os.path.join(out_dir, "_SYNTH_DONE")
-    marker = f"n={n_pages} seed={seed} shards={n_shards} v=3"
+    marker = f"n={n_pages} seed={seed} shards={n_shards} v=4 fs={filler_scale}"
     if os.path.exists(done):
         with open(done) as f:
             if f.read() == marker:
                 return pages_dir
-    pages, truth_tbl = generate_pages(n_pages, seed)
     os.makedirs(pages_dir, exist_ok=True)
-    per = max(1, (pages.num_rows + n_shards - 1) // n_shards)
-    for s in range(n_shards):
-        shard = pages.slice(s * per, per)
-        if shard.num_rows == 0:
-            break
-        pq.write_table(shard, os.path.join(pages_dir, f"part-{s:05d}.parquet"))
-    pq.write_table(truth_tbl, os.path.join(out_dir, "truth_triples.parquet"))
+    for stale in os.listdir(pages_dir):
+        os.remove(os.path.join(pages_dir, stale))
+
+    # one shard ~4k pages (one row group each): parquet reads split per
+    # file, so shard count — not the generating session's CPU count — sets
+    # the read parallelism available to every later pipeline run
+    n_shards = max(n_shards, n_pages // 4096)
+    parallel = ray.is_initialized() and n_pages >= 4000
+    per = max(1, (n_pages + n_shards - 1) // n_shards)
+    bounds = [(s, s * per, min((s + 1) * per, n_pages))
+              for s in range(n_shards) if s * per < n_pages]
+
+    def shard_task(s: int, lo: int, hi: int):
+        tbl, truth = generate_rows(lo, hi, seed, filler_scale)
+        pq.write_table(tbl, os.path.join(pages_dir, f"part-{s:05d}.parquet"))
+        return truth
+
+    truth: dict[tuple[str, str, str], set[str]] = {}
+    if parallel:
+        remote = ray.remote(shard_task)
+        partials = ray.get([remote.remote(*b) for b in bounds])
+    else:
+        partials = [shard_task(*b) for b in bounds]
+    for part in partials:
+        for k, v in part.items():
+            truth.setdefault(k, set()).update(v)
+    pq.write_table(_truth_table(truth),
+                   os.path.join(out_dir, "truth_triples.parquet"))
     with open(done, "w") as f:
         f.write(marker)
     return pages_dir
