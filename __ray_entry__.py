@@ -251,6 +251,60 @@ def _q_kg_synth_nodes(sf_dir: str):
     return nodes.select_columns(["entity_id", "name", "type", "n_instances"])
 
 
+def _docs_graph(sf_dir: str) -> dict:
+    from kgx.pipelines.docs_kg import kg_arrow_tables
+    return kg_arrow_tables(sf_dir)
+
+
+def _q_kg_communities(sf_dir: str):
+    """Louvain hierarchy over the canonical term graph -> membership
+    table.  Iterative graph algorithm — rows-only check."""
+    from kgx.stages.community import community_assignments, detect_communities
+    t = _docs_graph(sf_dir)
+    hier = detect_communities(t["nodes"], t["edges"], seed=42)
+    return community_assignments(hier)
+
+
+def _q_kg_summaries(sf_dir: str):
+    """Deterministic extractive community reports — rows-only check."""
+    import pyarrow as pa
+    from kgx.stages.community import detect_communities
+    from kgx.stages.summarize import summarize_hierarchy
+    t = _docs_graph(sf_dir)
+    hier = detect_communities(t["nodes"], t["edges"], seed=42)
+    summaries = summarize_hierarchy(hier, t["nodes"], t["edges"])
+    cids = sorted(summaries)
+    return pa.table({
+        "community_id": pa.array(cids, pa.string()),
+        "level": pa.array([summaries[c]["level"] for c in cids], pa.int32()),
+        "title": pa.array([summaries[c]["title"] for c in cids], pa.string()),
+        "rating": pa.array([summaries[c]["rating"] for c in cids],
+                           pa.float64()),
+        "n_findings": pa.array([len(summaries[c]["findings"]) for c in cids],
+                               pa.int64()),
+    })
+
+
+def _q_kg_answer(sf_dir: str):
+    """Full query path (rank -> map -> reduce) over the summarized term
+    graph — rows-only check."""
+    import pyarrow as pa
+    from kgx.pipelines.query import answer_question
+    from kgx.stages.community import detect_communities
+    from kgx.stages.summarize import summarize_hierarchy
+    t = _docs_graph(sf_dir)
+    hier = detect_communities(t["nodes"], t["edges"], seed=42)
+    summaries = summarize_hierarchy(hier, t["nodes"], t["edges"])
+    ans = answer_question("Which terms co-occur most strongly?", summaries)
+    return pa.table({
+        "question": pa.array([ans["question"]], pa.string()),
+        "n_topics": pa.array([len(ans["topics"])], pa.int64()),
+        "n_used_communities": pa.array([len(ans["used_communities"])],
+                                       pa.int64()),
+        "answer_chars": pa.array([len(ans["answer"])], pa.int64()),
+    })
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # KG-construction pipeline (SURVEY.md §2) over the documents table
@@ -260,6 +314,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_nodes": _q_kg_nodes,
         "kg_edges": _q_kg_edges,
         "kg_synth_nodes": _q_kg_synth_nodes,
+        "kg_communities": _q_kg_communities,
+        "kg_summaries": _q_kg_summaries,
+        "kg_answer": _q_kg_answer,
         # text analysis
         "text_tokens": _q_text_tokens,
         "text_quality": _q_text_quality,

@@ -99,3 +99,12 @@ def kg_tables(sf_dir: str, *, chunk_size: int = 200, chunk_overlap: int = 50,
     edges = resolve_and_dedup_edges(
         triples, alias_ref, min_strength=min_strength, cap=cap)
     return {"nodes": nodes, "edges": edges}
+
+
+def kg_arrow_tables(sf_dir: str, **kwargs) -> dict:
+    """:func:`kg_tables` executed to driver-side Arrow tables (both are
+    small post-canonicalization) — the input shape for the driver-side
+    downstream stages (community detection / summarization / query)."""
+    t = kg_tables(sf_dir, **kwargs)
+    return {name: pa.concat_tables([ray.get(r) for r in ds.to_arrow_refs()])
+            for name, ds in t.items()}
