@@ -305,6 +305,19 @@ def _q_kg_answer(sf_dir: str):
     })
 
 
+def _q_vector_rag(sf_dir: str):
+    """VectorRAG baseline retrieval: hash-embedded chunks, per-question
+    block top-k + merge.  Deterministic but hash-embedding-based —
+    rows-only check."""
+    from kgx.baselines.vector_rag import retrieve_topk
+    from kgx.pipelines.docs_kg import chunk_documents
+    chunks = chunk_documents(sf_dir).select_columns(["chunk_id", "text"])
+    qs = ["what is the meaning of data processing",
+          "which documents mention pipelines"]
+    return retrieve_topk(chunks, qs, k=5).select_columns(
+        ["question_idx", "chunk_id", "score", "rank"])
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # KG-construction pipeline (SURVEY.md §2) over the documents table
@@ -332,6 +345,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # similarity search
         "simsearch_topk": _q_simsearch_topk,
         "simsearch_lsh": _q_simsearch_lsh,
+        "vector_rag_topk": _q_vector_rag,
         # windowed aggregate over the event stream
         "events_window": _q_events_window,
         # relational surface

@@ -1,0 +1,127 @@
+"""CLI entry points — the ``ray job submit`` surface.
+
+    python -m kgx index  --pages DIR --out DIR [--extractor NAME] [...]
+    python -m kgx query  --graph DIR --question TEXT [--level N] [--k K]
+    python -m kgx export --out DIR --graph-json DIR
+    python -m kgx synth  --out DIR --pages N [--seed S] [--filler-scale F]
+
+Mirrors the reference's two entry points (index+query in
+/root/reference/graphrag_lite_x.py:151-203, load+query in main.py:120-135)
+on the checkpointed pipeline.  The CLI owns the Ray session (scripts
+init/shutdown; library code never does).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def _init_ray(num_cpus: int | None):
+    import ray
+    if not ray.is_initialized():
+        kwargs = {"address": "local", "include_dashboard": False,
+                  "logging_level": "ERROR"}
+        if num_cpus:
+            kwargs["num_cpus"] = num_cpus
+        ray.init(**kwargs)
+
+
+def cmd_index(args) -> int:
+    import ray
+    from kgx.pipelines.kg import KGConfig, run_pipeline
+    _init_ray(args.num_cpus)
+    cfg = KGConfig(chunk_size=args.chunk_size,
+                   chunk_overlap=args.chunk_overlap,
+                   extractor=args.extractor,
+                   min_strength=args.min_strength)
+    paths = run_pipeline(args.pages, args.out, cfg, resume=not args.no_resume)
+    print(json.dumps({"stages": paths}))
+    ray.shutdown()
+    return 0
+
+
+def cmd_export(args) -> int:
+    import pyarrow.parquet as pq
+    from kgx.stages.community import detect_communities
+    from kgx.stages.summarize import summarize_hierarchy
+    from kgx.state.graph_io import save_graph_json
+    nodes = pq.read_table(f"{args.out}/nodes")
+    edges = pq.read_table(f"{args.out}/edges")
+    claims = pq.read_table(f"{args.out}/claims")
+    hier = detect_communities(nodes, edges)
+    summaries = summarize_hierarchy(hier, nodes, edges, claims)
+    path = save_graph_json(args.graph_json, nodes, edges, claims,
+                           summaries, hier)
+    print(json.dumps({"knowledge_graph": path}))
+    return 0
+
+
+def cmd_query(args) -> int:
+    from kgx.pipelines.query import answer_question
+    from kgx.stages.community import detect_communities
+    from kgx.stages.summarize import summarize_hierarchy
+    from kgx.state.graph_io import load_graph_json
+    tables = load_graph_json(f"{args.graph}/knowledge_graph.json")
+    hier = detect_communities(tables["nodes"], tables["edges"])
+    summaries = summarize_hierarchy(hier, tables["nodes"], tables["edges"],
+                                    tables["claims"])
+    ans = answer_question(args.question, summaries, level=args.level,
+                          k=args.k)
+    print(json.dumps(ans, indent=2))
+    return 0
+
+
+def cmd_synth(args) -> int:
+    import ray
+    from kgx.synth import write_pages
+    _init_ray(args.num_cpus)
+    path = write_pages(args.out, args.pages, seed=args.seed,
+                       filler_scale=args.filler_scale)
+    print(json.dumps({"pages": path}))
+    ray.shutdown()
+    return 0
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser(prog="kgx")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    pi = sub.add_parser("index")
+    pi.add_argument("--pages", required=True)
+    pi.add_argument("--out", required=True)
+    pi.add_argument("--extractor", default="gazetteer")
+    pi.add_argument("--chunk-size", type=int, default=200)
+    pi.add_argument("--chunk-overlap", type=int, default=50)
+    pi.add_argument("--min-strength", type=float, default=0.5)
+    pi.add_argument("--no-resume", action="store_true")
+    pi.add_argument("--num-cpus", type=int, default=None)
+    pi.set_defaults(fn=cmd_index)
+
+    pe = sub.add_parser("export")
+    pe.add_argument("--out", required=True, help="pipeline output dir")
+    pe.add_argument("--graph-json", required=True, help="export dir")
+    pe.set_defaults(fn=cmd_export)
+
+    pq_ = sub.add_parser("query")
+    pq_.add_argument("--graph", required=True, help="export dir")
+    pq_.add_argument("--question", required=True)
+    pq_.add_argument("--level", type=int, default=0)
+    pq_.add_argument("--k", type=int, default=10)
+    pq_.set_defaults(fn=cmd_query)
+
+    ps = sub.add_parser("synth")
+    ps.add_argument("--out", required=True)
+    ps.add_argument("--pages", type=int, required=True)
+    ps.add_argument("--seed", type=int, default=42)
+    ps.add_argument("--filler-scale", type=int, default=1)
+    ps.add_argument("--num-cpus", type=int, default=None)
+    ps.set_defaults(fn=cmd_synth)
+
+    args = p.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -178,12 +178,20 @@ def _perm_params(num_perm: int, seed: int) -> tuple[np.ndarray, np.ndarray]:
 
 def minhash_signature(shingles: np.ndarray, a: np.ndarray,
                       b: np.ndarray) -> np.ndarray:
-    """num_perm minhash values via (a*x + b) mod 2^61-1, vectorized."""
+    """num_perm minhash values via (a*x + b) with wrapping uint64
+    arithmetic, fully vectorized.
+
+    Multiplication modulo 2^64 is itself a fine universal-ish hash family
+    for minhashing (the low 64 bits of a*x are uniformly scrambled for odd
+    a); it avoids the 128-bit intermediate a Mersenne-prime modulus needs,
+    which otherwise forces Python-object math ~1000x slower per batch.
+    Deterministic for a fixed seed.
+    """
     if len(shingles) == 0:
-        return np.full(len(a), _MERSENNE, dtype=np.uint64)
-    x = shingles.astype(object)[:, None]  # object to avoid uint64 overflow
-    vals = (x * a.astype(object) + b.astype(object)) % _MERSENNE
-    return np.asarray(vals.min(axis=0), dtype=np.uint64)
+        return np.full(len(a), np.iinfo(np.uint64).max, dtype=np.uint64)
+    with np.errstate(over="ignore"):
+        vals = shingles[:, None] * (a | np.uint64(1)) + b  # wraps mod 2^64
+    return vals.min(axis=0)
 
 
 class MinHashBands:
