@@ -28,7 +28,8 @@ from kgx.functions.chunker import chunk_text
 from kgx.functions.html_text import EXTRACTOR_VERSION, extract_text
 from kgx.stages.canonicalize import canonicalize
 from kgx.stages.edges import (build_alias_map, resolve_and_dedup_claims,
-                              resolve_and_dedup_edges)
+                              resolve_and_dedup_edges,
+                              resolve_and_dedup_edges_coshuffle)
 from kgx.stages.extract import (GazetteerExtractor, LLMExtractor,
                                 TermExtractor, make_task_extractor)
 from kgx.state import manifest as mf
@@ -59,9 +60,14 @@ class KGConfig:
     extract_batch_size: int = 1024
     resolve_concurrency: int | tuple | None = None
     resolve_batch_size: int = 32768
+    # "broadcast" ships the alias map via ray.put (small canonical table);
+    # "coshuffle" joins both sides on the normalized name with no broadcast
+    # (the 10^8+-entity path).  Results are identical (property-tested).
+    resolve_strategy: str = "broadcast"
 
     _PERF_KNOBS = ("extract_concurrency", "extract_batch_size",
-                   "resolve_concurrency", "resolve_batch_size", "n_salts")
+                   "resolve_concurrency", "resolve_batch_size", "n_salts",
+                   "resolve_strategy")
 
     def to_dict(self) -> dict:
         return dataclasses.asdict(self)
@@ -110,14 +116,22 @@ def make_chunk_batch_fn(size: int, overlap: int):
 
 
 def _run_stage(out_dir, stage, input_fp, cfg_hash, build_and_write, resume):
-    """Skip the stage when its manifest matches; else (re)run it."""
+    """Skip the stage when its manifest matches; else (re)run it.  The
+    builder may return the executed Dataset so its ``stats()`` report is
+    archived in the manifest (SURVEY.md §4 metrics/lineage)."""
     if resume and mf.stage_is_done(out_dir, stage, input_fp, cfg_hash):
         return False
     mf.begin_stage(out_dir, stage)
     t0 = time.perf_counter()
-    build_and_write(mf.stage_dir(out_dir, stage))
+    ds = build_and_write(mf.stage_dir(out_dir, stage))
+    extra = None
+    if ds is not None:
+        try:
+            extra = {"ray_stats": ds.stats()[-4000:]}
+        except Exception:
+            extra = None
     mf.finish_stage(out_dir, stage, input_fp, cfg_hash,
-                    time.perf_counter() - t0)
+                    time.perf_counter() - t0, extra)
     return True
 
 
@@ -166,6 +180,7 @@ def run_pipeline(pages_path: str, out_dir: str,
                 lambda t: t.filter(pc.equal(t["lang"], cfg.lang_filter)),
                 batch_format="pyarrow")
         ds.write_parquet(sdir)
+        return ds
     _run_stage(out_dir, "texts", input_fp, chash("texts"), build_texts, resume)
 
     # 2. chunks: token-window expansion (stateless tasks)
@@ -177,6 +192,7 @@ def run_pipeline(pages_path: str, out_dir: str,
             make_chunk_batch_fn(cfg.chunk_size, cfg.chunk_overlap),
             batch_format="pyarrow")
         ds.write_parquet(sdir)
+        return ds
     _run_stage(out_dir, "chunks", fp_texts, chash("chunks"), build_chunks,
                resume)
 
@@ -197,6 +213,7 @@ def run_pipeline(pages_path: str, out_dir: str,
                                 batch_size=cfg.extract_batch_size,
                                 concurrency=extract_conc)
         ds.write_parquet(sdir)
+        return ds
     _run_stage(out_dir, "extracted", fp_chunks, chash("extracted"),
                build_extracted, resume)
 
@@ -212,6 +229,7 @@ def run_pipeline(pages_path: str, out_dir: str,
         nodes = canonicalize(mentions, n_salts=cfg.n_salts,
                              cap=cfg.instance_cap)
         nodes.write_parquet(sdir)
+        return nodes
     _run_stage(out_dir, "nodes", fp_ext, chash("nodes"), build_nodes, resume)
 
     # 5+6. edges & claims: broadcast alias map (ray.put once) + grouped dedup
@@ -226,11 +244,19 @@ def run_pipeline(pages_path: str, out_dir: str,
             columns=["kind", "url", "chunk_id", "subj", "pred", "obj",
                      "strength"],
             filter=pc.field("kind") == "triple")
-        edges = resolve_and_dedup_edges(
-            triples, alias_ref, min_strength=cfg.min_strength,
-            cap=cfg.instance_cap, concurrency=resolve_conc,
-            batch_size=cfg.resolve_batch_size)
+        if cfg.resolve_strategy == "coshuffle":
+            nodes_ds = rd.read_parquet(
+                paths["nodes"], columns=["entity_id", "name", "aliases"])
+            edges = resolve_and_dedup_edges_coshuffle(
+                triples, nodes_ds, min_strength=cfg.min_strength,
+                cap=cfg.instance_cap, batch_size=cfg.resolve_batch_size)
+        else:
+            edges = resolve_and_dedup_edges(
+                triples, alias_ref, min_strength=cfg.min_strength,
+                cap=cfg.instance_cap, concurrency=resolve_conc,
+                batch_size=cfg.resolve_batch_size)
         edges.write_parquet(sdir)
+        return edges
     _run_stage(out_dir, "edges", fp_ext + fp_nodes, chash("edges"),
                build_edges, resume)
 
@@ -244,6 +270,7 @@ def run_pipeline(pages_path: str, out_dir: str,
             concurrency=resolve_conc,
             batch_size=cfg.resolve_batch_size)
         claims.write_parquet(sdir)
+        return claims
     _run_stage(out_dir, "claims", fp_ext + fp_nodes, chash("claims"),
                build_claims, resume)
 

@@ -193,6 +193,193 @@ def resolve_and_dedup_edges(triples_ds, alias_ref, *,
     return edges.sort(["subj_id", "pred", "obj_id"])
 
 
+# ---------------------------------------------------------------------------
+# Co-shuffle endpoint resolution — the 10^12-document path (SURVEY.md §7
+# "hard parts"): when the canonical entity table is too large to broadcast
+# (10^8+ entities on a fixed-size cluster), the name->id join becomes a
+# two-sided shuffle on the normalized name.  Three all-to-alls total:
+#   A. groupby(norm(subj)) over [alias rows ∪ pre-combined triple states]
+#      rewrites the subject side;
+#   B. groupby(norm(obj)) over [alias rows ∪ phase-A output] rewrites the
+#      object side;
+#   C. the usual groupby(subj_id, pred, obj_id) merge + global sort.
+# Unresolvable endpoints drop in their phase (J1 semantics).  Results are
+# identical to the broadcast path (property-tested); strategy selection is
+# a pure performance decision keyed on the node count.
+# ---------------------------------------------------------------------------
+
+_COSHUFFLE_SCHEMA = pa.schema([
+    ("norm", pa.string()),
+    ("kind", pa.string()),        # "a" alias | "t" unresolved-state row
+    ("entity_id", pa.string()),
+    ("name", pa.string()),
+    ("state", pa.string()),
+])
+
+
+def alias_rows(nodes_ds):
+    """nodes Dataset -> (norm, kind="a", entity_id, name) rows, one per
+    alias surface form — the join side that would otherwise be broadcast."""
+    def explode(batch: pa.Table) -> pa.Table:
+        norm_col, eid_col, name_col = [], [], []
+        for eid, name, aliases in zip(batch["entity_id"].to_pylist(),
+                                      batch["name"].to_pylist(),
+                                      batch["aliases"].to_pylist()):
+            for surface in [name] + (aliases or []):
+                norm_col.append(normalize(surface))
+                eid_col.append(eid)
+                name_col.append(name)
+        n = len(norm_col)
+        return pa.table({
+            "norm": pa.array(norm_col, pa.string()),
+            "kind": pa.array(["a"] * n, pa.string()),
+            "entity_id": pa.array(eid_col, pa.string()),
+            "name": pa.array(name_col, pa.string()),
+            "state": pa.array([None] * n, pa.string()),
+        })
+    return nodes_ds.map_batches(explode, batch_format="pyarrow")
+
+
+def _combine_triples_unresolved(batch: pa.Table, *, min_strength: float,
+                                cap: int) -> pa.Table:
+    """Pre-combine raw triples per batch on the RAW (subj, pred, obj) key
+    so the co-shuffle moves one state row per key per batch; the state
+    carries the multiplicity (sum, n, instances), so no per-row uid is
+    needed to preserve duplicate triples across the two join shuffles."""
+    states: dict[tuple, dict] = {}
+    for url, chunk_id, subj, pred, obj, strength in zip(
+            batch["url"].to_pylist(), batch["chunk_id"].to_pylist(),
+            batch["subj"].to_pylist(), batch["pred"].to_pylist(),
+            batch["obj"].to_pylist(), batch["strength"].to_pylist()):
+        if strength is None or strength < min_strength:
+            continue
+        key = (subj, pred, obj)
+        st = states.get(key)
+        if st is None:
+            st = states[key] = {"s": subj, "p": pred, "o": obj,
+                                "no": normalize(obj), "sum": 0.0, "n": 0,
+                                "inst": []}
+        st["sum"] += float(strength)
+        st["n"] += 1
+        st["inst"].append((url, chunk_id))
+    keys = sorted(states)
+    for k in keys:
+        states[k]["inst"] = _cap_instances(states[k]["inst"], cap)
+    n = len(keys)
+    return pa.table({
+        "norm": pa.array([normalize(k[0]) for k in keys], pa.string()),
+        "kind": pa.array(["t"] * n, pa.string()),
+        "entity_id": pa.array([None] * n, pa.string()),
+        "name": pa.array([None] * n, pa.string()),
+        "state": pa.array([json.dumps(states[k], sort_keys=True)
+                           for k in keys], pa.string()),
+    })
+
+
+def _pick_alias(group: pa.Table) -> tuple[str, str] | None:
+    """The alias row of this norm group (smallest entity_id on the
+    pathological chance two canonical entities share an alias norm)."""
+    best = None
+    for kind, eid, name in zip(group["kind"].to_pylist(),
+                               group["entity_id"].to_pylist(),
+                               group["name"].to_pylist()):
+        if kind == "a" and (best is None or eid < best[0]):
+            best = (eid, name)
+    return best
+
+
+def _resolve_side_group(group: pa.Table, side: str) -> pa.Table:
+    alias = _pick_alias(group)
+    out_norm, out_state = [], []
+    if alias is not None:
+        eid, name = alias
+        for kind, s in zip(group["kind"].to_pylist(),
+                           group["state"].to_pylist()):
+            if kind != "t":
+                continue
+            st = json.loads(s)
+            if side == "subj":
+                st["sid"], st["sn"] = eid, name
+                out_norm.append(st.pop("no"))
+            else:
+                st["oid"], st["on"] = eid, name
+                out_norm.append(st["sid"])  # next key unused; placeholder
+            out_state.append(json.dumps(st, sort_keys=True))
+    n = len(out_norm)
+    return pa.table({
+        "norm": pa.array(out_norm, pa.string()),
+        "kind": pa.array(["t"] * n, pa.string()),
+        "entity_id": pa.array([None] * n, pa.string()),
+        "name": pa.array([None] * n, pa.string()),
+        "state": pa.array(out_state, pa.string()),
+    })
+
+
+def _resolved_to_combined(batch: pa.Table) -> pa.Table:
+    """Phase-B output rows -> the (subj_id, pred, obj_id, state) shape the
+    shared merge/finalize groupby consumes."""
+    sid_col, pred_col, oid_col, st_col = [], [], [], []
+    for s in batch["state"].to_pylist():
+        st = json.loads(s)
+        sid_col.append(st["sid"])
+        pred_col.append(st["p"])
+        oid_col.append(st["oid"])
+        st_col.append(json.dumps(
+            {"sn": st["sn"], "on": st["on"], "sum": st["sum"],
+             "n": st["n"], "inst": st["inst"]}, sort_keys=True))
+    return pa.table({
+        "subj_id": pa.array(sid_col, pa.string()),
+        "pred": pa.array(pred_col, pa.string()),
+        "obj_id": pa.array(oid_col, pa.string()),
+        "state": pa.array(st_col, pa.string()),
+    })
+
+
+def resolve_and_dedup_edges_coshuffle(triples_ds, nodes_ds, *,
+                                      min_strength: float = DEFAULT_MIN_STRENGTH,
+                                      cap: int = DEFAULT_INSTANCE_CAP,
+                                      batch_size: int = 32768):
+    """Broadcast-free endpoint resolution: two co-shuffles on the
+    normalized name, then the shared dedup groupby + global sort."""
+    aliases = alias_rows(nodes_ds)
+    combined = triples_ds.map_batches(
+        lambda b: _combine_triples_unresolved(
+            b, min_strength=min_strength, cap=cap),
+        batch_format="pyarrow", batch_size=batch_size)
+
+    phase_a = aliases.union(combined).groupby("norm").map_groups(
+        lambda g: _resolve_side_group(g, "subj"), batch_format="pyarrow")
+    phase_b = aliases.union(phase_a).groupby("norm").map_groups(
+        lambda g: _resolve_side_group(g, "obj"), batch_format="pyarrow")
+
+    resolved = phase_b.map_batches(_resolved_to_combined,
+                                   batch_format="pyarrow")
+    edges = resolved.groupby(["subj_id", "pred", "obj_id"]).map_groups(
+        lambda g: _finalize_edge_group(g, cap), batch_format="pyarrow")
+    return edges.sort(["subj_id", "pred", "obj_id"])
+
+
+DEFAULT_BROADCAST_MAX_NODES = 5_000_000
+
+
+def resolve_and_dedup_edges_auto(triples_ds, nodes_ds, alias_ref=None, *,
+                                 min_strength: float = DEFAULT_MIN_STRENGTH,
+                                 cap: int = DEFAULT_INSTANCE_CAP,
+                                 batch_size: int = 32768,
+                                 broadcast_max_nodes: int =
+                                 DEFAULT_BROADCAST_MAX_NODES):
+    """Strategy switch (SURVEY.md §7): broadcast join while the canonical
+    entity table fits comfortably in one worker's heap, two-sided
+    co-shuffle beyond.  Identical results either way."""
+    if nodes_ds.count() <= broadcast_max_nodes and alias_ref is not None:
+        return resolve_and_dedup_edges(
+            triples_ds, alias_ref, min_strength=min_strength, cap=cap,
+            batch_size=batch_size)
+    return resolve_and_dedup_edges_coshuffle(
+        triples_ds, nodes_ds, min_strength=min_strength, cap=cap,
+        batch_size=batch_size)
+
+
 class ResolveClaims:
     """Actor-pool stage: raw claims -> pre-combined claim state rows keyed by
     lower(content).  Claims with zero resolved entities are dropped

@@ -236,6 +236,7 @@ class TermExtractor:
 # --------------------------------------------------------------------------
 
 _FALLBACK_ENTITY_RE = re.compile(r"(.+?)\s*\(([^)]+)\)")
+_FALLBACK_CLAIM_RE = re.compile(r"CLAIM:\s*(.+?)\s*-\s*ENTITIES:\s*\[(.*?)\]")
 
 
 def parse_json_response(raw: str) -> dict:
@@ -292,29 +293,87 @@ def parse_fallback_entities(raw: str, url: str, chunk_id: str) -> pa.Table:
     return out.table()
 
 
+def parse_claims(payload: dict, url: str, chunk_id: str) -> pa.Table:
+    """Validate an LLM claims payload, mirroring ``_parse_json_claims``
+    (/root/reference/extraction/simple_claim_extractor.py:171-207): claims
+    need ``content``; ``entities`` coerced str -> [str]."""
+    out = _Rows()
+    for c in payload.get("claims") or []:
+        content = c.get("content")
+        if not content:
+            continue
+        ents = c.get("entities") or []
+        if isinstance(ents, str):
+            ents = [ents]
+        out.claim(url, chunk_id, str(content), [str(e) for e in ents])
+    return out.table()
+
+
+def parse_fallback_claims(raw: str, url: str, chunk_id: str) -> pa.Table:
+    """Fallback line parser ``"CLAIM: ... - ENTITIES: [...]"`` mirroring
+    ``_extract_simple_fallback``
+    (/root/reference/extraction/simple_claim_extractor.py:209-273)."""
+    out = _Rows()
+    for line in raw.splitlines():
+        m = _FALLBACK_CLAIM_RE.search(line.strip())
+        if m:
+            ents = [e.strip() for e in m.group(2).split(",") if e.strip()]
+            out.claim(url, chunk_id, m.group(1).strip(), ents)
+    return out.table()
+
+
 class LLMExtractor:
     """Actor-pool LLM extraction stage (production path).
 
-    ``__init__`` would construct the HTTP client once per actor (the
-    reference builds one aiohttp client per process,
-    /root/reference/utils/llm_client.py:24-99); ``__call__`` would fan a
-    batch of chunks out as bounded-concurrency requests, parse each with
-    :func:`parse_json_response` -> :func:`parse_extraction`, and degrade to
-    :func:`parse_fallback_entities`.  There is no network in this sandbox,
-    so the transport raises unless an endpoint is explicitly configured.
+    Per-actor state built once in ``__init__`` — an
+    :class:`kgx.functions.llm_client.LLMClient` (retry/backoff + robust
+    JSON, the reference builds one aiohttp client per process,
+    /root/reference/utils/llm_client.py:24-99) and the prompt templates.
+    ``__call__`` runs per chunk: entity/relationship extraction
+    (prompt -> extract_json -> :func:`parse_extraction`, degrading to the
+    fallback line format), then claim extraction over the entities found
+    in the SAME chunk (the reference's two-pass flow,
+    simple_graph_builder.py:109-124).  There is no network in this
+    sandbox, so the transport must be injected (tests use canned
+    transports); without one the stage raises on first use.
     """
 
     def __init__(self, endpoint: str | None = None, model: str = "local",
-                 temperature: float = 0.1, max_concurrency: int = 8):
+                 temperature: float = 0.1, max_concurrency: int = 8,
+                 transport=None, extract_claims: bool = True):
+        from kgx.functions.llm_client import LLMClient
+        from kgx.functions.prompts import PromptTemplates
         self.endpoint = endpoint
         self.model = model
-        self.temperature = temperature
         self.max_concurrency = max_concurrency
+        self.extract_claims = extract_claims
+        self.client = LLMClient(transport, temperature=temperature)
+        self.prompts = PromptTemplates()
 
-    def _complete(self, prompt: str) -> str:
-        raise NotImplementedError(
-            "LLMExtractor transport requires a configured endpoint; "
-            "use GazetteerExtractor/TermExtractor in this environment.")
+    def _chunk_tables(self, url: str, chunk_id: str, text: str) -> list:
+        tables = []
+        payload = self.client.extract_json(
+            self.prompts.entity_extraction(text))
+        if "error" in payload:
+            raw = self.client.generate(self.prompts.entity_fallback(text))
+            t = parse_fallback_entities(raw, url, chunk_id)
+        else:
+            t = parse_extraction(payload, url, chunk_id)
+        tables.append(t)
+        if self.extract_claims:
+            names = sorted(set(
+                t.filter(pa.compute.equal(t["kind"], "mention"))
+                 ["mention"].to_pylist()))
+            if names:
+                cp = self.client.extract_json(
+                    self.prompts.claim_extraction(text, names))
+                if "error" in cp:
+                    raw = self.client.generate(
+                        self.prompts.claim_fallback(text))
+                    tables.append(parse_fallback_claims(raw, url, chunk_id))
+                else:
+                    tables.append(parse_claims(cp, url, chunk_id))
+        return tables
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         tables = []
@@ -323,12 +382,7 @@ class LLMExtractor:
                                        batch["text"].to_pylist()):
             if not text:
                 continue
-            raw = self._complete(text)
-            payload = parse_json_response(raw)
-            if "error" in payload:
-                tables.append(parse_fallback_entities(raw, url, chunk_id))
-            else:
-                tables.append(parse_extraction(payload, url, chunk_id))
+            tables.extend(self._chunk_tables(url, chunk_id, text))
         if not tables:
             return EXTRACTED_SCHEMA.empty_table()
         return pa.concat_tables(tables)
