@@ -52,6 +52,12 @@ class KGConfig:
     lang_filter: str | None = None     # e.g. "en" to keep only that lang
     n_salts: int = 32
     instance_cap: int = 200
+    # Optional near-duplicate entity merge after exact canonicalization
+    # (MinHash-LSH over name shingles; the scalable analog of the
+    # reference's 0.85-cosine greedy resolver).  None disables; a value is
+    # the signature-Jaccard merge threshold.  SEMANTIC knob: changes
+    # results, so it is part of the checkpoint identity.
+    neardup_threshold: float | None = None
     # Performance knobs (never part of the checkpoint config hash — they
     # cannot change results, only wall time).  ``None`` concurrency resolves
     # at run time to an autoscaling pool (1, cluster_cpus - 2): a fixed pool
@@ -228,6 +234,11 @@ def run_pipeline(pages_path: str, out_dir: str,
             filter=pc.field("kind") == "mention")
         nodes = canonicalize(mentions, n_salts=cfg.n_salts,
                              cap=cfg.instance_cap)
+        if cfg.neardup_threshold is not None:
+            from kgx.stages.neardup import neardup_merge_nodes
+            nodes = neardup_merge_nodes(nodes,
+                                        threshold=cfg.neardup_threshold,
+                                        cap=cfg.instance_cap)
         nodes.write_parquet(sdir)
         return nodes
     _run_stage(out_dir, "nodes", fp_ext, chash("nodes"), build_nodes, resume)
