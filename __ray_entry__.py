@@ -193,6 +193,41 @@ def _q_events_window(sf_dir: str):
     return tumbling_window_agg(ev, width_s=3600)
 
 
+def _q_events_sliding(sf_dir: str):
+    import ray.data as rd
+    from kgx.ops.window import sliding_window_agg
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["ts", "event_type", "value"])
+    return sliding_window_agg(ev, width_s=3600, slide_s=900)
+
+
+def _q_events_session(sf_dir: str):
+    import ray.data as rd
+    from kgx.ops.window import session_window_agg
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["user_id", "ts", "value"])
+    return session_window_agg(ev, gap_s=1800)
+
+
+def _q_events_asof(sf_dir: str):
+    import ray.data as rd
+    from kgx.ops.joins import asof_join_events
+    ev = rd.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "user_id", "ts", "event_type", "value"])
+    return asof_join_events(ev, left_type="click", right_type="view")
+
+
+def _q_events_interval(sf_dir: str):
+    import ray.data as rd
+    from kgx.ops.joins import interval_join_events
+    ev = rd.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "user_id", "ts", "event_type"])
+    return interval_join_events(ev, left_type="purchase",
+                                right_type="click", tolerance_s=600)
+
+
 def _q_rel_pricing(sf_dir: str):
     from kgx.ops.relational import pricing_summary
     return pricing_summary(sf_dir)
@@ -346,8 +381,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simsearch_topk": _q_simsearch_topk,
         "simsearch_lsh": _q_simsearch_lsh,
         "vector_rag_topk": _q_vector_rag,
-        # windowed aggregate over the event stream
+        # windowed aggregates + temporal joins over the event stream
         "events_window": _q_events_window,
+        "events_sliding": _q_events_sliding,
+        "events_session": _q_events_session,
+        "events_asof": _q_events_asof,
+        "events_interval": _q_events_interval,
         # relational surface
         "rel_pricing": _q_rel_pricing,
         "rel_top_customers": _q_rel_top_customers,
@@ -522,6 +561,66 @@ def oracle_sql() -> dict[str, str]:
                    min(value) AS min_value,
                    max(value) AS max_value
             FROM events GROUP BY 1, 2
+        """,
+        "events_sliding": """
+            WITH e AS (SELECT epoch_us(ts) AS t, event_type, value
+                       FROM events),
+            w AS (
+              SELECT unnest(generate_series(
+                       ((t - 3600000000) // 900000000 + 1) * 900000000,
+                       (t // 900000000) * 900000000, 900000000)) AS ws,
+                     event_type, value
+              FROM e)
+            SELECT make_timestamp(ws) AS window_start, event_type,
+                   count(*) AS n_events,
+                   round(sum(value), 2) AS sum_value,
+                   min(value) AS min_value,
+                   max(value) AS max_value
+            FROM w GROUP BY 1, 2
+        """,
+        "events_session": """
+            WITH e AS (SELECT user_id, epoch_us(ts) AS t, value FROM events),
+            m AS (
+              SELECT *, CASE WHEN lag(t) OVER w IS NULL
+                               OR t - lag(t) OVER w > 1800000000
+                             THEN 1 ELSE 0 END AS ns
+              FROM e WINDOW w AS (PARTITION BY user_id ORDER BY t)),
+            s AS (
+              SELECT *, sum(ns) OVER (PARTITION BY user_id ORDER BY t
+                                      ROWS UNBOUNDED PRECEDING) AS sid
+              FROM m)
+            SELECT user_id, make_timestamp(min(t)) AS session_start,
+                   count(*) AS n_events,
+                   round(sum(value), 2) AS sum_value,
+                   (max(t) - min(t)) // 1000000 AS duration_s
+            FROM s GROUP BY user_id, sid
+        """,
+        "events_asof": """
+            WITH a AS (SELECT event_id, user_id, ts, value FROM events
+                       WHERE event_type = 'click'),
+            b AS (SELECT event_id, user_id, ts, value FROM events
+                  WHERE event_type = 'view'),
+            j AS (
+              SELECT a.event_id, a.user_id, a.ts, a.value,
+                     b.event_id AS prior_event_id, b.ts AS prior_ts,
+                     b.value AS prior_value,
+                     row_number() OVER (
+                       PARTITION BY a.event_id
+                       ORDER BY b.ts DESC, b.event_id DESC) AS rn
+              FROM a JOIN b ON a.user_id = b.user_id AND b.ts <= a.ts)
+            SELECT event_id, user_id, ts, value,
+                   prior_event_id, prior_ts, prior_value
+            FROM j WHERE rn = 1
+        """,
+        "events_interval": """
+            SELECT a.user_id, a.event_id AS left_event_id,
+                   b.event_id AS right_event_id,
+                   CAST(floor((epoch_us(a.ts) - epoch_us(b.ts))
+                              / 1000000.0) AS BIGINT) AS delta_s
+            FROM events a JOIN events b
+              ON a.user_id = b.user_id
+             AND a.event_type = 'purchase' AND b.event_type = 'click'
+             AND abs(epoch_us(a.ts) - epoch_us(b.ts)) <= 600000000
         """,
         "rel_pricing": """
             WITH l AS (

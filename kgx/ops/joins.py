@@ -1,0 +1,142 @@
+"""Temporal joins Ray Data lacks natively: as-of join and banded
+interval join (custom operators per the engine's training-data surface).
+
+Both co-locate rows by the equality key with a single ``groupby`` shuffle
+and do the temporal matching inside the group — the standard
+partition-then-scan shape.  Partitioning assumptions are documented per
+operator; both are exact, deterministic, and DuckDB-oracle-checked.
+"""
+
+from __future__ import annotations
+
+import bisect
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+US = 1_000_000
+
+
+def asof_join_events(events_ds, *, left_type: str, right_type: str,
+                     key: str = "user_id", ts_col: str = "ts"):
+    """For each left-type event, the latest right-type event of the same
+    key with ``right.ts <= left.ts`` (inner as-of join; ties on ts break
+    to the larger event_id — deterministic).
+
+    One groupby(key) shuffle; per-group sorted-merge via binary search.
+    Partitioning assumption: one key's events fit one group.
+    Output: (event_id, user_id, ts, value, prior_event_id, prior_ts,
+    prior_value).
+    """
+    def per_key(group: pa.Table) -> pa.Table:
+        types = group["event_type"].to_pylist()
+        ids = group["event_id"].to_pylist()
+        ts = pc.cast(group[ts_col], pa.int64()).to_pylist()
+        vals = group["value"].to_pylist()
+        user = group[key][0].as_py()
+
+        right = sorted((ts[i], ids[i], vals[i])
+                       for i in range(len(ids)) if types[i] == right_type)
+        rts = [r[0] for r in right]
+        out = {"event_id": [], "user_id": [], "ts": [], "value": [],
+               "prior_event_id": [], "prior_ts": [], "prior_value": []}
+        for i in sorted((j for j in range(len(ids))
+                         if types[j] == left_type),
+                        key=lambda j: (ts[j], ids[j])):
+            pos = bisect.bisect_right(rts, ts[i])
+            if pos == 0:
+                continue  # inner join: no prior right event
+            # ties on ts: entries with equal ts sort by event_id, so
+            # pos-1 is the largest (ts, event_id) <= ts[i]
+            pts, pid, pval = right[pos - 1]
+            out["event_id"].append(ids[i])
+            out["user_id"].append(user)
+            out["ts"].append(ts[i])
+            out["value"].append(vals[i])
+            out["prior_event_id"].append(pid)
+            out["prior_ts"].append(pts)
+            out["prior_value"].append(pval)
+        return pa.table({
+            "event_id": pa.array(out["event_id"], pa.int64()),
+            "user_id": pa.array(out["user_id"], pa.int64()),
+            "ts": pc.cast(pa.array(out["ts"], pa.int64()),
+                          pa.timestamp("us")),
+            "value": pa.array(out["value"], pa.float64()),
+            "prior_event_id": pa.array(out["prior_event_id"], pa.int64()),
+            "prior_ts": pc.cast(pa.array(out["prior_ts"], pa.int64()),
+                                pa.timestamp("us")),
+            "prior_value": pa.array(out["prior_value"], pa.float64()),
+        })
+
+    return events_ds.groupby(key).map_groups(per_key,
+                                             batch_format="pyarrow")
+
+
+def interval_join_events(events_ds, *, left_type: str, right_type: str,
+                         tolerance_s: int, key: str = "user_id",
+                         ts_col: str = "ts"):
+    """All (left, right) same-key event pairs with
+    ``|left.ts - right.ts| <= tolerance`` (banded range join).
+
+    Scale shape: instead of a cross join, rows are BUCKETED by
+    ``floor(ts / tolerance)``; a right row is replicated to its bucket
+    and the two neighbors, so every qualifying pair meets in exactly the
+    left row's bucket and the in-bucket scan only compares near rows.
+    One groupby((key, bucket)) shuffle; replication factor is a constant
+    3 on the right side.  Output: (user_id, left_event_id, right_event_id,
+    delta_s), delta = left.ts - right.ts, deduplicated by construction.
+    """
+    tol_us = tolerance_s * US
+
+    def bucketize(batch: pa.Table) -> pa.Table:
+        types = batch["event_type"].to_pylist()
+        ids = batch["event_id"].to_pylist()
+        ts = pc.cast(batch[ts_col], pa.int64()).to_pylist()
+        keys = batch[key].to_pylist()
+        side_c, key_c, bkt_c, id_c, ts_c = [], [], [], [], []
+        for i in range(len(ids)):
+            b = ts[i] // tol_us
+            if types[i] == left_type:
+                side_c.append("l"); key_c.append(keys[i])
+                bkt_c.append(b); id_c.append(ids[i]); ts_c.append(ts[i])
+            elif types[i] == right_type:
+                for nb in (b - 1, b, b + 1):
+                    side_c.append("r"); key_c.append(keys[i])
+                    bkt_c.append(nb); id_c.append(ids[i]); ts_c.append(ts[i])
+        return pa.table({
+            "side": pa.array(side_c, pa.string()),
+            "key": pa.array(key_c, pa.int64()),
+            "bucket": pa.array(bkt_c, pa.int64()),
+            "event_id": pa.array(id_c, pa.int64()),
+            "t": pa.array(ts_c, pa.int64()),
+        })
+
+    def in_bucket(group: pa.Table) -> pa.Table:
+        sides = group["side"].to_pylist()
+        ids = group["event_id"].to_pylist()
+        ts = group["t"].to_pylist()
+        user = group["key"][0].as_py()
+        lefts = sorted((ts[i], ids[i]) for i in range(len(ids))
+                       if sides[i] == "l")
+        rights = sorted((ts[i], ids[i]) for i in range(len(ids))
+                        if sides[i] == "r")
+        rts = [r[0] for r in rights]
+        u_c, l_c, r_c, d_c = [], [], [], []
+        for lt, lid in lefts:
+            lo = bisect.bisect_left(rts, lt - tol_us)
+            hi = bisect.bisect_right(rts, lt + tol_us)
+            for j in range(lo, hi):
+                u_c.append(user)
+                l_c.append(lid)
+                r_c.append(rights[j][1])
+                d_c.append((lt - rights[j][0]) // US)
+        return pa.table({
+            "user_id": pa.array(u_c, pa.int64()),
+            "left_event_id": pa.array(l_c, pa.int64()),
+            "right_event_id": pa.array(r_c, pa.int64()),
+            "delta_s": pa.array(d_c, pa.int64()),
+        })
+
+    bucketed = events_ds.map_batches(bucketize, batch_format="pyarrow")
+    return bucketed.groupby(["key", "bucket"]).map_groups(
+        in_bucket, batch_format="pyarrow")

@@ -67,3 +67,98 @@ def tumbling_window_agg(events_ds, *, width_s: int = 3600,
         batch_format="pyarrow")
     return partial.groupby(["window_start", key]).map_groups(
         lambda g: _finalize(g, key), batch_format="pyarrow")
+
+
+def assign_sliding(batch: pa.Table, *, width_s: int, slide_s: int,
+                   ts_col: str = "ts") -> pa.Table:
+    """Row -> one output row per overlapping sliding (hopping) window:
+    starts s divisible by slide with s <= ts < s + width.  Vectorized
+    1->N expansion (window count per row = width/slide)."""
+    import numpy as np
+    epoch = pc.cast(batch[ts_col], pa.int64()).to_numpy(zero_copy_only=False)
+    width_us, slide_us = width_s * US, slide_s * US
+    first = ((epoch - width_us) // slide_us + 1) * slide_us
+    last = (epoch // slide_us) * slide_us
+    counts = ((last - first) // slide_us + 1).astype(np.int64)
+    idx = np.repeat(np.arange(len(epoch)), counts)
+    # per-row running offset 0..counts-1
+    offs = np.arange(counts.sum()) - np.repeat(
+        np.concatenate(([0], np.cumsum(counts)[:-1])), counts)
+    starts = first[idx] + offs * slide_us
+    out = batch.take(pa.array(idx, pa.int64()))
+    return out.append_column(
+        "window_start", pc.cast(pa.array(starts, pa.int64()),
+                                pa.timestamp("us")))
+
+
+def sliding_window_agg(events_ds, *, width_s: int = 3600,
+                       slide_s: int = 900, key: str = "event_type",
+                       value_col: str = "value"):
+    """Hopping-window aggregate: same combiner pattern as tumbling, after
+    the vectorized window fan-out (each row lands in width/slide
+    windows)."""
+    def partial(batch: pa.Table) -> pa.Table:
+        b = assign_sliding(batch, width_s=width_s, slide_s=slide_s)
+        return (pa.table({
+            "window_start": b["window_start"],
+            key: b[key],
+            "value": b[value_col],
+        }).group_by(["window_start", key])
+           .aggregate([("value", "sum"), ("value", "count"),
+                       ("value", "min"), ("value", "max")]))
+
+    partial_ds = events_ds.map_batches(partial, batch_format="pyarrow")
+    return partial_ds.groupby(["window_start", key]).map_groups(
+        lambda g: _finalize(g, key), batch_format="pyarrow")
+
+
+def session_window_agg(events_ds, *, gap_s: int = 1800,
+                       user_col: str = "user_id", ts_col: str = "ts",
+                       value_col: str = "value"):
+    """Session windows: per user, consecutive events closer than ``gap_s``
+    form one session.
+
+    Sessionization is inherently per-key sequential, so it runs as
+    ``groupby(user).map_groups`` — the shuffle co-locates each user's
+    events and the per-group walk is linear.  Partitioning assumption:
+    one user's events fit one group (holds at any realistic per-user
+    volume; a pathological user would need per-day sub-keying).
+    Output: (user_id, session_start, n_events, sum_value, duration_s).
+    """
+    gap_us = gap_s * US
+
+    def sessions(group: pa.Table) -> pa.Table:
+        user = group[user_col][0].as_py()
+        ts = pc.cast(group[ts_col], pa.int64()).to_pylist()
+        vals = group[value_col].to_pylist()
+        order = sorted(range(len(ts)), key=lambda i: ts[i])
+        starts, n_col, sum_col, dur_col = [], [], [], []
+        s_start = s_last = None
+        s_n, s_sum = 0, 0.0
+        for i in order:
+            if s_start is None or ts[i] - s_last > gap_us:
+                if s_start is not None:
+                    starts.append(s_start)
+                    n_col.append(s_n)
+                    sum_col.append(round(s_sum, 2))
+                    dur_col.append((s_last - s_start) // US)
+                s_start, s_n, s_sum = ts[i], 0, 0.0
+            s_last = ts[i]
+            s_n += 1
+            s_sum += vals[i] or 0.0
+        if s_start is not None:
+            starts.append(s_start)
+            n_col.append(s_n)
+            sum_col.append(round(s_sum, 2))
+            dur_col.append((s_last - s_start) // US)
+        return pa.table({
+            "user_id": pa.array([user] * len(starts), pa.int64()),
+            "session_start": pc.cast(pa.array(starts, pa.int64()),
+                                     pa.timestamp("us")),
+            "n_events": pa.array(n_col, pa.int64()),
+            "sum_value": pa.array(sum_col, pa.float64()),
+            "duration_s": pa.array(dur_col, pa.int64()),
+        })
+
+    return events_ds.groupby(user_col).map_groups(
+        sessions, batch_format="pyarrow")

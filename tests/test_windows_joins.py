@@ -1,0 +1,101 @@
+"""Sliding/session windows and as-of/interval joins (custom temporal
+operators; exact semantics unit-tested here, DuckDB-oracle-checked via
+the driver)."""
+
+import pyarrow as pa
+import ray.data as rd
+
+from kgx.ops.joins import asof_join_events, interval_join_events
+from kgx.ops.window import session_window_agg, sliding_window_agg
+
+US = 1_000_000
+
+
+def _events(rows):
+    return rd.from_arrow(pa.table({
+        "event_id": pa.array([r[0] for r in rows], pa.int64()),
+        "ts": pa.array([r[1] * US for r in rows], pa.timestamp("us")),
+        "user_id": pa.array([r[2] for r in rows], pa.int64()),
+        "event_type": pa.array([r[3] for r in rows], pa.string()),
+        "value": pa.array([float(r[4]) for r in rows], pa.float64()),
+    }))
+
+
+def _collect(ds):
+    return pa.concat_tables(list(ds.iter_batches(batch_format="pyarrow")))
+
+
+class TestSliding:
+    def test_event_lands_in_width_over_slide_windows(self, ray_session):
+        ds = _events([(1, 3600, 7, "click", 1.0)])
+        out = _collect(sliding_window_agg(ds, width_s=3600, slide_s=900,
+                                          key="event_type"))
+        # starts 900..3600 step 900 => 4 windows contain ts=3600
+        starts = sorted(int(s.timestamp()) for s in
+                        out["window_start"].to_pylist())
+        assert starts == [900, 1800, 2700, 3600]
+        assert out["n_events"].to_pylist() == [1, 1, 1, 1]
+
+    def test_counts_sum_across_windows(self, ray_session):
+        ds = _events([(i, 100 * i, 7, "click", 2.0) for i in range(50)])
+        out = _collect(sliding_window_agg(ds, width_s=1000, slide_s=500))
+        # every event is in exactly 2 windows
+        assert sum(out["n_events"].to_pylist()) == 100
+
+
+class TestSession:
+    def test_gap_splits_sessions(self, ray_session):
+        ds = _events([
+            (1, 0, 7, "click", 1.0), (2, 60, 7, "click", 2.0),
+            (3, 5000, 7, "click", 3.0),       # > gap 1800 -> new session
+            (4, 10, 8, "click", 4.0),         # other user
+        ])
+        out = _collect(session_window_agg(ds, gap_s=1800)).to_pylist()
+        u7 = sorted([r for r in out if r["user_id"] == 7],
+                    key=lambda r: r["session_start"])
+        assert [r["n_events"] for r in u7] == [2, 1]
+        assert u7[0]["sum_value"] == 3.0
+        assert u7[0]["duration_s"] == 60
+        assert len([r for r in out if r["user_id"] == 8]) == 1
+
+
+class TestAsof:
+    def test_latest_prior_and_tie_break(self, ray_session):
+        ds = _events([
+            (10, 100, 7, "view", 1.0),
+            (11, 200, 7, "view", 2.0),
+            (12, 200, 7, "view", 3.0),        # tie on ts: larger id wins
+            (20, 250, 7, "click", 9.0),
+            (21, 50, 7, "click", 8.0),        # no prior view -> dropped
+            (22, 300, 8, "click", 7.0),       # other user, no views
+        ])
+        out = _collect(asof_join_events(ds, left_type="click",
+                                        right_type="view")).to_pylist()
+        assert len(out) == 1
+        assert out[0]["event_id"] == 20
+        assert out[0]["prior_event_id"] == 12
+
+    def test_equal_ts_matches(self, ray_session):
+        ds = _events([(1, 100, 7, "view", 1.0), (2, 100, 7, "click", 2.0)])
+        out = _collect(asof_join_events(ds, left_type="click",
+                                        right_type="view")).to_pylist()
+        assert out[0]["prior_event_id"] == 1
+
+
+class TestInterval:
+    def test_pairs_within_tolerance_only_once(self, ray_session):
+        ds = _events([
+            (1, 1000, 7, "purchase", 1.0),
+            (2, 995, 7, "click", 1.0),        # within 10s
+            (3, 1009, 7, "click", 1.0),       # within 10s (bucket edge)
+            (4, 2000, 7, "click", 1.0),       # far
+            (5, 1001, 8, "click", 1.0),       # other user
+        ])
+        out = _collect(interval_join_events(
+            ds, left_type="purchase", right_type="click",
+            tolerance_s=10)).to_pylist()
+        pairs = sorted((r["left_event_id"], r["right_event_id"])
+                       for r in out)
+        assert pairs == [(1, 2), (1, 3)]
+        deltas = {r["right_event_id"]: r["delta_s"] for r in out}
+        assert deltas == {2: 5, 3: -9}
