@@ -228,6 +228,24 @@ def _q_events_interval(sf_dir: str):
                                 right_type="click", tolerance_s=600)
 
 
+def _q_sketch_distinct(sf_dir: str):
+    """HyperLogLog approximate distinct users over events — approximate
+    by design, rows-only check (error-bound tested in tests/test_sketch)."""
+    import ray.data as rd
+    from kgx.ops.sketch import approx_distinct
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id"])
+    return approx_distinct(ev, "user_id")
+
+
+def _q_sketch_heavy(sf_dir: str):
+    """Misra-Gries heavy hitters over event types — exact top set at this
+    skew, but counts are lower bounds; rows-only check."""
+    import ray.data as rd
+    from kgx.ops.sketch import heavy_hitters
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_type"])
+    return heavy_hitters(ev, "event_type", k=5)
+
+
 def _q_rel_pricing(sf_dir: str):
     from kgx.ops.relational import pricing_summary
     return pricing_summary(sf_dir)
@@ -387,6 +405,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_session": _q_events_session,
         "events_asof": _q_events_asof,
         "events_interval": _q_events_interval,
+        # mergeable sketches
+        "sketch_distinct": _q_sketch_distinct,
+        "sketch_heavy": _q_sketch_heavy,
         # relational surface
         "rel_pricing": _q_rel_pricing,
         "rel_top_customers": _q_rel_top_customers,

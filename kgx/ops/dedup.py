@@ -92,8 +92,8 @@ def collect_incidence(term_sets_ds):
     Driver-side by design — this is the broadcast small side of the exact
     quadratic baseline; see module docstring for the scale path.
     """
-    import ray
-    tbl = pa.concat_tables([ray.get(r) for r in term_sets_ds.to_arrow_refs()])
+    from kgx.functions.collect import collect_arrow
+    tbl = collect_arrow(term_sets_ds)
     doc_ids = np.asarray(tbl["doc_id"].to_pylist(), dtype=np.int64)
     order = np.argsort(doc_ids)
     doc_ids = doc_ids[order]
@@ -381,8 +381,8 @@ def embedding_dup_pairs(emb_ds, *, threshold: float = 0.45):
     """
     import ray
 
-    tbl = pa.concat_tables([ray.get(r) for r in emb_ds.select_columns(
-        ["vec_id", "embedding"]).to_arrow_refs()])
+    from kgx.functions.collect import collect_arrow
+    tbl = collect_arrow(emb_ds.select_columns(["vec_id", "embedding"]))
     ids = np.asarray(tbl["vec_id"].to_pylist(), dtype=np.int64)
     order = np.argsort(ids)
     ids = ids[order]

@@ -22,10 +22,9 @@ import ray
 
 def _pull_queries(emb_ds, query_ids: list[int]):
     """Materialize the (small) query matrix driver-side, ordered by id."""
+    from kgx.functions.collect import collect_arrow
     qset = set(query_ids)
-    tbl = pa.concat_tables(
-        [ray.get(r) for r in emb_ds.select_columns(["vec_id", "embedding"])
-         .to_arrow_refs()])
+    tbl = collect_arrow(emb_ds.select_columns(["vec_id", "embedding"]))
     ids = tbl["vec_id"].to_pylist()
     embs = tbl["embedding"].to_pylist()
     picked = {i: e for i, e in zip(ids, embs) if i in qset}

@@ -1,0 +1,147 @@
+"""Mergeable sketches: HyperLogLog distinct-count and Misra-Gries heavy
+hitters.
+
+Both follow the partial/combiner shape every wide aggregate in this
+engine uses: each ``map_batches`` task folds its batch into ONE sketch
+row, and a single tiny reduce merges the per-batch sketches — the
+all-to-all moves kilobytes regardless of input size.  Both are
+deterministic (hash-based, no sampling): the same input always yields
+the same estimate, so results are reproducible even though they are
+approximate (driver checks are rows-only / tolerance-tested).
+
+The reference has no sketches (SURVEY.md §2.5: "no approximate
+aggregates"); these are part of the training-data-pipeline surface where
+exact distinct counts over 10^12 rows are a full shuffle.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+
+
+# ----------------------------------------------------------------------
+# HyperLogLog
+# ----------------------------------------------------------------------
+
+def _hash64(values: list) -> np.ndarray:
+    return np.asarray(
+        [int.from_bytes(hashlib.blake2b(str(v).encode(),
+                                        digest_size=8).digest(), "big")
+         for v in values], dtype=np.uint64)
+
+
+def hll_from_values(values: list, p: int = 12) -> np.ndarray:
+    """Register vector (2^p uint8) from raw values."""
+    regs = np.zeros(1 << p, dtype=np.uint8)
+    if not values:
+        return regs
+    h = _hash64(values)
+    idx = (h >> np.uint64(64 - p)).astype(np.int64)
+    rest = h << np.uint64(p)  # wraps: low bits shifted up
+    # rank = leading zeros of the remaining 64-p bits + 1 (capped)
+    lz = np.full(len(h), 64 - p, dtype=np.int64)
+    nonzero = rest != 0
+    # count leading zeros of a uint64 via float64 exponent is lossy; do it
+    # exactly with bit length
+    bl = np.asarray([int(x).bit_length() for x in rest[nonzero]],
+                    dtype=np.int64)
+    lz[nonzero] = 64 - bl
+    rank = np.minimum(lz + 1, 64 - p + 1).astype(np.uint8)
+    np.maximum.at(regs, idx, rank)
+    return regs
+
+
+def hll_merge(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    return np.maximum(a, b)
+
+
+def hll_estimate(regs: np.ndarray) -> float:
+    """Standard HLL estimator with small-range correction."""
+    m = float(len(regs))
+    alpha = 0.7213 / (1 + 1.079 / m)
+    est = alpha * m * m / np.sum(np.exp2(-regs.astype(np.float64)))
+    zeros = int(np.count_nonzero(regs == 0))
+    if est <= 2.5 * m and zeros:
+        est = m * np.log(m / zeros)
+    return float(est)
+
+
+def approx_distinct(ds, col: str, *, p: int = 12):
+    """Approximate COUNT(DISTINCT col): one sketch row per batch, one
+    merge.  Standard error ~= 1.04 / sqrt(2^p) (~1.6% at p=12)."""
+    def partial(batch: pa.Table) -> pa.Table:
+        regs = hll_from_values(batch[col].to_pylist(), p)
+        return pa.table({"regs": pa.array([regs.tobytes()], pa.binary())})
+
+    merged = np.zeros(1 << p, dtype=np.uint8)
+    for b in ds.map_batches(partial, batch_format="pyarrow").iter_batches(
+            batch_format="pyarrow"):
+        for blob in b["regs"].to_pylist():
+            merged = hll_merge(merged,
+                               np.frombuffer(blob, dtype=np.uint8))
+    return pa.table({
+        "column": pa.array([col], pa.string()),
+        "approx_distinct": pa.array([int(round(hll_estimate(merged)))],
+                                    pa.int64()),
+        "precision_p": pa.array([p], pa.int32()),
+    })
+
+
+# ----------------------------------------------------------------------
+# Misra-Gries heavy hitters
+# ----------------------------------------------------------------------
+
+def mg_fold(counts: dict, values: list, k: int) -> dict:
+    """Fold values into a Misra-Gries summary of at most k counters."""
+    for v in values:
+        if v in counts:
+            counts[v] += 1
+        elif len(counts) < k:
+            counts[v] = 1
+        else:
+            dead = [key for key in counts if counts[key] == 1]
+            for key in counts:
+                counts[key] -= 1
+            for key in dead:
+                del counts[key]
+    return counts
+
+
+def mg_merge(a: dict, b: dict, k: int) -> dict:
+    """Merge two summaries (counter sum, then decrement to k counters)."""
+    for v, c in b.items():
+        a[v] = a.get(v, 0) + c
+    if len(a) > k:
+        # subtract the (len-k)-th largest count and drop non-positives
+        cut = sorted(a.values(), reverse=True)[k]
+        a = {v: c - cut for v, c in a.items() if c - cut > 0}
+    return a
+
+
+def heavy_hitters(ds, col: str, *, k: int = 20):
+    """Approximate top-k frequent values: per-batch Misra-Gries summaries
+    merged once.  Guarantees every value with frequency > n/(k+1)
+    survives; reported counts are lower bounds.  Output sorted by
+    (count desc, value asc)."""
+    import json
+
+    def partial(batch: pa.Table) -> pa.Table:
+        counts = mg_fold({}, batch[col].to_pylist(), 4 * k)
+        return pa.table({
+            "summary": pa.array([json.dumps(counts, sort_keys=True,
+                                            default=str)], pa.string()),
+        })
+
+    merged: dict = {}
+    for b in ds.map_batches(partial, batch_format="pyarrow").iter_batches(
+            batch_format="pyarrow"):
+        for s in b["summary"].to_pylist():
+            merged = mg_merge(merged, json.loads(s), 4 * k)
+    top = sorted(merged.items(), key=lambda kv: (-kv[1], str(kv[0])))[:k]
+    return pa.table({
+        "value": pa.array([str(v) for v, _c in top], pa.string()),
+        "min_count": pa.array([c for _v, c in top], pa.int64()),
+    })

@@ -87,9 +87,9 @@ def kg_tables(sf_dir: str, *, chunk_size: int = 200, chunk_overlap: int = 50,
 
     # nodes is small post-canonicalization; pull the three alias-map columns
     # to the driver once and broadcast the dict via ray.put (J1 pattern).
-    nodes_tbl = pa.concat_tables(
-        [ray.get(r) for r in nodes.select_columns(
-            ["entity_id", "name", "aliases"]).to_arrow_refs()])
+    from kgx.functions.collect import collect_arrow
+    nodes_tbl = collect_arrow(
+        nodes.select_columns(["entity_id", "name", "aliases"]))
     alias_ref = ray.put(build_alias_map(nodes_tbl))
 
     triples = extracted.map_batches(
@@ -105,6 +105,6 @@ def kg_arrow_tables(sf_dir: str, **kwargs) -> dict:
     """:func:`kg_tables` executed to driver-side Arrow tables (both are
     small post-canonicalization) — the input shape for the driver-side
     downstream stages (community detection / summarization / query)."""
+    from kgx.functions.collect import collect_arrow
     t = kg_tables(sf_dir, **kwargs)
-    return {name: pa.concat_tables([ray.get(r) for r in ds.to_arrow_refs()])
-            for name, ds in t.items()}
+    return {name: collect_arrow(ds) for name, ds in t.items()}

@@ -52,6 +52,7 @@ EXTRACTED_SCHEMA = pa.schema([
 ])
 
 _SENT_SPLIT = re.compile(r"(?<=[.!?])\s+")
+_WORD_RE = re.compile(r"\w+")
 
 
 class _Rows:
@@ -112,6 +113,13 @@ class GazetteerExtractor:
                 rf"\b(?P<a>{alt})\s+{re.escape(mid)}\s+(?P<b>{alt})", re.IGNORECASE)
             self.rel_res.append((rx, pred, strength, mid.lower()))
         self.claim_re = re.compile(r"\bIt is reported that\b", re.IGNORECASE)
+        # Trigger-word screen: a sentence can only contain a mention if one
+        # of its word tokens equals a word of some alias surface (both
+        # case-folded the same way).  Filler sentences — the vast majority
+        # of web text — fail this O(tokens) set check and never pay the
+        # big-alternation regex scan (~7x cheaper per sentence).
+        self._trigger = frozenset(
+            w for s in surfaces for w in _WORD_RE.findall(s.lower()))
         # Per-actor memo: surface form -> mention tuple.  The alternation
         # guarantees a tiny closed set of matched surfaces, so this dict
         # stays bounded by the gazetteer size and skips re-normalizing the
@@ -145,6 +153,9 @@ class GazetteerExtractor:
             # pattern's literal middle text present) — filler sentences
             # never pay the big-alternation relation regexes.
             for sent in _SENT_SPLIT.split(text):
+                low_sent = sent.lower()
+                if self._trigger.isdisjoint(_WORD_RE.findall(low_sent)):
+                    continue
                 ments = []
                 for m in self.mention_re.finditer(sent):
                     hit = self._mention_of(m.group(0))
@@ -155,7 +166,7 @@ class GazetteerExtractor:
                 if len(ments) >= 2:
                     # collapsed-whitespace lowering so the literal substring
                     # prefilter can never miss what the \s+ regex would match
-                    low = " ".join(sent.lower().split())
+                    low = " ".join(low_sent.split())
                     for rx, pred, strength, mid_low in self.rel_res:
                         if mid_low not in low:
                             continue

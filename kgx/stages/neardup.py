@@ -202,11 +202,10 @@ def neardup_merge_nodes(nodes_ds, *, threshold: float = 0.7,
     sorted by entity_id.  With no near-duplicates this is a no-op."""
     import ray
 
+    from kgx.functions.collect import collect_arrow
     banded = band_nodes(nodes_ds, num_perm=num_perm, bands=bands, k=k,
                         seed=seed)
-    pairs = pa.concat_tables(
-        [ray.get(r) for r in candidate_pairs(
-            banded, threshold=threshold).to_arrow_refs()])
+    pairs = collect_arrow(candidate_pairs(banded, threshold=threshold))
     remap = build_remap(pairs)
     if not remap:
         return nodes_ds

@@ -264,7 +264,7 @@ def write_pages(out_dir: str, n_pages: int, seed: int = 42,
 
     pages_dir = os.path.join(out_dir, "pages")
     done = os.path.join(out_dir, "_SYNTH_DONE")
-    marker = f"n={n_pages} seed={seed} shards={n_shards} v=4 fs={filler_scale}"
+    marker = f"n={n_pages} seed={seed} shards={n_shards} v=5 fs={filler_scale}"
     if os.path.exists(done):
         with open(done) as f:
             if f.read() == marker:
@@ -273,10 +273,12 @@ def write_pages(out_dir: str, n_pages: int, seed: int = 42,
     for stale in os.listdir(pages_dir):
         os.remove(os.path.join(pages_dir, stale))
 
-    # one shard ~4k pages (one row group each): parquet reads split per
+    # one shard ~2k pages (one row group each): parquet reads split per
     # file, so shard count — not the generating session's CPU count — sets
-    # the read parallelism available to every later pipeline run
-    n_shards = max(n_shards, n_pages // 4096)
+    # the read parallelism AND the load-balance granularity (fused
+    # read->extract chains run one task per file; coarse shards leave a
+    # straggler tail on the last wave)
+    n_shards = max(n_shards, n_pages // 2048)
     parallel = ray.is_initialized() and n_pages >= 4000
     per = max(1, (n_pages + n_shards - 1) // n_shards)
     bounds = [(s, s * per, min((s + 1) * per, n_pages))

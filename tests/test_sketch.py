@@ -1,0 +1,57 @@
+"""HyperLogLog distinct-count and Misra-Gries heavy hitters (mergeable
+sketches; approximate but deterministic)."""
+
+import numpy as np
+import pyarrow as pa
+import ray.data as rd
+
+from kgx.ops.sketch import (approx_distinct, heavy_hitters, hll_estimate,
+                            hll_from_values, hll_merge, mg_fold, mg_merge)
+
+
+class TestHLL:
+    def test_estimate_within_error_bound(self):
+        vals = [f"item-{i}" for i in range(50_000)]
+        est = hll_estimate(hll_from_values(vals, p=12))
+        assert abs(est - 50_000) / 50_000 < 0.05  # ~3 sigma at p=12
+
+    def test_merge_equals_union(self):
+        a = hll_from_values([f"a{i}" for i in range(1000)])
+        b = hll_from_values([f"b{i}" for i in range(1000)])
+        both = hll_from_values([f"a{i}" for i in range(1000)] +
+                               [f"b{i}" for i in range(1000)])
+        assert np.array_equal(hll_merge(a.copy(), b), both)
+
+    def test_deterministic(self):
+        v = ["x", "y", "z"] * 10
+        assert np.array_equal(hll_from_values(v), hll_from_values(v))
+
+    def test_dataset_op(self, ray_session):
+        ds = rd.from_arrow(pa.table({
+            "k": pa.array([f"v{i % 500}" for i in range(5000)])}))
+        out = approx_distinct(ds, "k")
+        est = out["approx_distinct"][0].as_py()
+        assert abs(est - 500) / 500 < 0.1
+
+
+class TestMisraGries:
+    def test_heavy_hitter_guarantee(self):
+        # value with frequency > n/(k+1) must survive any fold order
+        vals = ["hot"] * 400 + [f"cold{i}" for i in range(600)]
+        counts = mg_fold({}, vals, k=10)
+        assert "hot" in counts
+
+    def test_merge_keeps_heavy(self):
+        a = mg_fold({}, ["hot"] * 300 + [f"x{i}" for i in range(100)], 10)
+        b = mg_fold({}, ["hot"] * 300 + [f"y{i}" for i in range(100)], 10)
+        m = mg_merge(a, b, 10)
+        assert m["hot"] >= 400  # lower bound after decrements
+
+    def test_dataset_op(self, ray_session):
+        vals = (["alpha"] * 900 + ["beta"] * 500 +
+                [f"noise{i}" for i in range(600)])
+        ds = rd.from_arrow(pa.table({"k": pa.array(vals)}))
+        out = heavy_hitters(ds, "k", k=5).to_pylist()
+        assert out[0]["value"] == "alpha"
+        assert out[1]["value"] == "beta"
+        assert out[0]["min_count"] <= 900  # counts are lower bounds
