@@ -264,13 +264,14 @@ def run_pipeline(pages_path: str, out_dir: str,
     _run_stage(out_dir, "chunks", fp_texts, chash("chunks"), build_chunks,
                resume)
 
-    # 3. extraction: actor pool, tagged single-pass output (checkpointed once,
-    #    consumed three times)
-    fp_chunks = mf.fingerprint_input(paths["chunks"])
-
-    def build_extracted(sdir):
-        ds = rd.read_parquet(paths["chunks"],
-                             columns=["url", "chunk_id", "text"])
+    # 3. extraction: tagged single-pass output (checkpointed once, consumed
+    #    three times).  This is the EXPENSIVE stage, so it resumes at
+    #    partition granularity: input chunk files are split into groups,
+    #    each group writes + manifests independently, and a killed run
+    #    skips every completed group on restart (north_rule block-level
+    #    resume).
+    def build_extract_group(gdir, gfiles):
+        ds = rd.read_parquet(gfiles, columns=["url", "chunk_id", "text"])
         cls = EXTRACTORS[cfg.extractor]
         if extract_conc is None:
             ds = ds.map_batches(make_task_extractor(cls),
@@ -280,10 +281,12 @@ def run_pipeline(pages_path: str, out_dir: str,
             ds = ds.map_batches(cls, batch_format="pyarrow",
                                 batch_size=cfg.extract_batch_size,
                                 concurrency=extract_conc)
-        ds.write_parquet(sdir)
-        return ds
-    _run_stage(out_dir, "extracted", fp_chunks, chash("extracted"),
-               build_extracted, resume)
+        ds.write_parquet(gdir)
+
+    chunk_files = mf._parquet_files(paths["chunks"])
+    mf.run_partitioned_stage(out_dir, "extracted", chunk_files,
+                             chash("extracted"), build_extract_group,
+                             resume, n_groups=max(8, ncpu // 2))
 
     # 4. nodes: salted two-phase canonicalization shuffle + global sort
     fp_ext = mf.fingerprint_input(paths["extracted"])

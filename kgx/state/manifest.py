@@ -75,6 +75,66 @@ def stage_is_done(out_dir: str, stage: str, input_fp: str, cfg_hash: str) -> boo
     return True
 
 
+def run_partitioned_stage(out_dir: str, stage: str, input_files: list[str],
+                          cfg_hash: str, build_group, resume: bool,
+                          n_groups: int) -> bool:
+    """Partition-level resumable stage (north_rule: a killed run resumes
+    from the last completed block, finer than whole stages).
+
+    ``input_files`` are split into ``n_groups`` contiguous groups; each
+    group builds independently into ``{stage}/g{gi:04d}/`` via
+    ``build_group(gdir, gfiles)`` and gets its own ``_MANIFEST.json``
+    (input fingerprint + config hash).  On re-run, groups whose manifest
+    matches are SKIPPED — their output files are not rewritten — and only
+    unfinished/stale groups rebuild.  The stage-level manifest is written
+    once every group is done, so downstream stages see the usual
+    all-or-nothing contract.  Returns True if any group (re)built.
+    """
+    sdir = stage_dir(out_dir, stage)
+    fp_all = fingerprint_input_files(input_files)
+    if resume and stage_is_done(out_dir, stage, fp_all, cfg_hash):
+        return False
+    os.makedirs(sdir, exist_ok=True)
+    # drop the stale stage-level manifest (it will be rewritten) and any
+    # entries that are not group dirs of the current layout
+    n_groups = max(1, min(n_groups, len(input_files)))
+    expected = {f"g{gi:04d}" for gi in range(n_groups)}
+    for entry in os.listdir(sdir):
+        if entry not in expected:
+            path = os.path.join(sdir, entry)
+            shutil.rmtree(path) if os.path.isdir(path) else os.remove(path)
+
+    per = (len(input_files) + n_groups - 1) // n_groups
+    built = False
+    t0 = time.perf_counter()
+    for gi in range(n_groups):
+        gfiles = input_files[gi * per:(gi + 1) * per]
+        gname = f"g{gi:04d}"
+        gdir = os.path.join(sdir, gname)
+        gfp = fingerprint_input_files(gfiles)
+        if resume and stage_is_done(sdir, gname, gfp, cfg_hash):
+            continue
+        if os.path.exists(gdir):
+            shutil.rmtree(gdir)
+        os.makedirs(gdir)
+        gt0 = time.perf_counter()
+        build_group(gdir, gfiles)
+        finish_stage(sdir, gname, gfp, cfg_hash,
+                     time.perf_counter() - gt0, lineage=False)
+        built = True
+    finish_stage(out_dir, stage, fp_all, cfg_hash, time.perf_counter() - t0,
+                 extra={"n_groups": n_groups})
+    return built
+
+
+def fingerprint_input_files(files: list[str]) -> str:
+    """sha1 over (basename, size) of an explicit file list."""
+    h = hashlib.sha1()
+    for f in sorted(files):
+        h.update(f"{os.path.basename(f)}:{os.path.getsize(f)};".encode())
+    return h.hexdigest()
+
+
 def begin_stage(out_dir: str, stage: str) -> str:
     """Wipe any partial output of an incomplete stage; return its dir."""
     sdir = stage_dir(out_dir, stage)
@@ -85,8 +145,13 @@ def begin_stage(out_dir: str, stage: str) -> str:
 
 
 def finish_stage(out_dir: str, stage: str, input_fp: str, cfg_hash: str,
-                 wall_s: float, extra: dict | None = None) -> dict:
-    """Write the stage manifest + per-partition lineage records."""
+                 wall_s: float, extra: dict | None = None,
+                 lineage: bool = True) -> dict:
+    """Write the stage manifest + per-partition lineage records.
+
+    ``lineage=False`` for group-level manifests inside a partitioned
+    stage — lineage parquet must never land inside a stage's DATA
+    directory, where downstream readers would pick it up as data."""
     sdir = stage_dir(out_dir, stage)
     files, lineage_rows = [], []
     total_rows = 0
@@ -111,6 +176,8 @@ def finish_stage(out_dir: str, stage: str, input_fp: str, cfg_hash: str,
     with open(os.path.join(sdir, MANIFEST_NAME), "w") as f:
         json.dump(manifest, f, indent=1, sort_keys=True)
 
+    if not lineage:
+        return manifest
     ldir = os.path.join(out_dir, "lineage")
     os.makedirs(ldir, exist_ok=True)
     tbl = pa.table({

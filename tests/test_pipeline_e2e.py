@@ -108,3 +108,45 @@ class TestResume:
         run_pipeline(run["pages"], out, KGConfig(chunk_size=80))
         assert os.path.getmtime(
             os.path.join(out, "chunks", "_MANIFEST.json")) != chunks_m
+
+
+class TestPartitionResume:
+    """Block-level resume of the extraction stage (north_rule: a killed
+    run resumes from the last completed block)."""
+
+    def test_completed_groups_skipped_on_resume(self, smoke_corpus,
+                                                tmp_path_factory):
+        import json
+        import os
+        from kgx.pipelines.kg import KGConfig, run_pipeline
+
+        out = str(tmp_path_factory.mktemp("presume"))
+        p = run_pipeline(smoke_corpus["pages"], out, KGConfig())
+        edir = p["extracted"]
+        groups = sorted(g for g in os.listdir(edir) if g.startswith("g"))
+        assert len(groups) >= 2
+        before = {g: sorted(os.listdir(os.path.join(edir, g)))
+                  for g in groups}
+        mtimes = {g: os.path.getmtime(os.path.join(
+            edir, g, before[g][0])) for g in groups}
+
+        # simulate a kill after group 0: drop the stage-level manifest and
+        # one group's manifest -> on resume only that group rebuilds
+        os.remove(os.path.join(edir, "_MANIFEST.json"))
+        victim = groups[-1]
+        os.remove(os.path.join(edir, victim, "_MANIFEST.json"))
+        p2 = run_pipeline(smoke_corpus["pages"], out, KGConfig())
+
+        for g in groups:
+            first = sorted(os.listdir(os.path.join(edir, g)))[0]
+            mt = os.path.getmtime(os.path.join(edir, g, first))
+            if g == victim:
+                continue  # rebuilt; content checked below
+            assert mt == mtimes[g], f"group {g} was rebuilt"
+        # stage manifest restored and totals unchanged
+        m = json.load(open(os.path.join(edir, "_MANIFEST.json")))
+        assert m["n_groups"] == len(groups)
+        import pyarrow.parquet as pq
+        t1 = pq.read_table(p["edges"]).to_pylist()
+        t2 = pq.read_table(p2["edges"]).to_pylist()
+        assert t1 == t2
