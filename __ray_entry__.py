@@ -185,6 +185,24 @@ def _q_simsearch_lsh(sf_dir: str):
     return lsh_topk(emb, query_ids=list(range(8)), k=10)
 
 
+def _q_simsearch_ivf(sf_dir: str):
+    """IVF ANN: k-means cells + probed-cell exact scoring.  Approximate by
+    design — rows-only check (recall tested in tests/test_ops_extra)."""
+    import ray.data as rd
+    from kgx.ops.simsearch import ivf_topk
+    emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                          columns=["vec_id", "embedding"])
+    return ivf_topk(emb, query_ids=list(range(8)), k=10)
+
+
+def _q_text_source_stats(sf_dir: str):
+    import ray.data as rd
+    from kgx.ops.text import source_stats
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["source", "text"])
+    return source_stats(docs)
+
+
 def _q_events_window(sf_dir: str):
     import ray.data as rd
     from kgx.ops.window import tumbling_window_agg
@@ -389,6 +407,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_lang": _q_text_lang,
         "text_fingerprint": _q_text_fingerprint,
         "text_winnow": _q_text_winnow,
+        "text_source_stats": _q_text_source_stats,
         # deduplication
         "dedup_exact": _q_dedup_exact,
         "dedup_jaccard": _q_dedup_jaccard,
@@ -398,6 +417,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # similarity search
         "simsearch_topk": _q_simsearch_topk,
         "simsearch_lsh": _q_simsearch_lsh,
+        "simsearch_ivf": _q_simsearch_ivf,
         "vector_rag_topk": _q_vector_rag,
         # windowed aggregates + temporal joins over the event stream
         "events_window": _q_events_window,
@@ -527,6 +547,13 @@ def oracle_sql() -> dict[str, str]:
         "text_fingerprint": """
             SELECT doc_id, md5(text) AS fingerprint, strlen(text) AS n_bytes
             FROM documents
+        """,
+        "text_source_stats": """
+            SELECT source, count(*) AS n_docs,
+                   CAST(sum(length(text)) AS BIGINT) AS total_chars,
+                   CAST((sum(length(text)) * 1000) // count(*) AS BIGINT)
+                     AS mean_chars_milli
+            FROM documents GROUP BY source
         """,
         "dedup_exact": """
             SELECT md5(text) AS fingerprint, min(doc_id) AS rep_doc_id,

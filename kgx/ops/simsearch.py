@@ -91,6 +91,113 @@ def cosine_topk(emb_ds, query_ids: list[int], *, k: int = 10):
 
 
 # ----------------------------------------------------------------------
+# IVF (inverted-file) approximate variant
+# ----------------------------------------------------------------------
+
+def _kmeans(sample: np.ndarray, n_centroids: int, iters: int,
+            seed: int) -> np.ndarray:
+    """Deterministic k-means on L2-normalized vectors (seeded init, fixed
+    iteration count, stable argmax tie-break via argmin of -dot)."""
+    rng = np.random.default_rng(seed)
+    idx = rng.choice(len(sample), size=min(n_centroids, len(sample)),
+                     replace=False)
+    C = sample[np.sort(idx)].copy()
+    for _ in range(iters):
+        assign = np.argmax(sample @ C.T, axis=1)
+        for c in range(len(C)):
+            members = sample[assign == c]
+            if len(members):
+                m = members.mean(axis=0)
+                n = np.linalg.norm(m)
+                if n > 0:
+                    C[c] = m / n
+    return C
+
+
+def ivf_topk(emb_ds, query_ids: list[int], *, k: int = 10,
+             n_centroids: int = 16, n_probe: int = 4, train_mod: int = 4,
+             iters: int = 5, seed: int = 37):
+    """IVF approximate top-k: k-means coarse quantizer, per-query probing
+    of the ``n_probe`` nearest cells, exact scoring inside probed cells.
+
+    Scale shape: the quantizer trains driver-side on a deterministic
+    sample (``vec_id % train_mod == 0``); centroids broadcast once; each
+    corpus block tags rows with their cell and emits ONLY rows belonging
+    to a probed cell; a ``groupby(cell)`` scores queries against their
+    probed cells and a final ``groupby(query_id)`` merges the per-cell
+    top-ks.  Shuffles move probed rows + n_queries*k rows — never the
+    full corpus or a score matrix.  Deterministic; approximate (recall
+    rises with ``n_probe``).
+    """
+    import ray
+
+    qids, Q = _pull_queries(emb_ds, query_ids)
+
+    def train_sample(batch: pa.Table) -> pa.Table:
+        ids = np.asarray(batch["vec_id"].to_pylist(), dtype=np.int64)
+        keep = np.flatnonzero(ids % train_mod == 0)
+        return batch.take(pa.array(keep, pa.int64()))
+
+    from kgx.functions.collect import collect_arrow
+    sample_tbl = collect_arrow(
+        emb_ds.map_batches(train_sample, batch_format="pyarrow"))
+    order = np.argsort(np.asarray(sample_tbl["vec_id"].to_pylist()))
+    S = np.asarray(sample_tbl["embedding"].to_pylist(),
+                   dtype=np.float64)[order]
+    S = S / np.linalg.norm(S, axis=1, keepdims=True)
+    C = _kmeans(S, n_centroids, iters, seed)
+    cref = ray.put(C)
+
+    q_cells = np.argsort(-(Q @ C.T), axis=1)[:, :n_probe]
+    probed = sorted({int(c) for row in q_cells for c in row})
+    probed_set = set(probed)
+    qref = ray.put((qids, Q, q_cells))
+
+    def tag_cells(batch: pa.Table) -> pa.Table:
+        Cm = ray.get(cref)
+        M = np.asarray(batch["embedding"].to_pylist(), dtype=np.float64)
+        M = M / np.linalg.norm(M, axis=1, keepdims=True)
+        cells = np.argmax(M @ Cm.T, axis=1)
+        keep = np.flatnonzero([int(c) in probed_set for c in cells])
+        return pa.table({
+            "cell": pa.array(cells[keep].astype(np.int64), pa.int64()),
+            "vec_id": pa.array(np.asarray(
+                batch["vec_id"].to_pylist(), dtype=np.int64)[keep],
+                pa.int64()),
+            "embedding": pa.array(
+                [batch["embedding"][int(i)].as_py() for i in keep],
+                pa.list_(pa.float32())),
+        })
+
+    def cell_topk(group: pa.Table) -> pa.Table:
+        cell = group["cell"][0].as_py()
+        qids_, Q_, qc = ray.get(qref)
+        sel = np.flatnonzero([(cell in row) for row in qc])
+        ids = np.asarray(group["vec_id"].to_pylist(), dtype=np.int64)
+        M = np.asarray(group["embedding"].to_pylist(), dtype=np.float64)
+        M = M / np.linalg.norm(M, axis=1, keepdims=True)
+        Ssc = Q_[sel] @ M.T
+        q_col, n_col, s_col = [], [], []
+        for row, qi in enumerate(sel):
+            keep = np.flatnonzero(ids != qids_[qi])
+            order = keep[np.lexsort((ids[keep], -Ssc[row][keep]))][:k]
+            q_col.extend([qids_[qi]] * len(order))
+            n_col.extend(ids[order].tolist())
+            s_col.extend(Ssc[row][order].tolist())
+        return pa.table({
+            "query_id": pa.array(q_col, pa.int64()),
+            "neighbor_id": pa.array(n_col, pa.int64()),
+            "score": pa.array(s_col, pa.float64()),
+        })
+
+    tagged = emb_ds.map_batches(tag_cells, batch_format="pyarrow")
+    per_cell = tagged.groupby("cell").map_groups(cell_topk,
+                                                 batch_format="pyarrow")
+    return per_cell.groupby("query_id").map_groups(
+        lambda g: _merge_topk(g, k), batch_format="pyarrow")
+
+
+# ----------------------------------------------------------------------
 # LSH-bucketed approximate variant (the 100 TB path)
 # ----------------------------------------------------------------------
 

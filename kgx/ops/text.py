@@ -168,3 +168,30 @@ def winnow_batch(batch: pa.Table, *, k: int = 3, w: int = 4) -> pa.Table:
         "fingerprints": pa.array(prints, pa.list_(pa.int64())),
         "n_fingerprints": pa.array([len(p) for p in prints], pa.int64()),
     })
+
+
+def source_stats(docs_ds):
+    """Per-source corpus stats (partial-aggregate groupby): doc count,
+    total/mean characters.  The webtext analog is per-domain crawl stats;
+    exact SQL oracle over the documents table."""
+    def partial(batch: pa.Table) -> pa.Table:
+        t = pa.table({
+            "source": batch["source"],
+            "n_chars": pc.cast(pc.utf8_length(batch["text"]), pa.int64()),
+        })
+        return (t.group_by(["source"])
+                 .aggregate([("n_chars", "sum"), ("n_chars", "count")]))
+
+    def final(group: pa.Table) -> pa.Table:
+        chars = sum(group["n_chars_sum"].to_pylist())
+        n = sum(group["n_chars_count"].to_pylist())
+        return pa.table({
+            "source": group["source"].slice(0, 1),
+            "n_docs": pa.array([n], pa.int64()),
+            "total_chars": pa.array([chars], pa.int64()),
+            "mean_chars_milli": pa.array([(chars * 1000) // n], pa.int64()),
+        })
+
+    partial_ds = docs_ds.map_batches(partial, batch_format="pyarrow")
+    return partial_ds.groupby("source").map_groups(
+        final, batch_format="pyarrow")

@@ -141,3 +141,56 @@ def test_byte_histogram_and_fake_decode():
     again = ImageDecodeStage(fake=True)(batch)
     assert dec["width"].to_pylist() == again["width"].to_pylist()
     assert all(64 <= w < 256 for w in dec["width"].to_pylist())
+
+
+def _emb_table():
+    import numpy as np
+    import pyarrow as pa
+    rng = np.random.default_rng(3)
+    centers = rng.standard_normal((4, 8))
+    vecs = []
+    for i in range(40):
+        v = centers[i % 4] + 0.05 * rng.standard_normal(8)
+        vecs.append((v / np.linalg.norm(v)).astype("float32").tolist())
+    return pa.table({
+        "vec_id": pa.array(range(40), pa.int64()),
+        "embedding": pa.array(vecs, pa.list_(pa.float32())),
+    })
+
+
+class TestIvfAndSourceStats:
+    def test_ivf_recall_vs_exact(self, ray_session):
+        import ray.data as rd
+        from kgx.ops.simsearch import cosine_topk, ivf_topk
+        emb = rd.from_arrow(_emb_table())
+        exact = cosine_topk(emb, query_ids=[0, 1], k=5).to_pandas()
+        approx = ivf_topk(rd.from_arrow(_emb_table()), query_ids=[0, 1],
+                          k=5, n_centroids=4, n_probe=2,
+                          train_mod=1).to_pandas()
+        for q in (0, 1):
+            want = set(exact[exact.query_id == q].neighbor_id)
+            got = set(approx[approx.query_id == q].neighbor_id)
+            assert len(want & got) / len(want) >= 0.6  # probe-bound recall
+
+    def test_ivf_deterministic(self, ray_session):
+        import ray.data as rd
+        from kgx.ops.simsearch import ivf_topk
+        a = ivf_topk(rd.from_arrow(_emb_table()), query_ids=[0], k=5,
+                     n_centroids=4, n_probe=2, train_mod=1).to_pandas()
+        b = ivf_topk(rd.from_arrow(_emb_table()), query_ids=[0], k=5,
+                     n_centroids=4, n_probe=2, train_mod=1).to_pandas()
+        assert a.values.tolist() == b.values.tolist()
+
+    def test_source_stats(self, ray_session):
+        import pyarrow as pa
+        import ray.data as rd
+        from kgx.ops.text import source_stats
+        docs = rd.from_arrow(pa.table({
+            "source": pa.array(["a", "a", "b"]),
+            "text": pa.array(["xx", "yyyy", "z"]),
+        }))
+        out = {r["source"]: r for r in source_stats(docs).to_pandas()
+               .to_dict("records")}
+        assert out["a"]["n_docs"] == 2 and out["a"]["total_chars"] == 6
+        assert out["a"]["mean_chars_milli"] == 3000
+        assert out["b"]["n_docs"] == 1
