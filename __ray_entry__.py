@@ -389,6 +389,16 @@ def _q_vector_rag(sf_dir: str):
         ["question_idx", "chunk_id", "score", "rank"])
 
 
+def _q_multimodal_frames(sf_dir: str):
+    """Frame-sampling plumbing over media-shaped rows (deterministic fake
+    decode; 1->N expansion) — rows-only check."""
+    from kgx.ops.multimodal import FrameSampleStage, docs_as_media
+    return docs_as_media(sf_dir).map_batches(
+        FrameSampleStage, batch_format="pyarrow", batch_size=64,
+        concurrency=(1, 4), fn_constructor_kwargs={"n_frames": 2}
+    ).select_columns(["media_id", "frame_index", "frame_ts_ms"])
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # KG-construction pipeline (SURVEY.md §2) over the documents table
@@ -436,6 +446,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # multimodal plumbing
         "multimodal_stats": _q_multimodal_stats,
         "multimodal_decode": _q_multimodal_decode,
+        "multimodal_frames": _q_multimodal_frames,
     }
 
 

@@ -124,3 +124,72 @@ class ImageDecodeStage:
             "height": pa.array(heights, pa.int32()),
             "channels": pa.array(channels, pa.int32()),
         })
+
+
+class ResizeStage:
+    """Actor-pool resize stage (STUB without PIL).
+
+    Real deployments hold resize buffers/codecs per actor; the fake path
+    emits the target dimensions plus a deterministic resized-payload
+    checksum (hash of payload + target size), keeping the schema and
+    batch-size contract of the real stage.  Payloads stay opaque binary —
+    callers size ``batch_size`` small (32-64) for real media.
+    """
+
+    def __init__(self, *, width: int = 224, height: int = 224,
+                 fake: bool = not _HAVE_PIL):
+        if not fake and not _HAVE_PIL:
+            raise NotImplementedError(
+                "image resizing requires PIL, which is not installed; "
+                "construct with fake=True for the deterministic stub")
+        self.width, self.height, self.fake = width, height, fake
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        outs = []
+        for p in batch["payload"].to_pylist():
+            h = hashlib.blake2b(
+                (p or b"") + f"{self.width}x{self.height}".encode(),
+                digest_size=16).digest()
+            outs.append(h)  # stands in for the resized image bytes
+        return pa.table({
+            "media_id": batch["media_id"],
+            "width": pa.array([self.width] * len(outs), pa.int32()),
+            "height": pa.array([self.height] * len(outs), pa.int32()),
+            "resized_digest": pa.array(outs, pa.binary()),
+        })
+
+
+class FrameSampleStage:
+    """Actor-pool video frame-sampling stage (STUB without ffmpeg).
+
+    1->N row expansion: each payload yields ``n_frames`` rows
+    ``(media_id, frame_index, frame_ts_ms, frame_digest)``.  The fake
+    path derives a deterministic duration and per-frame digest from the
+    payload hash; the real path would hold an ffmpeg handle per actor.
+    """
+
+    def __init__(self, *, n_frames: int = 4, fake: bool = True):
+        if not fake:
+            raise NotImplementedError(
+                "frame sampling requires ffmpeg, which is not installed; "
+                "construct with fake=True for the deterministic stub")
+        self.n_frames = n_frames
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids, idxs, tss, digs = [], [], [], []
+        for mid, p in zip(batch["media_id"].to_pylist(),
+                          batch["payload"].to_pylist()):
+            h = hashlib.blake2b(p or b"", digest_size=8).digest()
+            duration_ms = 1000 + int.from_bytes(h[:4], "big") % 59_000
+            for i in range(self.n_frames):
+                ids.append(mid)
+                idxs.append(i)
+                tss.append((duration_ms * i) // self.n_frames)
+                digs.append(hashlib.blake2b(
+                    (p or b"") + bytes([i]), digest_size=8).digest())
+        return pa.table({
+            "media_id": pa.array(ids, pa.string()),
+            "frame_index": pa.array(idxs, pa.int32()),
+            "frame_ts_ms": pa.array(tss, pa.int64()),
+            "frame_digest": pa.array(digs, pa.binary()),
+        })

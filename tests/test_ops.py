@@ -194,3 +194,45 @@ class TestIvfAndSourceStats:
         assert out["a"]["n_docs"] == 2 and out["a"]["total_chars"] == 6
         assert out["a"]["mean_chars_milli"] == 3000
         assert out["b"]["n_docs"] == 1
+
+
+class TestMultimodalStages:
+    def _media(self):
+        import pyarrow as pa
+        import ray.data as rd
+        return rd.from_arrow(pa.table({
+            "media_id": pa.array(["m0", "m1"], pa.string()),
+            "media_type": pa.array(["image/png", "video/mp4"], pa.string()),
+            "payload": pa.array([b"\x89PNGfake", b"\x00vidfake"],
+                                pa.binary()),
+        }))
+
+    def test_resize_stage_contract(self, ray_session):
+        from kgx.ops.multimodal import ResizeStage
+        out = self._media().map_batches(
+            ResizeStage, batch_format="pyarrow", batch_size=32,
+            concurrency=(1, 2),
+            fn_constructor_kwargs={"fake": True, "width": 128,
+                                   "height": 96}).to_pandas()
+        assert list(out["width"]) == [128, 128]
+        assert list(out["height"]) == [96, 96]
+        assert out["resized_digest"].nunique() == 2
+
+    def test_frame_sample_expansion(self, ray_session):
+        from kgx.ops.multimodal import FrameSampleStage
+        out = self._media().map_batches(
+            FrameSampleStage, batch_format="pyarrow", batch_size=32,
+            concurrency=(1, 2),
+            fn_constructor_kwargs={"n_frames": 3}).to_pandas()
+        assert len(out) == 6
+        per = out[out.media_id == "m0"]
+        assert list(per["frame_index"]) == [0, 1, 2]
+        assert per["frame_ts_ms"].is_monotonic_increasing
+
+    def test_real_paths_require_libs(self):
+        import pytest as pt
+        from kgx.ops.multimodal import FrameSampleStage, ResizeStage
+        with pt.raises(NotImplementedError):
+            ResizeStage(fake=False)
+        with pt.raises(NotImplementedError):
+            FrameSampleStage(fake=False)
