@@ -52,6 +52,10 @@ class KGConfig:
     lang_filter: str | None = None     # e.g. "en" to keep only that lang
     n_salts: int = 32
     instance_cap: int = 200
+    # Drop exact-duplicate pages (same extracted text) before chunking,
+    # keeping the smallest url — Common-Crawl corpora are rife with exact
+    # re-crawls and mirrors.  SEMANTIC knob (changes provenance counts).
+    dedup_pages: bool = False
     # Optional near-duplicate entity merge after exact canonicalization
     # (MinHash-LSH over name shingles; the scalable analog of the
     # reference's 0.85-cosine greedy resolver).  None disables; a value is
@@ -97,6 +101,39 @@ def extract_text_batch(batch: pa.Table) -> pa.Table:
         "text": pa.array(out, pa.string()),
         "lang": batch["lang"].combine_chunks(),
     })
+
+
+def dedup_pages_by_text(texts_ds):
+    """Exact page dedup on the extracted text: hash-partition groupby on
+    the content fingerprint, keep the lexicographically smallest url per
+    group (deterministic representative).  One all-to-all carrying
+    (fingerprint, url, text, lang) — the canonical exact-dedup shape; the
+    near-dup path for pages is kgx.ops.dedup.minhash_lsh_pairs.
+
+    Rows with EMPTY text (null/unparseable html) pass through unchanged —
+    they are failed extractions, not duplicates of each other; whether to
+    drop them is a separate filtering decision.
+    """
+    import hashlib
+
+    def fp(batch: pa.Table) -> pa.Table:
+        digests = [hashlib.md5(t.encode("utf-8")).hexdigest() if t else None
+                   for t in batch["text"].to_pylist()]
+        return batch.append_column("fp", pa.array(digests, pa.string()))
+
+    def keep_first(group: pa.Table) -> pa.Table:
+        urls = group["url"].to_pylist()
+        best = min(range(len(urls)), key=lambda i: urls[i])
+        return group.take(pa.array([best], pa.int64())).drop_columns(["fp"])
+
+    tagged = texts_ds.map_batches(fp, batch_format="pyarrow")
+    empties = tagged.map_batches(
+        lambda t: t.filter(pc.is_null(t["fp"])).drop_columns(["fp"]),
+        batch_format="pyarrow")
+    deduped = tagged.map_batches(
+        lambda t: t.filter(pc.is_valid(t["fp"])), batch_format="pyarrow") \
+        .groupby("fp").map_groups(keep_first, batch_format="pyarrow")
+    return deduped.union(empties)
 
 
 def make_chunk_batch_fn(size: int, overlap: int):
@@ -247,6 +284,8 @@ def run_pipeline(pages_path: str, out_dir: str,
             ds = ds.map_batches(
                 lambda t: t.filter(pc.equal(t["lang"], cfg.lang_filter)),
                 batch_format="pyarrow")
+        if cfg.dedup_pages:
+            ds = dedup_pages_by_text(ds)
         ds.write_parquet(sdir)
         return ds
     _run_stage(out_dir, "texts", input_fp, chash("texts"), build_texts, resume)

@@ -150,3 +150,44 @@ class TestPartitionResume:
         t1 = pq.read_table(p["edges"]).to_pylist()
         t2 = pq.read_table(p2["edges"]).to_pylist()
         assert t1 == t2
+
+
+class TestPageDedup:
+    def test_duplicate_pages_collapse(self, tmp_path_factory, ray_session):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+        import os
+        from kgx.pipelines.kg import KGConfig, run_pipeline
+
+        root = str(tmp_path_factory.mktemp("dedup_pages"))
+        pdir = os.path.join(root, "pages")
+        os.makedirs(pdir)
+        html = (b"<html><head><title>t</title></head><body><article>"
+                b"<p>Ada Lovelace works for Acme Corporation.</p>"
+                b"</article></body></html>")
+        tbl = pa.table({
+            "url": pa.array([f"https://x/{i}" for i in range(4)]),
+            "warc_ts": pa.array([0] * 4, pa.timestamp("us")),
+            "html": pa.array([html, html, html,
+                              html.replace(b"Ada", b"Alan")], pa.binary()),
+            "text": pa.array([None] * 4, pa.string()),
+            "lang": pa.array(["en"] * 4, pa.string()),
+        })
+        pq.write_table(tbl, os.path.join(pdir, "part-0.parquet"))
+
+        out = os.path.join(root, "out")
+        p = run_pipeline(pdir, out, KGConfig(dedup_pages=True))
+        texts = pq.read_table(p["texts"])
+        assert texts.num_rows == 2  # 3 identical pages collapse to one
+        kept = sorted(texts["url"].to_pylist())
+        assert "https://x/0" in kept  # smallest url kept
+        # provenance reflects the deduped corpus
+        nodes = pq.read_table(p["nodes"])
+        ada = [r for r in nodes.to_pylist() if r["name"] == "Ada Lovelace"]
+        assert ada and ada[0]["n_instances"] == 1
+
+    def test_knob_is_semantic(self, tmp_path_factory, smoke_corpus):
+        from kgx.pipelines.kg import KGConfig
+        a = KGConfig().semantic_dict()
+        b = KGConfig(dedup_pages=True).semantic_dict()
+        assert a != b
