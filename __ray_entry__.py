@@ -203,6 +203,16 @@ def _q_text_source_stats(sf_dir: str):
     return source_stats(docs)
 
 
+def _q_text_filter(sf_dir: str):
+    import ray.data as rd
+    from kgx.ops.text import filter_quality
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text"])
+    return filter_quality(docs, min_score_ppm=300_000,
+                          langs=("en",)).select_columns(
+        ["doc_id", "quality_score_ppm", "pred_lang"])
+
+
 def _q_events_window(sf_dir: str):
     import ray.data as rd
     from kgx.ops.window import tumbling_window_agg
@@ -418,6 +428,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_fingerprint": _q_text_fingerprint,
         "text_winnow": _q_text_winnow,
         "text_source_stats": _q_text_source_stats,
+        "text_filter": _q_text_filter,
         # deduplication
         "dedup_exact": _q_dedup_exact,
         "dedup_jaccard": _q_dedup_jaccard,
@@ -565,6 +576,38 @@ def oracle_sql() -> dict[str, str]:
                    CAST((sum(length(text)) * 1000) // count(*) AS BIGINT)
                      AS mean_chars_milli
             FROM documents GROUP BY source
+        """,
+        "text_filter": f"""
+            WITH t AS (
+              SELECT doc_id,
+                     length(regexp_replace(text, '\\s+', '', 'g')) AS n_nonws,
+                     regexp_extract_all(text, '{_WS_RE}') AS toks
+              FROM documents),
+            q AS (
+              SELECT doc_id,
+                     CAST(4000 * least(len(toks), 100)
+                          + (300000 * len(list_distinct(toks)))
+                            // greatest(len(toks), 1)
+                          + (300000 * len(list_filter(toks,
+                               x -> x IN {_STOP_SQL})))
+                            // greatest(len(toks), 1) AS BIGINT)
+                       AS quality_score_ppm
+              FROM t),
+            c AS (
+              SELECT doc_id, {lang_counts}
+              FROM documents),
+            l AS (
+              SELECT doc_id,
+                     CASE WHEN greatest(c_de, c_en, c_es, c_fr) = 0 THEN 'und'
+                          WHEN c_de >= c_en AND c_de >= c_es AND c_de >= c_fr
+                            THEN 'de'
+                          WHEN c_en >= c_es AND c_en >= c_fr THEN 'en'
+                          WHEN c_es >= c_fr THEN 'es'
+                          ELSE 'fr' END AS pred_lang
+              FROM c)
+            SELECT q.doc_id, q.quality_score_ppm, l.pred_lang
+            FROM q JOIN l ON q.doc_id = l.doc_id
+            WHERE q.quality_score_ppm >= 300000 AND l.pred_lang = 'en'
         """,
         "dedup_exact": """
             SELECT md5(text) AS fingerprint, min(doc_id) AS rep_doc_id,

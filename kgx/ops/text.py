@@ -195,3 +195,30 @@ def source_stats(docs_ds):
     partial_ds = docs_ds.map_batches(partial, batch_format="pyarrow")
     return partial_ds.groupby("source").map_groups(
         final, batch_format="pyarrow")
+
+
+def filter_quality(docs_ds, *, min_score_ppm: int = 300_000,
+                   langs: tuple[str, ...] | None = None):
+    """Training-corpus culling: keep documents whose composite quality
+    score reaches ``min_score_ppm`` and (optionally) whose predicted
+    language is in ``langs``.  Pure map_batches composition of
+    :func:`quality_batch` + :func:`lang_id_batch` — no shuffle; emits the
+    surviving (doc_id, text, quality_score_ppm, pred_lang) rows.
+    """
+    def one_batch(batch: pa.Table) -> pa.Table:
+        q = quality_batch(batch)
+        l = lang_id_batch(batch)
+        keep = pc.greater_equal(q["quality_score_ppm"], min_score_ppm)
+        if langs:
+            lang_ok = pc.is_in(l["pred_lang"],
+                               value_set=pa.array(list(langs)))
+            keep = pc.and_(keep, lang_ok)
+        out = pa.table({
+            "doc_id": batch["doc_id"],
+            "text": batch["text"],
+            "quality_score_ppm": q["quality_score_ppm"],
+            "pred_lang": l["pred_lang"],
+        })
+        return out.filter(keep)
+
+    return docs_ds.map_batches(one_batch, batch_format="pyarrow")

@@ -236,3 +236,23 @@ class TestMultimodalStages:
             ResizeStage(fake=False)
         with pt.raises(NotImplementedError):
             FrameSampleStage(fake=False)
+
+
+def test_filter_quality(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+    from kgx.ops.text import filter_quality
+    docs = rd.from_arrow(pa.table({
+        "doc_id": pa.array([1, 2, 3], pa.int64()),
+        "text": pa.array([
+            "the quick brown fox jumps over the lazy dog with style and "
+            "grace in the morning light of a new day",
+            "zz zz zz zz zz zz zz zz",              # degenerate repetition
+            "le chat est sur la table et les livres sont dans le salon "
+            "près des fenêtres et le soleil est dans le ciel",  # french
+        ], pa.string()),
+    }))
+    out = filter_quality(docs, min_score_ppm=300_000,
+                         langs=("en",)).to_pandas()
+    assert list(out["doc_id"]) == [1]
+    assert out["pred_lang"].tolist() == ["en"]
