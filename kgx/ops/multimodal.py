@@ -147,10 +147,18 @@ class ResizeStage:
     def __call__(self, batch: pa.Table) -> pa.Table:
         outs = []
         for p in batch["payload"].to_pylist():
-            h = hashlib.blake2b(
-                (p or b"") + f"{self.width}x{self.height}".encode(),
-                digest_size=16).digest()
-            outs.append(h)  # stands in for the resized image bytes
+            if not self.fake and _HAVE_PIL:  # pragma: no cover - no PIL here
+                import io
+                img = Image.open(io.BytesIO(p)).resize(
+                    (self.width, self.height))
+                buf = io.BytesIO()
+                img.save(buf, format="PNG")
+                h = hashlib.blake2b(buf.getvalue(), digest_size=16).digest()
+            else:
+                h = hashlib.blake2b(
+                    (p or b"") + f"{self.width}x{self.height}".encode(),
+                    digest_size=16).digest()  # stands in for resized bytes
+            outs.append(h)
         return pa.table({
             "media_id": batch["media_id"],
             "width": pa.array([self.width] * len(outs), pa.int32()),

@@ -205,6 +205,8 @@ def stream_kg(pages_path: str, cfg: KGConfig | None = None) -> dict:
         ds = ds.map_batches(
             lambda t: t.filter(pc.equal(t["lang"], cfg.lang_filter)),
             batch_format="pyarrow")
+    if cfg.dedup_pages:
+        ds = dedup_pages_by_text(ds)
     ds = ds.map_batches(make_chunk_batch_fn(cfg.chunk_size, cfg.chunk_overlap),
                         batch_format="pyarrow")
     extracted = ds.map_batches(make_task_extractor(EXTRACTORS[cfg.extractor]),
@@ -217,20 +219,29 @@ def stream_kg(pages_path: str, cfg: KGConfig | None = None) -> dict:
             ["url", "chunk_id", "mention", "norm_mention", "type",
              "description"]),
         batch_format="pyarrow")
-    nodes = canonicalize(mentions, n_salts=cfg.n_salts,
-                         cap=cfg.instance_cap).materialize()
+    nodes = canonicalize(mentions, n_salts=cfg.n_salts, cap=cfg.instance_cap)
+    if cfg.neardup_threshold is not None:
+        from kgx.stages.neardup import neardup_merge_nodes
+        nodes = neardup_merge_nodes(nodes, threshold=cfg.neardup_threshold,
+                                    cap=cfg.instance_cap)
+    nodes = nodes.materialize()
 
-    from kgx.functions.collect import collect_arrow
-    nodes_tbl = collect_arrow(
-        nodes.select_columns(["entity_id", "name", "aliases"]))
-    alias_ref = ray.put(build_alias_map(nodes_tbl))
     triples = extracted.map_batches(
         lambda t: t.filter(pc.equal(t["kind"], "triple")).select(
             ["url", "chunk_id", "subj", "pred", "obj", "strength"]),
         batch_format="pyarrow")
-    edges = resolve_and_dedup_edges(
-        triples, alias_ref, min_strength=cfg.min_strength,
-        cap=cfg.instance_cap, batch_size=cfg.resolve_batch_size)
+    if cfg.resolve_strategy == "coshuffle":
+        edges = resolve_and_dedup_edges_coshuffle(
+            triples, nodes, min_strength=cfg.min_strength,
+            cap=cfg.instance_cap, batch_size=cfg.resolve_batch_size)
+    else:
+        from kgx.functions.collect import collect_arrow
+        nodes_tbl = collect_arrow(
+            nodes.select_columns(["entity_id", "name", "aliases"]))
+        alias_ref = ray.put(build_alias_map(nodes_tbl))
+        edges = resolve_and_dedup_edges(
+            triples, alias_ref, min_strength=cfg.min_strength,
+            cap=cfg.instance_cap, batch_size=cfg.resolve_batch_size)
     return {"nodes": nodes, "edges": edges}
 
 

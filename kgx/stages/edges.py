@@ -75,7 +75,14 @@ def build_alias_map(nodes_table: pa.Table) -> dict[str, tuple[str, str]]:
     aliases_col = nodes_table["aliases"].to_pylist()
     for eid, name, aliases in zip(ids, names, aliases_col):
         for surface in [name] + (aliases or []):
-            alias[normalize(surface)] = (eid, name)
+            key = normalize(surface)
+            cur = alias.get(key)
+            # On the pathological chance two canonical entities share an
+            # alias norm, keep the smallest entity_id — the same tie-break
+            # as the co-shuffle path's _pick_alias, so the two strategies
+            # stay result-identical even on collisions.
+            if cur is None or eid < cur[0]:
+                alias[key] = (eid, name)
     return alias
 
 

@@ -52,6 +52,12 @@ def graph_to_dict(nodes: pa.Table, edges: pa.Table,
                            "text_chunk_id": i["chunk_id"]}
                           for i in r["instances"]],
             "claims": sorted(entity_claims.get(r["entity_id"], [])),
+            # Extra keys beyond the reference shape (harmless to reference
+            # tooling) so export -> load is lossless: the instances list is
+            # capped at instance_cap while n_instances is the exact count,
+            # and aliases carry the resolved surface forms.
+            "aliases": sorted(r["aliases"] or []),
+            "n_instances": r["n_instances"],
         }
     relationships = {}
     for r in edges.to_pylist():
@@ -64,6 +70,7 @@ def graph_to_dict(nodes: pa.Table, edges: pa.Table,
             "instances": [{"source_id": i["url"],
                            "text_chunk_id": i["chunk_id"]}
                           for i in r["instances"]],
+            "n_instances": r["n_instances"],
         }
     claims_out = {}
     for r in claim_rows:
@@ -74,6 +81,7 @@ def graph_to_dict(nodes: pa.Table, edges: pa.Table,
             "instances": [{"source_id": i["url"],
                            "text_chunk_id": i["chunk_id"]}
                           for i in r["instances"]],
+            "n_instances": r["n_instances"],
         }
     return {
         "entities": entities,
@@ -114,11 +122,14 @@ def load_graph_json(path: str) -> dict[str, pa.Table]:
         return [{"url": i["source_id"], "chunk_id": i["text_chunk_id"]}
                 for i in lst]
 
+    # Prefer the explicit extra keys our exporter writes (lossless
+    # round-trip of capped instances + aliases); degrade gracefully on
+    # JSON from reference tooling that lacks them.
     node_rows = [{
         "entity_id": e["id"], "name": e["name"], "type": e["type"],
         "description": e["description"],
-        "aliases": sorted({e["name"]}),
-        "n_instances": len(e["instances"]),
+        "aliases": sorted(e.get("aliases") or {e["name"]}),
+        "n_instances": e.get("n_instances", len(e["instances"])),
         "instances": insts(e["instances"]),
     } for e in d.get("entities", {}).values()]
     node_rows.sort(key=lambda r: r["entity_id"])
@@ -130,7 +141,7 @@ def load_graph_json(path: str) -> dict[str, pa.Table]:
         "subj_name": names.get(r["source_id"], ""),
         "obj_name": names.get(r["target_id"], ""),
         "pred": r["description"], "strength": float(r["strength"]),
-        "n_instances": len(r["instances"]),
+        "n_instances": r.get("n_instances", len(r["instances"])),
         "instances": insts(r["instances"]),
     } for r in d.get("relationships", {}).values()]
     edge_rows.sort(key=lambda r: (r["subj_id"], r["pred"], r["obj_id"]))
@@ -138,7 +149,7 @@ def load_graph_json(path: str) -> dict[str, pa.Table]:
     claim_rows = [{
         "claim_id": c["id"], "content": c["content"],
         "entity_ids": c["entity_ids"],
-        "n_instances": len(c["instances"]),
+        "n_instances": c.get("n_instances", len(c["instances"])),
         "instances": insts(c["instances"]),
     } for c in d.get("claims", {}).values()]
     claim_rows.sort(key=lambda r: r["claim_id"])

@@ -180,6 +180,14 @@ class TestGraphIO:
                 == graph_tables["nodes"]["entity_id"].to_pylist())
         assert (loaded["claims"]["claim_id"].to_pylist()
                 == graph_tables["claims"]["claim_id"].to_pylist())
+        # lossless round-trip of the capped-instances count and aliases
+        assert (loaded["nodes"]["n_instances"].to_pylist()
+                == graph_tables["nodes"]["n_instances"].to_pylist())
+        assert (loaded["nodes"]["aliases"].to_pylist()
+                == [sorted(a) for a in
+                    graph_tables["nodes"]["aliases"].to_pylist()])
+        assert (loaded["edges"]["n_instances"].to_pylist()
+                == graph_tables["edges"]["n_instances"].to_pylist())
 
     def test_reference_dict_shape(self, graph_tables):
         d = graph_to_dict(graph_tables["nodes"], graph_tables["edges"],
@@ -187,11 +195,13 @@ class TestGraphIO:
         assert set(d) == {"entities", "relationships", "claims",
                           "community_summaries"}
         ent = next(iter(d["entities"].values()))
-        assert set(ent) == {"name", "type", "description", "id",
+        # reference keys present; extra keys (aliases, n_instances) make
+        # the export a lossless inverse of load_graph_json
+        assert set(ent) >= {"name", "type", "description", "id",
                             "instances", "claims"}
         assert set(ent["instances"][0]) == {"source_id", "text_chunk_id"}
         rel = next(iter(d["relationships"].values()))
-        assert set(rel) == {"source_id", "target_id", "description",
+        assert set(rel) >= {"source_id", "target_id", "description",
                             "strength", "id", "instances"}
 
     def test_export_is_byte_stable(self, graph_tables, tmp_path):

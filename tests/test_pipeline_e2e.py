@@ -191,3 +191,50 @@ class TestPageDedup:
         a = KGConfig().semantic_dict()
         b = KGConfig(dedup_pages=True).semantic_dict()
         assert a != b
+
+    def test_stream_kg_honors_semantic_knobs(self, tmp_path_factory,
+                                             ray_session):
+        """stream_kg must apply dedup_pages / resolve_strategy exactly like
+        run_pipeline with the identical config (ADVICE r01)."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+        import os
+        from kgx.pipelines.kg import KGConfig, run_pipeline, stream_kg
+
+        root = str(tmp_path_factory.mktemp("stream_knobs"))
+        pdir = os.path.join(root, "pages")
+        os.makedirs(pdir)
+        html = (b"<html><head><title>t</title></head><body><article>"
+                b"<p>Ada Lovelace works for Acme Corporation.</p>"
+                b"</article></body></html>")
+        tbl = pa.table({
+            "url": pa.array([f"https://x/{i}" for i in range(4)]),
+            "warc_ts": pa.array([0] * 4, pa.timestamp("us")),
+            "html": pa.array([html, html, html,
+                              html.replace(b"Ada", b"Alan")], pa.binary()),
+            "text": pa.array([None] * 4, pa.string()),
+            "lang": pa.array(["en"] * 4, pa.string()),
+        })
+        pq.write_table(tbl, os.path.join(pdir, "part-0.parquet"))
+
+        cfg = KGConfig(dedup_pages=True, resolve_strategy="coshuffle")
+        streamed = stream_kg(pdir, cfg)
+        s_nodes = sorted(streamed["nodes"].to_pandas()
+                         [["name", "n_instances"]].itertuples(index=False))
+        s_edges = sorted(streamed["edges"].to_pandas()
+                         [["subj_name", "pred", "obj_name", "n_instances"]]
+                         .itertuples(index=False))
+
+        out = os.path.join(root, "out")
+        p = run_pipeline(pdir, out, cfg)
+        c_nodes = sorted(pq.read_table(p["nodes"]).to_pandas()
+                         [["name", "n_instances"]].itertuples(index=False))
+        c_edges = sorted(pq.read_table(p["edges"]).to_pandas()
+                         [["subj_name", "pred", "obj_name", "n_instances"]]
+                         .itertuples(index=False))
+        assert s_nodes == c_nodes
+        assert s_edges == c_edges
+        # dedup_pages really applied on the stream path: 3 identical pages
+        # collapse, so Ada has exactly one instance
+        ada = [r for r in s_nodes if r.name == "Ada Lovelace"]
+        assert ada and ada[0].n_instances == 1
