@@ -88,6 +88,25 @@ def _q_kg_edges(sf_dir: str):
     return edges.map_batches(project, batch_format="pyarrow")
 
 
+def _q_kg_claims(sf_dir: str):
+    """Claim dedup/resolution (O4/J2) over the documents table: one claim
+    per chunk (content = chunk text, entities = its distinct terms),
+    resolved through the alias map and union-merged by lower(content)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    from kgx.pipelines.docs_kg import claims_table
+    claims = claims_table(sf_dir)
+
+    def project(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "content": t["content"],
+            "n_entities": pc.cast(pc.list_value_length(t["entity_ids"]),
+                                  pa.int64()),
+            "n_instances": t["n_instances"],
+        })
+    return claims.map_batches(project, batch_format="pyarrow")
+
+
 def _q_text_tokens(sf_dir: str):
     import ray.data as rd
     from kgx.ops.text import token_stats_batch
@@ -417,6 +436,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_mentions": _q_kg_mentions,
         "kg_nodes": _q_kg_nodes,
         "kg_edges": _q_kg_edges,
+        "kg_claims": _q_kg_claims,
         "kg_synth_nodes": _q_kg_synth_nodes,
         "kg_communities": _q_kg_communities,
         "kg_summaries": _q_kg_summaries,
@@ -520,6 +540,21 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n_instances
             FROM dt a JOIN dt b ON a.doc_id = b.doc_id AND a.term < b.term
             GROUP BY 1, 2, 3
+        """,
+        "kg_claims": f"""
+            WITH t AS (
+              SELECT array_to_string(string_split_regex(trim(text), '\\s+'),
+                                     ' ') AS content
+              FROM documents WHERE trim(text) <> ''),
+            g AS (
+              SELECT min(content) AS content,
+                     CAST(len(list_distinct(flatten(array_agg(
+                       regexp_extract_all(content, '{_TERM_RE}')))))
+                       AS BIGINT) AS n_entities,
+                     count(*) AS n_instances
+              FROM t GROUP BY lower(content))
+            SELECT content, n_entities, n_instances
+            FROM g WHERE n_entities >= 1
         """,
         "text_tokens": f"""
             SELECT doc_id, length(text) AS n_chars,

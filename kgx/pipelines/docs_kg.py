@@ -49,6 +49,7 @@ def chunk_documents(sf_dir: str, *, chunk_size: int = 200,
 
 def extract_documents(sf_dir: str, *, chunk_size: int = 200,
                       chunk_overlap: int = 50, extractor=TermExtractor,
+                      extractor_kwargs: dict | None = None,
                       concurrency=None, batch_size: int = 1024):
     """documents -> tagged extraction Dataset (mentions/triples/claims).
 
@@ -56,12 +57,14 @@ def extract_documents(sf_dir: str, *, chunk_size: int = 200,
     ``concurrency`` to host the extractor on an actor pool."""
     chunks = chunk_documents(sf_dir, chunk_size=chunk_size,
                              chunk_overlap=chunk_overlap)
+    kwargs = extractor_kwargs or {}
     if concurrency is None:
-        return chunks.map_batches(make_task_extractor(extractor),
+        return chunks.map_batches(make_task_extractor(extractor, **kwargs),
                                   batch_format="pyarrow",
                                   batch_size=batch_size)
     return chunks.map_batches(extractor, batch_format="pyarrow",
-                              batch_size=batch_size, concurrency=concurrency)
+                              batch_size=batch_size, concurrency=concurrency,
+                              fn_constructor_kwargs=kwargs)
 
 
 def kg_tables(sf_dir: str, *, chunk_size: int = 200, chunk_overlap: int = 50,
@@ -99,6 +102,42 @@ def kg_tables(sf_dir: str, *, chunk_size: int = 200, chunk_overlap: int = 50,
     edges = resolve_and_dedup_edges(
         triples, alias_ref, min_strength=min_strength, cap=cap)
     return {"nodes": nodes, "edges": edges}
+
+
+def claims_table(sf_dir: str, *, chunk_size: int = 200,
+                 chunk_overlap: int = 50, n_salts: int = 16, cap: int = 200):
+    """Canonical deduplicated claims over the documents table.
+
+    Exercises the full claim path (O4/J2: resolve entity names through
+    the broadcast alias map, drop claims with zero resolved entities,
+    groupby(lower(content)) union-merge — reference
+    knowledge_graph.py:70-101, simple_graph_builder.py:126-145) with the
+    generic TermExtractor emitting one claim per chunk (content = chunk
+    text, entities = its distinct terms).  Returns the claims Dataset
+    sorted by claim_id.
+    """
+    extracted = extract_documents(
+        sf_dir, chunk_size=chunk_size, chunk_overlap=chunk_overlap,
+        extractor_kwargs={"emit_claims": True})
+    extracted = extracted.materialize()
+
+    mentions = extracted.map_batches(
+        lambda t: t.filter(pc.equal(t["kind"], "mention")).select(
+            ["url", "chunk_id", "mention", "norm_mention", "type",
+             "description"]),
+        batch_format="pyarrow")
+    nodes = canonicalize(mentions, n_salts=n_salts, cap=cap)
+    from kgx.functions.collect import collect_arrow
+    nodes_tbl = collect_arrow(
+        nodes.select_columns(["entity_id", "name", "aliases"]))
+    alias_ref = ray.put(build_alias_map(nodes_tbl))
+
+    from kgx.stages.edges import resolve_and_dedup_claims
+    claims_raw = extracted.map_batches(
+        lambda t: t.filter(pc.equal(t["kind"], "claim")).select(
+            ["url", "chunk_id", "content", "entities"]),
+        batch_format="pyarrow")
+    return resolve_and_dedup_claims(claims_raw, alias_ref, cap=cap)
 
 
 def kg_arrow_tables(sf_dir: str, **kwargs) -> dict:

@@ -206,15 +206,24 @@ class TermExtractor:
     relations are within-chunk co-occurrence pairs of distinct terms
     (``pred="co_occurs_with"``, strength 0.6), capped at ``max_terms``
     distinct terms per chunk (in first-occurrence order) so the pair
-    fan-out stays bounded at scale.  No claims.
+    fan-out stays bounded at scale.
+
+    With ``emit_claims=True`` each chunk holding at least one term also
+    yields one claim whose content is the chunk text and whose entities
+    are the (capped) distinct terms — the generic-corpus analog of the
+    reference's sentence claims (simple_claim_extractor.py:96-133), fully
+    SQL-expressible so the claim dedup/resolution path (O4/J2) gets a
+    DuckDB oracle.  Off by default.
     """
 
     PRED = "co_occurs_with"
     STRENGTH = 0.6
 
-    def __init__(self, min_len: int = 4, max_terms: int = 64):
+    def __init__(self, min_len: int = 4, max_terms: int = 64,
+                 emit_claims: bool = False):
         self.term_re = re.compile(rf"\b[a-z]{{{min_len},}}\b")
         self.max_terms = max_terms
+        self.emit_claims = emit_claims
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         out = _Rows()
@@ -239,6 +248,8 @@ class TermExtractor:
             for i, a in enumerate(distinct):
                 for b in distinct[i + 1:]:
                     out.triple(url, chunk_id, a, self.PRED, b, self.STRENGTH)
+            if self.emit_claims and distinct:
+                out.claim(url, chunk_id, text, distinct)
         return out.table()
 
 

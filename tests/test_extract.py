@@ -71,6 +71,23 @@ class TestTermExtractor:
         tri = out.filter(pa.compute.equal(out["kind"], "triple")).to_pylist()
         assert len(tri) == 1  # only first 2 distinct terms pair up
 
+    def test_no_claims_by_default(self):
+        out = TermExtractor()(_chunk("alpha beta"))
+        assert out.filter(
+            pa.compute.equal(out["kind"], "claim")).num_rows == 0
+
+    def test_emit_claims(self):
+        ex = TermExtractor(emit_claims=True, max_terms=2)
+        out = ex(_chunk("alpha beta alpha gamma xy"))
+        claims = out.filter(pa.compute.equal(out["kind"], "claim")).to_pylist()
+        assert len(claims) == 1
+        assert claims[0]["content"] == "alpha beta alpha gamma xy"
+        assert sorted(claims[0]["entities"]) == ["alpha", "beta"]  # capped
+        # a chunk with zero terms emits no claim
+        empty = ex(_chunk("xy z"))
+        assert empty.filter(
+            pa.compute.equal(empty["kind"], "claim")).num_rows == 0
+
 
 class TestLLMParsers:
     # mirror /root/reference/extraction/simple_entity_extractor.py:170-218,260
