@@ -351,13 +351,20 @@ class LLMExtractor:
     :class:`kgx.functions.llm_client.LLMClient` (retry/backoff + robust
     JSON, the reference builds one aiohttp client per process,
     /root/reference/utils/llm_client.py:24-99) and the prompt templates.
-    ``__call__`` runs per chunk: entity/relationship extraction
-    (prompt -> extract_json -> :func:`parse_extraction`, degrading to the
-    fallback line format), then claim extraction over the entities found
-    in the SAME chunk (the reference's two-pass flow,
-    simple_graph_builder.py:109-124).  There is no network in this
-    sandbox, so the transport must be injected (tests use canned
-    transports); without one the stage raises on first use.
+    ``__call__`` fans the batch's chunks over a bounded thread pool of
+    ``max_concurrency`` workers (LLM latency is network-bound, so threads
+    overlap the waits the way the reference's bounded ``asyncio.gather``
+    does, /root/reference/utils/async_utils.py:36-58 — but bounded, unlike
+    its unbounded indexing gather) and concatenates results in input
+    order, so output is deterministic regardless of completion order.
+    Per chunk: entity/relationship extraction (prompt -> extract_json ->
+    :func:`parse_extraction`, degrading to the fallback line format),
+    then claim extraction over the entities found in the SAME chunk (the
+    reference's two-pass flow, simple_graph_builder.py:109-124).  There
+    is no network in this sandbox, so the transport must be injected
+    (tests use canned transports); without one the stage raises on first
+    use.  Injected transports must be thread-safe for
+    ``max_concurrency > 1``.
     """
 
     def __init__(self, endpoint: str | None = None, model: str = "local",
@@ -367,10 +374,11 @@ class LLMExtractor:
         from kgx.functions.prompts import PromptTemplates
         self.endpoint = endpoint
         self.model = model
-        self.max_concurrency = max_concurrency
+        self.max_concurrency = max(1, int(max_concurrency))
         self.extract_claims = extract_claims
         self.client = LLMClient(transport, temperature=temperature)
         self.prompts = PromptTemplates()
+        self._pool = None  # lazy per-actor thread pool
 
     def _chunk_tables(self, url: str, chunk_id: str, text: str) -> list:
         tables = []
@@ -398,13 +406,22 @@ class LLMExtractor:
         return tables
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        tables = []
-        for url, chunk_id, text in zip(batch["url"].to_pylist(),
-                                       batch["chunk_id"].to_pylist(),
-                                       batch["text"].to_pylist()):
-            if not text:
-                continue
-            tables.extend(self._chunk_tables(url, chunk_id, text))
+        rows = [(url, chunk_id, text)
+                for url, chunk_id, text in zip(batch["url"].to_pylist(),
+                                               batch["chunk_id"].to_pylist(),
+                                               batch["text"].to_pylist())
+                if text]
+        if self.max_concurrency > 1 and len(rows) > 1:
+            if self._pool is None:
+                from concurrent.futures import ThreadPoolExecutor
+                self._pool = ThreadPoolExecutor(
+                    max_workers=self.max_concurrency)
+            # executor.map preserves input order -> deterministic output
+            per_chunk = list(self._pool.map(
+                lambda r: self._chunk_tables(*r), rows))
+        else:
+            per_chunk = [self._chunk_tables(*r) for r in rows]
+        tables = [t for ts in per_chunk for t in ts]
         if not tables:
             return EXTRACTED_SCHEMA.empty_table()
         return pa.concat_tables(tables)

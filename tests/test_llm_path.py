@@ -150,3 +150,48 @@ class TestLLMExtractor:
             "text": pa.array([], pa.string()),
         }))
         assert out.num_rows == 0
+
+    def _wide_batch(self, n=24):
+        return pa.table({
+            "url": pa.array([f"u{i}" for i in range(n)], pa.string()),
+            "chunk_id": pa.array([f"u{i}_0" for i in range(n)], pa.string()),
+            "text": pa.array(["Ada Lovelace programmed the Analytical "
+                              f"Engine. {i}" for i in range(n)], pa.string()),
+        })
+
+    def test_bounded_concurrent_fanout_is_deterministic(self):
+        """max_concurrency is honored: per-batch fan-out runs multiple
+        chunks in flight but never more than the bound, survives flaky
+        transport retries, and emits byte-identical output to the
+        sequential (max_concurrency=1) path."""
+        import threading
+        import time
+
+        lock = threading.Lock()
+        state = {"inflight": 0, "peak": 0, "failed": set()}
+
+        def flaky_slow(prompt, temp):
+            with lock:
+                state["inflight"] += 1
+                state["peak"] = max(state["peak"], state["inflight"])
+                # fail each distinct prompt exactly once (retry path)
+                first = prompt not in state["failed"]
+                state["failed"].add(prompt)
+            try:
+                time.sleep(0.005)
+                if first:
+                    raise TransportError("transient")
+                return _canned_transport(prompt, temp)
+            finally:
+                with lock:
+                    state["inflight"] -= 1
+
+        batch = self._wide_batch()
+        conc = LLMExtractor(transport=flaky_slow, max_concurrency=4,
+                            extract_claims=False)
+        conc.client.sleep = lambda s: None  # don't wait out the backoff
+        got = conc(batch)
+        seq = LLMExtractor(transport=_canned_transport, max_concurrency=1,
+                           extract_claims=False)(batch)
+        assert got.to_pylist() == seq.to_pylist()
+        assert 1 < state["peak"] <= 4
