@@ -103,37 +103,73 @@ def extract_text_batch(batch: pa.Table) -> pa.Table:
     })
 
 
+def _page_fp_batch(batch: pa.Table) -> pa.Table:
+    """Append the content fingerprint (md5 of text; null for empty text)."""
+    import hashlib
+    digests = [hashlib.md5(t.encode("utf-8")).hexdigest() if t else None
+               for t in batch["text"].to_pylist()]
+    return batch.append_column("fp", pa.array(digests, pa.string()))
+
+
+def _page_dup_losers(tagged_ds):
+    """The urls to DROP: for each fingerprint group all but the smallest
+    url.  The input is projected to (fp, url) BEFORE the groupby, so the
+    all-to-all moves two narrow string columns — never the page text."""
+    def losers(group: pa.Table) -> pa.Table:
+        urls = sorted(group["url"].to_pylist())
+        return pa.table({"url": pa.array(urls[1:], pa.string())})
+
+    narrow = tagged_ds.map_batches(
+        lambda t: t.filter(pc.is_valid(t["fp"])).select(["fp", "url"]),
+        batch_format="pyarrow")
+    return narrow.groupby("fp").map_groups(losers, batch_format="pyarrow")
+
+
+# Per-worker cache of broadcast loser-url value sets, keyed by object ref —
+# ray.get once per worker process, reused by every filter task on it.
+_WORKER_DROPSET_CACHE: dict[str, pa.Array] = {}
+
+
+def _make_loser_filter(drop_ref):
+    def drop_losers(batch: pa.Table) -> pa.Table:
+        key = drop_ref.hex()
+        vs = _WORKER_DROPSET_CACHE.get(key)
+        if vs is None:
+            vs = _WORKER_DROPSET_CACHE[key] = pa.array(
+                ray.get(drop_ref), pa.string())
+        keep = pc.invert(pc.is_in(batch["url"], value_set=vs))
+        return batch.filter(keep).drop_columns(["fp"])
+    return drop_losers
+
+
 def dedup_pages_by_text(texts_ds):
-    """Exact page dedup on the extracted text: hash-partition groupby on
-    the content fingerprint, keep the lexicographically smallest url per
-    group (deterministic representative).  One all-to-all carrying
-    (fingerprint, url, text, lang) — the canonical exact-dedup shape; the
+    """Exact page dedup on the extracted text, in the narrow-shuffle shape:
+
+    1. fingerprint each page map-side (md5 of text);
+    2. shuffle ONLY (fp, url) to find each group's losers (every url but
+       the lexicographically smallest — the deterministic representative);
+    3. broadcast the loser-url set once (``ray.put``) and drop those rows
+       map-side.  Page text never moves through an all-to-all.
+
+    The tagged dataset is materialized once (object store, spillable) so
+    fingerprints aren't recomputed for the filter pass.  Scale note: the
+    broadcast set holds only the DUPLICATE urls (bounded by the corpus's
+    duplicate fraction, not its size); if a corpus were majority-duplicate
+    the loser set itself would need the co-shuffle treatment — the
     near-dup path for pages is kgx.ops.dedup.minhash_lsh_pairs.
 
     Rows with EMPTY text (null/unparseable html) pass through unchanged —
     they are failed extractions, not duplicates of each other; whether to
     drop them is a separate filtering decision.
     """
-    import hashlib
+    from kgx.functions.collect import collect_arrow
 
-    def fp(batch: pa.Table) -> pa.Table:
-        digests = [hashlib.md5(t.encode("utf-8")).hexdigest() if t else None
-                   for t in batch["text"].to_pylist()]
-        return batch.append_column("fp", pa.array(digests, pa.string()))
-
-    def keep_first(group: pa.Table) -> pa.Table:
-        urls = group["url"].to_pylist()
-        best = min(range(len(urls)), key=lambda i: urls[i])
-        return group.take(pa.array([best], pa.int64())).drop_columns(["fp"])
-
-    tagged = texts_ds.map_batches(fp, batch_format="pyarrow")
-    empties = tagged.map_batches(
-        lambda t: t.filter(pc.is_null(t["fp"])).drop_columns(["fp"]),
-        batch_format="pyarrow")
-    deduped = tagged.map_batches(
-        lambda t: t.filter(pc.is_valid(t["fp"])), batch_format="pyarrow") \
-        .groupby("fp").map_groups(keep_first, batch_format="pyarrow")
-    return deduped.union(empties)
+    tagged = texts_ds.map_batches(_page_fp_batch,
+                                  batch_format="pyarrow").materialize()
+    loser_tbl = collect_arrow(_page_dup_losers(tagged))
+    drop_ref = ray.put(sorted(loser_tbl["url"].to_pylist()))
+    return tagged.map_batches(_make_loser_filter(drop_ref),
+                              batch_format="pyarrow")
 
 
 def make_chunk_batch_fn(size: int, overlap: int):

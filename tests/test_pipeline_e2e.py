@@ -186,6 +186,25 @@ class TestPageDedup:
         ada = [r for r in nodes.to_pylist() if r["name"] == "Ada Lovelace"]
         assert ada and ada[0]["n_instances"] == 1
 
+    def test_dedup_shuffle_is_narrow(self, ray_session):
+        """The dedup groupby input must carry only (fp, url) — the page
+        text never moves through the all-to-all (VERDICT r01 #4)."""
+        import ray.data as rd
+        from kgx.pipelines.kg import _page_dup_losers, _page_fp_batch
+        import pyarrow as pa
+
+        tbl = pa.table({
+            "url": pa.array([f"u{i}" for i in range(6)], pa.string()),
+            "text": pa.array(["same text"] * 3 + ["other", "", "third"],
+                             pa.string()),
+            "lang": pa.array(["en"] * 6, pa.string()),
+        })
+        tagged = rd.from_arrow(tbl).map_batches(_page_fp_batch,
+                                                batch_format="pyarrow")
+        losers = _page_dup_losers(tagged)
+        assert losers.schema().names == ["url"]  # narrow shuffle output
+        assert sorted(losers.to_pandas()["url"]) == ["u1", "u2"]
+
     def test_knob_is_semantic(self, tmp_path_factory, smoke_corpus):
         from kgx.pipelines.kg import KGConfig
         a = KGConfig().semantic_dict()
