@@ -5,19 +5,28 @@ Scale design notes (100 TB path):
 
 - **Exact** dedup is a hash-partition groupby on the content fingerprint —
   the only all-to-all move is one narrow (fingerprint, doc_id) table.
-- **Exact Jaccard / embedding-cosine** are the *baseline* quadratic paths:
-  the small side (doc->term-set incidence matrix / normalized embedding
-  matrix) is pulled once, ``ray.put`` once, and every block scores against
-  the broadcast matrix with one numpy matmul — zero-copy reads, no
-  per-batch reshipping.  They are exact (and DuckDB-oracle-checked) but
-  assume the derived small side fits one node; past that, the scale path is
-  the LSH variants below, which shuffle only (bucket_key, doc_id) rows.
+- **Exact Jaccard** (:func:`jaccard_pairs`) defaults to
+  ``method="lsh_verify"``: MinHash-LSH banding over the term sets
+  generates candidate pairs, and each candidate is verified with the
+  EXACT set Jaccard via two co-shuffle joins that attach the term sets —
+  nothing is materialized driver-side, nothing is broadcast.  With the
+  default 32 bands x 2 rows the per-pair miss probability at J >= 0.8 is
+  (1 - J^2)^32 <= 4e-15 — numerically exact in practice, and the DuckDB
+  oracle gate checks exact equality.  ``method="matrix"`` keeps the
+  quadratic broadcast-incidence baseline (one numpy matmul per block
+  against a driver-built doc x vocab matrix) for reference/testing.
+- **Embedding-cosine** near-dup is the analogous *baseline* quadratic
+  path (broadcast normalized matrix, one matmul per block); past one
+  node's heap, the scale path is the hyperplane-LSH bucketing of
+  :func:`kgx.ops.simsearch.lsh_topk`.
 - **MinHash+LSH** (shingle -> minhash -> band -> bucket groupby) and
   **SimHash** (bit-sampling bands) never materialize a pairwise matrix:
   candidates come out of ``groupby(band, bucket).map_groups`` and are
   deduplicated by a second pair-keyed groupby.  Both are deterministic
   (seeded permutations, content hashes) but approximate, so their driver
-  checks are rows-only.
+  checks are rows-only.  A skewed bucket (boilerplate-identical docs)
+  would go quadratic, so in-bucket pair generation is CAPPED at
+  ``max_bucket_pairs`` with the drop count logged — never silent.
 
 The reference has no dedup beyond case-insensitive entity-name equality
 (/root/reference/models/knowledge_graph.py:25-45); these operators are the
@@ -30,6 +39,7 @@ import hashlib
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 from kgx.ops.text import WS_TOKEN_RE  # noqa: F401  (shared tokenization)
 
@@ -108,12 +118,24 @@ def collect_incidence(term_sets_ds):
 
 
 def jaccard_pairs(docs_ds, *, threshold: float = 0.8,
-                  pattern: str = TERM_RE):
-    """Exact n-gram (term-set) Jaccard near-dup pairs >= threshold.
+                  pattern: str = TERM_RE, method: str = "lsh_verify"):
+    """Exact term-set Jaccard near-dup pairs >= threshold, emitted as
+    (doc_a < doc_b, jaccard).
 
-    Each block of documents is scored against the broadcast incidence
-    matrix with one integer matmul; emits (doc_a < doc_b, jaccard).
+    ``method="lsh_verify"`` (default): LSH candidates + exact per-pair
+    verification via co-shuffle joins — the scale path (see module
+    docstring).  ``method="matrix"``: the broadcast incidence-matrix
+    baseline (driver-side materialization; fine as an oracle baseline,
+    weak at 100 TB).
     """
+    if method == "lsh_verify":
+        return _jaccard_pairs_lsh_verified(docs_ds, threshold=threshold,
+                                           pattern=pattern)
+    return _jaccard_pairs_matrix(docs_ds, threshold=threshold,
+                                 pattern=pattern)
+
+
+def _jaccard_pairs_matrix(docs_ds, *, threshold: float, pattern: str):
     import ray
 
     sets_ds = docs_ds.map_batches(
@@ -151,6 +173,150 @@ def jaccard_pairs(docs_ds, *, threshold: float = 0.8,
     return sets_ds.map_batches(
         ScoreBlock, batch_format="pyarrow", concurrency=(1, 8),
         fn_constructor_kwargs={"bref": bref})
+
+
+def _jaccard_pairs_lsh_verified(docs_ds, *, threshold: float, pattern: str,
+                                num_perm: int = 64, bands: int = 32,
+                                seed: int = 13):
+    """LSH-then-exact-verify Jaccard pairs (the scale default).
+
+    1. minhash the term SET of each doc (one hash per term, ``num_perm``
+       permutations) and emit band-bucket rows;
+    2. candidate (doc_a < doc_b) pairs per bucket, deduplicated by a
+       pair-keyed groupby — NOT filtered by the signature estimate, so
+       every band-coincident pair is verified exactly;
+    3. two co-shuffle joins on doc id attach both term sets and compute
+       the exact Jaccard; filter >= threshold.
+
+    No driver materialization, no broadcast; shuffles move band rows,
+    candidate pairs, and each candidate's two term lists.  Miss
+    probability per true pair is (1 - J^rows_per_band)^bands — at the
+    default 32x2 and J >= 0.8 that is <= 4e-15.
+    """
+    assert num_perm % bands == 0
+    rows_per_band = num_perm // bands
+    a, b = _perm_params(num_perm, seed)
+
+    sets_ds = docs_ds.map_batches(
+        lambda t: term_sets_batch(t, pattern), batch_format="pyarrow")
+    sets_ds = sets_ds.materialize()   # feeds banding + both verify joins
+
+    def band_rows(batch: pa.Table) -> pa.Table:
+        band_c, bucket_c, doc_c = [], [], []
+        for doc_id, terms in zip(batch["doc_id"].to_pylist(),
+                                 batch["terms"].to_pylist()):
+            hashes = np.unique(np.asarray(
+                [int.from_bytes(hashlib.blake2b(
+                    t.encode(), digest_size=8).digest(), "big")
+                 for t in terms], dtype=np.uint64)) if terms else \
+                np.zeros(0, dtype=np.uint64)
+            sig = minhash_signature(hashes, a, b)
+            for band in range(bands):
+                chunk = sig[band * rows_per_band:(band + 1) * rows_per_band]
+                bucket_c.append(hashlib.blake2b(
+                    chunk.tobytes(), digest_size=8).hexdigest())
+                band_c.append(band)
+                doc_c.append(doc_id)
+        return pa.table({
+            "band": pa.array(band_c, pa.int32()),
+            "bucket": pa.array(bucket_c, pa.string()),
+            "doc_id": pa.array(doc_c, pa.int64()),
+        })
+
+    def bucket_pairs(group: pa.Table) -> pa.Table:
+        ids = sorted(set(group["doc_id"].to_pylist()))
+        a_c, b_c = [], []
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                a_c.append(ids[i])
+                b_c.append(ids[j])
+        return pa.table({"doc_a": pa.array(a_c, pa.int64()),
+                         "doc_b": pa.array(b_c, pa.int64())})
+
+    cand = sets_ds.map_batches(band_rows, batch_format="pyarrow") \
+        .groupby(["band", "bucket"]).map_groups(bucket_pairs,
+                                                batch_format="pyarrow")
+    cand = cand.groupby(["doc_a", "doc_b"]).map_groups(
+        _first_pair, batch_format="pyarrow")
+
+    # verify join phase A: attach doc_a's term set (key = doc_a)
+    TERMS = pa.list_(pa.string())
+
+    def sets_as_join_rows(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        return pa.table({
+            "key": batch["doc_id"].combine_chunks().cast(pa.int64()),
+            "kind": pa.array(["s"] * n, pa.string()),
+            "doc_a": pa.array([None] * n, pa.int64()),
+            "doc_b": pa.array([None] * n, pa.int64()),
+            "terms": batch["terms"].combine_chunks().cast(TERMS),
+            "terms_a": pa.array([None] * n, TERMS),
+        })
+
+    def cand_as_join_rows(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        return pa.table({
+            "key": batch["doc_a"].combine_chunks().cast(pa.int64()),
+            "kind": pa.array(["p"] * n, pa.string()),
+            "doc_a": batch["doc_a"].combine_chunks().cast(pa.int64()),
+            "doc_b": batch["doc_b"].combine_chunks().cast(pa.int64()),
+            "terms": pa.array([None] * n, TERMS),
+            "terms_a": pa.array([None] * n, TERMS),
+        })
+
+    def attach_a(group: pa.Table) -> pa.Table:
+        kinds = group["kind"].to_pylist()
+        try:
+            terms = group["terms"].to_pylist()[kinds.index("s")]
+        except ValueError:
+            terms = None
+        out = group.filter(pc.equal(group["kind"], "p"))
+        if terms is None:
+            return out.slice(0, 0)
+        n = out.num_rows
+        return pa.table({
+            "key": out["doc_b"].combine_chunks(),   # next join key
+            "kind": out["kind"].combine_chunks(),
+            "doc_a": out["doc_a"].combine_chunks(),
+            "doc_b": out["doc_b"].combine_chunks(),
+            "terms": pa.array([None] * n, TERMS),
+            "terms_a": pa.array([terms] * n, TERMS),
+        })
+
+    def verify_b(group: pa.Table) -> pa.Table:
+        kinds = group["kind"].to_pylist()
+        try:
+            terms_b = set(group["terms"].to_pylist()[kinds.index("s")])
+        except ValueError:
+            terms_b = None
+        a_c, b_c, j_c = [], [], []
+        if terms_b is not None:
+            for kind, da, db, ta in zip(kinds, group["doc_a"].to_pylist(),
+                                        group["doc_b"].to_pylist(),
+                                        group["terms_a"].to_pylist()):
+                if kind != "p":
+                    continue
+                sa = set(ta)
+                inter = len(sa & terms_b)
+                union = len(sa) + len(terms_b) - inter
+                j = inter / union if union else 0.0
+                if j >= threshold:
+                    a_c.append(da)
+                    b_c.append(db)
+                    j_c.append(j)
+        return pa.table({
+            "doc_a": pa.array(a_c, pa.int64()),
+            "doc_b": pa.array(b_c, pa.int64()),
+            "jaccard": pa.array(j_c, pa.float64()),
+        })
+
+    sets_rows = sets_ds.map_batches(sets_as_join_rows,
+                                    batch_format="pyarrow")
+    phase_a = sets_rows.union(
+        cand.map_batches(cand_as_join_rows, batch_format="pyarrow")) \
+        .groupby("key").map_groups(attach_a, batch_format="pyarrow")
+    return sets_rows.union(phase_a).groupby("key").map_groups(
+        verify_b, batch_format="pyarrow")
 
 
 # ----------------------------------------------------------------------
@@ -231,14 +397,38 @@ class MinHashBands:
         })
 
 
-def _band_group_pairs(group: pa.Table) -> pa.Table:
-    """All pairs within one LSH bucket, with signature-estimated Jaccard."""
+DEFAULT_MAX_BUCKET_PAIRS = 100_000
+
+
+def _log_bucket_drop(op: str, n_members: int, n_emitted: int,
+                     n_dropped: int) -> None:
+    """No silent caps: a skewed bucket's truncation is always logged."""
+    import logging
+    logging.getLogger("kgx.dedup").warning(
+        "%s: bucket with %d members capped — emitted %d pairs, "
+        "dropped %d", op, n_members, n_emitted, n_dropped)
+
+
+def _band_group_pairs(group: pa.Table,
+                      max_pairs: int = DEFAULT_MAX_BUCKET_PAIRS) -> pa.Table:
+    """All pairs within one LSH bucket, with signature-estimated Jaccard.
+
+    A degenerate bucket (boilerplate-identical corpus) is quadratic in
+    its member count, so emission stops after ``max_pairs`` pairs (in
+    deterministic sorted-id order) and the drop count is logged."""
     ids = group["doc_id"].to_pylist()
     sigs = group["sig"].to_pylist()
     order = np.argsort(ids)
     a_col, b_col, est = [], [], []
-    for i in range(len(order)):
-        for j in range(i + 1, len(order)):
+    n = len(order)
+    capped = False
+    for i in range(n):
+        if capped:
+            break
+        for j in range(i + 1, n):
+            if len(a_col) >= max_pairs:
+                capped = True
+                break
             x, y = order[i], order[j]
             if ids[x] == ids[y]:
                 continue
@@ -246,6 +436,9 @@ def _band_group_pairs(group: pa.Table) -> pa.Table:
             a_col.append(ids[x])
             b_col.append(ids[y])
             est.append(float((sx == sy).mean()))
+    if capped:
+        _log_bucket_drop("minhash_lsh_pairs", n, len(a_col),
+                         n * (n - 1) // 2 - len(a_col))
     return pa.table({
         "doc_a": pa.array(a_col, pa.int64()),
         "doc_b": pa.array(b_col, pa.int64()),
@@ -259,18 +452,22 @@ def _first_pair(group: pa.Table) -> pa.Table:
 
 def minhash_lsh_pairs(docs_ds, *, num_perm: int = 64, bands: int = 16,
                       k: int = 3, seed: int = 13,
-                      min_est_jaccard: float = 0.5):
+                      min_est_jaccard: float = 0.5,
+                      max_bucket_pairs: int = DEFAULT_MAX_BUCKET_PAIRS):
     """MinHash+LSH candidate near-dup pairs (deterministic, approximate).
 
     shingle -> minhash -> band-bucket groupby -> in-bucket pairs ->
     pair-keyed groupby dedup.  Only (band, bucket, doc, sig) rows shuffle.
+    Skewed buckets are capped at ``max_bucket_pairs`` pairs each, with
+    drops logged (never silent).
     """
     banded = docs_ds.map_batches(
         MinHashBands, batch_format="pyarrow", concurrency=(1, 8),
         fn_constructor_kwargs={"num_perm": num_perm, "bands": bands,
                                "k": k, "seed": seed})
     cand = banded.groupby(["band", "bucket"]).map_groups(
-        _band_group_pairs, batch_format="pyarrow")
+        lambda g: _band_group_pairs(g, max_bucket_pairs),
+        batch_format="pyarrow")
     cand = cand.map_batches(
         lambda t: t.filter(
             pa.compute.greater_equal(t["est_jaccard"], min_est_jaccard)),
@@ -329,12 +526,14 @@ def _simhash_band_rows(batch: pa.Table, bands: int = 4) -> pa.Table:
     })
 
 
-def simhash_pairs(docs_ds, *, bands: int = 4, max_hamming: int = 3):
+def simhash_pairs(docs_ds, *, bands: int = 4, max_hamming: int = 3,
+                  max_bucket_pairs: int = DEFAULT_MAX_BUCKET_PAIRS):
     """SimHash near-dup pairs with hamming distance <= max_hamming.
 
     Band-equality blocking guarantees recall for distances < bands
     (pigeonhole); pairs are verified in-bucket and deduplicated by a
-    pair-keyed groupby.
+    pair-keyed groupby.  Skewed buckets are capped at
+    ``max_bucket_pairs`` EMITTED pairs each, with drops logged.
     """
     sh = docs_ds.map_batches(simhash_batch, batch_format="pyarrow")
     banded = sh.map_batches(
@@ -345,8 +544,15 @@ def simhash_pairs(docs_ds, *, bands: int = 4, max_hamming: int = 3):
         hs = group["simhash"].to_pylist()
         order = np.argsort(ids)
         a_col, b_col, d_col = [], [], []
-        for i in range(len(order)):
-            for j in range(i + 1, len(order)):
+        n = len(order)
+        capped = False
+        for i in range(n):
+            if capped:
+                break
+            for j in range(i + 1, n):
+                if len(a_col) >= max_bucket_pairs:
+                    capped = True
+                    break
                 x, y = order[i], order[j]
                 if ids[x] == ids[y]:
                     continue
@@ -355,6 +561,9 @@ def simhash_pairs(docs_ds, *, bands: int = 4, max_hamming: int = 3):
                     a_col.append(ids[x])
                     b_col.append(ids[y])
                     d_col.append(d)
+        if capped:
+            _log_bucket_drop("simhash_pairs", n, len(a_col),
+                             n * (n - 1) // 2 - len(a_col))
         return pa.table({
             "doc_a": pa.array(a_col, pa.int64()),
             "doc_b": pa.array(b_col, pa.int64()),

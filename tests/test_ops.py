@@ -76,6 +76,45 @@ def test_jaccard_pairs_exact(ray_session):
     assert out.iloc[0]["jaccard"] == pytest.approx(3 / 5)
 
 
+def test_jaccard_lsh_verify_equals_matrix(ray_session):
+    """The scale-default LSH-then-exact-verify path must emit exactly the
+    broadcast-matrix baseline's pairs (VERDICT r01 #5)."""
+    texts = ["alpha beta gamma delta epsilon",
+             "alpha beta gamma delta zeta",
+             "alpha beta gamma delta epsilon",   # exact dup of 0
+             "zulu yankee xray whiskey victor",
+             "zulu yankee xray whiskey uniform",
+             "",                                  # empty term set
+             "solo document nothing shared here"]
+
+    def rows(df):
+        return sorted((a, b, round(j, 9)) for a, b, j in
+                      zip(df["doc_a"], df["doc_b"], df["jaccard"]))
+
+    for thr in (0.5, 0.8):
+        lsh = jaccard_pairs(docs_ds(texts), threshold=thr).to_pandas()
+        mat = jaccard_pairs(docs_ds(texts), threshold=thr,
+                            method="matrix").to_pandas()
+        assert rows(lsh) == rows(mat), thr
+
+
+def test_lsh_bucket_pair_cap_on_degenerate_corpus(ray_session):
+    """An all-identical corpus puts every doc in one bucket per band; the
+    cap bounds emitted pairs deterministically instead of going quadratic
+    silently (VERDICT r01 #9)."""
+    from kgx.ops.dedup import simhash_pairs
+    texts = ["identical boilerplate page content here"] * 20
+    out = minhash_lsh_pairs(docs_ds(texts), min_est_jaccard=0.3,
+                            max_bucket_pairs=5).to_pandas()
+    # every band produces the same first-5 sorted-id pairs -> 5 after dedup
+    assert len(out) == 5
+    assert set(zip(out["doc_a"], out["doc_b"])) == {
+        (0, 1), (0, 2), (0, 3), (0, 4), (0, 5)}
+    sh = simhash_pairs(docs_ds(texts), max_hamming=3,
+                       max_bucket_pairs=5).to_pandas()
+    assert len(sh) == 5
+
+
 def test_minhash_signature_properties():
     a, b = _perm_params(32, seed=1)
     s1 = _shingle_hashes("the quick brown fox jumps".split(), 3)
