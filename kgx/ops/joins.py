@@ -89,26 +89,30 @@ def interval_join_events(events_ds, *, left_type: str, right_type: str,
     tol_us = tolerance_s * US
 
     def bucketize(batch: pa.Table) -> pa.Table:
-        types = batch["event_type"].to_pylist()
-        ids = batch["event_id"].to_pylist()
-        ts = pc.cast(batch[ts_col], pa.int64()).to_pylist()
-        keys = batch[key].to_pylist()
-        side_c, key_c, bkt_c, id_c, ts_c = [], [], [], [], []
-        for i in range(len(ids)):
-            b = ts[i] // tol_us
-            if types[i] == left_type:
-                side_c.append("l"); key_c.append(keys[i])
-                bkt_c.append(b); id_c.append(ids[i]); ts_c.append(ts[i])
-            elif types[i] == right_type:
-                for nb in (b - 1, b, b + 1):
-                    side_c.append("r"); key_c.append(keys[i])
-                    bkt_c.append(nb); id_c.append(ids[i]); ts_c.append(ts[i])
+        """Vectorized mask + repeat (no Python row loop): left rows keep
+        their bucket; right rows are tiled into (b-1, b, b+1)."""
+        import numpy as np
+        ts = pc.cast(batch[ts_col], pa.int64()).to_numpy(
+            zero_copy_only=False)
+        ids = batch["event_id"].to_numpy(zero_copy_only=False)
+        keys = batch[key].to_numpy(zero_copy_only=False)
+        b = ts // tol_us
+        li = np.flatnonzero(
+            pc.equal(batch["event_type"], left_type).to_numpy(
+                zero_copy_only=False))
+        ri = np.flatnonzero(
+            pc.equal(batch["event_type"], right_type).to_numpy(
+                zero_copy_only=False))
+        r3 = np.tile(ri, 3)
+        r_bkt = np.concatenate([b[ri] - 1, b[ri], b[ri] + 1]) \
+            if len(ri) else np.zeros(0, dtype=np.int64)
         return pa.table({
-            "side": pa.array(side_c, pa.string()),
-            "key": pa.array(key_c, pa.int64()),
-            "bucket": pa.array(bkt_c, pa.int64()),
-            "event_id": pa.array(id_c, pa.int64()),
-            "t": pa.array(ts_c, pa.int64()),
+            "side": pa.array(["l"] * len(li) + ["r"] * len(r3), pa.string()),
+            "key": pa.array(np.concatenate([keys[li], keys[r3]]), pa.int64()),
+            "bucket": pa.array(np.concatenate([b[li], r_bkt]), pa.int64()),
+            "event_id": pa.array(np.concatenate([ids[li], ids[r3]]),
+                                 pa.int64()),
+            "t": pa.array(np.concatenate([ts[li], ts[r3]]), pa.int64()),
         })
 
     def in_bucket(group: pa.Table) -> pa.Table:

@@ -20,6 +20,20 @@ import pyarrow as pa
 import ray
 
 
+def emb_matrix(col: pa.ChunkedArray | pa.Array) -> np.ndarray:
+    """list<float> column -> (rows, dim) float64 matrix without a Python
+    round-trip: flatten the Arrow list buffer and reshape.  Falls back to
+    to_pylist for ragged/null lists (never the case for embeddings)."""
+    arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    n = len(arr)
+    if n == 0:
+        return np.zeros((0, 0), dtype=np.float64)
+    flat = arr.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
+    if flat.size % n == 0 and arr.null_count == 0:
+        return flat.reshape(n, flat.size // n)
+    return np.asarray(arr.to_pylist(), dtype=np.float64)
+
+
 def _pull_queries(emb_ds, query_ids: list[int]):
     """Materialize the (small) query matrix driver-side, ordered by id."""
     from kgx.functions.collect import collect_arrow
@@ -44,7 +58,7 @@ class _BlockTopK:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         ids = np.asarray(batch["vec_id"].to_pylist(), dtype=np.int64)
-        M = np.asarray(batch["embedding"].to_pylist(), dtype=np.float64)
+        M = emb_matrix(batch["embedding"])
         M = M / np.linalg.norm(M, axis=1, keepdims=True)
         S = self.Q @ M.T                      # n_queries x block_rows
         q_col, n_col, s_col = [], [], []
@@ -153,20 +167,19 @@ def ivf_topk(emb_ds, query_ids: list[int], *, k: int = 10,
     probed_set = set(probed)
     qref = ray.put((qids, Q, q_cells))
 
+    probed_arr = np.asarray(probed, dtype=np.int64)
+
     def tag_cells(batch: pa.Table) -> pa.Table:
         Cm = ray.get(cref)
-        M = np.asarray(batch["embedding"].to_pylist(), dtype=np.float64)
+        M = emb_matrix(batch["embedding"])
         M = M / np.linalg.norm(M, axis=1, keepdims=True)
-        cells = np.argmax(M @ Cm.T, axis=1)
-        keep = np.flatnonzero([int(c) in probed_set for c in cells])
+        cells = np.argmax(M @ Cm.T, axis=1).astype(np.int64)
+        keep = np.flatnonzero(np.isin(cells, probed_arr))
+        kept = batch.take(pa.array(keep, pa.int64()))   # zero-copy-ish gather
         return pa.table({
-            "cell": pa.array(cells[keep].astype(np.int64), pa.int64()),
-            "vec_id": pa.array(np.asarray(
-                batch["vec_id"].to_pylist(), dtype=np.int64)[keep],
-                pa.int64()),
-            "embedding": pa.array(
-                [batch["embedding"][int(i)].as_py() for i in keep],
-                pa.list_(pa.float32())),
+            "cell": pa.array(cells[keep], pa.int64()),
+            "vec_id": kept["vec_id"].combine_chunks(),
+            "embedding": kept["embedding"].combine_chunks(),
         })
 
     def cell_topk(group: pa.Table) -> pa.Table:
@@ -174,7 +187,7 @@ def ivf_topk(emb_ds, query_ids: list[int], *, k: int = 10,
         qids_, Q_, qc = ray.get(qref)
         sel = np.flatnonzero([(cell in row) for row in qc])
         ids = np.asarray(group["vec_id"].to_pylist(), dtype=np.int64)
-        M = np.asarray(group["embedding"].to_pylist(), dtype=np.float64)
+        M = emb_matrix(group["embedding"])
         M = M / np.linalg.norm(M, axis=1, keepdims=True)
         Ssc = Q_[sel] @ M.T
         q_col, n_col, s_col = [], [], []
@@ -229,20 +242,18 @@ def lsh_topk(emb_ds, query_ids: list[int], *, k: int = 10, n_bits: int = 4,
     qref = ray.put((qids, Q, qbuckets))
     href = ray.put(H)
 
+    wanted_arr = np.asarray(sorted(wanted), dtype=np.int64)
+
     def tag_buckets(batch: pa.Table) -> pa.Table:
-        M = np.asarray(batch["embedding"].to_pylist(), dtype=np.float64)
+        M = emb_matrix(batch["embedding"])
         M = M / np.linalg.norm(M, axis=1, keepdims=True)
         buckets = _sign_bucket(M, ray.get(href))
-        mask = np.asarray([b in wanted for b in buckets.tolist()])
-        idx = np.flatnonzero(mask)
+        idx = np.flatnonzero(np.isin(buckets, wanted_arr))
+        kept = batch.take(pa.array(idx, pa.int64()))    # zero-copy-ish gather
         return pa.table({
             "bucket": pa.array(buckets[idx], pa.int64()),
-            "vec_id": pa.array(
-                np.asarray(batch["vec_id"].to_pylist(),
-                           dtype=np.int64)[idx], pa.int64()),
-            "embedding": pa.array(
-                [batch["embedding"][int(i)].as_py() for i in idx],
-                pa.list_(pa.float32())),
+            "vec_id": kept["vec_id"].combine_chunks(),
+            "embedding": kept["embedding"].combine_chunks(),
         })
 
     def bucket_topk(group: pa.Table) -> pa.Table:
@@ -250,7 +261,7 @@ def lsh_topk(emb_ds, query_ids: list[int], *, k: int = 10, n_bits: int = 4,
         qids_, Q_, qb = ray.get(qref)
         sel = np.flatnonzero(qb == bucket)
         ids = np.asarray(group["vec_id"].to_pylist(), dtype=np.int64)
-        M = np.asarray(group["embedding"].to_pylist(), dtype=np.float64)
+        M = emb_matrix(group["embedding"])
         M = M / np.linalg.norm(M, axis=1, keepdims=True)
         S = Q_[sel] @ M.T
         q_col, n_col, s_col, r_col = [], [], [], []
