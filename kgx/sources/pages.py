@@ -36,3 +36,65 @@ def pages_from_documents(documents_path: str):
     return rd.read_parquet(documents_path,
                            columns=["doc_id", "text", "lang"]).map_batches(
         to_pages, batch_format="pyarrow")
+
+
+# Reference extension filter (read_text_files,
+# /root/reference/graphrag_lite_x.py:130-148, utils/io_utils.py:3-10).
+TEXT_EXTENSIONS = (".txt", ".md", ".py", ".java", ".js", ".html", ".css")
+
+
+def read_text_dir(directory: str, *, extensions=TEXT_EXTENSIONS):
+    """Raw-corpus ingestion: a directory of loose text files -> the pages
+    shape, mirroring the reference's ``read_text_files`` semantics — only
+    the listed extensions are read, content is decoded as UTF-8, and
+    unreadable files are skipped (not fatal).  The filename plays the
+    reference's ``source_id`` role as ``file://{name}``; ``.html`` files
+    land in the ``html`` column (so the extraction stage boilerplate-strips
+    them), everything else arrives as pre-extracted ``text``.
+
+    Distributed read via ``ray.data.read_binary_files`` with a path filter
+    — each file is one row, read where the block is scheduled, never
+    driver-side.
+    """
+    import os
+
+    import pyarrow as pa
+
+    paths = sorted(
+        os.path.join(directory, f) for f in os.listdir(directory)
+        if f.endswith(tuple(extensions)))
+    if not paths:
+        return rd.from_arrow(pa.table({
+            "url": pa.array([], pa.string()),
+            "warc_ts": pa.array([], pa.timestamp("us")),
+            "html": pa.array([], pa.binary()),
+            "text": pa.array([], pa.string()),
+            "lang": pa.array([], pa.string()),
+        }))
+
+    def to_pages(batch: pa.Table) -> pa.Table:
+        urls, htmls, texts = [], [], []
+        for p, data in zip(batch["path"].to_pylist(),
+                           batch["bytes"].to_pylist()):
+            name = os.path.basename(p)
+            if name.endswith(".html"):
+                html, text = data, None
+            else:
+                try:
+                    html, text = None, data.decode("utf-8")
+                except UnicodeDecodeError:
+                    continue  # skip unreadable files, as the reference does
+            urls.append(f"file://{name}")
+            htmls.append(html)
+            texts.append(text)
+        n = len(urls)
+        return pa.table({
+            "url": pa.array(urls, pa.string()),
+            "warc_ts": pa.array([0] * n, pa.timestamp("us")),
+            "html": pa.array(htmls, pa.binary()),
+            "text": pa.array(texts, pa.string()),
+            "lang": pa.array([None] * n, pa.string()),
+        })
+
+    return rd.read_binary_files(paths, include_paths=True).map_batches(
+        to_pages, batch_format="pyarrow")

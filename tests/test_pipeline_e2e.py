@@ -152,6 +152,58 @@ class TestPartitionResume:
         assert t1 == t2
 
 
+class TestTextDirSource:
+    def test_raw_directory_to_kg(self, tmp_path_factory, ray_session):
+        """S1 parity: a directory of loose .txt/.md/.html files runs the
+        full pipeline end-to-end via read_text_dir + pages_ds_factory."""
+        import os
+        import pyarrow.parquet as pq
+        from kgx.pipelines.kg import KGConfig, run_pipeline
+        from kgx.sources.pages import read_text_dir
+
+        root = str(tmp_path_factory.mktemp("textdir"))
+        docs = os.path.join(root, "docs")
+        os.makedirs(docs)
+        with open(os.path.join(docs, "a.txt"), "w") as f:
+            f.write("Ada Lovelace works for Acme Corporation.")
+        with open(os.path.join(docs, "b.md"), "w") as f:
+            f.write("Alan Turing works for Acme Corporation.")
+        with open(os.path.join(docs, "c.html"), "w") as f:
+            f.write("<html><body><article><p>Grace Hopper works for "
+                    "Acme Corporation.</p></article></body></html>")
+        with open(os.path.join(docs, "skip.bin"), "w") as f:
+            f.write("not a text extension")  # filtered out
+        with open(os.path.join(docs, "bad.txt"), "wb") as f:
+            f.write(b"\xff\xfe invalid \xff utf8")  # skipped, not fatal
+
+        ds = read_text_dir(docs)
+        rows = {r["url"]: r for r in ds.to_pandas().to_dict("records")}
+        assert set(rows) == {"file://a.txt", "file://b.md", "file://c.html"}
+        assert rows["file://c.html"]["text"] is None  # html -> extract stage
+        assert rows["file://a.txt"]["html"] is None
+
+        out = os.path.join(root, "out")
+        paths = run_pipeline(docs, out, KGConfig(),
+                             pages_ds_factory=lambda: read_text_dir(docs))
+        nodes = pq.read_table(paths["nodes"])
+        names = set(nodes["name"].to_pylist())
+        assert {"Ada Lovelace", "Alan Turing", "Grace Hopper",
+                "Acme Corporation"} <= names
+        texts = pq.read_table(paths["texts"])
+        got = dict(zip(texts["url"].to_pylist(), texts["text"].to_pylist()))
+        # html file went through the boilerplate-stripping extractor
+        assert got["file://c.html"] == ("Grace Hopper works for "
+                                        "Acme Corporation.")
+
+    def test_empty_directory(self, tmp_path_factory, ray_session):
+        import os
+        from kgx.sources.pages import read_text_dir
+        d = str(tmp_path_factory.mktemp("emptydir"))
+        assert read_text_dir(d).count() == 0
+        os.makedirs(os.path.join(d, "x"))  # subdirs ignored like reference
+        assert read_text_dir(d).count() == 0
+
+
 class TestPageDedup:
     def test_duplicate_pages_collapse(self, tmp_path_factory, ray_session):
         import pyarrow as pa
