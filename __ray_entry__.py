@@ -8,8 +8,8 @@ tokenization regexes (RE2 on both sides), same float operation order, and
 integer arithmetic (``floor(x*100+0.5)`` cents, integer floor-division
 averages) wherever distributed summation order could otherwise flip a
 bit.  Approximate/stateful operators (MinHash-LSH, SimHash, winnowing,
-LSH top-k, fake media decode, gazetteer KG over the synthetic corpus)
-have no oracle entry → rows-only check, by design.
+LSH top-k, gazetteer KG over the synthetic corpus) have no oracle entry
+→ rows-only check, by design.
 """
 
 from __future__ import annotations
@@ -797,5 +797,26 @@ def oracle_sql() -> dict[str, str]:
             SELECT 'doc-' || doc_id AS media_id, strlen(text) AS n_bytes,
                    md5(text) AS checksum
             FROM documents
+        """,
+        # Fake decode dims derive from md5 hex pairs of the payload (the
+        # utf-8 text) — byte i == int(hex[2i:2i+2], 16), computed below
+        # with strpos over the hex alphabet.
+        "multimodal_decode": """
+            WITH m AS (
+              SELECT 'doc-' || doc_id AS media_id, md5(text) AS h
+              FROM documents),
+            b AS (
+              SELECT media_id,
+                     (strpos('0123456789abcdef', substr(h, 1, 1)) - 1) * 16
+                       + strpos('0123456789abcdef', substr(h, 2, 1)) - 1 AS b0,
+                     (strpos('0123456789abcdef', substr(h, 3, 1)) - 1) * 16
+                       + strpos('0123456789abcdef', substr(h, 4, 1)) - 1 AS b1,
+                     (strpos('0123456789abcdef', substr(h, 5, 1)) - 1) * 16
+                       + strpos('0123456789abcdef', substr(h, 6, 1)) - 1 AS b2
+              FROM m)
+            SELECT media_id, CAST(64 + b0 % 192 AS INT) AS width,
+                   CAST(64 + b1 % 192 AS INT) AS height,
+                   CAST(1 + b2 % 3 AS INT) AS channels
+            FROM b
         """,
     }

@@ -93,8 +93,12 @@ class ImageDecodeStage:
 
     Real deployments construct the decoder once per actor here; in this
     container there is no image library, so ``fake=True`` produces a
-    deterministic fake decode (dims from the payload hash) and
-    ``fake=False`` raises ``NotImplementedError`` at construction.
+    deterministic fake decode and ``fake=False`` raises
+    ``NotImplementedError`` at construction.  The fake dims derive from
+    the payload's md5 hex digest (byte i of the digest = hex pair
+    ``[2i:2i+2]``) — chosen over a keyed hash precisely so the stub is
+    expressible in ANSI SQL and the driver's DuckDB oracle can
+    hash-match the full decode plumbing, not just count rows.
     """
 
     def __init__(self, *, fake: bool = not _HAVE_PIL):
@@ -108,7 +112,7 @@ class ImageDecodeStage:
         widths, heights, channels = [], [], []
         for p in batch["payload"].to_pylist():
             if self.fake or not _HAVE_PIL:
-                h = hashlib.blake2b(p or b"", digest_size=4).digest()
+                h = hashlib.md5(p or b"").digest()
                 widths.append(64 + h[0] % 192)
                 heights.append(64 + h[1] % 192)
                 channels.append(1 + h[2] % 3)
