@@ -77,6 +77,38 @@ Text:
 {text}
 """
 
+PIPE_ENTITY_TEMPLATE = """\
+You are extracting a knowledge graph from text.
+
+Identify every entity of these types: {entity_types}, then the
+relationships between entities found in THIS text.
+
+Emit one record per item, records separated by **, using exactly:
+("entity"|<name>|<type>|<one-sentence description>)
+("relationship"|<source name>|<target name>|<predicate phrase>|<strength 0.0-1.0>)
+
+Relationship endpoints must be names you emitted as entity records.
+Finish with the line END_OF_EXTRACTION.
+
+Text:
+{text}
+"""
+
+PIPE_CLAIM_TEMPLATE = """\
+You are extracting factual claims from text.
+
+Known entities in this text: {entity_names}.
+
+Emit one record per claim, records separated by **, using exactly:
+("claim"|<one self-contained factual statement>|<entity name>,<entity name>)
+
+Claim entities must come from the known list.
+Finish with the line END_OF_CLAIMS.
+
+Text:
+{text}
+"""
+
 COMMUNITY_SUMMARY_TEMPLATE = """\
 You are writing an analyst report about one community of a knowledge
 graph.  Its entities, relationships and claims follow as CSV tables.
@@ -133,6 +165,8 @@ class PromptTemplates:
     entity_fallback_template = ENTITY_FALLBACK_TEMPLATE
     claim_template = CLAIM_EXTRACTION_TEMPLATE
     claim_fallback_template = CLAIM_FALLBACK_TEMPLATE
+    pipe_entity_template = PIPE_ENTITY_TEMPLATE
+    pipe_claim_template = PIPE_CLAIM_TEMPLATE
     summary_template = COMMUNITY_SUMMARY_TEMPLATE
     query_map_template = QUERY_MAP_TEMPLATE
     query_reduce_template = QUERY_REDUCE_TEMPLATE
@@ -151,6 +185,19 @@ class PromptTemplates:
 
     def claim_fallback(self, text: str) -> str:
         return self.claim_fallback_template.format(text=text)
+
+    def pipe_entity_extraction(self, text: str,
+                               entity_types: list[str] | None = None) -> str:
+        """Pipe-record extraction prompt (the reference's richer format,
+        utils/prompts.py:6-52 — own wording, same record grammar)."""
+        types = ", ".join(entity_types or DEFAULT_ENTITY_TYPES)
+        return self.pipe_entity_template.format(entity_types=types, text=text)
+
+    def pipe_claim_extraction(self, text: str,
+                              entity_names: list[str]) -> str:
+        """Pipe-record claim prompt (utils/prompts.py:85-124 analog)."""
+        return self.pipe_claim_template.format(
+            entity_names=", ".join(entity_names), text=text)
 
     def community_summary(self, community_tables: str) -> str:
         return self.summary_template.format(community_tables=community_tables)

@@ -56,30 +56,72 @@ _WORD_RE = re.compile(r"\w+")
 
 
 class _Rows:
-    """Column-wise accumulator for the tagged EXTRACTED_SCHEMA table."""
+    """Column-wise accumulator for the tagged EXTRACTED_SCHEMA table.
+
+    Per-kind column lists (a mention row appends its 6 fields, not 13
+    with null padding) — this accumulator runs once per extracted row in
+    the hottest stage, so the batch table is assembled as three per-kind
+    blocks with ``pa.nulls`` for the absent columns and concatenated.
+    Rows therefore group by kind within a batch (mentions, then triples,
+    then claims); every consumer filters on ``kind`` or aggregates, so
+    intra-batch order is immaterial — and it stays deterministic.
+    """
+
+    _MENTION_COLS = ("url", "chunk_id", "mention", "norm_mention", "type",
+                     "description")
+    _TRIPLE_COLS = ("url", "chunk_id", "subj", "pred", "obj", "strength")
+    _CLAIM_COLS = ("url", "chunk_id", "content", "entities")
 
     def __init__(self) -> None:
-        self.cols: dict[str, list] = {f.name: [] for f in EXTRACTED_SCHEMA}
+        self.m: dict[str, list] = {c: [] for c in self._MENTION_COLS}
+        self.t: dict[str, list] = {c: [] for c in self._TRIPLE_COLS}
+        self.c: dict[str, list] = {c: [] for c in self._CLAIM_COLS}
 
     def mention(self, url, chunk_id, mention, norm, etype, desc):
-        self._row(kind="mention", url=url, chunk_id=chunk_id, mention=mention,
-                  norm_mention=norm, type=etype, description=desc)
+        m = self.m
+        m["url"].append(url)
+        m["chunk_id"].append(chunk_id)
+        m["mention"].append(mention)
+        m["norm_mention"].append(norm)
+        m["type"].append(etype)
+        m["description"].append(desc)
 
     def triple(self, url, chunk_id, subj, pred, obj, strength):
-        self._row(kind="triple", url=url, chunk_id=chunk_id, subj=subj,
-                  pred=pred, obj=obj, strength=strength)
+        t = self.t
+        t["url"].append(url)
+        t["chunk_id"].append(chunk_id)
+        t["subj"].append(subj)
+        t["pred"].append(pred)
+        t["obj"].append(obj)
+        t["strength"].append(strength)
 
     def claim(self, url, chunk_id, content, entities):
-        self._row(kind="claim", url=url, chunk_id=chunk_id, content=content,
-                  entities=entities)
-
-    def _row(self, **kw):
-        for name, col in self.cols.items():
-            col.append(kw.get(name))
+        c = self.c
+        c["url"].append(url)
+        c["chunk_id"].append(chunk_id)
+        c["content"].append(content)
+        c["entities"].append(entities)
 
     def table(self) -> pa.Table:
-        return pa.table(
-            {f.name: pa.array(self.cols[f.name], f.type) for f in EXTRACTED_SCHEMA})
+        parts = []
+        for kind, cols in (("mention", self.m), ("triple", self.t),
+                           ("claim", self.c)):
+            n = len(cols["url"])
+            if not n:
+                continue
+            arrays = []
+            for f in EXTRACTED_SCHEMA:
+                if f.name == "kind":
+                    arrays.append(pa.array([kind] * n, f.type))
+                elif f.name in cols:
+                    arrays.append(pa.array(cols[f.name], f.type))
+                else:
+                    arrays.append(pa.nulls(n, f.type))
+            parts.append(pa.Table.from_arrays(arrays,
+                                              schema=EXTRACTED_SCHEMA))
+        if not parts:
+            return EXTRACTED_SCHEMA.empty_table()
+        return pa.concat_tables(parts)
 
 
 class GazetteerExtractor:
@@ -148,13 +190,26 @@ class GazetteerExtractor:
         for url, chunk_id, text in zip(urls, chunk_ids, texts):
             if not text:
                 continue
+            # Two-level trigger screen.  Chunk level: ONE word scan over
+            # the whole chunk; the trigger-word intersection is usually
+            # tiny (the few entity words actually present), and a chunk
+            # with none skips the sentence pass entirely.  Sentence
+            # level: plain substring checks against that tiny hit set — a
+            # superset of the word-boundary screen (mention_re verifies
+            # with \b), so no sentence the old per-sentence word scan
+            # passed is ever missed, at a fraction of the allocations.
+            hit_words = self._trigger.intersection(
+                _WORD_RE.findall(text.lower()))
+            if not hit_words:
+                continue
+            hit_words = sorted(hit_words)
             # One sentence pass: mentions, then relations/claims only on
             # sentences that can possibly hold them (>=2 mentions and the
             # pattern's literal middle text present) — filler sentences
             # never pay the big-alternation relation regexes.
             for sent in _SENT_SPLIT.split(text):
                 low_sent = sent.lower()
-                if self._trigger.isdisjoint(_WORD_RE.findall(low_sent)):
+                if not any(w in low_sent for w in hit_words):
                     continue
                 ments = []
                 for m in self.mention_re.finditer(sent):
@@ -344,6 +399,74 @@ def parse_fallback_claims(raw: str, url: str, chunk_id: str) -> pa.Table:
     return out.table()
 
 
+def parse_pipe_extraction(raw: str, url: str, chunk_id: str) -> pa.Table:
+    """Parse the pipe-record extraction format of the reference's richer
+    prompt family (/root/reference/utils/prompts.py:6-52; dead surface
+    there, implemented here to complete M3):
+    ``("entity"|NAME|TYPE|DESC)`` and
+    ``("relationship"|SRC|TGT|DESC|STRENGTH)`` records, ``**``-delimited,
+    terminated by ``END_OF_EXTRACTION``.  Validation matches
+    :func:`parse_extraction`: entities need name+type (description
+    defaults to ``"A {type}"``), relationship endpoints must name
+    entities from the SAME chunk, strength defaults to 0.5 (and on an
+    unparseable number)."""
+    out = _Rows()
+    stop = raw.find("END_OF_EXTRACTION")
+    if stop != -1:
+        raw = raw[:stop]
+    names: set[str] = set()
+    rels: list[tuple] = []
+    for rec in raw.split("**"):
+        # tolerate prose around a record (e.g. a preamble before the
+        # first): take the ( .. ) span
+        start, end = rec.find("("), rec.rfind(")")
+        if start == -1 or end <= start:
+            continue
+        parts = [p.strip() for p in rec[start + 1:end].split("|")]
+        tag = parts[0].strip('"').lower()
+        if tag == "entity" and len(parts) >= 3 and parts[1] and parts[2]:
+            name, etype = parts[1], parts[2]
+            desc = parts[3] if len(parts) > 3 and parts[3] else f"A {etype}"
+            names.add(name)
+            out.mention(url, chunk_id, name, normalize(name), etype, desc)
+        elif tag == "relationship" and len(parts) >= 3:
+            desc = parts[3] if len(parts) > 3 and parts[3] else "related to"
+            try:
+                strength = float(parts[4]) if len(parts) > 4 else 0.5
+            except ValueError:
+                strength = 0.5
+            rels.append((parts[1], parts[2], desc, strength))
+    for s, t, desc, strength in rels:
+        if s in names and t in names:
+            out.triple(url, chunk_id, s, desc, t, strength)
+    return out.table()
+
+
+def parse_pipe_claims(raw: str, url: str, chunk_id: str) -> pa.Table:
+    """Parse ``("claim"|content|e1,e2,...)`` records
+    (/root/reference/utils/prompts.py:85-124), ``**``-delimited,
+    terminated by ``END_OF_CLAIMS``; claims need content, entity names
+    split on commas."""
+    out = _Rows()
+    stop = raw.find("END_OF_CLAIMS")
+    if stop != -1:
+        raw = raw[:stop]
+    for rec in raw.split("**"):
+        start, end = rec.find("("), rec.rfind(")")
+        if start == -1 or end <= start:
+            continue
+        parts = [p.strip() for p in rec[start + 1:end].split("|")]
+        if parts[0].strip('"').lower() != "claim" or len(parts) < 2:
+            continue
+        content = parts[1]
+        if not content:
+            continue
+        ents = [e.strip() for e in parts[2].split(",")
+                if e.strip()] if len(parts) > 2 else []
+        out.claim(url, chunk_id, content, ents)
+    return out.table()
+
+
 class LLMExtractor:
     """Actor-pool LLM extraction stage (production path).
 
@@ -369,41 +492,59 @@ class LLMExtractor:
 
     def __init__(self, endpoint: str | None = None, model: str = "local",
                  temperature: float = 0.1, max_concurrency: int = 8,
-                 transport=None, extract_claims: bool = True):
+                 transport=None, extract_claims: bool = True,
+                 prompt_format: str = "json"):
         from kgx.functions.llm_client import LLMClient
         from kgx.functions.prompts import PromptTemplates
+        if prompt_format not in ("json", "pipe"):
+            raise ValueError(f"unknown prompt_format {prompt_format!r}")
         self.endpoint = endpoint
         self.model = model
         self.max_concurrency = max(1, int(max_concurrency))
         self.extract_claims = extract_claims
+        self.prompt_format = prompt_format
         self.client = LLMClient(transport, temperature=temperature)
         self.prompts = PromptTemplates()
         self._pool = None  # lazy per-actor thread pool
 
     def _chunk_tables(self, url: str, chunk_id: str, text: str) -> list:
         tables = []
-        payload = self.client.extract_json(
-            self.prompts.entity_extraction(text))
-        if "error" in payload:
-            raw = self.client.generate(self.prompts.entity_fallback(text))
-            t = parse_fallback_entities(raw, url, chunk_id)
+        if self.prompt_format == "pipe":
+            raw = self.client.generate(
+                self.prompts.pipe_entity_extraction(text))
+            t = parse_pipe_extraction(raw, url, chunk_id)
+            if t.num_rows == 0:
+                raw = self.client.generate(self.prompts.entity_fallback(text))
+                t = parse_fallback_entities(raw, url, chunk_id)
         else:
-            t = parse_extraction(payload, url, chunk_id)
+            payload = self.client.extract_json(
+                self.prompts.entity_extraction(text))
+            if "error" in payload:
+                raw = self.client.generate(self.prompts.entity_fallback(text))
+                t = parse_fallback_entities(raw, url, chunk_id)
+            else:
+                t = parse_extraction(payload, url, chunk_id)
         tables.append(t)
         if self.extract_claims:
             names = sorted(set(
                 t.filter(pa.compute.equal(t["kind"], "mention"))
                  ["mention"].to_pylist()))
             if names:
-                cp = self.client.extract_json(
-                    self.prompts.claim_extraction(text, names))
-                if "error" in cp:
-                    raw = self.client.generate(
-                        self.prompts.claim_fallback(text))
-                    tables.append(parse_fallback_claims(raw, url, chunk_id))
-                else:
-                    tables.append(parse_claims(cp, url, chunk_id))
+                tables.append(self._claim_table(url, chunk_id, text, names))
         return tables
+
+    def _claim_table(self, url: str, chunk_id: str, text: str,
+                     names: list[str]) -> pa.Table:
+        if self.prompt_format == "pipe":
+            raw = self.client.generate(
+                self.prompts.pipe_claim_extraction(text, names))
+            return parse_pipe_claims(raw, url, chunk_id)
+        cp = self.client.extract_json(
+            self.prompts.claim_extraction(text, names))
+        if "error" in cp:
+            raw = self.client.generate(self.prompts.claim_fallback(text))
+            return parse_fallback_claims(raw, url, chunk_id)
+        return parse_claims(cp, url, chunk_id)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         rows = [(url, chunk_id, text)

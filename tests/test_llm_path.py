@@ -110,6 +110,61 @@ def _canned_transport(prompt, temp):
     return ENTITY_JSON
 
 
+PIPE_ENTITY_RAW = (
+    'Sure:\n("entity"|Ada Lovelace|PERSON|First programmer)**'
+    '("entity"|Analytical Engine|TECHNOLOGY|)**'
+    '("relationship"|Ada Lovelace|Analytical Engine|programmed|0.9)**'
+    '("relationship"|Ada Lovelace|Unknown Entity|related to|0.9)\n'
+    'END_OF_EXTRACTION\nignored trailing text')
+PIPE_CLAIM_RAW = (
+    '("claim"|Ada Lovelace wrote the first program|Ada Lovelace)**'
+    '("claim"||Nobody)**not a record\nEND_OF_CLAIMS')
+
+
+class TestPipeFormat:
+    def test_parse_pipe_extraction(self):
+        from kgx.stages.extract import parse_pipe_extraction
+        t = parse_pipe_extraction(PIPE_ENTITY_RAW, "u", "u_0")
+        kinds = t["kind"].to_pylist()
+        assert kinds.count("mention") == 2
+        # empty description defaults like the JSON parser
+        ment = t.filter(pa.compute.equal(t["kind"], "mention")).to_pylist()
+        assert ment[1]["description"] == "A TECHNOLOGY"
+        # endpoint not extracted in this chunk -> relationship dropped
+        assert kinds.count("triple") == 1
+        tri = t.filter(pa.compute.equal(t["kind"], "triple")).to_pylist()[0]
+        assert (tri["subj"], tri["pred"], tri["obj"],
+                round(tri["strength"], 3)) == \
+            ("Ada Lovelace", "programmed", "Analytical Engine", 0.9)
+
+    def test_parse_pipe_claims(self):
+        from kgx.stages.extract import parse_pipe_claims
+        t = parse_pipe_claims(PIPE_CLAIM_RAW, "u", "u_0")
+        assert t.num_rows == 1  # empty-content claim dropped
+        assert t["entities"][0].as_py() == ["Ada Lovelace"]
+
+    def test_extractor_pipe_format_end_to_end(self):
+        def pipe_transport(prompt, temp):
+            if "factual claims" in prompt:
+                return PIPE_CLAIM_RAW
+            return PIPE_ENTITY_RAW
+        ex = LLMExtractor(transport=pipe_transport, prompt_format="pipe")
+        out = ex(pa.table({
+            "url": pa.array(["u1"], pa.string()),
+            "chunk_id": pa.array(["u1_0"], pa.string()),
+            "text": pa.array(["Ada Lovelace programmed the Analytical "
+                              "Engine."], pa.string()),
+        }))
+        kinds = out["kind"].to_pylist()
+        assert kinds.count("mention") == 2
+        assert kinds.count("triple") == 1
+        assert kinds.count("claim") == 1
+
+    def test_unknown_format_rejected(self):
+        with pytest.raises(ValueError):
+            LLMExtractor(transport=_canned_transport, prompt_format="xml")
+
+
 class TestLLMExtractor:
     def _batch(self):
         return pa.table({
