@@ -9,15 +9,13 @@ prints ONE JSON line::
      "queries": {name: sec, ...}, "sf": ..., "num_cpus": N, ...}
 
 ``--scaling`` runs the headline pipeline twice in FRESH processes
-(num_cpus=4 then num_cpus=16) on the same input and reports both
-throughputs plus scaling efficiency = (thr16/thr4)/4 — the sandbox
+(num_cpus=8 then num_cpus=32) on the same input and reports both
+throughputs plus scaling efficiency = (thr32/thr8)/4 — the sandbox
 evidence for the north_rule's N->4N cluster criterion (no real multi-node
-cluster here).  N=4 is chosen so BOTH runs sit inside this single box's
-memory-bandwidth envelope: raw multiprocessing of the hottest UDF (no
-Ray) shows per-core throughput collapsing ~43% beyond ~16 concurrent
-workers on this VM, so an 8-vs-32 comparison measures the host's
-bandwidth wall, not the engine (a real 4x cluster multiplies bandwidth
-with nodes).  Methodology and numbers in BASELINE.md.
+cluster here).  After the round-2 hot-path vectorization (extractor
+two-level trigger screen, per-kind row accumulators, inlined chunker)
+the measured 8->32 efficiency clears the 0.8 bar on this box; numbers
+and methodology in BASELINE.md.
 """
 
 from __future__ import annotations
@@ -179,37 +177,58 @@ def run_suite(sf_dir: str, num_cpus: int, headline_only: bool) -> dict:
         ray.shutdown()
 
 
-def run_scaling(sf_dir: str) -> dict:
-    """Same headline job in fresh processes at 4 and 16 CPUs (N, 4N)."""
-    results = {}
-    for ncpu in (4, 16):
-        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu),
-                   GRAFT_SF_DIR=sf_dir)
-        out = subprocess.run(
-            [sys.executable, os.path.abspath(__file__), "--headline-only"],
-            env=env, capture_output=True, text=True)
-        if out.returncode != 0:
-            sys.stderr.write(out.stderr[-4000:])
-            raise RuntimeError(f"headline subprocess failed at {ncpu} cpus")
-        line = [ln for ln in out.stdout.strip().splitlines()
-                if ln.startswith("{")][-1]
-        results[ncpu] = json.loads(line)
-    thr_n = results[4]["headline"]["pages_per_sec"]
-    thr_4n = results[16]["headline"]["pages_per_sec"]
-    eff = round((thr_4n / thr_n) / 4.0, 4)
+def run_scaling(sf_dir: str, repeats: int = 3) -> dict:
+    """Same headline job in fresh processes at 8 and 32 CPUs (N, 4N).
+
+    Each level runs ``repeats`` times and the MEDIAN throughput is used:
+    this sandbox VM shows ~10% CPU steal from co-tenants (measured via
+    /proc/stat during runs), which hits the all-cores 32-CPU leg much
+    harder than the 8-of-32 leg; the median filters that interference
+    while every raw sample is reported for inspection.
+    """
+    import statistics
+
+    samples: dict[int, list] = {8: [], 32: []}
+    for _ in range(repeats):
+        for ncpu in (8, 32):
+            env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu),
+                       GRAFT_SF_DIR=sf_dir)
+            out = subprocess.run(
+                [sys.executable, os.path.abspath(__file__),
+                 "--headline-only"],
+                env=env, capture_output=True, text=True)
+            if out.returncode != 0:
+                sys.stderr.write(out.stderr[-4000:])
+                raise RuntimeError(
+                    f"headline subprocess failed at {ncpu} cpus")
+            line = [ln for ln in out.stdout.strip().splitlines()
+                    if ln.startswith("{")][-1]
+            samples[ncpu].append(json.loads(line)["headline"])
+    thr = {n: statistics.median(h["pages_per_sec"] for h in samples[n])
+           for n in (8, 32)}
+    eff = round((thr[32] / thr[8]) / 4.0, 4)
     return {
-        "metric": "scaling_efficiency_4_to_16_cpus",
+        "metric": "scaling_efficiency_8_to_32_cpus",
         "value": eff,
         "unit": "ratio",
-        "queries": {"headline_4cpu": results[4]["headline"]["wall_sec"],
-                    "headline_16cpu": results[16]["headline"]["wall_sec"]},
+        "queries": {
+            "headline_8cpu": statistics.median(
+                h["wall_sec"] for h in samples[8]),
+            "headline_32cpu": statistics.median(
+                h["wall_sec"] for h in samples[32])},
         "sf": _sf_of(sf_dir),
-        "num_cpus": 16,
-        "throughput_pages_per_sec": {"4": thr_n, "16": thr_4n},
+        "num_cpus": 32,
+        "repeats": repeats,
+        "throughput_pages_per_sec": {"8": thr[8], "32": thr[32]},
+        "samples_pages_per_sec": {
+            str(n): [h["pages_per_sec"] for h in samples[n]]
+            for n in (8, 32)},
         "triples_per_sec": {
-            "4": results[4]["headline"]["triples_per_sec"],
-            "16": results[16]["headline"]["triples_per_sec"]},
-        "n_pages": results[16]["headline"]["n_pages"],
+            "8": statistics.median(
+                h["triples_per_sec"] for h in samples[8]),
+            "32": statistics.median(
+                h["triples_per_sec"] for h in samples[32])},
+        "n_pages": samples[32][0]["n_pages"],
     }
 
 
@@ -217,13 +236,15 @@ def main() -> None:
     p = argparse.ArgumentParser()
     p.add_argument("--scaling", action="store_true")
     p.add_argument("--headline-only", action="store_true")
+    p.add_argument("--repeats", type=int, default=3,
+                   help="runs per CPU level in --scaling (median used)")
     args = p.parse_args()
 
     sf_dir = os.environ.get("GRAFT_SF_DIR", DEFAULT_SF_DIR)
     num_cpus = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 
     if args.scaling:
-        print(json.dumps(run_scaling(sf_dir)))
+        print(json.dumps(run_scaling(sf_dir, repeats=args.repeats)))
     else:
         print(json.dumps(run_suite(sf_dir, num_cpus, args.headline_only)))
 

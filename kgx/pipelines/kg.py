@@ -24,7 +24,6 @@ import pyarrow.parquet as pq
 import ray
 import ray.data as rd
 
-from kgx.functions.chunker import chunk_text
 from kgx.functions.html_text import EXTRACTOR_VERSION, extract_text
 from kgx.stages.canonicalize import canonicalize
 from kgx.stages.edges import (build_alias_map, resolve_and_dedup_claims,
@@ -173,17 +172,28 @@ def dedup_pages_by_text(texts_ds):
 
 
 def make_chunk_batch_fn(size: int, overlap: int):
-    """1->N row expansion: texts batch -> chunks batch (M1/M2)."""
+    """1->N row expansion: texts batch -> chunks batch (M1/M2).
+
+    Inlines :func:`kgx.functions.chunker.chunk_text`'s window semantics
+    (same starts via chunk_token_windows, same join) straight into column
+    lists — no per-chunk dict round-trip in the hot path; chunk_text
+    remains the sequential-oracle form and the two are equivalence-tested.
+    """
+    from kgx.functions.chunker import chunk_token_windows
+
     def chunk_batch(batch: pa.Table) -> pa.Table:
         urls, chunk_ids, idxs, texts, ntoks = [], [], [], [], []
         for url, text in zip(batch["url"].to_pylist(),
                              batch["text"].to_pylist()):
-            for row in chunk_text(text or "", url, size, overlap):
-                urls.append(row["url"])
-                chunk_ids.append(row["chunk_id"])
-                idxs.append(row["chunk_index"])
-                texts.append(row["text"])
-                ntoks.append(row["n_tokens"])
+            tokens = (text or "").split()
+            for i, start in enumerate(
+                    chunk_token_windows(len(tokens), size, overlap)):
+                window = tokens[start:start + size]
+                urls.append(url)
+                chunk_ids.append(f"{url}_{i}")
+                idxs.append(i)
+                texts.append(" ".join(window))
+                ntoks.append(len(window))
         return pa.table({
             "url": pa.array(urls, pa.string()),
             "chunk_id": pa.array(chunk_ids, pa.string()),
@@ -220,16 +230,22 @@ def stream_kg(pages_path: str, cfg: KGConfig | None = None) -> dict:
     (spilling under pressure), nothing touches the filesystem until the
     caller writes the final tables.
 
-    This is the throughput shape — on a real cluster the checkpointed
-    ``run_pipeline`` adds only per-node-local Parquet writes per stage
-    for resumability; on this single-disk sandbox those writes are also
-    the benchmark's main variance source, so the bench harness times this
-    path.  Returns ``{"nodes": Dataset, "edges": Dataset}``.
+    Throughput shape (kgx.stages.states): the per-batch combiners run
+    INSIDE the fused read->text->chunk->extract task chain, so only one
+    aggregation-state row per key per block leaves the map phase — the
+    corpus-sized tagged table is never materialized and never re-scanned,
+    and the downstream shuffles run over a few small blocks.  Results are
+    identical to the checkpointed ``run_pipeline`` (parity-tested).
+    Returns ``{"nodes": Dataset, "edges": Dataset}``.
     """
     cfg = cfg or KGConfig()
     ncpu = int(ray.cluster_resources().get("CPU", 4))
     ctx = rd.DataContext.get_current()
     ctx.read_op_min_num_blocks = min(200, max(2 * ncpu, 16))
+
+    from kgx.stages.states import (edges_from_states,
+                                   make_combine_extracted_fn,
+                                   nodes_from_states)
 
     # Block count tracks the cluster: ~4 waves of fused
     # read->text->chunk->extract tasks balances stragglers against driver
@@ -248,36 +264,47 @@ def stream_kg(pages_path: str, cfg: KGConfig | None = None) -> dict:
     extracted = ds.map_batches(make_task_extractor(EXTRACTORS[cfg.extractor]),
                                batch_format="pyarrow",
                                batch_size=cfg.extract_batch_size)
-    extracted = extracted.materialize()  # object store; feeds two shuffles
+    # Fused combine: one state row per key per block leaves the map chain;
+    # coalesce the tiny state blocks so the groupby/sort barriers schedule
+    # a handful of tasks instead of one per extract block.
+    states = extracted.map_batches(
+        make_combine_extracted_fn(n_salts=cfg.n_salts, cap=cfg.instance_cap,
+                                  min_strength=cfg.min_strength),
+        batch_format="pyarrow", batch_size=None)
+    states = states.repartition(max(8, ncpu // 2)).materialize()
 
-    mentions = extracted.map_batches(
-        lambda t: t.filter(pc.equal(t["kind"], "mention")).select(
-            ["url", "chunk_id", "mention", "norm_mention", "type",
-             "description"]),
-        batch_format="pyarrow")
-    nodes = canonicalize(mentions, n_salts=cfg.n_salts, cap=cfg.instance_cap)
+    nodes = nodes_from_states(states, cap=cfg.instance_cap)
     if cfg.neardup_threshold is not None:
         from kgx.stages.neardup import neardup_merge_nodes
         nodes = neardup_merge_nodes(nodes, threshold=cfg.neardup_threshold,
                                     cap=cfg.instance_cap)
     nodes = nodes.materialize()
 
-    triples = extracted.map_batches(
-        lambda t: t.filter(pc.equal(t["kind"], "triple")).select(
-            ["url", "chunk_id", "subj", "pred", "obj", "strength"]),
-        batch_format="pyarrow")
     if cfg.resolve_strategy == "coshuffle":
-        edges = resolve_and_dedup_edges_coshuffle(
-            triples, nodes, min_strength=cfg.min_strength,
-            cap=cfg.instance_cap, batch_size=cfg.resolve_batch_size)
+        from kgx.stages.edges import (
+            _COSHUFFLE_SCHEMA, resolve_and_dedup_edges_coshuffle_from_states)
+
+        def to_coshuffle_rows(t: pa.Table) -> pa.Table:
+            ts = t.filter(pc.equal(t["kind"], "t"))
+            n = ts.num_rows
+            return pa.Table.from_arrays([
+                ts["key"].combine_chunks(),
+                pa.array(["t"] * n, pa.string()),
+                pa.array([None] * n, pa.string()),
+                pa.array([None] * n, pa.string()),
+                ts["state"].combine_chunks(),
+            ], schema=_COSHUFFLE_SCHEMA)
+
+        t_states = states.map_batches(to_coshuffle_rows,
+                                      batch_format="pyarrow")
+        edges = resolve_and_dedup_edges_coshuffle_from_states(
+            t_states, nodes, cap=cfg.instance_cap)
     else:
         from kgx.functions.collect import collect_arrow
         nodes_tbl = collect_arrow(
             nodes.select_columns(["entity_id", "name", "aliases"]))
         alias_ref = ray.put(build_alias_map(nodes_tbl))
-        edges = resolve_and_dedup_edges(
-            triples, alias_ref, min_strength=cfg.min_strength,
-            cap=cfg.instance_cap, batch_size=cfg.resolve_batch_size)
+        edges = edges_from_states(states, alias_ref, cap=cfg.instance_cap)
     return {"nodes": nodes, "edges": edges}
 
 

@@ -348,13 +348,22 @@ def resolve_and_dedup_edges_coshuffle(triples_ds, nodes_ds, *,
                                       batch_size: int = 32768):
     """Broadcast-free endpoint resolution: two co-shuffles on the
     normalized name, then the shared dedup groupby + global sort."""
-    aliases = alias_rows(nodes_ds)
     combined = triples_ds.map_batches(
         lambda b: _combine_triples_unresolved(
             b, min_strength=min_strength, cap=cap),
         batch_format="pyarrow", batch_size=batch_size)
+    return resolve_and_dedup_edges_coshuffle_from_states(
+        combined, nodes_ds, cap=cap)
 
-    phase_a = aliases.union(combined).groupby("norm").map_groups(
+
+def resolve_and_dedup_edges_coshuffle_from_states(combined_ds, nodes_ds, *,
+                                                  cap: int =
+                                                  DEFAULT_INSTANCE_CAP):
+    """Co-shuffle resolution over ALREADY-combined unresolved triple
+    states (the _COSHUFFLE_SCHEMA ``kind="t"`` rows) — the entry point
+    for the fused-combine streaming path (kgx.stages.states)."""
+    aliases = alias_rows(nodes_ds)
+    phase_a = aliases.union(combined_ds).groupby("norm").map_groups(
         lambda g: _resolve_side_group(g, "subj"), batch_format="pyarrow")
     phase_b = aliases.union(phase_a).groupby("norm").map_groups(
         lambda g: _resolve_side_group(g, "obj"), batch_format="pyarrow")

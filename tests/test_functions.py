@@ -68,6 +68,22 @@ class TestChunker:
         b = rows[1]["text"].split()
         assert a[-20:] == b[:20]
 
+    def test_batch_fn_equals_chunk_text(self):
+        """The pipeline's inlined column builder must emit exactly the
+        rows of the sequential-oracle chunk_text, doc by doc."""
+        import pyarrow as pa
+        from kgx.pipelines.kg import make_chunk_batch_fn
+        docs = ["", "   ", "a b c",
+                " ".join(str(i) for i in range(537)),
+                " ".join("tok%d" % i for i in range(100))]
+        urls = [f"u{i}" for i in range(len(docs))]
+        for size, overlap in ((100, 20), (4, 1), (10, 9)):
+            got = make_chunk_batch_fn(size, overlap)(pa.table({
+                "url": pa.array(urls), "text": pa.array(docs)})).to_pylist()
+            want = [row for u, d in zip(urls, docs)
+                    for row in chunk_text(d, u, size, overlap)]
+            assert got == want, (size, overlap)
+
 
 class TestHtmlText:
     # /root/repo-owned oracle: same function in pipeline and test (SURVEY §7.1)
