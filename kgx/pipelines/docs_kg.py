@@ -21,7 +21,7 @@ import ray.data as rd
 
 from kgx.pipelines.kg import make_chunk_batch_fn
 from kgx.stages.canonicalize import canonicalize
-from kgx.stages.edges import build_alias_map, resolve_and_dedup_edges
+from kgx.stages.edges import build_alias_map
 from kgx.stages.extract import TermExtractor, make_task_extractor
 
 
@@ -72,21 +72,25 @@ def kg_tables(sf_dir: str, *, chunk_size: int = 200, chunk_overlap: int = 50,
               cap: int = 200) -> dict:
     """Full in-memory KG build over the documents table.
 
-    Returns ``{"nodes": Dataset, "edges": Dataset}``.  The extraction
-    dataset is materialized once (it feeds both the nodes shuffle and the
-    edges shuffle); at this point it is the narrow tagged table, not the
-    corpus.
+    Returns ``{"nodes": Dataset, "edges": Dataset}``.  Same fused shape
+    as ``stream_kg``: the per-key combiners run inside the extraction
+    task chain (kgx.stages.states), so only aggregation-state rows are
+    materialized — never the tagged per-occurrence table.
     """
-    extracted = extract_documents(
-        sf_dir, chunk_size=chunk_size, chunk_overlap=chunk_overlap)
-    extracted = extracted.materialize()
+    from kgx.stages.states import (edges_from_states,
+                                   make_combine_extracted_fn,
+                                   nodes_from_states)
 
-    mentions = extracted.map_batches(
-        lambda t: t.filter(pc.equal(t["kind"], "mention")).select(
-            ["url", "chunk_id", "mention", "norm_mention", "type",
-             "description"]),
-        batch_format="pyarrow")
-    nodes = canonicalize(mentions, n_salts=n_salts, cap=cap).materialize()
+    ncpu = int(ray.cluster_resources().get("CPU", 4))
+    states = extract_documents(
+        sf_dir, chunk_size=chunk_size, chunk_overlap=chunk_overlap
+    ).map_batches(
+        make_combine_extracted_fn(n_salts=n_salts, cap=cap,
+                                  min_strength=min_strength),
+        batch_format="pyarrow", batch_size=None)
+    states = states.repartition(max(8, ncpu // 2)).materialize()
+
+    nodes = nodes_from_states(states, cap=cap).materialize()
 
     # nodes is small post-canonicalization; pull the three alias-map columns
     # to the driver once and broadcast the dict via ray.put (J1 pattern).
@@ -94,13 +98,7 @@ def kg_tables(sf_dir: str, *, chunk_size: int = 200, chunk_overlap: int = 50,
     nodes_tbl = collect_arrow(
         nodes.select_columns(["entity_id", "name", "aliases"]))
     alias_ref = ray.put(build_alias_map(nodes_tbl))
-
-    triples = extracted.map_batches(
-        lambda t: t.filter(pc.equal(t["kind"], "triple")).select(
-            ["url", "chunk_id", "subj", "pred", "obj", "strength"]),
-        batch_format="pyarrow")
-    edges = resolve_and_dedup_edges(
-        triples, alias_ref, min_strength=min_strength, cap=cap)
+    edges = edges_from_states(states, alias_ref, cap=cap)
     return {"nodes": nodes, "edges": edges}
 
 
