@@ -188,6 +188,32 @@ def _q_dedup_embedding(sf_dir: str):
     return embedding_dup_pairs(emb, threshold=0.45)
 
 
+def _q_dedup_components(sf_dir: str):
+    """Near-dup clusters: exact-Jaccard pairs -> distributed min-label
+    propagation -> (doc_id, component_id = smallest doc in cluster)."""
+    import ray.data as rd
+    from kgx.ops.components import neardup_components
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text"])
+    return neardup_components(docs, threshold=0.8)
+
+
+def _q_text_split(sf_dir: str):
+    import ray.data as rd
+    from kgx.ops.sampling import hash_split
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id"])
+    return hash_split(docs)
+
+
+def _q_text_source_cap(sf_dir: str):
+    import ray.data as rd
+    from kgx.ops.sampling import cap_per_source
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "source", "text"])
+    return cap_per_source(docs, k=10)
+
+
 def _q_simsearch_topk(sf_dir: str):
     import ray.data as rd
     from kgx.ops.simsearch import cosine_topk
@@ -455,6 +481,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_minhash": _q_dedup_minhash,
         "dedup_simhash": _q_dedup_simhash,
         "dedup_embedding": _q_dedup_embedding,
+        "dedup_components": _q_dedup_components,
+        # sampling / quotas
+        "text_split": _q_text_split,
+        "text_source_cap": _q_text_source_cap,
         # similarity search
         "simsearch_topk": _q_simsearch_topk,
         "simsearch_lsh": _q_simsearch_lsh,
@@ -665,6 +695,74 @@ def oracle_sql() -> dict[str, str]:
             JOIN sz sa ON sa.doc_id = da
             JOIN sz sb ON sb.doc_id = db
             WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.8
+        """,
+        "dedup_components": f"""
+            WITH dt AS (
+              SELECT doc_id,
+                     unnest(list_distinct(regexp_extract_all(text, '{_TERM_RE}'))) AS term
+              FROM documents),
+            sz AS (SELECT doc_id, count(*) AS n FROM dt GROUP BY 1),
+            inter AS (
+              SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS i
+              FROM dt a JOIN dt b ON a.term = b.term AND a.doc_id < b.doc_id
+              GROUP BY 1, 2),
+            p AS (
+              SELECT da, db FROM inter
+              JOIN sz sa ON sa.doc_id = da
+              JOIN sz sb ON sb.doc_id = db
+              WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.8),
+            und AS (SELECT da AS src, db AS dst FROM p
+                    UNION SELECT db, da FROM p),
+            reach AS (
+              WITH RECURSIVE r(src, dst) AS (
+                SELECT src, dst FROM und
+                UNION
+                SELECT r.src, u.dst FROM r JOIN und u ON r.dst = u.src)
+              SELECT src, dst FROM r)
+            SELECT d.doc_id,
+                   least(d.doc_id, coalesce(min(r.dst), d.doc_id))
+                     AS component_id
+            FROM documents d LEFT JOIN reach r ON r.src = d.doc_id
+            GROUP BY d.doc_id
+        """,
+        "text_split": """
+            WITH b AS (
+              SELECT doc_id,
+                     (strpos('0123456789abcdef',
+                             substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1)
+                       * 16
+                     + strpos('0123456789abcdef',
+                              substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1
+                       AS bucket
+              FROM documents)
+            SELECT doc_id, CAST(bucket AS INT) AS bucket,
+                   CASE WHEN bucket < 26 THEN 'val' ELSE 'train' END AS split
+            FROM b
+        """,
+        "text_source_cap": f"""
+            WITH t AS (
+              SELECT doc_id, source,
+                     length(regexp_replace(text, '\\s+', '', 'g')) AS n_nonws,
+                     regexp_extract_all(text, '{_WS_RE}') AS toks
+              FROM documents),
+            q AS (
+              SELECT doc_id, source,
+                     CAST(4000 * least(len(toks), 100)
+                          + (300000 * len(list_distinct(toks)))
+                            // greatest(len(toks), 1)
+                          + (300000 * len(list_filter(toks,
+                               x -> x IN {_STOP_SQL})))
+                            // greatest(len(toks), 1) AS BIGINT)
+                       AS quality_score_ppm
+              FROM t),
+            r AS (
+              SELECT source, doc_id, quality_score_ppm,
+                     row_number() OVER (
+                       PARTITION BY source
+                       ORDER BY quality_score_ppm DESC, doc_id ASC) AS rank
+              FROM q)
+            SELECT source, doc_id, quality_score_ppm, rank
+            FROM r WHERE rank <= 10
         """,
         "dedup_embedding": """
             WITH e AS (

@@ -1,0 +1,84 @@
+"""Deterministic corpus sampling / splitting / quota operators.
+
+Training-data pipeline staples the reference lacks entirely:
+
+- :func:`hash_split` — stable train/val assignment from a content-free
+  key hash: byte 0 of ``md5(str(doc_id))`` (0-255) against a cutoff.
+  Purely map-side (no shuffle), reproducible across runs and engines —
+  and expressible in ANSI SQL (the driver's DuckDB oracle hash-matches
+  it), unlike seeded RNG splits.
+- :func:`cap_per_source` — at most ``k`` documents per source, keeping
+  the highest quality-score docs (tie -> smallest doc_id): the standard
+  domain-quota step for Common-Crawl-style corpora where a few hosts
+  dominate.  One ``groupby(source)`` shuffle moving only
+  (source, doc_id, score) — never text; per-group top-k via argsort.
+  Partitioning assumption: one source's (id, score) rows fit a group —
+  they are ~16 bytes/doc, so even a 10^8-doc domain is ~1.6 GB; for
+  heavier skew the two-phase pre-top-k combiner of
+  ``kgx.ops.simsearch`` applies.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+
+from kgx.ops.text import quality_batch
+
+
+def hash_split_batch(batch: pa.Table, *, val_cutoff: int = 26) -> pa.Table:
+    """(doc_id, ...) -> (doc_id, bucket 0-255, split train|val).
+
+    ``bucket < val_cutoff`` -> val (26/256 ~ 10%).  The bucket is byte 0
+    of md5(str(doc_id)) so any engine (and the SQL oracle) reproduces
+    the exact assignment.
+    """
+    ids = batch["doc_id"].to_pylist()
+    buckets = [hashlib.md5(str(d).encode()).digest()[0] for d in ids]
+    return pa.table({
+        "doc_id": batch["doc_id"],
+        "bucket": pa.array(buckets, pa.int32()),
+        "split": pa.array(
+            ["val" if b < val_cutoff else "train" for b in buckets],
+            pa.string()),
+    })
+
+
+def hash_split(docs_ds, *, val_cutoff: int = 26):
+    """documents -> deterministic (doc_id, bucket, split) assignment."""
+    return docs_ds.map_batches(
+        lambda t: hash_split_batch(t, val_cutoff=val_cutoff),
+        batch_format="pyarrow")
+
+
+def _top_k_group(group: pa.Table, k: int) -> pa.Table:
+    ids = np.asarray(group["doc_id"].to_pylist(), dtype=np.int64)
+    scores = np.asarray(group["quality_score_ppm"].to_pylist(),
+                        dtype=np.int64)
+    order = np.lexsort((ids, -scores))[:k]   # score desc, doc_id asc
+    return pa.table({
+        "source": pa.array([group["source"][0].as_py()] * len(order),
+                           pa.string()),
+        "doc_id": pa.array(ids[order], pa.int64()),
+        "quality_score_ppm": pa.array(scores[order], pa.int64()),
+        "rank": pa.array(np.arange(1, len(order) + 1), pa.int64()),
+    })
+
+
+def cap_per_source(docs_ds, *, k: int = 10):
+    """documents (doc_id, source, text) -> the k best-quality docs per
+    source: (source, doc_id, quality_score_ppm, rank), rank 1..k by
+    (score desc, doc_id asc)."""
+    def score(batch: pa.Table) -> pa.Table:
+        q = quality_batch(batch)
+        return pa.table({
+            "source": batch["source"],
+            "doc_id": q["doc_id"],
+            "quality_score_ppm": q["quality_score_ppm"],
+        })
+
+    scored = docs_ds.map_batches(score, batch_format="pyarrow")
+    return scored.groupby("source").map_groups(
+        lambda g: _top_k_group(g, k), batch_format="pyarrow")
