@@ -119,9 +119,82 @@ def connected_components(nodes_ds, pairs_ds, *, max_iters: int = 12):
 def neardup_components(docs_ds, *, threshold: float = 0.8,
                        max_iters: int = 12):
     """documents -> (doc_id, component_id) duplicate clusters from exact
-    term-set Jaccard pairs at ``threshold`` (LSH-verified pair path)."""
-    from kgx.ops.dedup import jaccard_pairs
-    docs_ds = docs_ds.materialize()   # feeds pair mining + the node list
-    pairs = jaccard_pairs(docs_ds, threshold=threshold)
+    term-set Jaccard pairs at ``threshold``.
+
+    Docs with IDENTICAL term sets are collapsed first: they form a true
+    clique (pairwise J = 1), so a star around the group's min doc_id is
+    an exact connectivity-preserving substitute for the clique's
+    quadratic edge set, and pair mining (LSH candidates + exact verify)
+    runs only over one representative per distinct set — J between two
+    docs depends only on their sets, so rep edges are exactly the
+    between-group edges.  Empty-set docs stay singletons (J(∅,·) is 0).
+
+    Scale note: between-group pairs remain inherently quadratic in the
+    near-dup REP-cluster size — that is the operator's output contract
+    ("all pairs >= threshold" drives connectivity), not an
+    implementation artifact; the identical-set collapse removes the
+    usually-dominant exact-duplicate blowup.
+    """
+    import hashlib
+
+    from kgx.ops.dedup import jaccard_pairs, term_sets_batch
+
+    docs_ds = docs_ds.materialize()   # feeds set hashing + rep filtering
+
+    def set_fp(batch: pa.Table) -> pa.Table:
+        sets = term_sets_batch(batch)
+        fps, nts = [], []
+        for terms in sets["terms"].to_pylist():
+            fps.append(hashlib.md5("|".join(terms).encode()).hexdigest())
+            nts.append(len(terms))
+        return pa.table({
+            "doc_id": sets["doc_id"].combine_chunks().cast(pa.int64()),
+            "fp": pa.array(fps, pa.string()),
+            "n_terms": pa.array(nts, pa.int32()),
+        })
+
+    def group_rows(group: pa.Table) -> pa.Table:
+        """One distinct-set group -> tagged rows: one rep row plus star
+        edges rep->member (skipped for the empty set)."""
+        ids = sorted(group["doc_id"].to_pylist())
+        empty = group["n_terms"][0].as_py() == 0
+        kinds, a_c, b_c = ["r"], [ids[0]], [None]
+        if not empty:
+            for m in ids[1:]:
+                kinds.append("e")
+                a_c.append(ids[0])
+                b_c.append(m)
+        return pa.table({
+            "kind": pa.array(kinds, pa.string()),
+            "doc_a": pa.array(a_c, pa.int64()),
+            "doc_b": pa.array(b_c, pa.int64()),
+        })
+
+    tagged = docs_ds.map_batches(set_fp, batch_format="pyarrow") \
+        .groupby("fp").map_groups(group_rows,
+                                  batch_format="pyarrow").materialize()
+    star = tagged.map_batches(
+        lambda t: t.filter(pc.equal(t["kind"], "e")).select(
+            ["doc_a", "doc_b"]),
+        batch_format="pyarrow")
+
+    # one representative doc per distinct set -> pair mining input
+    import ray
+    from kgx.functions.collect import collect_arrow
+    rep_tbl = collect_arrow(tagged.map_batches(
+        lambda t: t.filter(pc.equal(t["kind"], "r")).select(["doc_a"]),
+        batch_format="pyarrow"))
+    rep_ref = ray.put(rep_tbl["doc_a"].combine_chunks().cast(pa.int64()))
+
+    def keep_reps(batch: pa.Table) -> pa.Table:
+        vs = ray.get(rep_ref)
+        return batch.filter(pc.is_in(batch["doc_id"].combine_chunks()
+                                     .cast(pa.int64()), value_set=vs))
+
+    rep_docs = docs_ds.map_batches(keep_reps, batch_format="pyarrow")
+    rep_pairs = jaccard_pairs(rep_docs, threshold=threshold) \
+        .select_columns(["doc_a", "doc_b"])
+
     nodes = docs_ds.select_columns(["doc_id"])
-    return connected_components(nodes, pairs, max_iters=max_iters)
+    return connected_components(nodes, star.union(rep_pairs),
+                                max_iters=max_iters)

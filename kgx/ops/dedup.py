@@ -175,16 +175,53 @@ def _jaccard_pairs_matrix(docs_ds, *, threshold: float, pattern: str):
         fn_constructor_kwargs={"bref": bref})
 
 
+def _band_hashes(sig: np.ndarray, bands: int,
+                 rows_per_band: int) -> np.ndarray:
+    """Per-band bucket ids (uint64) from a minhash signature."""
+    out = np.empty(bands, dtype=np.uint64)
+    for band in range(bands):
+        chunk = sig[band * rows_per_band:(band + 1) * rows_per_band]
+        out[band] = np.uint64(int.from_bytes(hashlib.blake2b(
+            chunk.tobytes(), digest_size=8).digest(), "big"))
+    return out
+
+
+def _owned_bucket_pairs(group: pa.Table) -> pa.Table:
+    """Emit (doc_a < doc_b) pairs of one (band, bucket) group ONLY when
+    this band is the pair's FIRST colliding band (emit-once ownership):
+    every band row carries the doc's full per-band bucket vector, so the
+    first-collision band is computed vectorized per pair, and no
+    deduplicating shuffle over the (bands x pairs) blowup is ever needed.
+    """
+    band = group["band"][0].as_py()
+    ids = np.asarray(group["doc_id"].to_pylist(), dtype=np.int64)
+    order = np.argsort(ids)
+    ids = ids[order]
+    B = np.asarray(group["bands"].to_pylist(), dtype=np.uint64)[order]
+    iu, ju = np.triu_indices(len(ids), k=1)
+    if len(iu) == 0:
+        return pa.table({"doc_a": pa.array([], pa.int64()),
+                         "doc_b": pa.array([], pa.int64())})
+    first = (B[iu] == B[ju]).argmax(axis=1)   # first colliding band
+    keep = np.flatnonzero(first == band)
+    return pa.table({"doc_a": pa.array(ids[iu[keep]], pa.int64()),
+                     "doc_b": pa.array(ids[ju[keep]], pa.int64())})
+
+
 def _jaccard_pairs_lsh_verified(docs_ds, *, threshold: float, pattern: str,
                                 num_perm: int = 64, bands: int = 32,
                                 seed: int = 13):
     """LSH-then-exact-verify Jaccard pairs (the scale default).
 
     1. minhash the term SET of each doc (one hash per term, ``num_perm``
-       permutations) and emit band-bucket rows;
-    2. candidate (doc_a < doc_b) pairs per bucket, deduplicated by a
-       pair-keyed groupby — NOT filtered by the signature estimate, so
-       every band-coincident pair is verified exactly;
+       permutations) and emit band-bucket rows carrying the doc's full
+       per-band bucket vector;
+    2. candidate (doc_a < doc_b) pairs per bucket with FIRST-band
+       ownership (:func:`_owned_bucket_pairs`) — each band-coincident
+       pair is emitted by exactly one band, so there is no
+       bands-x-pairs candidate blowup and no dedup shuffle; candidates
+       are NOT filtered by the signature estimate, every one is
+       verified exactly;
     3. two co-shuffle joins on doc id attach both term sets and compute
        the exact Jaccard; filter >= threshold.
 
@@ -202,7 +239,7 @@ def _jaccard_pairs_lsh_verified(docs_ds, *, threshold: float, pattern: str,
     sets_ds = sets_ds.materialize()   # feeds banding + both verify joins
 
     def band_rows(batch: pa.Table) -> pa.Table:
-        band_c, bucket_c, doc_c = [], [], []
+        band_c, bucket_c, doc_c, bands_c = [], [], [], []
         for doc_id, terms in zip(batch["doc_id"].to_pylist(),
                                  batch["terms"].to_pylist()):
             hashes = np.unique(np.asarray(
@@ -211,33 +248,23 @@ def _jaccard_pairs_lsh_verified(docs_ds, *, threshold: float, pattern: str,
                  for t in terms], dtype=np.uint64)) if terms else \
                 np.zeros(0, dtype=np.uint64)
             sig = minhash_signature(hashes, a, b)
+            bh = _band_hashes(sig, bands, rows_per_band)
+            bh_list = bh.tolist()
             for band in range(bands):
-                chunk = sig[band * rows_per_band:(band + 1) * rows_per_band]
-                bucket_c.append(hashlib.blake2b(
-                    chunk.tobytes(), digest_size=8).hexdigest())
                 band_c.append(band)
+                bucket_c.append(bh_list[band])
                 doc_c.append(doc_id)
+                bands_c.append(bh_list)
         return pa.table({
             "band": pa.array(band_c, pa.int32()),
-            "bucket": pa.array(bucket_c, pa.string()),
+            "bucket": pa.array(bucket_c, pa.uint64()),
             "doc_id": pa.array(doc_c, pa.int64()),
+            "bands": pa.array(bands_c, pa.list_(pa.uint64())),
         })
 
-    def bucket_pairs(group: pa.Table) -> pa.Table:
-        ids = sorted(set(group["doc_id"].to_pylist()))
-        a_c, b_c = [], []
-        for i in range(len(ids)):
-            for j in range(i + 1, len(ids)):
-                a_c.append(ids[i])
-                b_c.append(ids[j])
-        return pa.table({"doc_a": pa.array(a_c, pa.int64()),
-                         "doc_b": pa.array(b_c, pa.int64())})
-
     cand = sets_ds.map_batches(band_rows, batch_format="pyarrow") \
-        .groupby(["band", "bucket"]).map_groups(bucket_pairs,
+        .groupby(["band", "bucket"]).map_groups(_owned_bucket_pairs,
                                                 batch_format="pyarrow")
-    cand = cand.groupby(["doc_a", "doc_b"]).map_groups(
-        _first_pair, batch_format="pyarrow")
 
     # verify join phase A: attach doc_a's term set (key = doc_a)
     TERMS = pa.list_(pa.string())
@@ -374,26 +401,26 @@ class MinHashBands:
         self.a, self.b = _perm_params(num_perm, seed)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        band_col, bucket_col, doc_col, sig_col = [], [], [], []
+        band_col, bucket_col, doc_col, sig_col, bands_col = [], [], [], [], []
         for doc_id, text in zip(batch["doc_id"].to_pylist(),
                                 batch["text"].to_pylist()):
             sig = minhash_signature(
                 _shingle_hashes(text.split(), self.k), self.a, self.b)
             sig_list = sig.tolist()
+            bh_list = _band_hashes(sig, self.bands,
+                                   self.rows_per_band).tolist()
             for band in range(self.bands):
-                chunk = sig[band * self.rows_per_band:
-                            (band + 1) * self.rows_per_band]
-                bucket = hashlib.blake2b(
-                    chunk.tobytes(), digest_size=8).hexdigest()
                 band_col.append(band)
-                bucket_col.append(bucket)
+                bucket_col.append(bh_list[band])
                 doc_col.append(doc_id)
                 sig_col.append(sig_list)
+                bands_col.append(bh_list)
         return pa.table({
             "band": pa.array(band_col, pa.int32()),
-            "bucket": pa.array(bucket_col, pa.string()),
+            "bucket": pa.array(bucket_col, pa.uint64()),
             "doc_id": pa.array(doc_col, pa.int64()),
             "sig": pa.array(sig_col, pa.list_(pa.uint64())),
+            "bands": pa.array(bands_col, pa.list_(pa.uint64())),
         })
 
 
@@ -411,43 +438,38 @@ def _log_bucket_drop(op: str, n_members: int, n_emitted: int,
 
 def _band_group_pairs(group: pa.Table,
                       max_pairs: int = DEFAULT_MAX_BUCKET_PAIRS) -> pa.Table:
-    """All pairs within one LSH bucket, with signature-estimated Jaccard.
+    """Owned pairs within one LSH bucket, with signature-estimated
+    Jaccard, fully vectorized.
 
-    A degenerate bucket (boilerplate-identical corpus) is quadratic in
-    its member count, so emission stops after ``max_pairs`` pairs (in
+    First-band ownership (see :func:`_owned_bucket_pairs`) means a pair
+    is emitted by exactly one band — no dedup shuffle downstream.  A
+    degenerate bucket (boilerplate-identical corpus) is quadratic in its
+    member count, so emission is capped at ``max_pairs`` pairs (in
     deterministic sorted-id order) and the drop count is logged."""
-    ids = group["doc_id"].to_pylist()
-    sigs = group["sig"].to_pylist()
+    band = group["band"][0].as_py()
+    ids = np.asarray(group["doc_id"].to_pylist(), dtype=np.int64)
     order = np.argsort(ids)
-    a_col, b_col, est = [], [], []
-    n = len(order)
-    capped = False
-    for i in range(n):
-        if capped:
-            break
-        for j in range(i + 1, n):
-            if len(a_col) >= max_pairs:
-                capped = True
-                break
-            x, y = order[i], order[j]
-            if ids[x] == ids[y]:
-                continue
-            sx, sy = np.asarray(sigs[x]), np.asarray(sigs[y])
-            a_col.append(ids[x])
-            b_col.append(ids[y])
-            est.append(float((sx == sy).mean()))
-    if capped:
-        _log_bucket_drop("minhash_lsh_pairs", n, len(a_col),
-                         n * (n - 1) // 2 - len(a_col))
+    ids = ids[order]
+    B = np.asarray(group["bands"].to_pylist(), dtype=np.uint64)[order]
+    S = np.asarray(group["sig"].to_pylist(), dtype=np.uint64)[order]
+    n = len(ids)
+    iu, ju = np.triu_indices(n, k=1)
+    if len(iu) == 0:
+        return pa.table({"doc_a": pa.array([], pa.int64()),
+                         "doc_b": pa.array([], pa.int64()),
+                         "est_jaccard": pa.array([], pa.float64())})
+    first = (B[iu] == B[ju]).argmax(axis=1)
+    keep = np.flatnonzero(first == band)
+    if len(keep) > max_pairs:
+        _log_bucket_drop("minhash_lsh_pairs", n, max_pairs,
+                         len(keep) - max_pairs)
+        keep = keep[:max_pairs]
+    est = (S[iu[keep]] == S[ju[keep]]).mean(axis=1)
     return pa.table({
-        "doc_a": pa.array(a_col, pa.int64()),
-        "doc_b": pa.array(b_col, pa.int64()),
+        "doc_a": pa.array(ids[iu[keep]], pa.int64()),
+        "doc_b": pa.array(ids[ju[keep]], pa.int64()),
         "est_jaccard": pa.array(est, pa.float64()),
     })
-
-
-def _first_pair(group: pa.Table) -> pa.Table:
-    return group.slice(0, 1)
 
 
 def minhash_lsh_pairs(docs_ds, *, num_perm: int = 64, bands: int = 16,
@@ -468,12 +490,11 @@ def minhash_lsh_pairs(docs_ds, *, num_perm: int = 64, bands: int = 16,
     cand = banded.groupby(["band", "bucket"]).map_groups(
         lambda g: _band_group_pairs(g, max_bucket_pairs),
         batch_format="pyarrow")
-    cand = cand.map_batches(
+    # first-band ownership already guarantees one row per distinct pair
+    return cand.map_batches(
         lambda t: t.filter(
             pa.compute.greater_equal(t["est_jaccard"], min_est_jaccard)),
         batch_format="pyarrow")
-    return cand.groupby(["doc_a", "doc_b"]).map_groups(
-        _first_pair, batch_format="pyarrow")
 
 
 # ----------------------------------------------------------------------
@@ -535,45 +556,50 @@ def simhash_pairs(docs_ds, *, bands: int = 4, max_hamming: int = 3,
     pair-keyed groupby.  Skewed buckets are capped at
     ``max_bucket_pairs`` EMITTED pairs each, with drops logged.
     """
+    width = 64 // bands
+    mask = np.uint64((1 << width) - 1)
+    shifts = (np.arange(bands, dtype=np.uint64) * np.uint64(width))
+
     sh = docs_ds.map_batches(simhash_batch, batch_format="pyarrow")
     banded = sh.map_batches(
         lambda b: _simhash_band_rows(b, bands), batch_format="pyarrow")
 
     def bucket_pairs(group: pa.Table) -> pa.Table:
-        ids = group["doc_id"].to_pylist()
-        hs = group["simhash"].to_pylist()
+        """Owned in-bucket pairs, vectorized: band chunks derive straight
+        from the carried simhash, so first-band ownership (emit-once,
+        see _owned_bucket_pairs) needs no extra columns; hamming via
+        64-bit popcount in numpy."""
+        band = group["band"][0].as_py()
+        ids = np.asarray(group["doc_id"].to_pylist(), dtype=np.int64)
         order = np.argsort(ids)
-        a_col, b_col, d_col = [], [], []
-        n = len(order)
-        capped = False
-        for i in range(n):
-            if capped:
-                break
-            for j in range(i + 1, n):
-                if len(a_col) >= max_bucket_pairs:
-                    capped = True
-                    break
-                x, y = order[i], order[j]
-                if ids[x] == ids[y]:
-                    continue
-                d = bin(hs[x] ^ hs[y]).count("1")
-                if d <= max_hamming:
-                    a_col.append(ids[x])
-                    b_col.append(ids[y])
-                    d_col.append(d)
-        if capped:
-            _log_bucket_drop("simhash_pairs", n, len(a_col),
-                             n * (n - 1) // 2 - len(a_col))
+        ids = ids[order]
+        hs = np.asarray(group["simhash"].to_pylist(),
+                        dtype=np.uint64)[order]
+        n = len(ids)
+        iu, ju = np.triu_indices(n, k=1)
+        if len(iu) == 0:
+            return pa.table({"doc_a": pa.array([], pa.int64()),
+                             "doc_b": pa.array([], pa.int64()),
+                             "hamming": pa.array([], pa.int32())})
+        chunks = (hs[:, None] >> shifts[None, :]) & mask   # n x bands
+        first = (chunks[iu] == chunks[ju]).argmax(axis=1)
+        xor = hs[iu] ^ hs[ju]
+        ham = np.unpackbits(xor.view(np.uint8).reshape(-1, 8),
+                            axis=1).sum(axis=1)
+        keep = np.flatnonzero((first == band) & (ham <= max_hamming))
+        if len(keep) > max_bucket_pairs:
+            _log_bucket_drop("simhash_pairs", n, max_bucket_pairs,
+                             len(keep) - max_bucket_pairs)
+            keep = keep[:max_bucket_pairs]
         return pa.table({
-            "doc_a": pa.array(a_col, pa.int64()),
-            "doc_b": pa.array(b_col, pa.int64()),
-            "hamming": pa.array(d_col, pa.int32()),
+            "doc_a": pa.array(ids[iu[keep]], pa.int64()),
+            "doc_b": pa.array(ids[ju[keep]], pa.int64()),
+            "hamming": pa.array(ham[keep].astype(np.int32), pa.int32()),
         })
 
-    cand = banded.groupby(["band", "val"]).map_groups(
+    # first-band ownership already emits each pair exactly once
+    return banded.groupby(["band", "val"]).map_groups(
         bucket_pairs, batch_format="pyarrow")
-    return cand.groupby(["doc_a", "doc_b"]).map_groups(
-        _first_pair, batch_format="pyarrow")
 
 
 # ----------------------------------------------------------------------
