@@ -13,6 +13,26 @@ import pyarrow as pa
 import ray
 
 
+def coalesce_small(ds, *, min_blocks: int = 8,
+                   target_block_bytes: int = 64 << 20):
+    """Materialize and, when blocks are tiny, coalesce them.
+
+    Ray's sort-based groupby/sort launch tasks proportional to the input
+    BLOCK COUNT, so a dataset of thousands of kilobyte blocks turns each
+    shuffle barrier into a thousand-task affair dominated by scheduling.
+    This repartitions down to ~``target_block_bytes`` blocks (never below
+    ``min_blocks``) — and leaves genuinely large datasets untouched, so
+    it is safe to apply at corpus scale.
+    """
+    ds = ds.materialize()
+    nb = ds.num_blocks()
+    size = ds.size_bytes() or 0
+    target = max(min_blocks, min(nb, size // target_block_bytes + 1))
+    if target < nb:
+        ds = ds.repartition(target).materialize()
+    return ds
+
+
 def collect_arrow(ds) -> pa.Table:
     tbls = [ray.get(r) for r in ds.to_arrow_refs()]
     real = [t for t in tbls if t.num_columns > 0]

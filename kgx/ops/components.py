@@ -74,15 +74,20 @@ def connected_components(nodes_ds, pairs_ds, *, max_iters: int = 12):
     where component_id is the smallest doc_id in the component;
     singletons map to themselves.  Returns a Dataset sorted by doc_id.
     """
-    labels = nodes_ds.map_batches(
+    from kgx.functions.collect import coalesce_small
+
+    # Coalesce both sides once: every iteration runs two sort shuffles
+    # whose task counts track the BLOCK counts, so thousands of tiny
+    # blocks would make each round a scheduling storm.
+    labels = coalesce_small(nodes_ds.map_batches(
         lambda t: pa.table({
             "node": t["doc_id"].combine_chunks().cast(pa.int64()),
             "other": pa.nulls(t.num_rows, pa.int64()),
             "label": t["doc_id"].combine_chunks().cast(pa.int64()),
         }),
-        batch_format="pyarrow")
-    edges = pairs_ds.map_batches(_edge_endpoint_rows,
-                                 batch_format="pyarrow").materialize()
+        batch_format="pyarrow"))
+    edges = coalesce_small(pairs_ds.map_batches(_edge_endpoint_rows,
+                                                batch_format="pyarrow"))
 
     prev_sum = None
     for _ in range(max_iters):
@@ -170,9 +175,10 @@ def neardup_components(docs_ds, *, threshold: float = 0.8,
             "doc_b": pa.array(b_c, pa.int64()),
         })
 
-    tagged = docs_ds.map_batches(set_fp, batch_format="pyarrow") \
-        .groupby("fp").map_groups(group_rows,
-                                  batch_format="pyarrow").materialize()
+    from kgx.functions.collect import coalesce_small
+    tagged = coalesce_small(
+        docs_ds.map_batches(set_fp, batch_format="pyarrow")
+        .groupby("fp").map_groups(group_rows, batch_format="pyarrow"))
     star = tagged.map_batches(
         lambda t: t.filter(pc.equal(t["kind"], "e")).select(
             ["doc_a", "doc_b"]),

@@ -234,9 +234,11 @@ def _jaccard_pairs_lsh_verified(docs_ds, *, threshold: float, pattern: str,
     rows_per_band = num_perm // bands
     a, b = _perm_params(num_perm, seed)
 
-    sets_ds = docs_ds.map_batches(
-        lambda t: term_sets_batch(t, pattern), batch_format="pyarrow")
-    sets_ds = sets_ds.materialize()   # feeds banding + both verify joins
+    from kgx.functions.collect import coalesce_small
+    # materialized once (feeds banding + both verify joins) and coalesced:
+    # the four downstream shuffles' task counts track the block count
+    sets_ds = coalesce_small(docs_ds.map_batches(
+        lambda t: term_sets_batch(t, pattern), batch_format="pyarrow"))
 
     def band_rows(batch: pa.Table) -> pa.Table:
         band_c, bucket_c, doc_c, bands_c = [], [], [], []
