@@ -77,51 +77,57 @@ def top_customers(sf_dir: str, *, n: int = 10):
 
     Returns the top-n (c_custkey, c_name, revenue_cents, n_orders) by
     (revenue desc, custkey asc).
+
+    Merge shape: per-batch Arrow partials -> Ray native ``Sum``
+    aggregates (vectorized per sorted block) -> one vectorized
+    ``index_in``/``take`` name join per OUTPUT BATCH against the
+    broadcast customer table — no per-group Python anywhere (at sf0.1
+    the previous per-customer ``map_groups`` made ~15k one-row Python
+    calls and dominated the query's wall time).
     """
+    from ray.data.aggregate import Sum
+
     cust = rd.read_parquet(f"{sf_dir}/customer.parquet",
                            columns=["c_custkey", "c_name"])
-    cust_tbl = pa.concat_tables([ray.get(r) for r in cust.to_arrow_refs()])
-    name_map = dict(zip(cust_tbl["c_custkey"].to_pylist(),
-                        cust_tbl["c_name"].to_pylist()))
-    mref = ray.put(name_map)
+    cust_tbl = pa.concat_tables([
+        t for t in (ray.get(r) for r in cust.to_arrow_refs())
+        if t.num_columns > 0]).combine_chunks()
+    cref = ray.put(cust_tbl)
 
     def partial(batch: pa.Table) -> pa.Table:
         t = pa.table({
             "o_custkey": batch["o_custkey"],
             "price_c": _cents(batch["o_totalprice"]),
+            "one": pa.array(np.ones(batch.num_rows, dtype=np.int64)),
         })
         return (t.group_by(["o_custkey"])
-                 .aggregate([("price_c", "sum"), ("price_c", "count")]))
+                 .aggregate([("price_c", "sum"), ("one", "sum")]))
 
-    def finalize(group: pa.Table) -> pa.Table:
-        # closure over the ObjectRef: the dict ships once per worker via
-        # the object store, not once per group
-        names = ray.get(mref)
-        key = group["o_custkey"][0].as_py()
-        rev = sum(group["price_c_sum"].to_pylist())
-        cnt = sum(group["price_c_count"].to_pylist())
-        name = names.get(key)
-        if name is None:              # inner-join semantics: drop unknowns
-            return pa.table({
-                "c_custkey": pa.array([], pa.int64()),
-                "c_name": pa.array([], pa.string()),
-                "revenue_cents": pa.array([], pa.int64()),
-                "n_orders": pa.array([], pa.int64()),
-            })
-        return pa.table({
-            "c_custkey": pa.array([key], pa.int64()),
-            "c_name": pa.array([name], pa.string()),
-            "revenue_cents": pa.array([rev], pa.int64()),
-            "n_orders": pa.array([cnt], pa.int64()),
+    def attach_names(batch: pa.Table) -> pa.Table:
+        # broadcast join: the customer table ships once per worker via
+        # the object store; index_in/take are vectorized Arrow kernels
+        ctab = ray.get(cref)
+        keys = batch["o_custkey"].combine_chunks().cast(pa.int64())
+        idx = pc.index_in(keys, value_set=ctab["c_custkey"]
+                          .combine_chunks().cast(pa.int64()))
+        out = pa.table({
+            "c_custkey": keys,
+            "c_name": pc.take(ctab["c_name"].combine_chunks(), idx),
+            "revenue_cents": batch["sum(price_c_sum)"].combine_chunks()
+                                  .cast(pa.int64()),
+            "n_orders": batch["sum(one_sum)"].combine_chunks()
+                             .cast(pa.int64()),
         })
+        return out.filter(pc.is_valid(idx))   # inner-join: drop unknowns
 
     orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
                              columns=["o_custkey", "o_totalprice"])
     per_cust = orders.map_batches(partial, batch_format="pyarrow")
-    agg = per_cust.groupby("o_custkey").map_groups(
-        finalize, batch_format="pyarrow")
-    top = agg.sort(["revenue_cents", "c_custkey"],
-                   descending=[True, False]).limit(n)
+    agg = per_cust.groupby("o_custkey").aggregate(
+        Sum("price_c_sum"), Sum("one_sum"))
+    top = agg.map_batches(attach_names, batch_format="pyarrow") \
+        .sort(["revenue_cents", "c_custkey"], descending=[True, False]) \
+        .limit(n)
     return top
 
 
