@@ -214,6 +214,34 @@ def _q_text_source_cap(sf_dir: str):
     return cap_per_source(docs, k=10)
 
 
+def _q_text_contaminate(sf_dir: str):
+    """Benchmark decontamination: docs sharing an 8-gram with the
+    deterministic benchmark slice (doc_id % 97 == 0) are flagged."""
+    import pyarrow as pa
+    import ray.data as rd
+    from kgx.ops.decontam import benchmark_gram_set, contamination_flags
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text"])
+
+    def bench_slice(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_numpy(zero_copy_only=False)
+        return b.filter(pa.array(ids % 97 == 0))
+
+    bench = docs.map_batches(bench_slice, batch_format="pyarrow")
+    bref = benchmark_gram_set(bench, n=8)
+    return contamination_flags(docs, bref, n=8)
+
+
+def _q_text_pack(sf_dir: str):
+    """Contiguous sequence packing: global token offset + fixed-length
+    sequence id per doc via a distributed exclusive prefix sum."""
+    import ray.data as rd
+    from kgx.ops.packing import pack_offsets
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text"])
+    return pack_offsets(docs, seq_len=2048)
+
+
 def _q_simsearch_topk(sf_dir: str):
     import ray.data as rd
     from kgx.ops.simsearch import cosine_topk
@@ -475,6 +503,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_winnow": _q_text_winnow,
         "text_source_stats": _q_text_source_stats,
         "text_filter": _q_text_filter,
+        "text_contaminate": _q_text_contaminate,
+        "text_pack": _q_text_pack,
         # deduplication
         "dedup_exact": _q_dedup_exact,
         "dedup_jaccard": _q_dedup_jaccard,
@@ -673,6 +703,46 @@ def oracle_sql() -> dict[str, str]:
             SELECT q.doc_id, q.quality_score_ppm, l.pred_lang
             FROM q JOIN l ON q.doc_id = l.doc_id
             WHERE q.quality_score_ppm >= 300000 AND l.pred_lang = 'en'
+        """,
+        "text_pack": f"""
+            WITH t AS (
+              SELECT doc_id,
+                     CAST(len(regexp_extract_all(text, '{_WS_RE}'))
+                          AS BIGINT) AS n_tokens
+              FROM documents),
+            o AS (
+              SELECT doc_id, n_tokens,
+                     CAST(coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                       0) AS BIGINT) AS begin_token
+              FROM t)
+            SELECT doc_id, n_tokens, begin_token,
+                   begin_token // 2048 AS seq_id
+            FROM o
+        """,
+        "text_contaminate": """
+            WITH toks AS (
+              SELECT doc_id,
+                     string_split_regex(lower(trim(text)), '\\s+') AS t
+              FROM documents WHERE trim(text) <> ''),
+            pos AS (
+              SELECT doc_id, t,
+                     unnest(generate_series(0, len(t) - 8)) AS i
+              FROM toks WHERE len(t) >= 8),
+            dg AS (
+              SELECT DISTINCT doc_id,
+                     array_to_string(t[i + 1 : i + 8], ' ') AS g
+              FROM pos),
+            bench AS (
+              SELECT DISTINCT g FROM dg WHERE doc_id % 97 = 0),
+            hits AS (
+              SELECT d.doc_id, count(*) AS n
+              FROM dg d JOIN bench b USING (g)
+              GROUP BY d.doc_id)
+            SELECT doc_id,
+                   coalesce(h.n, 0) AS n_gram_hits,
+                   coalesce(h.n, 0) > 0 AS contaminated
+            FROM documents LEFT JOIN hits h USING (doc_id)
         """,
         "dedup_exact": """
             SELECT md5(text) AS fingerprint, min(doc_id) AS rep_doc_id,

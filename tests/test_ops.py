@@ -295,3 +295,75 @@ def test_filter_quality(ray_session):
                          langs=("en",)).to_pandas()
     assert list(out["doc_id"]) == [1]
     assert out["pred_lang"].tolist() == ["en"]
+
+
+def test_contamination_flags(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+    from kgx.ops.decontam import benchmark_gram_set, contamination_flags
+    base = "alpha beta gamma delta epsilon zeta eta theta"      # 8 tokens
+    docs = rd.from_arrow(pa.table({
+        "doc_id": pa.array([0, 1, 2, 3], pa.int64()),
+        "text": pa.array([
+            "intro " + base + " outro words here",   # contains bench 8-gram
+            "completely unrelated text with plenty of distinct words okay",
+            "ALPHA Beta GAMMA delta EPSILON zeta ETA theta",  # case-folded hit
+            "short doc",                              # < 8 tokens: no grams
+        ], pa.string()),
+    }))
+    bench = rd.from_arrow(pa.table({
+        "doc_id": pa.array([100], pa.int64()),
+        "text": pa.array([base], pa.string()),
+    }))
+    bref = benchmark_gram_set(bench, n=8)
+    out = contamination_flags(docs, bref, n=8).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    assert out["contaminated"].tolist() == [True, False, True, False]
+    assert out["n_gram_hits"].tolist() == [1, 0, 1, 0]
+
+
+def test_contamination_empty_benchmark(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+    from kgx.ops.decontam import benchmark_gram_set, contamination_flags
+    docs = rd.from_arrow(pa.table({
+        "doc_id": pa.array([0], pa.int64()),
+        "text": pa.array(["one two three four five six seven eight nine"],
+                         pa.string()),
+    }))
+    bench = rd.from_arrow(pa.table({
+        "doc_id": pa.array([], pa.int64()),
+        "text": pa.array([], pa.string()),
+    }))
+    bref = benchmark_gram_set(bench, n=8)
+    out = contamination_flags(docs, bref, n=8).to_pandas()
+    assert out["contaminated"].tolist() == [False]
+
+
+def test_pack_offsets(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+    from kgx.ops.packing import pack_offsets
+    docs = rd.from_arrow(pa.table({
+        "doc_id": pa.array([3, 0, 2, 1, 4], pa.int64()),
+        "text": pa.array(["a b c", "x y", "", "one", "p q r s"],
+                         pa.string()),
+    }))
+    # small range_size forces multiple ranges through the prefix scan
+    out = pack_offsets(docs, seq_len=4, range_size=2).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    # order by doc_id: n_tokens = [2, 1, 0, 3, 4]
+    assert out["n_tokens"].tolist() == [2, 1, 0, 3, 4]
+    assert out["begin_token"].tolist() == [0, 2, 3, 3, 6]
+    assert out["seq_id"].tolist() == [0, 0, 0, 0, 1]
+
+
+def test_pack_offsets_empty(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+    from kgx.ops.packing import pack_offsets
+    docs = rd.from_arrow(pa.table({
+        "doc_id": pa.array([], pa.int64()),
+        "text": pa.array([], pa.string()),
+    }))
+    assert pack_offsets(docs).count() == 0
