@@ -268,6 +268,92 @@ def _q_simsearch_ivf(sf_dir: str):
     return ivf_topk(emb, query_ids=list(range(8)), k=10)
 
 
+# BM25 driver queries: fixed keyword queries over the synthetic
+# documents vocabulary (kgx/synth.py word list), mirrored term-by-term
+# in the oracle SQL below.
+_BM25_QUERIES = ("fast vector scan", "window stream query",
+                 "customer order join")
+
+
+def _q_bm25_topk(sf_dir: str):
+    """Okapi BM25 keyword top-k over documents (kgx/ops/bm25.py).
+
+    Scores are rounded to 6 decimals pre-ranking (in the operator) and
+    emitted as integer parts-per-million so the cross-engine value hash
+    never depends on float formatting."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data as rd
+    from kgx.ops.bm25 import bm25_topk
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text"])
+    top = bm25_topk(docs, list(_BM25_QUERIES), k=10)
+
+    def to_ppm(b: pa.Table) -> pa.Table:
+        ppm = pc.cast(pc.round(pc.multiply(b["score"], 1e6)), pa.int64())
+        return b.set_column(b.schema.get_field_index("score"),
+                            "score_ppm", ppm)
+
+    return top.map_batches(to_ppm, batch_format="pyarrow")
+
+
+def _bm25_oracle(queries, *, k=10, k1=1.2, b=0.75) -> str:
+    """DuckDB mirror of kgx.ops.bm25.bm25_topk for fixed query strings.
+
+    Reproduces the operator's float ops in the same order and with the
+    same RE2 patterns: per-term tf/df on lower(text) with \\b-bounded
+    matches, dl = \\S+ runs, Lucene idf, left-associative sum over the
+    query's sorted distinct terms, round(score, 6) before ranking."""
+    import re as _re
+    per_q = [sorted(set(_re.findall(r"\b[a-z]{4,}\b", q.lower())))
+             for q in queries]
+    all_terms = sorted({t for ts in per_q for t in ts})
+    ti = {t: i for i, t in enumerate(all_terms)}
+    df_cols = ",\n                 ".join(
+        f"sum(CASE WHEN regexp_matches(lt, '\\b{t}\\b') THEN 1 ELSE 0 END)"
+        f" AS df_{ti[t]}" for t in all_terms)
+    tf_cols = ",\n                 ".join(
+        f"CAST(len(regexp_extract_all(lt, '\\b{t}\\b')) AS DOUBLE)"
+        f" AS tf_{ti[t]}" for t in all_terms)
+    # idf/denominator/score expressions are written exactly as the numpy
+    # path evaluates them (same literals, same associativity)
+    idf = {t: (f"ln((s.n - s.df_{ti[t]} + 0.5) / (s.df_{ti[t]} + 0.5)"
+               " + 1.0)") for t in all_terms}
+    denom = f"({k1} * ((1.0 - {b}) + {b} * (d.dl / s.avgdl)))"
+    arms = []
+    for qi, terms in enumerate(per_q):
+        contribs = [f"({idf[t]} * (d.tf_{ti[t]} * ({k1} + 1.0))"
+                    f" / (d.tf_{ti[t]} + {denom}))" for t in terms]
+        score = " + ".join(contribs) if contribs else "0.0"
+        arms.append(f"""
+              SELECT CAST({qi} AS BIGINT) AS query_idx, d.doc_id,
+                     round({score}, 6) AS score
+              FROM d, s""")
+    scored = "\n              UNION ALL".join(arms)
+    return f"""
+            WITH d AS (
+              SELECT doc_id, lower(text) AS lt,
+                     CAST(len(regexp_extract_all(text, '{_WS_RE}'))
+                          AS DOUBLE) AS dl,
+                 {tf_cols}
+              FROM documents),
+            s AS (
+              SELECT count(*) AS n, avg(dl) AS avgdl,
+                 {df_cols}
+              FROM d),
+            scored AS ({scored}),
+            ranked AS (
+              SELECT query_idx, doc_id, score,
+                     row_number() OVER (PARTITION BY query_idx
+                       ORDER BY score DESC, doc_id) AS rk
+              FROM scored WHERE score > 0)
+            SELECT query_idx, doc_id,
+                   CAST(round(score * 1000000) AS BIGINT) AS score_ppm,
+                   CAST(rk AS BIGINT) AS "rank"
+            FROM ranked WHERE rk <= {k}
+    """
+
+
 def _q_text_source_stats(sf_dir: str):
     import ray.data as rd
     from kgx.ops.text import source_stats
@@ -520,6 +606,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simsearch_lsh": _q_simsearch_lsh,
         "simsearch_ivf": _q_simsearch_ivf,
         "vector_rag_topk": _q_vector_rag,
+        # sparse keyword retrieval
+        "bm25_topk": _q_bm25_topk,
         # windowed aggregates + temporal joins over the event stream
         "events_window": _q_events_window,
         "events_sliding": _q_events_sliding,
@@ -857,6 +945,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT qid AS query_id, vec_id AS neighbor_id, score, rank
             FROM s WHERE rank <= 10
         """,
+        "bm25_topk": _bm25_oracle(_BM25_QUERIES),
         "events_window": """
             SELECT make_timestamp((epoch_us(ts) // 3600000000) * 3600000000)
                      AS window_start,

@@ -133,7 +133,7 @@ def _operator_queries(sf_dir: str) -> dict:
         return rd.read_parquet(f"{sf_dir}/embeddings.parquet",
                                columns=["vec_id", "embedding"])
 
-    from kgx.ops import dedup, relational, simsearch, text, window
+    from kgx.ops import bm25, dedup, relational, simsearch, text, window
     from kgx.pipelines.docs_kg import kg_tables
 
     return {
@@ -151,6 +151,9 @@ def _operator_queries(sf_dir: str) -> dict:
             emb(), threshold=0.45),
         "simsearch_topk": lambda: simsearch.cosine_topk(
             emb(), query_ids=list(range(8)), k=10),
+        "bm25_topk": lambda: bm25.bm25_topk(
+            docs(), ["fast vector scan", "window stream query",
+                     "customer order join"], k=10),
         "events_window": lambda: window.tumbling_window_agg(
             rd.read_parquet(f"{sf_dir}/events.parquet",
                             columns=["ts", "event_type", "value"]),

@@ -367,3 +367,77 @@ def test_pack_offsets_empty(ray_session):
         "text": pa.array([], pa.string()),
     }))
     assert pack_offsets(docs).count() == 0
+
+
+def _bm25_reference(texts, query, k1=1.2, b=0.75):
+    """Plain-Python Okapi BM25 for the test corpus (independent of the
+    operator's vectorized path)."""
+    import math
+    import re
+    terms = sorted(set(re.findall(r"\b[a-z]{4,}\b", query.lower())))
+    toks = [t.lower().split() for t in texts]
+    n = len(texts)
+    avgdl = sum(len(t) for t in toks) / n
+    scores = []
+    for dt in toks:
+        s = 0.0
+        for term in terms:
+            tf = dt.count(term)
+            df = sum(1 for other in toks if term in other)
+            idf = math.log((n - df + 0.5) / (df + 0.5) + 1.0)
+            s += idf * (tf * (k1 + 1.0)) / (tf + k1 * (1 - b + b * len(dt) / avgdl))
+        scores.append(round(s, 6))
+    return scores
+
+
+def test_bm25_topk_matches_reference(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+    from kgx.ops.bm25 import bm25_topk
+    texts = [
+        "apple banana cherry apple apple",
+        "banana banana durian elderberry fig",
+        "cherry cherry cherry grape melon lemon",
+        "unrelated words entirely different tokens here",
+        "apple grape",
+    ]
+    docs = rd.from_arrow(pa.table({
+        "doc_id": pa.array(list(range(5)), pa.int64()),
+        "text": pa.array(texts, pa.string()),
+    }))
+    out = bm25_topk(docs, ["apple cherry"], k=3).to_pandas()
+    ref = _bm25_reference(texts, "apple cherry")
+    order = sorted(range(5), key=lambda i: (-ref[i], i))
+    expect = [i for i in order if ref[i] > 0][:3]
+    got = out.sort_values("rank")
+    assert got["doc_id"].tolist() == expect
+    assert got["rank"].tolist() == [1, 2, 3]
+    for did, sc in zip(got["doc_id"], got["score"]):
+        assert sc == ref[did]
+
+
+def test_bm25_multi_query_and_no_hits(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+    from kgx.ops.bm25 import bm25_topk
+    docs = rd.from_arrow(pa.table({
+        "doc_id": pa.array([10, 11], pa.int64()),
+        "text": pa.array(["alpha beta gamma", "beta beta beta"], pa.string()),
+    }))
+    out = bm25_topk(docs, ["alpha", "zzzz missing"], k=5).to_pandas()
+    # query 1 has no matching docs -> contributes zero rows
+    assert set(out["query_idx"]) == {0}
+    assert out.sort_values("rank")["doc_id"].tolist() == [10]
+
+
+def test_bm25_tie_breaks_on_doc_id(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+    from kgx.ops.bm25 import bm25_topk
+    # identical docs -> identical scores; rank order must be doc_id asc
+    docs = rd.from_arrow(pa.table({
+        "doc_id": pa.array([7, 3, 5], pa.int64()),
+        "text": pa.array(["echo foxtrot golf"] * 3, pa.string()),
+    })).repartition(3)
+    out = bm25_topk(docs, ["echo golf"], k=3).to_pandas()
+    assert out.sort_values("rank")["doc_id"].tolist() == [3, 5, 7]
