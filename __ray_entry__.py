@@ -268,6 +268,54 @@ def _q_simsearch_ivf(sf_dir: str):
     return ivf_topk(emb, query_ids=list(range(8)), k=10)
 
 
+def _q_kg_pagerank(sf_dir: str):
+    """Degree + integer fixed-point PageRank over the canonical
+    co-occurrence KG (kgx/ops/graph.py).  Integer arithmetic makes the
+    distributed fold bit-identical to the unrolled SQL oracle."""
+    from kgx.ops.graph import pagerank
+    from kgx.pipelines.docs_kg import kg_tables
+    return pagerank(kg_tables(sf_dir)["edges"], iters=10)
+
+
+def _pagerank_oracle(*, iters=10, damping_pct=85, scale=10**12) -> str:
+    """DuckDB mirror of kgx.ops.graph.pagerank over the co-occurrence
+    edges (same CTE as the kg_edges oracle), iterations unrolled in
+    BIGINT arithmetic — r_k = base + (d * sum(r_{k-1}//deg)) // 100."""
+    base = (f"(({100 - damping_pct} * ({scale} // (SELECT nv FROM nn)))"
+            " // 100)")
+    its = []
+    for k in range(1, iters + 1):
+        its.append(f"""
+            r{k} AS (
+              SELECT ed.t AS v,
+                     CAST({base} + ({damping_pct} * sum(p.r // dg.d))
+                          // 100 AS BIGINT) AS r
+              FROM ed JOIN r{k - 1} p ON ed.s = p.v
+                      JOIN deg dg ON ed.s = dg.v
+              GROUP BY ed.t)""")
+    return f"""
+            WITH dt AS (
+              SELECT doc_id,
+                     unnest(list_distinct(regexp_extract_all(
+                       text, '{_TERM_RE}'))) AS term
+              FROM documents),
+            e0 AS (
+              SELECT a.term AS s, b.term AS t
+              FROM dt a JOIN dt b
+                ON a.doc_id = b.doc_id AND a.term < b.term
+              GROUP BY 1, 2),
+            ed AS (SELECT s, t FROM e0
+                   UNION ALL SELECT t AS s, s AS t FROM e0),
+            deg AS (SELECT s AS v, count(*) AS d FROM ed GROUP BY s),
+            nn AS (SELECT count(*) AS nv FROM deg),
+            r0 AS (SELECT v, {scale} // (SELECT nv FROM nn) AS r
+                   FROM deg),{",".join(its)}
+            SELECT d.v AS name, d.d AS degree,
+                   CAST(rr.r AS BIGINT) AS pr_units
+            FROM deg d JOIN r{iters} rr ON d.v = rr.v
+    """
+
+
 # BM25 driver queries: fixed keyword queries over the synthetic
 # documents vocabulary (kgx/synth.py word list), mirrored term-by-term
 # in the oracle SQL below.
@@ -581,6 +629,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_communities": _q_kg_communities,
         "kg_summaries": _q_kg_summaries,
         "kg_answer": _q_kg_answer,
+        "kg_pagerank": _q_kg_pagerank,
         # text analysis
         "text_tokens": _q_text_tokens,
         "text_quality": _q_text_quality,
@@ -946,6 +995,7 @@ def oracle_sql() -> dict[str, str]:
             FROM s WHERE rank <= 10
         """,
         "bm25_topk": _bm25_oracle(_BM25_QUERIES),
+        "kg_pagerank": _pagerank_oracle(iters=10),
         "events_window": """
             SELECT make_timestamp((epoch_us(ts) // 3600000000) * 3600000000)
                      AS window_start,

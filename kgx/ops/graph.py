@@ -1,0 +1,144 @@
+"""Graph analytics over the constructed knowledge graph.
+
+The reference stops at communities + flow metrics
+(/root/reference/indexing/community_detection.py); centrality is the
+next thing a KG user asks for, so this adds undirected degree and
+PageRank as first-class distributed operators over any (src, dst) edge
+table — in practice the canonical co-occurrence edges from
+kgx.pipelines.docs_kg.
+
+**Integer fixed-point arithmetic throughout.**  Ranks live in integer
+units of 1e-12 (``SCALE = 10**12``) and every update is integer
+floor-division::
+
+    r0(v)  = SCALE // N
+    r_k(v) = ((100-d) * (SCALE // N)) // 100
+             + (d * sum_{u~v} (r_{k-1}(u) // deg(u))) // 100
+
+Because integer addition is associative and order-independent, the
+distributed fold gives bit-identical results to any sequential engine —
+the DuckDB oracle (driver query ``kg_pagerank``) unrolls the same
+iterations in BIGINT arithmetic and hash-matches exactly, which a
+float formulation could never guarantee across summation orders.
+
+Scale shape (100 TB path): the edge list is streamed per iteration
+(map_batches partials, one ``(vertex, partial_sum)`` row per distinct
+in-batch target), while the rank/degree vectors are O(|V|) dense int64
+arrays broadcast once per iteration via ``ray.put``.  PARTITIONING
+ASSUMPTION: the vertex set fits in one worker's heap (a few GB covers
+~10^8 entities — far beyond any canonicalized KG's node count; the
+corpus-sized thing is the *edge* list, which never leaves the stream).
+Dangling nodes cannot exist here: vertices are defined as edge
+endpoints of an undirected graph, so deg >= 1 always.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray
+
+from kgx.functions.collect import collect_arrow
+
+SCALE = 10**12
+
+
+def undirected_edges(edges_ds, *, src_col: str = "subj_name",
+                     dst_col: str = "obj_name"):
+    """Distinct (src, dst) pairs emitted in both directions.
+
+    Input pairs are assumed already distinct (the canonical edges table
+    is grouped); each undirected edge becomes two directed rows.
+    """
+    def both(batch: pa.Table) -> pa.Table:
+        s = batch[src_col].combine_chunks().cast(pa.string())
+        t = batch[dst_col].combine_chunks().cast(pa.string())
+        return pa.table({
+            "src": pa.concat_arrays([s, t]),
+            "dst": pa.concat_arrays([t, s]),
+        })
+
+    return edges_ds.map_batches(both, batch_format="pyarrow")
+
+
+def _vertex_arrays(ed) -> tuple[pa.Array, np.ndarray]:
+    """(sorted vertex names, int64 degree per vertex) from the directed
+    edge list — one narrow groupby-count, collected to the driver under
+    the O(|V|) assumption documented above."""
+    deg = collect_arrow(ed.groupby("src").count())
+    if deg.num_rows == 0:
+        return pa.array([], pa.string()), np.array([], dtype=np.int64)
+    order = pc.sort_indices(deg["src"].combine_chunks())
+    verts = pc.take(deg["src"].combine_chunks(), order)
+    degs = pc.take(deg["count()"].combine_chunks(), order) \
+             .to_numpy(zero_copy_only=False).astype(np.int64)
+    return verts, degs
+
+
+def pagerank(edges_ds, *, src_col: str = "subj_name",
+             dst_col: str = "obj_name", iters: int = 10,
+             damping_pct: int = 85):
+    """(name, degree, pr_units) for every vertex of the undirected graph.
+
+    ``pr_units`` is the integer fixed-point rank after ``iters``
+    synchronous iterations (see module docstring for the exact integer
+    recurrence mirrored by the SQL oracle).
+    """
+    ed = undirected_edges(edges_ds, src_col=src_col,
+                          dst_col=dst_col).materialize()
+    verts, degs = _vertex_arrays(ed)
+    n = len(degs)
+    if n == 0:
+        return ray.data.from_arrow(pa.table({
+            "name": pa.array([], pa.string()),
+            "degree": pa.array([], pa.int64()),
+            "pr_units": pa.array([], pa.int64()),
+        }))
+
+    base = ((100 - damping_pct) * (SCALE // n)) // 100
+    ranks = np.full(n, SCALE // n, dtype=np.int64)
+
+    for _ in range(iters):
+        bref = ray.put((verts, ranks, degs))
+
+        def partial(batch: pa.Table, _bref=bref) -> pa.Table:
+            vs, rk, dg = ray.get(_bref)
+            si = pc.index_in(batch["src"].combine_chunks(), value_set=vs) \
+                   .to_numpy(zero_copy_only=False)
+            di = pc.index_in(batch["dst"].combine_chunks(), value_set=vs) \
+                   .to_numpy(zero_copy_only=False)
+            contrib = rk[si] // dg[si]
+            acc = np.zeros(len(vs), dtype=np.int64)
+            np.add.at(acc, di, contrib)
+            nz = np.flatnonzero(acc)
+            return pa.table({
+                "vi": pa.array(nz, pa.int64()),
+                "c": pa.array(acc[nz], pa.int64()),
+            })
+
+        parts = collect_arrow(
+            ed.map_batches(partial, batch_format="pyarrow"))
+        total = np.zeros(n, dtype=np.int64)
+        if parts.num_rows:
+            np.add.at(total,
+                      parts["vi"].to_numpy(zero_copy_only=False),
+                      parts["c"].to_numpy(zero_copy_only=False))
+        ranks = base + (damping_pct * total) // 100
+
+    return ray.data.from_arrow(pa.table({
+        "name": verts,
+        "degree": pa.array(degs, pa.int64()),
+        "pr_units": pa.array(ranks, pa.int64()),
+    }))
+
+
+def degree_table(edges_ds, *, src_col: str = "subj_name",
+                 dst_col: str = "obj_name"):
+    """(name, degree) per vertex of the undirected graph."""
+    ed = undirected_edges(edges_ds, src_col=src_col, dst_col=dst_col)
+    verts, degs = _vertex_arrays(ed)
+    return ray.data.from_arrow(pa.table({
+        "name": verts,
+        "degree": pa.array(degs, pa.int64()),
+    }))

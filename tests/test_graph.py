@@ -1,0 +1,81 @@
+"""kgx.ops.graph: degree + integer fixed-point PageRank."""
+import pyarrow as pa
+import ray.data as rd
+
+from kgx.ops.graph import SCALE, degree_table, pagerank
+
+
+def _edges(pairs):
+    s, t = zip(*pairs) if pairs else ((), ())
+    return rd.from_arrow(pa.table({
+        "subj_name": pa.array(list(s), pa.string()),
+        "obj_name": pa.array(list(t), pa.string()),
+    }))
+
+
+def _pagerank_reference(pairs, iters=10, damping_pct=85):
+    """Sequential mirror of the operator's exact integer recurrence."""
+    adj: dict[str, set] = {}
+    for a, b in pairs:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    n = len(adj)
+    base = ((100 - damping_pct) * (SCALE // n)) // 100
+    r = {v: SCALE // n for v in adj}
+    for _ in range(iters):
+        nxt = {}
+        for v in adj:
+            s = sum(r[u] // len(adj[u]) for u in adj[v])
+            nxt[v] = base + (damping_pct * s) // 100
+        r = nxt
+    return {v: (len(adj[v]), r[v]) for v in adj}
+
+
+STAR = [("hub", f"leaf{i}") for i in range(6)]
+PATH = [("a", "b"), ("b", "c"), ("c", "d")]
+MIXED = STAR + PATH + [("leaf0", "leaf1"), ("a", "hub")]
+
+
+def test_pagerank_matches_sequential_reference(ray_session):
+    for pairs in (STAR, PATH, MIXED):
+        ref = _pagerank_reference(pairs)
+        out = pagerank(_edges(pairs), iters=10).to_pandas()
+        got = {r["name"]: (r["degree"], r["pr_units"])
+               for _, r in out.iterrows()}
+        assert got == ref
+
+
+def test_pagerank_star_ranks_hub_highest(ray_session):
+    out = pagerank(_edges(STAR)).to_pandas().sort_values(
+        "pr_units", ascending=False)
+    assert out.iloc[0]["name"] == "hub"
+    leafs = out[out["name"] != "hub"]
+    assert leafs["pr_units"].nunique() == 1   # symmetric leaves tie exactly
+    assert out["degree"].max() == 6
+
+
+def test_pagerank_partition_invariant(ray_session):
+    a = pagerank(_edges(MIXED), iters=7).to_pandas() \
+        .sort_values("name").reset_index(drop=True)
+    b = pagerank(_edges(MIXED).repartition(5), iters=7).to_pandas() \
+        .sort_values("name").reset_index(drop=True)
+    assert a.equals(b)
+
+
+def test_pagerank_mass_conservation_bound(ray_session):
+    # floor-division only ever loses mass: total stays in (0.99, 1.0] x SCALE
+    out = pagerank(_edges(MIXED), iters=10).to_pandas()
+    total = out["pr_units"].sum()
+    assert 0.99 * SCALE < total <= SCALE
+
+
+def test_pagerank_empty(ray_session):
+    assert pagerank(_edges([])).count() == 0
+
+
+def test_degree_table(ray_session):
+    out = degree_table(_edges(PATH)).to_pandas().set_index("name")
+    assert out.loc["a", "degree"] == 1
+    assert out.loc["b", "degree"] == 2
+    assert out.loc["c", "degree"] == 2
+    assert out.loc["d", "degree"] == 1
