@@ -316,6 +316,26 @@ def _pagerank_oracle(*, iters=10, damping_pct=85, scale=10**12) -> str:
     """
 
 
+def _q_text_ngrams(sf_dir: str):
+    """Corpus-wide top-20 word bigrams (kgx/ops/vocab.py): per-batch
+    Counter partials -> narrow gram groupby -> sort/limit."""
+    import ray.data as rd
+    from kgx.ops.vocab import ngram_topk
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text"])
+    return ngram_topk(docs, n=2, k=20)
+
+
+def _q_text_tfidf(sf_dir: str):
+    """Per-document top-5 TF-IDF terms (kgx/ops/vocab.py): broadcast
+    vocabulary df table + shuffle-free per-doc scoring."""
+    import ray.data as rd
+    from kgx.ops.vocab import tfidf_top_terms
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text"])
+    return tfidf_top_terms(docs, k=5)
+
+
 # BM25 driver queries: fixed keyword queries over the synthetic
 # documents vocabulary (kgx/synth.py word list), mirrored term-by-term
 # in the oracle SQL below.
@@ -640,6 +660,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_filter": _q_text_filter,
         "text_contaminate": _q_text_contaminate,
         "text_pack": _q_text_pack,
+        "text_ngrams": _q_text_ngrams,
+        "text_tfidf": _q_text_tfidf,
         # deduplication
         "dedup_exact": _q_dedup_exact,
         "dedup_jaccard": _q_dedup_jaccard,
@@ -996,6 +1018,46 @@ def oracle_sql() -> dict[str, str]:
         """,
         "bm25_topk": _bm25_oracle(_BM25_QUERIES),
         "kg_pagerank": _pagerank_oracle(iters=10),
+        "text_ngrams": """
+            WITH toks AS (
+              SELECT string_split_regex(lower(trim(text)), '\\s+') AS t
+              FROM documents WHERE trim(text) <> ''),
+            pos AS (
+              SELECT t, unnest(generate_series(0, len(t) - 2)) AS i
+              FROM toks WHERE len(t) >= 2),
+            g AS (SELECT array_to_string(t[i + 1 : i + 2], ' ') AS ngram
+                  FROM pos)
+            SELECT ngram, count(*) AS n_occurrences
+            FROM g GROUP BY ngram
+            ORDER BY n_occurrences DESC, ngram
+            LIMIT 20
+        """,
+        "text_tfidf": f"""
+            WITH dt AS (
+              SELECT doc_id,
+                     unnest(regexp_extract_all(lower(text),
+                                               '{_TERM_RE}')) AS term
+              FROM documents),
+            tf AS (SELECT doc_id, term, count(*) AS tf
+                   FROM dt GROUP BY 1, 2),
+            df AS (SELECT term, count(DISTINCT doc_id) AS df
+                   FROM dt GROUP BY 1),
+            nn AS (SELECT count(*) AS n FROM documents),
+            s AS (
+              SELECT tf.doc_id, tf.term,
+                     round(tf.tf * ln(CAST((SELECT n FROM nn) AS DOUBLE)
+                                      / df.df), 6) AS score
+              FROM tf JOIN df USING (term)),
+            r AS (
+              SELECT doc_id, term, score,
+                     row_number() OVER (PARTITION BY doc_id
+                       ORDER BY score DESC, term) AS rk
+              FROM s)
+            SELECT doc_id, term,
+                   CAST(round(score * 1000000) AS BIGINT) AS tfidf_ppm,
+                   CAST(rk AS BIGINT) AS "rank"
+            FROM r WHERE rk <= 5
+        """,
         "events_window": """
             SELECT make_timestamp((epoch_us(ts) // 3600000000) * 3600000000)
                      AS window_start,

@@ -1,0 +1,153 @@
+"""Corpus vocabulary statistics: n-gram top-k and per-document TF-IDF.
+
+The training-data side of the engine (the reference has no corpus-
+statistics surface; its only term handling is the extraction gazetteer,
+/root/reference/indexing/simple_graph_builder.py): corpus-wide frequent
+n-grams drive boilerplate detection and tokenizer vocabulary decisions,
+and per-document TF-IDF top terms are the classic cheap document
+signature next to embeddings.
+
+Scale shapes (100 TB path):
+
+- ``ngram_topk``: one ``map_batches`` emits PARTIAL per-batch n-gram
+  counts (a Counter fold per batch — one output row per distinct gram
+  per batch, never per occurrence), a narrow ``groupby(gram).sum``
+  merges them, and ``sort + limit`` keeps k.  The all-to-all carries
+  the batch-distinct gram strings only; corpus text never moves.
+- ``tfidf_top_terms``: pass 1 folds per-batch document frequencies the
+  same way into a driver-side vocabulary table broadcast via
+  ``ray.put`` (PARTITIONING ASSUMPTION: the distinct-term vocabulary
+  fits in a worker heap — Heaps' law keeps natural-language vocab
+  sublinear in corpus size; a >heap vocabulary would need a co-shuffle
+  join on term instead).  Pass 2 streams documents, computes
+  tf x ln(N/df) per in-document term and keeps the per-doc top-k —
+  no shuffle at all on the corpus side.
+
+Tokenization matches the repo-wide oracle conventions: n-grams over
+``\\s+`` runs of ``lower(trim(text))``; TF-IDF terms are the
+``[a-z]{4,}`` words of ``lower(text)`` (same ``_TERM_RE`` as the KG
+gazetteer).  Scores are rounded to 6 decimals before ranking and
+emitted as integer ppm so cross-engine hashes are stable.
+"""
+
+from __future__ import annotations
+
+import math
+import re
+from collections import Counter
+
+import numpy as np
+import pyarrow as pa
+import ray
+
+from kgx.functions.collect import collect_arrow
+
+_WS = re.compile(r"\s+")
+_TERM = re.compile(r"\b[a-z]{4,}\b")
+
+
+def ngram_topk(docs_ds, *, n: int = 2, k: int = 20):
+    """Top-k word n-grams corpus-wide -> (ngram, n_occurrences).
+
+    Occurrences are counted at every position (not distinct per doc);
+    ties at the k boundary break on lexicographically smaller gram.
+    """
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        counts: Counter = Counter()
+        for text in batch["text"].to_pylist():
+            stripped = (text or "").strip()
+            if not stripped:
+                continue
+            toks = _WS.split(stripped.lower())
+            counts.update(" ".join(toks[i:i + n])
+                          for i in range(len(toks) - n + 1))
+        return pa.table({
+            "ngram": pa.array(list(counts.keys()), pa.string()),
+            "c": pa.array(list(counts.values()), pa.int64()),
+        })
+
+    merged = docs_ds.map_batches(partial, batch_format="pyarrow") \
+        .groupby("ngram").aggregate(Sum("c"))
+
+    def rename(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "ngram": batch["ngram"],
+            "n_occurrences": batch["sum(c)"].combine_chunks()
+                                  .cast(pa.int64()),
+        })
+
+    return merged.map_batches(rename, batch_format="pyarrow") \
+        .sort(["n_occurrences", "ngram"], descending=[True, False]) \
+        .limit(k)
+
+
+def document_frequencies(docs_ds) -> tuple[int, ray.ObjectRef]:
+    """(N docs, broadcast {term: df}) in one streaming pass.
+
+    Per batch the distinct-per-document term sets fold into one partial
+    Counter row set; the narrow (term, df) partials merge on the driver
+    under the vocabulary-fits-in-heap assumption documented above.
+    """
+    def partial(batch: pa.Table) -> pa.Table:
+        df: Counter = Counter()
+        for text in batch["text"].to_pylist():
+            df.update(set(_TERM.findall((text or "").lower())))
+        # one sentinel row (df=0) keeps the batch's doc count even when
+        # no term occurred; the fold below ignores zero-df rows
+        terms = list(df.keys()) or [""]
+        dfs = list(df.values()) or [0]
+        n_col = [batch.num_rows] + [0] * (len(terms) - 1)
+        return pa.table({
+            "term": pa.array(terms, pa.string()),
+            "df": pa.array(dfs, pa.int64()),
+            "n_docs": pa.array(n_col, pa.int64()),
+        })
+
+    parts = collect_arrow(
+        docs_ds.map_batches(partial, batch_format="pyarrow"))
+    vocab: Counter = Counter()
+    n_docs = 0
+    if parts.num_rows:
+        n_docs = int(np.sum(parts["n_docs"].to_numpy(zero_copy_only=False)))
+        terms = parts["term"].to_pylist()
+        dfs = parts["df"].to_numpy(zero_copy_only=False)
+        for t, d in zip(terms, dfs):
+            if d:
+                vocab[t] += int(d)
+    return n_docs, ray.put(dict(vocab))
+
+
+def tfidf_top_terms(docs_ds, *, k: int = 5):
+    """Per-document top-k terms by TF-IDF ->
+    (doc_id, term, tfidf_ppm, rank).
+
+    score = tf * ln(N / df) rounded to 6 decimals (ppm integer output);
+    ranks break ties on lexicographically smaller term.  Documents with
+    no qualifying term contribute no rows.
+    """
+    n_docs, vref = document_frequencies(docs_ds)
+
+    def score(batch: pa.Table) -> pa.Table:
+        df_map = ray.get(vref)
+        out_id, out_t, out_s, out_r = [], [], [], []
+        ids = batch["doc_id"].to_pylist()
+        for did, text in zip(ids, batch["text"].to_pylist()):
+            tf = Counter(_TERM.findall((text or "").lower()))
+            scored = sorted(
+                (-round(c * math.log(n_docs / df_map[t]), 6), t)
+                for t, c in tf.items())[:k]
+            for rank, (neg_s, t) in enumerate(scored, start=1):
+                out_id.append(did)
+                out_t.append(t)
+                out_s.append(int(round(-neg_s * 1e6)))
+                out_r.append(rank)
+        return pa.table({
+            "doc_id": pa.array(out_id, pa.int64()),
+            "term": pa.array(out_t, pa.string()),
+            "tfidf_ppm": pa.array(out_s, pa.int64()),
+            "rank": pa.array(out_r, pa.int64()),
+        })
+
+    return docs_ds.map_batches(score, batch_format="pyarrow")
