@@ -316,6 +316,31 @@ def _pagerank_oracle(*, iters=10, damping_pct=85, scale=10**12) -> str:
     """
 
 
+def _q_rel_join(sf_dir: str):
+    """General co-shuffle hash equi-join (kgx/ops/joins.py): orders x
+    customer on custkey with both sides streamed — neither broadcast."""
+    import pyarrow as pa
+    import ray.data as rd
+    from kgx.ops.joins import hash_equijoin
+    from kgx.ops.relational import _cents
+
+    def to_cents(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "o_custkey": b["o_custkey"],
+            "o_orderkey": b["o_orderkey"],
+            "price_cents": _cents(b["o_totalprice"]),
+        })
+
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_custkey", "o_orderkey", "o_totalprice"]
+    ).map_batches(to_cents, batch_format="pyarrow")
+    cust = rd.read_parquet(f"{sf_dir}/customer.parquet",
+                           columns=["c_custkey", "c_name"])
+    return hash_equijoin(orders, cust, left_on="o_custkey",
+                         right_on="c_custkey", how="inner")
+
+
 def _q_text_ngrams(sf_dir: str):
     """Corpus-wide top-20 word bigrams (kgx/ops/vocab.py): per-batch
     Counter partials -> narrow gram groupby -> sort/limit."""
@@ -693,6 +718,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rel_top_customers": _q_rel_top_customers,
         "rel_distinct": _q_rel_distinct,
         "rel_order_counts": _q_rel_order_counts,
+        "rel_join": _q_rel_join,
         # multimodal plumbing
         "multimodal_stats": _q_multimodal_stats,
         "multimodal_decode": _q_multimodal_decode,
@@ -1018,6 +1044,13 @@ def oracle_sql() -> dict[str, str]:
         """,
         "bm25_topk": _bm25_oracle(_BM25_QUERIES),
         "kg_pagerank": _pagerank_oracle(iters=10),
+        "rel_join": """
+            SELECT o.o_custkey, o.o_orderkey,
+                   CAST(floor(o.o_totalprice * 100.0 + 0.5) AS BIGINT)
+                     AS price_cents,
+                   c.c_name
+            FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        """,
         "text_ngrams": """
             WITH toks AS (
               SELECT string_split_regex(lower(trim(text)), '\\s+') AS t

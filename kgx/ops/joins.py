@@ -144,3 +144,88 @@ def interval_join_events(events_ds, *, left_type: str, right_type: str,
     bucketed = events_ds.map_batches(bucketize, batch_format="pyarrow")
     return bucketed.groupby(["key", "bucket"]).map_groups(
         in_bucket, batch_format="pyarrow")
+
+
+def hash_equijoin(left_ds, right_ds, *, left_on: str, right_on: str,
+                  how: str = "inner"):
+    """General distributed hash equi-join (inner or left outer).
+
+    The one relational shape the engine's other joins don't cover:
+    both sides are LARGE (broadcast-side joins live in
+    kgx/ops/relational.py; temporal joins above).  Shape: each side is
+    tagged and projected to (``__key``, own payload columns, the other
+    side's columns null-filled), the two streams union, and ONE
+    ``groupby(__key)`` shuffle co-locates matching keys; the per-group
+    cross product is built vectorized (``np.repeat``/``np.tile`` index
+    arrays + Arrow ``take``), no Python row loop.
+
+    PARTITIONING ASSUMPTIONS: one key's rows (both sides) fit one
+    group, and payload column names are disjoint between sides (raises
+    otherwise).  For skewed keys, pre-salt the hot keys and replicate
+    the smaller side per salt — or use the broadcast join when one side
+    fits the object store; this operator deliberately implements only
+    the unsalted co-shuffle core.
+
+    Output columns: ``left_on`` (the key, left side's name), then the
+    left payload, then the right payload (nulls on left-outer misses).
+    """
+    import numpy as np
+
+    if how not in ("inner", "left"):
+        raise ValueError(f"how must be 'inner' or 'left', got {how!r}")
+    l_fields = [(f.name, f.type) for f in left_ds.schema().base_schema
+                if f.name != left_on]
+    r_fields = [(f.name, f.type) for f in right_ds.schema().base_schema
+                if f.name != right_on]
+    l_names = [n for n, _ in l_fields]
+    r_names = [n for n, _ in r_fields]
+    overlap = set(l_names) & set(r_names)
+    if overlap:
+        raise ValueError(f"payload column collision: {sorted(overlap)}")
+
+    def tag(side: str, key_col: str, own, other):
+        def fn(batch: pa.Table) -> pa.Table:
+            n = batch.num_rows
+            cols = {"__key": batch[key_col],
+                    "__side": pa.array([side] * n, pa.string())}
+            for name, _ in own:
+                cols[name] = batch[name]
+            for name, typ in other:
+                cols[name] = pa.nulls(n, typ)
+            return pa.table(cols)
+        return fn
+
+    tagged = left_ds.map_batches(
+        tag("l", left_on, l_fields, r_fields), batch_format="pyarrow"
+    ).union(right_ds.map_batches(
+        tag("r", right_on, r_fields, l_fields), batch_format="pyarrow"))
+
+    out_names = [left_on] + l_names + r_names
+
+    def join_group(group: pa.Table) -> pa.Table:
+        import numpy as np
+        sides = group["__side"].to_numpy(zero_copy_only=False)
+        li = np.flatnonzero(sides == "l")
+        ri = np.flatnonzero(sides == "r")
+        if len(li) == 0 or (len(ri) == 0 and how == "inner"):
+            return pa.table(
+                {left_on: group["__key"].slice(0, 0),
+                 **{n: group[n].slice(0, 0) for n in l_names + r_names}}
+            ).select(out_names)
+        if len(ri) == 0:    # left outer miss: left rows, right nulls
+            lt = group.take(pa.array(li, pa.int64()))
+            return pa.table(
+                {left_on: lt["__key"],
+                 **{n: lt[n] for n in l_names},
+                 **{n: lt[n] for n in r_names}}).select(out_names)
+        take_l = np.repeat(li, len(ri))
+        take_r = np.tile(ri, len(li))
+        lt = group.take(pa.array(take_l, pa.int64()))
+        rt = group.take(pa.array(take_r, pa.int64()))
+        return pa.table(
+            {left_on: lt["__key"],
+             **{n: lt[n] for n in l_names},
+             **{n: rt[n] for n in r_names}}).select(out_names)
+
+    return tagged.groupby("__key").map_groups(
+        join_group, batch_format="pyarrow")

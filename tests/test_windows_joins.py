@@ -99,3 +99,64 @@ class TestInterval:
         assert pairs == [(1, 2), (1, 3)]
         deltas = {r["right_event_id"]: r["delta_s"] for r in out}
         assert deltas == {2: 5, 3: -9}
+
+
+def _join_sides():
+    import pyarrow as pa
+    import ray.data as rd
+    left = rd.from_arrow(pa.table({
+        "k": pa.array([1, 1, 2, 3], pa.int64()),
+        "lv": pa.array(["a", "b", "c", "d"], pa.string()),
+    }))
+    right = rd.from_arrow(pa.table({
+        "rk": pa.array([1, 2, 2, 4], pa.int64()),
+        "rv": pa.array([10, 20, 21, 40], pa.int64()),
+    }))
+    return left, right
+
+
+def test_hash_equijoin_inner(ray_session):
+    from kgx.ops.joins import hash_equijoin
+    left, right = _join_sides()
+    out = hash_equijoin(left, right, left_on="k", right_on="rk") \
+        .to_pandas().sort_values(["k", "lv", "rv"]).reset_index(drop=True)
+    # k=1: 2 left x 1 right; k=2: 1 left x 2 right; k=3/4: no match
+    assert list(out.itertuples(index=False, name=None)) == [
+        (1, "a", 10), (1, "b", 10), (2, "c", 20), (2, "c", 21)]
+
+
+def test_hash_equijoin_left_outer(ray_session):
+    import pandas as pd
+    from kgx.ops.joins import hash_equijoin
+    left, right = _join_sides()
+    out = hash_equijoin(left, right, left_on="k", right_on="rk",
+                        how="left").to_pandas() \
+        .sort_values(["k", "lv", "rv"]).reset_index(drop=True)
+    assert len(out) == 5                      # 4 matches + 1 miss (k=3)
+    miss = out[out["k"] == 3]
+    assert miss["lv"].tolist() == ["d"] and pd.isna(miss["rv"]).all()
+
+
+def test_hash_equijoin_partition_invariant(ray_session):
+    from kgx.ops.joins import hash_equijoin
+    left, right = _join_sides()
+    a = hash_equijoin(left, right, left_on="k", right_on="rk") \
+        .to_pandas().sort_values(["k", "lv", "rv"]).reset_index(drop=True)
+    b = hash_equijoin(left.repartition(4), right.repartition(3),
+                      left_on="k", right_on="rk") \
+        .to_pandas().sort_values(["k", "lv", "rv"]).reset_index(drop=True)
+    assert a.equals(b)
+
+
+def test_hash_equijoin_rejects_collisions_and_bad_how(ray_session):
+    import pyarrow as pa
+    import pytest
+    import ray.data as rd
+    from kgx.ops.joins import hash_equijoin
+    l = rd.from_arrow(pa.table({"k": [1], "v": [1]}))
+    r = rd.from_arrow(pa.table({"rk": [1], "v": [2]}))
+    with pytest.raises(ValueError, match="collision"):
+        hash_equijoin(l, r, left_on="k", right_on="rk")
+    r2 = rd.from_arrow(pa.table({"rk": [1], "w": [2]}))
+    with pytest.raises(ValueError, match="how"):
+        hash_equijoin(l, r2, left_on="k", right_on="rk", how="outer")
