@@ -316,6 +316,23 @@ def _pagerank_oracle(*, iters=10, damping_pct=85, scale=10**12) -> str:
     """
 
 
+def _q_rel_antijoin(sf_dir: str):
+    """Broadcast anti-join: customers with no order over 300k
+    (kgx/ops/relational.py — the distinct key set of the big side
+    reduces map-side and broadcasts; no order rows ever shuffle)."""
+    from kgx.ops.relational import customers_without_orders
+    return customers_without_orders(sf_dir, min_totalprice=300000.0)
+
+
+def _q_events_quantile(sf_dir: str):
+    """Exact p50/p90/p99 of events.value via three streaming passes
+    (histogram-refine, kgx/ops/quantile.py) — no global sort."""
+    import ray.data as rd
+    from kgx.ops.quantile import exact_quantiles
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["value"])
+    return exact_quantiles(ev, "value", [0.5, 0.9, 0.99])
+
+
 def _q_rel_join(sf_dir: str):
     """General co-shuffle hash equi-join (kgx/ops/joins.py): orders x
     customer on custkey with both sides streamed — neither broadcast."""
@@ -719,6 +736,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rel_distinct": _q_rel_distinct,
         "rel_order_counts": _q_rel_order_counts,
         "rel_join": _q_rel_join,
+        "rel_antijoin": _q_rel_antijoin,
+        "events_quantile": _q_events_quantile,
         # multimodal plumbing
         "multimodal_stats": _q_multimodal_stats,
         "multimodal_decode": _q_multimodal_decode,
@@ -1044,6 +1063,25 @@ def oracle_sql() -> dict[str, str]:
         """,
         "bm25_topk": _bm25_oracle(_BM25_QUERIES),
         "kg_pagerank": _pagerank_oracle(iters=10),
+        "rel_antijoin": """
+            SELECT c_custkey, c_name FROM customer
+            WHERE c_custkey NOT IN (
+              SELECT DISTINCT o_custkey FROM orders
+              WHERE o_totalprice > 300000.0)
+        """,
+        "events_quantile": """
+            WITH v AS (
+              SELECT value FROM events
+              WHERE value IS NOT NULL AND NOT isnan(value)),
+            o AS (SELECT value,
+                         row_number() OVER (ORDER BY value) - 1 AS rk
+                  FROM v),
+            n AS (SELECT count(*) AS c FROM v),
+            p AS (SELECT unnest([0.5, 0.9, 0.99]) AS p)
+            SELECT p.p, o.value
+            FROM p, n
+            JOIN o ON o.rk = CAST(floor(p.p * (n.c - 1)) AS BIGINT)
+        """,
         "rel_join": """
             SELECT o.o_custkey, o.o_orderkey,
                    CAST(floor(o.o_totalprice * 100.0 + 0.5) AS BIGINT)

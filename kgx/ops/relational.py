@@ -162,3 +162,45 @@ def order_priority_counts(sf_dir: str):
     return (ds.map_batches(partial, batch_format="pyarrow")
               .groupby(["o_orderstatus", "o_orderpriority"])
               .map_groups(final, batch_format="pyarrow"))
+
+
+def customers_without_orders(sf_dir: str, *, min_totalprice: float = 0.0):
+    """Broadcast anti-join: customers with no order pricier than
+    ``min_totalprice`` (0.0 = no order at all).
+
+    Scale shape: the DISTINCT key set of the BIG side (orders) is
+    bounded by the customer count, so it is reduced map-side (per-batch
+    ``pc.unique`` partials, one narrow groupby), collected once,
+    broadcast via ``ray.put``, and the probe side filters map-side with
+    a vectorized ``is_in`` — no wide shuffle ever carries order rows.
+    The co-shuffle alternative for an unbounded key domain is
+    ``kgx.ops.joins.hash_equijoin(how='left')`` + null filter.
+    Output: (c_custkey, c_name).
+    """
+    from kgx.functions.collect import collect_arrow
+
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                             columns=["o_custkey", "o_totalprice"])
+
+    def distinct_partial(batch: pa.Table) -> pa.Table:
+        keep = batch.filter(pc.greater(batch["o_totalprice"],
+                                       min_totalprice))
+        return pa.table({"k": pc.unique(keep["o_custkey"]
+                                        .combine_chunks())})
+
+    keys_tbl = collect_arrow(
+        orders.map_batches(distinct_partial, batch_format="pyarrow")
+              .groupby("k").count())
+    have = pc.unique(keys_tbl["k"].combine_chunks()) \
+        if keys_tbl.num_rows else pa.array([], pa.int64())
+    kref = ray.put(have)
+
+    def anti(batch: pa.Table) -> pa.Table:
+        ks = ray.get(kref)
+        mask = pc.invert(pc.is_in(batch["c_custkey"].combine_chunks(),
+                                  value_set=ks))
+        return batch.filter(mask)
+
+    cust = rd.read_parquet(f"{sf_dir}/customer.parquet",
+                           columns=["c_custkey", "c_name"])
+    return cust.map_batches(anti, batch_format="pyarrow")

@@ -441,3 +441,26 @@ def test_bm25_tie_breaks_on_doc_id(ray_session):
     })).repartition(3)
     out = bm25_topk(docs, ["echo golf"], k=3).to_pandas()
     assert out.sort_values("rank")["doc_id"].tolist() == [3, 5, 7]
+
+
+def test_customers_without_orders(ray_session, tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from kgx.ops.relational import customers_without_orders
+    pq.write_table(pa.table({
+        "c_custkey": pa.array([1, 2, 3, 4], pa.int64()),
+        "c_name": pa.array(["a", "b", "c", "d"], pa.string()),
+    }), tmp_path / "customer.parquet")
+    pq.write_table(pa.table({
+        "o_custkey": pa.array([1, 1, 3], pa.int64()),
+        "o_orderkey": pa.array([10, 11, 12], pa.int64()),
+        "o_totalprice": pa.array([1.0, 2.0, 3.0], pa.float64()),
+    }), tmp_path / "orders.parquet")
+    out = customers_without_orders(str(tmp_path)).to_pandas() \
+        .sort_values("c_custkey")
+    assert out["c_custkey"].tolist() == [2, 4]
+    assert out["c_name"].tolist() == ["b", "d"]
+    # price floor: only order 12 (3.0) clears 2.5 -> custkey 3 keeps cover
+    out2 = customers_without_orders(str(tmp_path), min_totalprice=2.5) \
+        .to_pandas().sort_values("c_custkey")
+    assert out2["c_custkey"].tolist() == [1, 2, 4]
