@@ -678,6 +678,77 @@ def _q_multimodal_frames(sf_dir: str):
     ).select_columns(["media_id", "frame_index", "frame_ts_ms"])
 
 
+def _q_events_ordered(sf_dir: str):
+    """Per-user ordered window functions (row_number / lag / running sum
+    in integer cents) — one groupby(user) shuffle, vectorized in-group
+    kernel (kgx/ops/sequence.py)."""
+    import ray.data as rd
+    from kgx.ops.sequence import ordered_window
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_id", "ts", "user_id", "value"])
+    return ordered_window(ev)
+
+
+def _q_rel_topn(sf_dir: str):
+    """Top-3 orders per customer by price: map-side per-key top-n
+    combiner, the shuffle moves <= 3 rows per (customer, block)."""
+    import ray.data as rd
+    from kgx.ops.sequence import topn_per_key
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_custkey", "o_orderkey", "o_totalprice"])
+    return topn_per_key(orders, key="o_custkey", order_col="o_totalprice",
+                        id_col="o_orderkey", n=3)
+
+
+def _q_rel_rollup(sf_dir: str):
+    """GROUP BY ROLLUP over lineitem: one wide shuffle for the finest
+    level, super-aggregates re-aggregate the tiny result."""
+    from kgx.ops.relational import pricing_rollup
+    return pricing_rollup(sf_dir)
+
+
+def _q_text_pii(sf_dir: str):
+    """PII scrub (emails / IPv4 / phones -> tokens, map-only RE2 kernels).
+    The corpus itself carries no PII, so the query first appends a
+    deterministic doc_id-derived contact line (identical expression on
+    the SQL side) so the redaction paths are actually exercised."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data as rd
+    from kgx.ops.pii import scrub_pii
+
+    def augment(batch: pa.Table) -> pa.Table:
+        d = batch["doc_id"].combine_chunks().cast(pa.int64())
+        s = lambda m: pc.cast(_pc_mod(d, m), pa.string())  # noqa: E731
+        aug = pc.binary_join_element_wise(
+            batch["text"].combine_chunks(), pa.scalar(" contact u"),
+            pc.cast(d, pa.string()), pa.scalar("@ex"), s(7),
+            pa.scalar(".org at 10.0."), s(251), pa.scalar("."), s(97),
+            pa.scalar(" tel 415-555-"),
+            pc.utf8_lpad(s(10000), 4, "0"), "")
+        return pa.table({"doc_id": d, "text": aug})
+
+    def _pc_mod(col, m):
+        return pc.subtract(col, pc.multiply(pc.divide(col, m),
+                                            pa.scalar(m, pa.int64())))
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text"])
+    return scrub_pii(docs.map_batches(augment, batch_format="pyarrow"))
+
+
+def _q_dedup_lines(sf_dir: str):
+    """CCNet-style corpus-wide segment dedup: narrow (md5, doc, seg)
+    shuffle finds winners; losers broadcast; docs rebuilt map-side
+    (kgx/ops/linededup.py)."""
+    import ray.data as rd
+    from kgx.ops.linededup import segment_dedup
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text"])
+    return segment_dedup(docs, seg_tokens=10)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # KG-construction pipeline (SURVEY.md §2) over the documents table
@@ -704,6 +775,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_pack": _q_text_pack,
         "text_ngrams": _q_text_ngrams,
         "text_tfidf": _q_text_tfidf,
+        "text_pii": _q_text_pii,
         # deduplication
         "dedup_exact": _q_dedup_exact,
         "dedup_jaccard": _q_dedup_jaccard,
@@ -711,6 +783,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_simhash": _q_dedup_simhash,
         "dedup_embedding": _q_dedup_embedding,
         "dedup_components": _q_dedup_components,
+        "dedup_lines": _q_dedup_lines,
         # sampling / quotas
         "text_split": _q_text_split,
         "text_source_cap": _q_text_source_cap,
@@ -737,7 +810,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rel_order_counts": _q_rel_order_counts,
         "rel_join": _q_rel_join,
         "rel_antijoin": _q_rel_antijoin,
+        "rel_topn": _q_rel_topn,
+        "rel_rollup": _q_rel_rollup,
         "events_quantile": _q_events_quantile,
+        "events_ordered": _q_events_ordered,
         # multimodal plumbing
         "multimodal_stats": _q_multimodal_stats,
         "multimodal_decode": _q_multimodal_decode,
@@ -746,6 +822,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 
 def oracle_sql() -> dict[str, str]:
+    from kgx.ops.pii import EMAIL_RE as _EMAIL_RE
+    from kgx.ops.pii import IPV4_RE as _IPV4_RE
+    from kgx.ops.pii import PHONE_RE as _PHONE_RE
     lang_counts = ",\n        ".join(
         f"len(regexp_extract_all(text, '{rx}')) AS c_{lang}"
         for lang, rx in _LANG_RES.items())
@@ -1258,5 +1337,97 @@ def oracle_sql() -> dict[str, str]:
                    CAST(64 + b1 % 192 AS INT) AS height,
                    CAST(1 + b2 % 3 AS INT) AS channels
             FROM b
+        """,
+        "events_ordered": """
+            SELECT user_id, event_id,
+                   row_number() OVER w AS seq,
+                   CAST(coalesce((epoch_us(ts) - lag(epoch_us(ts)) OVER w)
+                                 // 1000000, 0) AS BIGINT) AS gap_s,
+                   lag(CAST(floor(value * 100 + 0.5) AS BIGINT)) OVER w
+                     AS prev_value_cents,
+                   CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT))
+                          OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS UNBOUNDED PRECEDING) AS BIGINT)
+                     AS cum_value_cents
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        """,
+        "rel_topn": """
+            SELECT o_custkey, o_orderkey, o_totalprice, rk FROM (
+              SELECT o_custkey, o_orderkey, o_totalprice,
+                     row_number() OVER (PARTITION BY o_custkey
+                       ORDER BY o_totalprice DESC, o_orderkey) AS rk
+              FROM orders) WHERE rk <= 3
+        """,
+        "rel_rollup": """
+            SELECT l_returnflag, l_linestatus,
+                   CAST(sum(CAST(floor(l_quantity * 100 + 0.5) AS BIGINT))
+                        AS BIGINT) AS sum_qty_cents,
+                   CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5)
+                                 AS BIGINT)) AS BIGINT) AS sum_price_cents,
+                   count(*) AS n_rows
+            FROM lineitem
+            GROUP BY ROLLUP(l_returnflag, l_linestatus)
+        """,
+        "text_pii": f"""
+            WITH aug AS (
+              SELECT doc_id,
+                     text || ' contact u' || CAST(doc_id AS VARCHAR)
+                          || '@ex' || CAST(doc_id % 7 AS VARCHAR)
+                          || '.org at 10.0.'
+                          || CAST(doc_id % 251 AS VARCHAR) || '.'
+                          || CAST(doc_id % 97 AS VARCHAR)
+                          || ' tel 415-555-'
+                          || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                       AS t
+              FROM documents),
+            s1 AS (
+              SELECT doc_id,
+                     CAST(len(regexp_extract_all(t, '{_EMAIL_RE}'))
+                          AS BIGINT) AS n_emails,
+                     regexp_replace(t, '{_EMAIL_RE}', '<EMAIL>', 'g') AS t
+              FROM aug),
+            s2 AS (
+              SELECT doc_id, n_emails,
+                     CAST(len(regexp_extract_all(t, '{_IPV4_RE}'))
+                          AS BIGINT) AS n_ips,
+                     regexp_replace(t, '{_IPV4_RE}', '<IP>', 'g') AS t
+              FROM s1),
+            s3 AS (
+              SELECT doc_id, n_emails, n_ips,
+                     CAST(len(regexp_extract_all(t, '{_PHONE_RE}'))
+                          AS BIGINT) AS n_phones,
+                     regexp_replace(t, '{_PHONE_RE}', '<PHONE>', 'g') AS t
+              FROM s2)
+            SELECT doc_id, t AS text_clean, n_emails, n_ips, n_phones
+            FROM s3
+        """,
+        "dedup_lines": """
+            WITH toks AS (
+              SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+            segs0 AS (
+              SELECT doc_id, tk,
+                     unnest(generate_series(
+                       0, CAST(ceil(len(tk) / 10.0) AS BIGINT) - 1))
+                       AS seg_no
+              FROM toks),
+            segs AS (
+              SELECT doc_id, seg_no,
+                     array_to_string(
+                       tk[(seg_no * 10 + 1):((seg_no + 1) * 10)], ' ')
+                       AS seg
+              FROM segs0),
+            ranked AS (
+              SELECT doc_id, seg_no, seg,
+                     row_number() OVER (PARTITION BY md5(seg)
+                                        ORDER BY doc_id, seg_no) AS rn
+              FROM segs)
+            SELECT doc_id,
+                   string_agg(CASE WHEN rn = 1 THEN seg END, ' '
+                              ORDER BY seg_no) AS text_dedup,
+                   count(*) AS n_segs,
+                   CAST(sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT)
+                     AS n_dropped
+            FROM ranked GROUP BY doc_id
         """,
     }

@@ -164,6 +164,89 @@ def order_priority_counts(sf_dir: str):
               .map_groups(final, batch_format="pyarrow"))
 
 
+def pricing_rollup(sf_dir: str):
+    """GROUP BY ROLLUP(l_returnflag, l_linestatus) over lineitem.
+
+    Scale shape: the raw table is scanned and shuffled exactly ONCE — the
+    finest level runs the usual in-batch partial aggregate + groupby
+    merge; each super-aggregate level then re-aggregates the previous
+    level's (already tiny: one row per key combination) output, so the
+    rollup costs one wide shuffle plus per-level shuffles over
+    pre-aggregated rows.  NULL key values mark the rolled-up levels,
+    the same convention as SQL ROLLUP.
+
+    Output: (l_returnflag, l_linestatus, sum_qty_cents, sum_price_cents,
+    n_rows) — money/quantity in integer cents (order-independent sums).
+    """
+    ds = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_returnflag", "l_linestatus", "l_quantity",
+                 "l_extendedprice"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = pa.table({
+            "l_returnflag": batch["l_returnflag"],
+            "l_linestatus": batch["l_linestatus"],
+            "qty_c": _cents(batch["l_quantity"]),
+            "ext_c": _cents(batch["l_extendedprice"]),
+            "one": pa.array(np.ones(batch.num_rows, dtype=np.int64)),
+        })
+        return (t.group_by(["l_returnflag", "l_linestatus"])
+                 .aggregate([("qty_c", "sum"), ("ext_c", "sum"),
+                             ("one", "sum")]))
+
+    def merge(group: pa.Table, keys: list[str]) -> pa.Table:
+        cols = {k: group[k].slice(0, 1) for k in keys}
+        cols["qty_c_sum"] = pa.array(
+            [sum(group["qty_c_sum"].to_pylist())], pa.int64())
+        cols["ext_c_sum"] = pa.array(
+            [sum(group["ext_c_sum"].to_pylist())], pa.int64())
+        cols["one_sum"] = pa.array(
+            [sum(group["one_sum"].to_pylist())], pa.int64())
+        return pa.table(cols)
+
+    base = (ds.map_batches(partial, batch_format="pyarrow")
+              .groupby(["l_returnflag", "l_linestatus"])
+              .map_groups(
+                  lambda g: merge(g, ["l_returnflag", "l_linestatus"]),
+                  batch_format="pyarrow"))
+
+    lvl1 = base.groupby("l_returnflag").map_groups(
+        lambda g: merge(g, ["l_returnflag"]), batch_format="pyarrow")
+
+    def grand_total(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "qty_c_sum": pa.array([sum(batch["qty_c_sum"].to_pylist())],
+                                  pa.int64()),
+            "ext_c_sum": pa.array([sum(batch["ext_c_sum"].to_pylist())],
+                                  pa.int64()),
+            "one_sum": pa.array([sum(batch["one_sum"].to_pylist())],
+                                pa.int64()),
+        })
+
+    lvl0 = lvl1.repartition(1).map_batches(
+        grand_total, batch_format="pyarrow", batch_size=None)
+
+    def shape(level: int):
+        def fn(batch: pa.Table) -> pa.Table:
+            n = batch.num_rows
+            null_s = pa.nulls(n, pa.string())
+            return pa.table({
+                "l_returnflag": batch["l_returnflag"] if level >= 1
+                                else null_s,
+                "l_linestatus": batch["l_linestatus"] if level >= 2
+                                else null_s,
+                "sum_qty_cents": batch["qty_c_sum"],
+                "sum_price_cents": batch["ext_c_sum"],
+                "n_rows": batch["one_sum"],
+            })
+        return fn
+
+    return (base.map_batches(shape(2), batch_format="pyarrow")
+            .union(lvl1.map_batches(shape(1), batch_format="pyarrow"))
+            .union(lvl0.map_batches(shape(0), batch_format="pyarrow")))
+
+
 def customers_without_orders(sf_dir: str, *, min_totalprice: float = 0.0):
     """Broadcast anti-join: customers with no order pricier than
     ``min_totalprice`` (0.0 = no order at all).

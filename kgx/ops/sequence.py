@@ -1,0 +1,123 @@
+"""Per-key ordered (window-function) operators.
+
+Ray Data has no SQL window functions; the two shapes a training-data /
+analytics pipeline actually needs are:
+
+- :func:`ordered_window` — per-key ``row_number`` / ``lag`` / running
+  sum over a deterministic in-key order.  Inherently per-key sequential,
+  so it runs as ONE ``groupby(key).map_groups`` shuffle with a fully
+  vectorized (numpy lexsort + cumsum) in-group kernel.  PARTITIONING
+  ASSUMPTION: one key's rows fit one group (per-user event history —
+  the same assumption as sessionization in kgx/ops/window.py; a
+  pathological key would need time-sliced sub-keying plus a carry pass).
+- :func:`topn_per_key` — per-key top-n by an order column.  The shuffle
+  is combined map-side: every batch keeps at most n rows per key it
+  contains, so the all-to-all moves <= n rows per (key, block) — never
+  the full table — and the final per-key merge re-ranks the survivors.
+
+Running sums are computed in integer cents (``floor(value*100 + 0.5)``)
+so the distributed result is bit-identical to the DuckDB window-function
+oracle regardless of summation order.
+
+The reference has no window functions (its pipeline is per-document
+LLM calls, /root/reference/graphrag_lite_x.py); these are part of the
+relational surface a general engine owes its users.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+US = 1_000_000
+
+
+def _cents(col) -> np.ndarray:
+    v = np.asarray(col.to_pylist(), dtype=np.float64)
+    return np.floor(v * 100.0 + 0.5).astype(np.int64)
+
+
+def ordered_window(events_ds, *, key: str = "user_id", ts_col: str = "ts",
+                   id_col: str = "event_id", value_col: str = "value"):
+    """Per key, ordered by (ts, id): seq (row_number), gap_s to the
+    previous event, prev_value_cents (lag, null on the first row) and
+    cum_value_cents (running sum in integer cents).
+
+    Output: (key, id, seq, gap_s, prev_value_cents, cum_value_cents).
+    """
+    def win(group: pa.Table) -> pa.Table:
+        ids = np.asarray(group[id_col].to_pylist(), dtype=np.int64)
+        ts = pc.cast(group[ts_col], pa.int64()).to_numpy(
+            zero_copy_only=False)
+        cents = _cents(group[value_col])
+        order = np.lexsort((ids, ts))              # ts asc, id asc
+        ids, ts, cents = ids[order], ts[order], cents[order]
+        n = len(ids)
+        gap = np.empty(n, dtype=np.int64)
+        gap[0] = 0
+        gap[1:] = (ts[1:] - ts[:-1]) // US
+        prev = np.empty(n, dtype=np.int64)
+        prev[1:] = cents[:-1]
+        prev_valid = np.ones(n, dtype=bool)
+        prev_valid[0] = False
+        return pa.table({
+            key: group[key].take(pa.array(order, pa.int64())),
+            id_col: pa.array(ids, pa.int64()),
+            "seq": pa.array(np.arange(1, n + 1), pa.int64()),
+            "gap_s": pa.array(gap, pa.int64()),
+            "prev_value_cents": pa.array(
+                np.where(prev_valid, prev, 0), pa.int64(),
+                mask=~prev_valid),
+            "cum_value_cents": pa.array(np.cumsum(cents), pa.int64()),
+        })
+
+    return events_ds.groupby(key).map_groups(win, batch_format="pyarrow")
+
+
+def _rank_within(keys: np.ndarray, order_minor: tuple[np.ndarray, ...]
+                 ) -> tuple[np.ndarray, np.ndarray]:
+    """Sort rows by (key asc, *order_minor) and return (perm, rank) where
+    rank restarts at 1 per key.  ``order_minor`` is lexsort-style: LAST
+    array is the most-significant sub-key after ``keys``."""
+    perm = np.lexsort(order_minor + (keys,))
+    sk = keys[perm]
+    starts = np.flatnonzero(np.r_[True, sk[1:] != sk[:-1]])
+    sizes = np.diff(np.r_[starts, len(sk)])
+    rank = np.arange(len(sk)) - np.repeat(starts, sizes) + 1
+    return perm, rank
+
+
+def topn_per_key(ds, *, key: str, order_col: str, id_col: str, n: int = 3,
+                 descending: bool = True):
+    """Top-n rows per key by ``order_col`` (ties broken by ``id_col``
+    asc), with a 1-based ``rk`` column.
+
+    Map-side combiner: each batch emits at most n rows per key it holds,
+    so the groupby shuffle carries <= n rows per (key, block).
+    Output: (key, id_col, order_col, rk) sorted within key.
+    """
+    sign = -1.0 if descending else 1.0
+
+    def partial(batch: pa.Table) -> pa.Table:
+        keys = np.asarray(batch[key].to_pylist(), dtype=np.int64)
+        ids = np.asarray(batch[id_col].to_pylist(), dtype=np.int64)
+        vals = np.asarray(batch[order_col].to_pylist(), dtype=np.float64)
+        perm, rank = _rank_within(keys, (ids, sign * vals))
+        keep = perm[rank <= n]
+        return batch.take(pa.array(keep, pa.int64())).select(
+            [key, id_col, order_col])
+
+    def final(group: pa.Table) -> pa.Table:
+        ids = np.asarray(group[id_col].to_pylist(), dtype=np.int64)
+        vals = np.asarray(group[order_col].to_pylist(), dtype=np.float64)
+        order = np.lexsort((ids, sign * vals))[:n]
+        return pa.table({
+            key: group[key].take(pa.array(order, pa.int64())),
+            id_col: pa.array(ids[order], pa.int64()),
+            order_col: group[order_col].take(pa.array(order, pa.int64())),
+            "rk": pa.array(np.arange(1, len(order) + 1), pa.int64()),
+        })
+
+    partial_ds = ds.map_batches(partial, batch_format="pyarrow")
+    return partial_ds.groupby(key).map_groups(final, batch_format="pyarrow")

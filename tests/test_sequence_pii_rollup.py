@@ -1,0 +1,179 @@
+"""Tests for ordered windows, top-n per key, rollup, PII scrub and
+corpus segment dedup."""
+
+import duckdb
+import pyarrow as pa
+import pyarrow.parquet as pq
+import ray.data as rd
+
+from kgx.ops.linededup import segment_dedup
+from kgx.ops.pii import pii_scrub_batch
+from kgx.ops.relational import pricing_rollup
+from kgx.ops.sequence import ordered_window, topn_per_key
+
+SF = "/root/testdata/sf0.001"
+
+
+def _sorted(tbl: pa.Table) -> list[tuple]:
+    cols = sorted(tbl.column_names)
+    rows = [tuple(r[c] for c in cols) for r in tbl.select(cols).to_pylist()]
+    return sorted(rows, key=lambda t: tuple((v is None, v) for v in t))
+
+
+def _duck(sql: str) -> pa.Table:
+    con = duckdb.connect()
+    for t in ("events", "orders", "lineitem", "documents"):
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM "
+                    f"read_parquet('{SF}/{t}.parquet')")
+    return con.execute(sql).arrow()
+
+
+def _collect(ds) -> pa.Table:
+    from kgx.functions.collect import collect_arrow
+    return collect_arrow(ds)
+
+
+def test_ordered_window_matches_sql():
+    ev = rd.read_parquet(f"{SF}/events.parquet",
+                         columns=["event_id", "ts", "user_id", "value"])
+    got = _collect(ordered_window(ev))
+    want = _duck("""
+        SELECT user_id, event_id, row_number() OVER w AS seq,
+               CAST(coalesce((epoch_us(ts) - lag(epoch_us(ts)) OVER w)
+                             // 1000000, 0) AS BIGINT) AS gap_s,
+               lag(CAST(floor(value*100+0.5) AS BIGINT)) OVER w
+                 AS prev_value_cents,
+               CAST(sum(CAST(floor(value*100+0.5) AS BIGINT))
+                      OVER (PARTITION BY user_id ORDER BY ts, event_id
+                            ROWS UNBOUNDED PRECEDING) AS BIGINT)
+                 AS cum_value_cents
+        FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """)
+    assert _sorted(got) == _sorted(want)
+
+
+def test_topn_per_key_matches_sql():
+    orders = rd.read_parquet(
+        f"{SF}/orders.parquet",
+        columns=["o_custkey", "o_orderkey", "o_totalprice"])
+    got = _collect(topn_per_key(orders, key="o_custkey",
+                                order_col="o_totalprice",
+                                id_col="o_orderkey", n=3))
+    want = _duck("""
+        SELECT o_custkey, o_orderkey, o_totalprice, rk FROM (
+          SELECT o_custkey, o_orderkey, o_totalprice,
+                 row_number() OVER (PARTITION BY o_custkey
+                   ORDER BY o_totalprice DESC, o_orderkey) AS rk
+          FROM orders) WHERE rk <= 3
+    """)
+    assert _sorted(got) == _sorted(want)
+
+
+def test_topn_combiner_bounds_shuffle():
+    # a batch with 5 rows of one key emits at most n of them
+    t = pa.table({
+        "k": pa.array([7] * 5, pa.int64()),
+        "id": pa.array([5, 4, 3, 2, 1], pa.int64()),
+        "v": pa.array([1.0, 2.0, 2.0, 9.0, 8.0], pa.float64()),
+    })
+    ds = rd.from_arrow(t)
+    out = _collect(topn_per_key(ds, key="k", order_col="v", id_col="id",
+                                n=2))
+    assert out.num_rows == 2
+    assert out["id"].to_pylist() == [2, 1]          # 9.0 then 8.0
+    assert out["rk"].to_pylist() == [1, 2]
+
+
+def test_rollup_matches_sql():
+    got = _collect(pricing_rollup(SF))
+    want = _duck("""
+        SELECT l_returnflag, l_linestatus,
+               CAST(sum(CAST(floor(l_quantity*100+0.5) AS BIGINT))
+                    AS BIGINT) AS sum_qty_cents,
+               CAST(sum(CAST(floor(l_extendedprice*100+0.5) AS BIGINT))
+                    AS BIGINT) AS sum_price_cents,
+               count(*) AS n_rows
+        FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+    """)
+    assert _sorted(got) == _sorted(want)
+    # exactly one grand-total row, flag-level rows have null status
+    nulls = [r for r in got.to_pylist() if r["l_returnflag"] is None]
+    assert len(nulls) == 1
+
+
+def test_pii_scrub_batch():
+    out = pii_scrub_batch(pa.table({
+        "doc_id": pa.array([1], pa.int64()),
+        "text": pa.array(
+            ["mail a.b+c@ex.org or x@y.io, host 10.0.0.1, tel 415-555-0042"],
+            pa.string()),
+    }))
+    assert out["n_emails"].to_pylist() == [2]
+    assert out["n_ips"].to_pylist() == [1]
+    assert out["n_phones"].to_pylist() == [1]
+    assert out["text_clean"].to_pylist() == [
+        "mail <EMAIL> or <EMAIL>, host <IP>, tel <PHONE>"]
+
+
+def test_pii_no_false_positives_on_clean_text():
+    out = pii_scrub_batch(pa.table({
+        "doc_id": pa.array([1], pa.int64()),
+        "text": pa.array(["just ordinary words 12-34 and 1.2"], pa.string()),
+    }))
+    assert out["n_emails"].to_pylist() == [0]
+    assert out["n_ips"].to_pylist() == [0]
+    assert out["n_phones"].to_pylist() == [0]
+    assert out["text_clean"].to_pylist() == [
+        "just ordinary words 12-34 and 1.2"]
+
+
+def test_segment_dedup_small():
+    # doc 0 owns segments A B; doc 1 repeats A then adds C; doc 2 is all
+    # repeats -> null text
+    seg = lambda ch: " ".join([ch] * 10)             # noqa: E731
+    a, b, c = seg("a"), seg("b"), seg("c")
+    docs = rd.from_arrow(pa.table({
+        "doc_id": pa.array([0, 1, 2], pa.int64()),
+        "text": pa.array([f"{a} {b}", f"{a} {c}", f"{b} {a}"], pa.string()),
+    }))
+    out = {r["doc_id"]: r for r in
+           _collect(segment_dedup(docs, seg_tokens=10)).to_pylist()}
+    assert out[0]["text_dedup"] == f"{a} {b}" and out[0]["n_dropped"] == 0
+    assert out[1]["text_dedup"] == c and out[1]["n_dropped"] == 1
+    assert out[2]["text_dedup"] is None and out[2]["n_dropped"] == 2
+    assert all(out[d]["n_segs"] == 2 for d in (0, 1, 2))
+
+
+def test_segment_dedup_matches_sql():
+    docs = rd.read_parquet(f"{SF}/documents.parquet",
+                           columns=["doc_id", "text"])
+    got = _collect(segment_dedup(docs, seg_tokens=10))
+    want = _duck("""
+        WITH toks AS (
+          SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+        segs0 AS (
+          SELECT doc_id, tk,
+                 unnest(generate_series(
+                   0, CAST(ceil(len(tk)/10.0) AS BIGINT) - 1)) AS seg_no
+          FROM toks),
+        segs AS (
+          SELECT doc_id, seg_no,
+                 array_to_string(tk[(seg_no*10+1):((seg_no+1)*10)], ' ')
+                   AS seg
+          FROM segs0),
+        ranked AS (
+          SELECT doc_id, seg_no, seg,
+                 row_number() OVER (PARTITION BY md5(seg)
+                                    ORDER BY doc_id, seg_no) AS rn
+          FROM segs)
+        SELECT doc_id,
+               string_agg(CASE WHEN rn = 1 THEN seg END, ' '
+                          ORDER BY seg_no) AS text_dedup,
+               count(*) AS n_segs,
+               CAST(sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_dropped
+        FROM ranked GROUP BY doc_id
+    """)
+    assert _sorted(got) == _sorted(want)
+    # the op actually dropped something on this corpus (it has exact dups)
+    assert sum(got["n_dropped"].to_pylist()) > 0
