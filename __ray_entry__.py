@@ -738,6 +738,33 @@ def _q_text_pii(sf_dir: str):
     return scrub_pii(docs.map_batches(augment, batch_format="pyarrow"))
 
 
+def _q_text_repetition(sf_dir: str):
+    """Gopher-style repetition features (top bigram / trigram fraction in
+    exact integer ppm) — map-only (kgx/ops/text.py:repetition_batch)."""
+    import ray.data as rd
+    from kgx.ops.text import repetition_batch
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text"])
+    return docs.map_batches(repetition_batch, batch_format="pyarrow")
+
+
+# Source-mixture weights shared verbatim with the text_mix oracle SQL.
+_MIX_WEIGHTS_PPM = {"src0": 250_000, "src1": 250_000,
+                    "src2": 500_000, "src3": 750_000}
+_MIX_DEFAULT_PPM = 900_000
+
+
+def _q_text_mix(sf_dir: str):
+    """Deterministic source-weighted mixture sampling (16-bit md5 bucket
+    vs per-source ppm cutoff) — kgx/ops/sampling.py:mix_sources."""
+    import ray.data as rd
+    from kgx.ops.sampling import mix_sources
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "source"])
+    return mix_sources(docs, weights_ppm=_MIX_WEIGHTS_PPM,
+                       default_ppm=_MIX_DEFAULT_PPM)
+
+
 def _q_dedup_lines(sf_dir: str):
     """CCNet-style corpus-wide segment dedup: narrow (md5, doc, seg)
     shuffle finds winners; losers broadcast; docs rebuilt map-side
@@ -776,6 +803,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_ngrams": _q_text_ngrams,
         "text_tfidf": _q_text_tfidf,
         "text_pii": _q_text_pii,
+        "text_repetition": _q_text_repetition,
+        "text_mix": _q_text_mix,
         # deduplication
         "dedup_exact": _q_dedup_exact,
         "dedup_jaccard": _q_dedup_jaccard,
@@ -1401,6 +1430,65 @@ def oracle_sql() -> dict[str, str]:
               FROM s2)
             SELECT doc_id, t AS text_clean, n_emails, n_ips, n_phones
             FROM s3
+        """,
+        "text_repetition": """
+            WITH toks AS (
+              SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+            bi AS (
+              SELECT doc_id, tk[i] || ' ' || tk[i+1] AS g
+              FROM (SELECT doc_id, tk,
+                           unnest(generate_series(1, len(tk) - 1)) AS i
+                    FROM toks)),
+            bc AS (SELECT doc_id, g, count(*) AS c FROM bi GROUP BY 1, 2),
+            bs AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n,
+                          CAST(max(c) AS BIGINT) AS m
+                   FROM bc GROUP BY doc_id),
+            tri AS (
+              SELECT doc_id, tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] AS g
+              FROM (SELECT doc_id, tk,
+                           unnest(generate_series(1, len(tk) - 2)) AS i
+                    FROM toks)),
+            tc AS (SELECT doc_id, g, count(*) AS c FROM tri GROUP BY 1, 2),
+            ts AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n,
+                          CAST(max(c) AS BIGINT) AS m
+                   FROM tc GROUP BY doc_id)
+            SELECT d.doc_id,
+                   coalesce(bs.n, 0) AS n_bigrams,
+                   CAST(CASE WHEN coalesce(bs.n, 0) = 0 THEN 0
+                             ELSE (bs.m * 1000000) // bs.n END AS BIGINT)
+                     AS top_bigram_ppm,
+                   coalesce(ts.n, 0) AS n_trigrams,
+                   CAST(CASE WHEN coalesce(ts.n, 0) = 0 THEN 0
+                             ELSE (ts.m * 1000000) // ts.n END AS BIGINT)
+                     AS top_trigram_ppm
+            FROM documents d
+            LEFT JOIN bs ON d.doc_id = bs.doc_id
+            LEFT JOIN ts ON d.doc_id = ts.doc_id
+        """,
+        "text_mix": """
+            WITH h AS (
+              SELECT doc_id, source,
+                     md5(CAST(doc_id AS VARCHAR)) AS hx
+              FROM documents),
+            b AS (
+              SELECT doc_id, source,
+                     CAST((strpos('0123456789abcdef', substr(hx,1,1)) - 1)
+                            * 4096
+                        + (strpos('0123456789abcdef', substr(hx,2,1)) - 1)
+                            * 256
+                        + (strpos('0123456789abcdef', substr(hx,3,1)) - 1)
+                            * 16
+                        + strpos('0123456789abcdef', substr(hx,4,1)) - 1
+                          AS BIGINT) AS bucket16
+              FROM h)
+            SELECT doc_id, source, bucket16,
+                   bucket16 < CASE source
+                                WHEN 'src0' THEN 16384
+                                WHEN 'src1' THEN 16384
+                                WHEN 'src2' THEN 32768
+                                WHEN 'src3' THEN 49152
+                                ELSE 58982 END AS keep
+            FROM b
         """,
         "dedup_lines": """
             WITH toks AS (

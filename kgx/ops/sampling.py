@@ -7,6 +7,9 @@ Training-data pipeline staples the reference lacks entirely:
   Purely map-side (no shuffle), reproducible across runs and engines —
   and expressible in ANSI SQL (the driver's DuckDB oracle hash-matches
   it), unlike seeded RNG splits.
+- :func:`mix_sources` — deterministic source-weighted mixture sampling
+  (keep probability per source in ppm, decided by a 16-bit md5 bucket):
+  the data-mixing step for multi-source corpora, map-only.
 - :func:`cap_per_source` — at most ``k`` documents per source, keeping
   the highest quality-score docs (tie -> smallest doc_id): the standard
   domain-quota step for Common-Crawl-style corpora where a few hosts
@@ -51,6 +54,45 @@ def hash_split(docs_ds, *, val_cutoff: int = 26):
     return docs_ds.map_batches(
         lambda t: hash_split_batch(t, val_cutoff=val_cutoff),
         batch_format="pyarrow")
+
+
+def mix_sources(docs_ds, *, weights_ppm: dict[str, int],
+                default_ppm: int = 1_000_000):
+    """Deterministic source-weighted mixture sampling: keep each document
+    with its source's probability (in ppm), decided by a content-free
+    16-bit hash bucket so the draw is reproducible across engines.
+
+    bucket16 = first two bytes of ``md5(str(doc_id))``; keep iff
+    ``bucket16 < (ppm * 65536) // 1_000_000`` — exact integer threshold,
+    expressible in the SQL oracle.  Map-only (the per-source rate table
+    is a plain dict captured in the task closure — kilobytes), no
+    shuffle; this is the data-mixing step (e.g. upsample wiki, cap web)
+    every multi-source training corpus needs.
+
+    Output: (doc_id, source, bucket16, keep) for every input row —
+    downstream consumers filter on ``keep`` (emitting the flag keeps the
+    op oracle-checkable over the full table).
+    """
+    cutoffs = {s: (ppm * 65536) // 1_000_000
+               for s, ppm in weights_ppm.items()}
+    default_cut = (default_ppm * 65536) // 1_000_000
+
+    def assign(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_pylist()
+        srcs = batch["source"].to_pylist()
+        b16 = [int.from_bytes(
+            hashlib.md5(str(d).encode()).digest()[:2], "big")
+            for d in ids]
+        keep = [b < cutoffs.get(s, default_cut)
+                for b, s in zip(b16, srcs)]
+        return pa.table({
+            "doc_id": batch["doc_id"],
+            "source": batch["source"],
+            "bucket16": pa.array(b16, pa.int64()),
+            "keep": pa.array(keep, pa.bool_()),
+        })
+
+    return docs_ds.map_batches(assign, batch_format="pyarrow")
 
 
 def _top_k_group(group: pa.Table, k: int) -> pa.Table:

@@ -170,6 +170,38 @@ def winnow_batch(batch: pa.Table, *, k: int = 3, w: int = 4) -> pa.Table:
     })
 
 
+def repetition_batch(batch: pa.Table) -> pa.Table:
+    """Gopher-style repetition features per document (Rae et al. 2021,
+    arXiv:2112.11446 §A1.1): the fraction of all word bigrams / trigrams
+    taken by the single most frequent one, in exact integer ppm so the
+    distributed result hash-matches the SQL-window oracle.
+
+    (doc_id, text) -> (doc_id, n_bigrams, top_bigram_ppm, n_trigrams,
+    top_trigram_ppm); counts are over ``text.split(' ')`` tokens (the
+    same splitter as the segment-dedup oracle).  Map-only, no shuffle —
+    the hot cost is the per-doc Counter, bounded by tokens/doc.
+    """
+    from collections import Counter
+
+    n_bi, top_bi, n_tri, top_tri = [], [], [], []
+    for t in batch["text"].to_pylist():
+        toks = t.split(" ")
+        bi = Counter(zip(toks, toks[1:]))
+        tri = Counter(zip(toks, toks[1:], toks[2:]))
+        nb, nt = sum(bi.values()), sum(tri.values())
+        n_bi.append(nb)
+        top_bi.append((max(bi.values()) * 1_000_000) // nb if nb else 0)
+        n_tri.append(nt)
+        top_tri.append((max(tri.values()) * 1_000_000) // nt if nt else 0)
+    return pa.table({
+        "doc_id": batch["doc_id"],
+        "n_bigrams": pa.array(n_bi, pa.int64()),
+        "top_bigram_ppm": pa.array(top_bi, pa.int64()),
+        "n_trigrams": pa.array(n_tri, pa.int64()),
+        "top_trigram_ppm": pa.array(top_tri, pa.int64()),
+    })
+
+
 def source_stats(docs_ds):
     """Per-source corpus stats (partial-aggregate groupby): doc count,
     total/mean characters.  The webtext analog is per-domain crawl stats;

@@ -177,3 +177,45 @@ def test_segment_dedup_matches_sql():
     assert _sorted(got) == _sorted(want)
     # the op actually dropped something on this corpus (it has exact dups)
     assert sum(got["n_dropped"].to_pylist()) > 0
+
+
+def test_repetition_batch():
+    from kgx.ops.text import repetition_batch
+    out = repetition_batch(pa.table({
+        "doc_id": pa.array([0, 1], pa.int64()),
+        "text": pa.array(["a b a b a", "x"], pa.string()),
+    }))
+    # "a b a b a": bigrams = ab, ba, ab, ba -> top 2/4 = 500000 ppm
+    assert out["n_bigrams"].to_pylist() == [4, 0]
+    assert out["top_bigram_ppm"].to_pylist() == [500000, 0]
+    # trigrams: aba, bab, aba -> top 2/3
+    assert out["n_trigrams"].to_pylist() == [3, 0]
+    assert out["top_trigram_ppm"].to_pylist() == [(2 * 1000000) // 3, 0]
+
+
+def test_repetition_matches_sql():
+    from kgx.ops.text import repetition_batch
+    docs = rd.read_parquet(f"{SF}/documents.parquet",
+                           columns=["doc_id", "text"])
+    got = _collect(docs.map_batches(repetition_batch,
+                                    batch_format="pyarrow"))
+    import __ray_entry__ as entrymod
+    want = _duck(entrymod.oracle_sql()["text_repetition"])
+    assert _sorted(got) == _sorted(want)
+
+
+def test_mix_sources_deterministic_and_weighted():
+    from kgx.ops.sampling import mix_sources
+    docs = rd.read_parquet(f"{SF}/documents.parquet",
+                           columns=["doc_id", "source"])
+    w = {"src0": 0, "src1": 1_000_000}
+    out = _collect(mix_sources(docs, weights_ppm=w, default_ppm=500_000))
+    rows = out.to_pylist()
+    assert all(not r["keep"] for r in rows if r["source"] == "src0")
+    assert all(r["keep"] for r in rows if r["source"] == "src1")
+    other = [r for r in rows if r["source"] not in w]
+    frac = sum(r["keep"] for r in other) / len(other)
+    assert 0.35 < frac < 0.65                      # ~half at 500k ppm
+    again = _collect(mix_sources(docs, weights_ppm=w,
+                                 default_ppm=500_000))
+    assert _sorted(out) == _sorted(again)          # reproducible
