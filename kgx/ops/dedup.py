@@ -485,6 +485,10 @@ def minhash_lsh_pairs(docs_ds, *, num_perm: int = 64, bands: int = 16,
     Skewed buckets are capped at ``max_bucket_pairs`` pairs each, with
     drops logged (never silent).
     """
+    # NOT coalesced before the groupby: the in-bucket pair stage is
+    # O(bucket^2) Python-side work whose parallelism tracks the block
+    # count, and that loss outweighs the sort's scheduling savings
+    # (measured 64->8 blocks: pair stage 1.5s -> 5.0s at sf0.1).
     banded = docs_ds.map_batches(
         MinHashBands, batch_format="pyarrow", concurrency=(1, 8),
         fn_constructor_kwargs={"num_perm": num_perm, "bands": bands,
@@ -600,7 +604,8 @@ def simhash_pairs(docs_ds, *, bands: int = 4, max_hamming: int = 3,
         })
 
     # first-band ownership already emits each pair exactly once
-    return banded.groupby(["band", "val"]).map_groups(
+    from kgx.functions.collect import coalesce_small
+    return coalesce_small(banded).groupby(["band", "val"]).map_groups(
         bucket_pairs, batch_format="pyarrow")
 
 
