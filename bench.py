@@ -133,7 +133,8 @@ def _operator_queries(sf_dir: str) -> dict:
         return rd.read_parquet(f"{sf_dir}/embeddings.parquet",
                                columns=["vec_id", "embedding"])
 
-    from kgx.ops import bm25, dedup, relational, simsearch, text, window
+    from kgx.ops import (bm25, dedup, linededup, pii, relational, simsearch,
+                         text, window)
     from kgx.pipelines.docs_kg import kg_tables
 
     return {
@@ -145,6 +146,8 @@ def _operator_queries(sf_dir: str) -> dict:
         "text_tokens": lambda: docs().map_batches(
             text.token_stats_batch, batch_format="pyarrow"),
         "dedup_exact": lambda: dedup.exact_dup_groups(docs()),
+        "dedup_lines": lambda: linededup.segment_dedup(docs(),
+                                                       seg_tokens=10),
         "dedup_minhash": lambda: dedup.minhash_lsh_pairs(docs()),
         "dedup_simhash": lambda: dedup.simhash_pairs(docs(), max_hamming=8),
         "dedup_embedding": lambda: dedup.embedding_dup_pairs(
@@ -158,6 +161,7 @@ def _operator_queries(sf_dir: str) -> dict:
             rd.read_parquet(f"{sf_dir}/events.parquet",
                             columns=["ts", "event_type", "value"]),
             width_s=3600),
+        "text_pii": lambda: pii.scrub_pii(docs()),
         "rel_pricing": lambda: relational.pricing_summary(sf_dir),
         "rel_top_customers": lambda: relational.top_customers(sf_dir, n=10),
     }
