@@ -738,6 +738,16 @@ def _q_text_pii(sf_dir: str):
     return scrub_pii(docs.map_batches(augment, batch_format="pyarrow"))
 
 
+def _q_events_quantile_by_type(sf_dir: str):
+    """Exact per-type value quantiles (integer cents): one narrow
+    (key, cents) shuffle + in-group sort (kgx/ops/quantile.py)."""
+    import ray.data as rd
+    from kgx.ops.quantile import grouped_quantiles
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_type", "value"])
+    return grouped_quantiles(ev, key="event_type", value_col="value")
+
+
 def _q_text_repetition(sf_dir: str):
     """Gopher-style repetition features (top bigram / trigram fraction in
     exact integer ppm) — map-only (kgx/ops/text.py:repetition_batch)."""
@@ -842,6 +852,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rel_topn": _q_rel_topn,
         "rel_rollup": _q_rel_rollup,
         "events_quantile": _q_events_quantile,
+        "events_quantile_by_type": _q_events_quantile_by_type,
         "events_ordered": _q_events_ordered,
         # multimodal plumbing
         "multimodal_stats": _q_multimodal_stats,
@@ -1430,6 +1441,30 @@ def oracle_sql() -> dict[str, str]:
               FROM s2)
             SELECT doc_id, t AS text_clean, n_emails, n_ips, n_phones
             FROM s3
+        """,
+        "events_quantile_by_type": """
+            WITH v AS (
+              SELECT event_type,
+                     CAST(floor(value * 100 + 0.5) AS BIGINT) AS c
+              FROM events
+              WHERE value IS NOT NULL AND NOT isnan(value)),
+            r AS (
+              SELECT event_type, c,
+                     row_number() OVER (PARTITION BY event_type
+                                        ORDER BY c) - 1 AS rk,
+                     count(*) OVER (PARTITION BY event_type) AS n
+              FROM v)
+            SELECT event_type, max(n) AS n,
+                   CAST(max(CASE WHEN rk = CAST(floor(0.5 * (n - 1))
+                                               AS BIGINT)
+                                 THEN c END) AS BIGINT) AS q50_cents,
+                   CAST(max(CASE WHEN rk = CAST(floor(0.9 * (n - 1))
+                                               AS BIGINT)
+                                 THEN c END) AS BIGINT) AS q90_cents,
+                   CAST(max(CASE WHEN rk = CAST(floor(0.99 * (n - 1))
+                                               AS BIGINT)
+                                 THEN c END) AS BIGINT) AS q99_cents
+            FROM r GROUP BY event_type
         """,
         "text_repetition": """
             WITH toks AS (

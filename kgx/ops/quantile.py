@@ -118,3 +118,46 @@ def exact_quantiles(ds, col: str, ps: list[float], *,
         values.append(float(by_bucket[b][r - cum[b]]))
     return pa.table({"p": pa.array(list(ps), pa.float64()),
                      "value": pa.array(values, pa.float64())})
+
+
+def grouped_quantiles(ds, *, key: str, value_col: str,
+                      ps: tuple[float, ...] = (0.5, 0.9, 0.99)):
+    """Exact per-group discrete quantiles in integer cents.
+
+    Complementary shape to :func:`exact_quantiles`: the global version
+    avoids any shuffle because ONE key's values would be the whole
+    dataset; per-group, the values partition naturally, so the right
+    move is one narrow ``groupby(key)`` shuffle of (key, cents) rows and
+    an in-group vectorized sort.  PARTITIONING ASSUMPTION: one group's
+    values fit one task (same as sessionization; a degenerate key would
+    need the histogram-refine of ``exact_quantiles`` applied per key).
+
+    Quantile definition shared with the SQL oracle: ascending 0-based
+    rank ``floor(p * (n - 1))`` (identical IEEE double expression on
+    both sides).  Output: (key, n, q50_cents, q90_cents, q99_cents)
+    for the default ``ps``.
+    """
+    names = [f"q{int(p * 100)}_cents" for p in ps]
+
+    def narrow(batch: pa.Table) -> pa.Table:
+        vals = batch[value_col].combine_chunks().cast(pa.float64()) \
+            .to_numpy(zero_copy_only=False)
+        keep = ~np.isnan(vals)
+        cents = np.floor(vals[keep] * 100.0 + 0.5).astype(np.int64)
+        return pa.table({
+            key: batch[key].filter(pa.array(keep)),
+            "cents": pa.array(cents, pa.int64()),
+        })
+
+    def qs(group: pa.Table) -> pa.Table:
+        c = np.sort(group["cents"].to_numpy(zero_copy_only=False))
+        n = len(c)
+        cols = {key: group[key].slice(0, 1),
+                "n": pa.array([n], pa.int64())}
+        for p, name in zip(ps, names):
+            cols[name] = pa.array([int(c[math.floor(p * (n - 1))])],
+                                  pa.int64())
+        return pa.table(cols)
+
+    return ds.map_batches(narrow, batch_format="pyarrow") \
+        .groupby(key).map_groups(qs, batch_format="pyarrow")

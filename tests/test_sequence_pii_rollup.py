@@ -219,3 +219,14 @@ def test_mix_sources_deterministic_and_weighted():
     again = _collect(mix_sources(docs, weights_ppm=w,
                                  default_ppm=500_000))
     assert _sorted(out) == _sorted(again)          # reproducible
+
+
+def test_grouped_quantiles_matches_sql():
+    from kgx.ops.quantile import grouped_quantiles
+    ev = rd.read_parquet(f"{SF}/events.parquet",
+                         columns=["event_type", "value"])
+    got = _collect(grouped_quantiles(ev, key="event_type",
+                                     value_col="value"))
+    import __ray_entry__ as entrymod
+    want = _duck(entrymod.oracle_sql()["events_quantile_by_type"])
+    assert _sorted(got) == _sorted(want)
