@@ -670,7 +670,7 @@ def _q_vector_rag(sf_dir: str):
 
 def _q_multimodal_frames(sf_dir: str):
     """Frame-sampling plumbing over media-shaped rows (deterministic fake
-    decode; 1->N expansion) — rows-only check."""
+    decode; 1->N expansion) — md5-derived durations, exact oracle."""
     from kgx.ops.multimodal import FrameSampleStage, docs_as_media
     return docs_as_media(sf_dir).map_batches(
         FrameSampleStage, batch_format="pyarrow", batch_size=64,
@@ -1441,6 +1441,37 @@ def oracle_sql() -> dict[str, str]:
               FROM s2)
             SELECT doc_id, t AS text_clean, n_emails, n_ips, n_phones
             FROM s3
+        """,
+        "multimodal_frames": """
+            WITH m AS (
+              SELECT 'doc-' || doc_id AS media_id, md5(text) AS h
+              FROM documents),
+            d AS (
+              SELECT media_id,
+                     1000 + (
+                       (strpos('0123456789abcdef', substr(h, 1, 1)) - 1)
+                         * 268435456
+                     + (strpos('0123456789abcdef', substr(h, 2, 1)) - 1)
+                         * 16777216
+                     + (strpos('0123456789abcdef', substr(h, 3, 1)) - 1)
+                         * 1048576
+                     + (strpos('0123456789abcdef', substr(h, 4, 1)) - 1)
+                         * 65536
+                     + (strpos('0123456789abcdef', substr(h, 5, 1)) - 1)
+                         * 4096
+                     + (strpos('0123456789abcdef', substr(h, 6, 1)) - 1)
+                         * 256
+                     + (strpos('0123456789abcdef', substr(h, 7, 1)) - 1)
+                         * 16
+                     + strpos('0123456789abcdef', substr(h, 8, 1)) - 1
+                     ) % 59000 AS duration_ms
+              FROM m),
+            f AS (SELECT media_id, duration_ms,
+                         unnest(generate_series(0, 1)) AS i
+                  FROM d)
+            SELECT media_id, CAST(i AS INT) AS frame_index,
+                   CAST((duration_ms * i) // 2 AS BIGINT) AS frame_ts_ms
+            FROM f
         """,
         "events_quantile_by_type": """
             WITH v AS (

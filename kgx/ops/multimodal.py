@@ -191,14 +191,16 @@ class FrameSampleStage:
         ids, idxs, tss, digs = [], [], [], []
         for mid, p in zip(batch["media_id"].to_pylist(),
                           batch["payload"].to_pylist()):
-            h = hashlib.blake2b(p or b"", digest_size=8).digest()
+            # md5 (not blake2b) so the DuckDB oracle can mirror the fake
+            # duration exactly, like ImageDecodeStage's dims
+            h = hashlib.md5(p or b"").digest()
             duration_ms = 1000 + int.from_bytes(h[:4], "big") % 59_000
             for i in range(self.n_frames):
                 ids.append(mid)
                 idxs.append(i)
                 tss.append((duration_ms * i) // self.n_frames)
-                digs.append(hashlib.blake2b(
-                    (p or b"") + bytes([i]), digest_size=8).digest())
+                digs.append(hashlib.md5(
+                    (p or b"") + bytes([i])).digest()[:8])
         return pa.table({
             "media_id": pa.array(ids, pa.string()),
             "frame_index": pa.array(idxs, pa.int32()),
