@@ -738,6 +738,16 @@ def _q_text_pii(sf_dir: str):
     return scrub_pii(docs.map_batches(augment, batch_format="pyarrow"))
 
 
+def _q_text_logprob(sf_dir: str):
+    """Unigram LM quality proxy: corpus token counts broadcast, per-doc
+    mean token logprob in integer micro units (kgx/ops/vocab.py)."""
+    import ray.data as rd
+    from kgx.ops.vocab import unigram_logprob
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text"])
+    return unigram_logprob(docs)
+
+
 def _q_events_quantile_by_type(sf_dir: str):
     """Exact per-type value quantiles (integer cents): one narrow
     (key, cents) shuffle + in-group sort (kgx/ops/quantile.py)."""
@@ -815,6 +825,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_pii": _q_text_pii,
         "text_repetition": _q_text_repetition,
         "text_mix": _q_text_mix,
+        "text_logprob": _q_text_logprob,
         # deduplication
         "dedup_exact": _q_dedup_exact,
         "dedup_jaccard": _q_dedup_jaccard,
@@ -1441,6 +1452,26 @@ def oracle_sql() -> dict[str, str]:
               FROM s2)
             SELECT doc_id, t AS text_clean, n_emails, n_ips, n_phones
             FROM s3
+        """,
+        "text_logprob": """
+            WITH toks AS (
+              SELECT doc_id,
+                     unnest(regexp_extract_all(lower(trim(text)), '\\S+'))
+                       AS tok
+              FROM documents WHERE trim(text) <> ''),
+            cnt AS (SELECT tok, count(*) AS c FROM toks GROUP BY tok),
+            tot AS (SELECT CAST(sum(c) AS BIGINT) AS t,
+                           count(*) AS v FROM cnt),
+            lp AS (SELECT tok,
+                          CAST(floor(ln((c + 1.0) / (t + v)) * 1000000
+                                     + 0.5) AS BIGINT) AS lpm
+                   FROM cnt, tot),
+            d AS (SELECT doc_id, count(*) AS n, sum(lpm) AS s
+                  FROM toks JOIN lp USING (tok) GROUP BY doc_id)
+            SELECT doc_id, n AS n_tokens,
+                   CAST(floor(CAST(s AS DOUBLE) / n) AS BIGINT)
+                     AS mean_logprob_micro
+            FROM d
         """,
         "multimodal_frames": """
             WITH m AS (

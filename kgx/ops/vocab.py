@@ -151,3 +151,66 @@ def tfidf_top_terms(docs_ds, *, k: int = 5):
         })
 
     return docs_ds.map_batches(score, batch_format="pyarrow")
+
+
+def unigram_logprob(docs_ds):
+    """Per-document mean unigram log-probability — the cheap LM-quality
+    proxy (KenLM-style perplexity filtering without the LM): documents
+    whose tokens are corpus-typical score high; gibberish and boilerplate
+    outliers score low.
+
+    Two passes with the same scale shape as :func:`tfidf_top_terms`:
+    pass 1 folds per-batch token counts into the corpus unigram table
+    (narrow (token, count) partials, driver fold, ``ray.put`` broadcast
+    — vocabulary-fits-in-heap assumption as above); pass 2 streams the
+    corpus and scores each document map-side, no shuffle.
+
+    Determinism: per-token add-one-smoothed logprob is fixed to integer
+    MICRO units first (``floor(ln((c+1)/(T+V)) * 1e6 + 0.5)`` — identical
+    IEEE expression in the SQL oracle), so per-document summation is
+    order-independent; the mean is ``floor(sum / n)`` in double (exact:
+    |sum| << 2^53).  Output: (doc_id, n_tokens, mean_logprob_micro).
+    """
+    def count_partial(batch: pa.Table) -> pa.Table:
+        counts: Counter = Counter()
+        for text in batch["text"].to_pylist():
+            stripped = (text or "").strip()
+            if stripped:
+                counts.update(_WS.split(stripped.lower()))
+        return pa.table({
+            "tok": pa.array(list(counts.keys()), pa.string()),
+            "c": pa.array(list(counts.values()), pa.int64()),
+        })
+
+    parts = collect_arrow(
+        docs_ds.map_batches(count_partial, batch_format="pyarrow"))
+    vocab: Counter = Counter()
+    for t, c in zip(parts["tok"].to_pylist(),
+                    parts["c"].to_numpy(zero_copy_only=False)):
+        vocab[t] += int(c)
+    total = sum(vocab.values())
+    denom = float(total + len(vocab))
+    lp_micro = {t: math.floor(math.log((c + 1.0) / denom) * 1e6 + 0.5)
+                for t, c in vocab.items()}
+    lref = ray.put(lp_micro)
+
+    def score(batch: pa.Table) -> pa.Table:
+        lp = ray.get(lref)
+        ids, ns, means = [], [], []
+        for doc_id, text in zip(batch["doc_id"].to_pylist(),
+                                batch["text"].to_pylist()):
+            stripped = (text or "").strip()
+            if not stripped:
+                continue
+            toks = _WS.split(stripped.lower())
+            s = sum(lp[t] for t in toks)
+            ids.append(doc_id)
+            ns.append(len(toks))
+            means.append(math.floor(s / len(toks)))
+        return pa.table({
+            "doc_id": pa.array(ids, pa.int64()),
+            "n_tokens": pa.array(ns, pa.int64()),
+            "mean_logprob_micro": pa.array(means, pa.int64()),
+        })
+
+    return docs_ds.map_batches(score, batch_format="pyarrow")

@@ -230,3 +230,15 @@ def test_grouped_quantiles_matches_sql():
     import __ray_entry__ as entrymod
     want = _duck(entrymod.oracle_sql()["events_quantile_by_type"])
     assert _sorted(got) == _sorted(want)
+
+
+def test_unigram_logprob_matches_sql():
+    from kgx.ops.vocab import unigram_logprob
+    docs = rd.read_parquet(f"{SF}/documents.parquet",
+                           columns=["doc_id", "text"])
+    got = _collect(unigram_logprob(docs))
+    import __ray_entry__ as entrymod
+    want = _duck(entrymod.oracle_sql()["text_logprob"])
+    assert _sorted(got) == _sorted(want)
+    # common-token docs score higher than they would with rare tokens
+    assert all(v < 0 for v in got["mean_logprob_micro"].to_pylist())
