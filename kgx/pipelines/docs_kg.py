@@ -50,11 +50,15 @@ def chunk_documents(sf_dir: str, *, chunk_size: int = 200,
 def extract_documents(sf_dir: str, *, chunk_size: int = 200,
                       chunk_overlap: int = 50, extractor=TermExtractor,
                       extractor_kwargs: dict | None = None,
-                      concurrency=None, batch_size: int = 1024):
+                      concurrency=None, batch_size: int | None = None):
     """documents -> tagged extraction Dataset (mentions/triples/claims).
 
     Task-based with per-worker cached extractor state by default; pass
-    ``concurrency`` to host the extractor on an actor pool."""
+    ``concurrency`` to host the extractor on an actor pool.
+    ``batch_size=None`` keeps per-block batches: a fixed batch size
+    larger than rows/ncpu silently collapses the fused
+    chunk->extract->combine chain to a handful of tasks (measured 5
+    tasks for 5k docs at 1024 — a 6x wall hit at 32 CPUs)."""
     chunks = chunk_documents(sf_dir, chunk_size=chunk_size,
                              chunk_overlap=chunk_overlap)
     kwargs = extractor_kwargs or {}
