@@ -7,9 +7,9 @@ Every SQL string is the exact semantic mirror of its Ray pipeline — same
 tokenization regexes (RE2 on both sides), same float operation order, and
 integer arithmetic (``floor(x*100+0.5)`` cents, integer floor-division
 averages) wherever distributed summation order could otherwise flip a
-bit.  Approximate/stateful operators (MinHash-LSH, SimHash, winnowing,
-LSH top-k, gazetteer KG over the synthetic corpus) have no oracle entry
-→ rows-only check, by design.
+bit.  Approximate/stateful operators (MinHash-LSH, SimHash, LSH/IVF
+top-k, sketches, gazetteer KG over the synthetic corpus) have no oracle
+entry → rows-only check, by design.
 """
 
 from __future__ import annotations
@@ -140,12 +140,32 @@ def _q_text_fingerprint(sf_dir: str):
 
 
 def _q_text_winnow(sf_dir: str):
+    """Winnowing fingerprints projected to order-free aggregates of the
+    selected set (count / min / max / sum) — md5-based gram hashes make
+    the selection exactly mirrorable by the SQL window-min oracle."""
+    import polars as pl
+    import pyarrow as pa
     import ray.data as rd
     from kgx.ops.text import winnow_batch
+
+    def agg(batch: pa.Table) -> pa.Table:
+        df = pl.from_arrow(batch)
+        fp = pl.col("fingerprints")
+        nonempty = pl.col("n_fingerprints") > 0
+        out = df.select(
+            pl.col("doc_id"),
+            pl.col("n_fingerprints"),
+            fp.list.min().cast(pl.Int64).alias("fp_min"),
+            fp.list.max().cast(pl.Int64).alias("fp_max"),
+            pl.when(nonempty).then(fp.list.sum().cast(pl.Int64))
+              .otherwise(None).alias("fp_sum"),
+        )
+        return out.to_arrow()
+
     ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
                          columns=["doc_id", "text"]).map_batches(
         winnow_batch, batch_format="pyarrow")
-    return ds.select_columns(["doc_id", "n_fingerprints"])
+    return ds.map_batches(agg, batch_format="pyarrow")
 
 
 def _q_dedup_exact(sf_dir: str):
@@ -1452,6 +1472,56 @@ def oracle_sql() -> dict[str, str]:
               FROM s2)
             SELECT doc_id, t AS text_clean, n_emails, n_ips, n_phones
             FROM s3
+        """,
+        "text_winnow": """
+            WITH tk AS (
+              SELECT doc_id, regexp_extract_all(text, '\\S+') AS t
+              FROM documents),
+            gr AS (
+              SELECT doc_id, i,
+                     md5(array_to_string(t[i:(i + 2)], ' ')) AS hx
+              FROM (SELECT doc_id, t,
+                           unnest(generate_series(1, len(t) - 2)) AS i
+                    FROM tk)),
+            hs AS (
+              SELECT doc_id, i,
+                     CAST((strpos('0123456789abcdef', substr(hx, 1, 1)) - 1)
+                            * 268435456
+                        + (strpos('0123456789abcdef', substr(hx, 2, 1)) - 1)
+                            * 16777216
+                        + (strpos('0123456789abcdef', substr(hx, 3, 1)) - 1)
+                            * 1048576
+                        + (strpos('0123456789abcdef', substr(hx, 4, 1)) - 1)
+                            * 65536
+                        + (strpos('0123456789abcdef', substr(hx, 5, 1)) - 1)
+                            * 4096
+                        + (strpos('0123456789abcdef', substr(hx, 6, 1)) - 1)
+                            * 256
+                        + (strpos('0123456789abcdef', substr(hx, 7, 1)) - 1)
+                            * 16
+                        + strpos('0123456789abcdef', substr(hx, 8, 1)) - 1
+                          AS BIGINT) AS v
+              FROM gr),
+            nh AS (SELECT doc_id, count(*) AS ch FROM hs GROUP BY doc_id),
+            mins AS (
+              SELECT h.doc_id, h.i, nh.ch,
+                     min(h.v) OVER (PARTITION BY h.doc_id ORDER BY h.i
+                                    ROWS BETWEEN CURRENT ROW
+                                    AND 3 FOLLOWING) AS m
+              FROM hs h JOIN nh USING (doc_id)),
+            sel AS (
+              SELECT doc_id, m FROM mins
+              WHERE (ch <= 4 AND i = 1) OR (ch > 4 AND i <= ch - 3)),
+            agg AS (
+              SELECT doc_id,
+                     CAST(count(DISTINCT m) AS BIGINT) AS n_fingerprints,
+                     min(m) AS fp_min, max(m) AS fp_max,
+                     CAST(sum(DISTINCT m) AS BIGINT) AS fp_sum
+              FROM sel GROUP BY doc_id)
+            SELECT d.doc_id,
+                   coalesce(a.n_fingerprints, 0) AS n_fingerprints,
+                   a.fp_min, a.fp_max, a.fp_sum
+            FROM documents d LEFT JOIN agg a USING (doc_id)
         """,
         "text_logprob": """
             WITH toks AS (

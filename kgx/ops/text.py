@@ -14,7 +14,8 @@ with at least ``(doc_id, text)``:
   for shingle-level provenance.
 
 Each has an exact ANSI-SQL equivalent registered in ``__ray_entry__
-.oracle_sql`` (winnowing excepted — rows-only check).  The reference has no
+.oracle_sql`` (winnowing via order-free aggregates of its selected
+fingerprint set).  The reference has no
 text-analysis stage at all (its corpus handling is a directory read,
 /root/reference/graphrag_lite_x.py:130-148); these operators are the
 training-data-pipeline surface the 100 TB target needs.
@@ -23,7 +24,6 @@ training-data-pipeline surface the 100 TB target needs.
 from __future__ import annotations
 
 import hashlib
-import zlib
 
 import numpy as np
 import polars as pl
@@ -143,11 +143,16 @@ def fingerprint_batch(batch: pa.Table) -> pa.Table:
 
 def _winnow(tokens: list[str], k: int, w: int) -> list[int]:
     """Winnowing fingerprint: min hash in each window of w k-gram hashes,
-    deduplicated while preserving first-selection order."""
+    deduplicated while preserving first-selection order.
+
+    The k-gram hash is the big-endian first 4 bytes of md5 — chosen over
+    crc32 so the DuckDB oracle can mirror the selected-set aggregates
+    exactly (DuckDB has md5 but no crc32)."""
     if len(tokens) < k:
         return []
-    hashes = [zlib.crc32(" ".join(tokens[i:i + k]).encode()) & 0xFFFFFFFF
-              for i in range(len(tokens) - k + 1)]
+    hashes = [int.from_bytes(
+        hashlib.md5(" ".join(tokens[i:i + k]).encode()).digest()[:4], "big")
+        for i in range(len(tokens) - k + 1)]
     if len(hashes) <= w:
         return [min(hashes)]
     out, seen = [], set()
