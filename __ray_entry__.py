@@ -721,6 +721,13 @@ def _q_rel_topn(sf_dir: str):
                         id_col="o_orderkey", n=3)
 
 
+def _q_rel_pivot(sf_dir: str):
+    """PIVOT orders: one row per status, one count column per priority
+    (map-side pivoted partials; kgx/ops/relational.py)."""
+    from kgx.ops.relational import priority_pivot
+    return priority_pivot(sf_dir)
+
+
 def _q_rel_rollup(sf_dir: str):
     """GROUP BY ROLLUP over lineitem: one wide shuffle for the finest
     level, super-aggregates re-aggregate the tiny result."""
@@ -882,6 +889,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rel_antijoin": _q_rel_antijoin,
         "rel_topn": _q_rel_topn,
         "rel_rollup": _q_rel_rollup,
+        "rel_pivot": _q_rel_pivot,
         "events_quantile": _q_events_quantile,
         "events_quantile_by_type": _q_events_quantile_by_type,
         "events_ordered": _q_events_ordered,
@@ -1439,6 +1447,23 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n_rows
             FROM lineitem
             GROUP BY ROLLUP(l_returnflag, l_linestatus)
+        """,
+        "rel_pivot": """
+            SELECT o_orderstatus,
+                   CAST(sum(CASE WHEN o_orderpriority = '1-URGENT'
+                                 THEN 1 ELSE 0 END) AS BIGINT)
+                     AS n_urgent,
+                   CAST(sum(CASE WHEN o_orderpriority = '2-HIGH'
+                                 THEN 1 ELSE 0 END) AS BIGINT) AS n_high,
+                   CAST(sum(CASE WHEN o_orderpriority = '3-MEDIUM'
+                                 THEN 1 ELSE 0 END) AS BIGINT)
+                     AS n_medium,
+                   CAST(sum(CASE WHEN o_orderpriority = '4-NOT SPECIFIED'
+                                 THEN 1 ELSE 0 END) AS BIGINT)
+                     AS n_not_specified,
+                   CAST(sum(CASE WHEN o_orderpriority = '5-LOW'
+                                 THEN 1 ELSE 0 END) AS BIGINT) AS n_low
+            FROM orders GROUP BY o_orderstatus
         """,
         "text_pii": f"""
             WITH aug AS (

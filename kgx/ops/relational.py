@@ -247,6 +247,46 @@ def pricing_rollup(sf_dir: str):
             .union(lvl0.map_batches(shape(0), batch_format="pyarrow")))
 
 
+ORDER_PRIORITIES = ("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED",
+                    "5-LOW")
+
+
+def priority_pivot(sf_dir: str):
+    """PIVOT orders to one row per status with a count column per
+    priority (the known, fixed TPC-H domain — a pivot over an unknown
+    domain needs a distinct-pass first).
+
+    Shape: the in-batch partial aggregate pivots map-side (one row per
+    status per batch, five int columns), so the groupby merges
+    already-wide partials — equivalent to sum(CASE WHEN ...) in SQL.
+    Output: (o_orderstatus, n_urgent, n_high, n_medium, n_not_specified,
+    n_low).
+    """
+    col_names = ["n_" + p.split("-", 1)[1].lower().replace(" ", "_")
+                 for p in ORDER_PRIORITIES]
+
+    def partial(batch: pa.Table) -> pa.Table:
+        cols = {"o_orderstatus": batch["o_orderstatus"]}
+        pr = batch["o_orderpriority"]
+        for p, name in zip(ORDER_PRIORITIES, col_names):
+            cols[name] = pc.cast(pc.equal(pr, p), pa.int64())
+        return (pa.table(cols).group_by(["o_orderstatus"])
+                .aggregate([(n, "sum") for n in col_names]))
+
+    def final(group: pa.Table) -> pa.Table:
+        cols = {"o_orderstatus": group["o_orderstatus"].slice(0, 1)}
+        for name in col_names:
+            cols[name] = pa.array(
+                [sum(group[f"{name}_sum"].to_pylist())], pa.int64())
+        return pa.table(cols)
+
+    ds = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                         columns=["o_orderstatus", "o_orderpriority"])
+    return (ds.map_batches(partial, batch_format="pyarrow")
+              .groupby("o_orderstatus")
+              .map_groups(final, batch_format="pyarrow"))
+
+
 def customers_without_orders(sf_dir: str, *, min_totalprice: float = 0.0):
     """Broadcast anti-join: customers with no order pricier than
     ``min_totalprice`` (0.0 = no order at all).

@@ -242,3 +242,25 @@ def test_unigram_logprob_matches_sql():
     assert _sorted(got) == _sorted(want)
     # common-token docs score higher than they would with rare tokens
     assert all(v < 0 for v in got["mean_logprob_micro"].to_pylist())
+
+
+def test_priority_pivot_matches_sql():
+    from kgx.ops.relational import priority_pivot
+    got = _collect(priority_pivot(SF))
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW orders AS SELECT * FROM "
+                f"read_parquet('{SF}/orders.parquet')")
+    want = con.execute("""
+        SELECT o_orderstatus,
+               CAST(sum(CASE WHEN o_orderpriority='1-URGENT' THEN 1
+                             ELSE 0 END) AS BIGINT) AS n_urgent,
+               CAST(sum(CASE WHEN o_orderpriority='2-HIGH' THEN 1
+                             ELSE 0 END) AS BIGINT) AS n_high,
+               CAST(sum(CASE WHEN o_orderpriority='3-MEDIUM' THEN 1
+                             ELSE 0 END) AS BIGINT) AS n_medium,
+               CAST(sum(CASE WHEN o_orderpriority='4-NOT SPECIFIED' THEN 1
+                             ELSE 0 END) AS BIGINT) AS n_not_specified,
+               CAST(sum(CASE WHEN o_orderpriority='5-LOW' THEN 1
+                             ELSE 0 END) AS BIGINT) AS n_low
+        FROM orders GROUP BY o_orderstatus""").arrow()
+    assert _sorted(got) == _sorted(want)
