@@ -721,6 +721,15 @@ def _q_rel_topn(sf_dir: str):
                         id_col="o_orderkey", n=3)
 
 
+def _q_rel_shipping(sf_dir: str):
+    """TPC-H Q3-shaped three-way join (customer broadcast semi-join ->
+    lineitem map-side revenue partials -> one orderkey co-shuffle),
+    top-10 orders by post-cutoff revenue (kgx/ops/relational.py)."""
+    from kgx.ops.relational import shipping_priority
+    return shipping_priority(sf_dir, segment="BUILDING",
+                             cutoff="1998-06-01", n=10)
+
+
 def _q_rel_pivot(sf_dir: str):
     """PIVOT orders: one row per status, one count column per priority
     (map-side pivoted partials; kgx/ops/relational.py)."""
@@ -888,6 +897,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rel_join": _q_rel_join,
         "rel_antijoin": _q_rel_antijoin,
         "rel_topn": _q_rel_topn,
+        "rel_shipping": _q_rel_shipping,
         "rel_rollup": _q_rel_rollup,
         "rel_pivot": _q_rel_pivot,
         "events_quantile": _q_events_quantile,
@@ -1437,6 +1447,28 @@ def oracle_sql() -> dict[str, str]:
                      row_number() OVER (PARTITION BY o_custkey
                        ORDER BY o_totalprice DESC, o_orderkey) AS rk
               FROM orders) WHERE rk <= 3
+        """,
+        "rel_shipping": """
+            WITH c AS (
+              SELECT c_custkey FROM customer
+              WHERE c_mktsegment = 'BUILDING'),
+            o AS (
+              SELECT o_orderkey, o_orderdate
+              FROM orders JOIN c ON o_custkey = c_custkey
+              WHERE o_orderdate < TIMESTAMP '1998-06-01'),
+            l AS (
+              SELECT l_orderkey,
+                     CAST(floor(l_extendedprice * (1.0 - l_discount)
+                                * 10000.0 + 0.5) AS BIGINT) AS rev
+              FROM lineitem
+              WHERE l_shipdate > TIMESTAMP '1998-06-01')
+            SELECT o.o_orderkey,
+                   CAST(sum(l.rev) AS BIGINT) AS revenue_units,
+                   o.o_orderdate
+            FROM l JOIN o ON l.l_orderkey = o.o_orderkey
+            GROUP BY o.o_orderkey, o.o_orderdate
+            ORDER BY revenue_units DESC, o.o_orderkey
+            LIMIT 10
         """,
         "rel_rollup": """
             SELECT l_returnflag, l_linestatus,

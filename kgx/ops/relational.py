@@ -327,3 +327,118 @@ def customers_without_orders(sf_dir: str, *, min_totalprice: float = 0.0):
     cust = rd.read_parquet(f"{sf_dir}/customer.parquet",
                            columns=["c_custkey", "c_name"])
     return cust.map_batches(anti, batch_format="pyarrow")
+
+
+def shipping_priority(sf_dir: str, *, segment: str = "BUILDING",
+                      cutoff: str = "1998-06-01", n: int = 10):
+    """TPC-H Q3-shaped three-way join: top-n undelivered orders of one
+    market segment by post-cutoff lineitem revenue.
+
+    Scale shape — each table joins at its natural size tier:
+      * customer (small side) filters to the segment and broadcasts its
+        key set once via ``ray.put``; orders semi-join map-side with a
+        vectorized ``is_in`` — no customer row ever shuffles.
+      * lineitem (big side) pre-aggregates revenue per order key INSIDE
+        each batch, so the wide shuffle carries one partial row per
+        (orderkey, block), never raw lineitems.
+      * orders and lineitem partials co-shuffle through ONE
+        ``groupby(o_orderkey)`` with Ray-native Sum/Max aggregates
+        (vectorized merge, no per-group Python), then filter + global
+        sort + limit on the already-tiny result.
+
+    Revenue is exact integer ten-thousandths:
+    ``floor(l_extendedprice * (1.0 - l_discount) * 10000.0 + 0.5)`` —
+    the identical IEEE-double expression the DuckDB oracle evaluates,
+    summed as int64 so distributed order cannot flip a bit.
+    Output: (o_orderkey, revenue_units, o_orderdate) by
+    (revenue desc, orderkey asc), top n.
+    """
+    from ray.data.aggregate import Max, Sum
+
+    cutoff_ts = np.datetime64(cutoff).astype("datetime64[us]").astype("int64")
+
+    cust = rd.read_parquet(f"{sf_dir}/customer.parquet",
+                           columns=["c_custkey", "c_mktsegment"])
+
+    def seg_keys(batch: pa.Table) -> pa.Table:
+        keep = batch.filter(pc.equal(batch["c_mktsegment"], segment))
+        return pa.table({"k": pc.unique(keep["c_custkey"].combine_chunks()
+                                        .cast(pa.int64()))})
+
+    from kgx.functions.collect import collect_arrow
+    seg_tbl = collect_arrow(cust.map_batches(seg_keys,
+                                             batch_format="pyarrow"))
+    seg_set = (pc.unique(seg_tbl["k"].combine_chunks())
+               if seg_tbl.num_rows else pa.array([], pa.int64()))
+    sref = ray.put(seg_set)
+
+    def orders_tag(batch: pa.Table) -> pa.Table:
+        dt = pc.cast(batch["o_orderdate"], pa.int64())
+        mask = pc.and_(pc.less(dt, cutoff_ts),
+                       pc.is_in(batch["o_custkey"].combine_chunks()
+                                .cast(pa.int64()), value_set=ray.get(sref)))
+        b = batch.filter(mask)
+        nrow = b.num_rows
+        return pa.table({
+            "o_orderkey": b["o_orderkey"],
+            "rev_units": pa.nulls(nrow, pa.int64()),
+            "n_items": pa.nulls(nrow, pa.int64()),
+            "date_us": pc.cast(b["o_orderdate"], pa.int64()),
+            "is_order": pa.array(np.ones(nrow, dtype=np.int64)),
+        })
+
+    def lineitem_partial(batch: pa.Table) -> pa.Table:
+        mask = pc.greater(pc.cast(batch["l_shipdate"], pa.int64()),
+                          cutoff_ts)
+        b = batch.filter(mask)
+        ext = b["l_extendedprice"].to_numpy(zero_copy_only=False)
+        disc = b["l_discount"].to_numpy(zero_copy_only=False)
+        rev = np.floor(ext * (1.0 - disc) * 10000.0 + 0.5).astype(np.int64)
+        t = pa.table({
+            "o_orderkey": b["l_orderkey"],
+            "rev_units": pa.array(rev),
+            "one": pa.array(np.ones(b.num_rows, dtype=np.int64)),
+        })
+        g = (t.group_by(["o_orderkey"])
+              .aggregate([("rev_units", "sum"), ("one", "sum")]))
+        nrow = g.num_rows
+        return pa.table({
+            "o_orderkey": g["o_orderkey"],
+            "rev_units": g["rev_units_sum"],
+            "n_items": g["one_sum"],
+            "date_us": pa.nulls(nrow, pa.int64()),
+            "is_order": pa.array(np.zeros(nrow, dtype=np.int64)),
+        })
+
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_orderdate"]
+    ).map_batches(orders_tag, batch_format="pyarrow")
+    items = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_extendedprice", "l_discount",
+                 "l_shipdate"]
+    ).map_batches(lineitem_partial, batch_format="pyarrow")
+
+    agg = orders.union(items).groupby("o_orderkey").aggregate(
+        Sum("rev_units"), Sum("n_items"), Max("date_us"), Sum("is_order"))
+
+    def finish(batch: pa.Table) -> pa.Table:
+        rev = batch["sum(rev_units)"].combine_chunks()
+        items_n = batch["sum(n_items)"].combine_chunks()
+        has_order = batch["sum(is_order)"].combine_chunks()
+        mask = pc.and_(pc.and_(pc.is_valid(rev), pc.is_valid(items_n)),
+                       pc.greater(pc.fill_null(has_order, 0), 0))
+        b = batch.filter(mask)
+        return pa.table({
+            "o_orderkey": b["o_orderkey"].combine_chunks().cast(pa.int64()),
+            "revenue_units": b["sum(rev_units)"].combine_chunks()
+                              .cast(pa.int64()),
+            "o_orderdate": pc.cast(b["max(date_us)"].combine_chunks()
+                                   .cast(pa.int64()), pa.timestamp("us")),
+        })
+
+    return (agg.map_batches(finish, batch_format="pyarrow")
+               .sort(["revenue_units", "o_orderkey"],
+                     descending=[True, False])
+               .limit(n))

@@ -22,7 +22,7 @@ def _sorted(tbl: pa.Table) -> list[tuple]:
 
 def _duck(sql: str) -> pa.Table:
     con = duckdb.connect()
-    for t in ("events", "orders", "lineitem", "documents"):
+    for t in ("events", "orders", "lineitem", "documents", "customer"):
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM "
                     f"read_parquet('{SF}/{t}.parquet')")
     return con.execute(sql).arrow()
@@ -264,3 +264,26 @@ def test_priority_pivot_matches_sql():
                              ELSE 0 END) AS BIGINT) AS n_low
         FROM orders GROUP BY o_orderstatus""").arrow()
     assert _sorted(got) == _sorted(want)
+
+
+def test_shipping_priority_matches_sql():
+    """Q3-shaped three-way join == the DuckDB oracle, including the
+    descending-revenue / ascending-orderkey tie order within the limit."""
+    import __ray_entry__ as entrymod
+    from kgx.ops.relational import shipping_priority
+    got = _collect(shipping_priority(SF, segment="BUILDING",
+                                     cutoff="1998-06-01", n=10))
+    want = _duck(entrymod.oracle_sql()["rel_shipping"])
+    assert _sorted(got) == _sorted(want)
+    assert got.num_rows == 10
+    # the Ray result must already be in (revenue desc, orderkey asc) order
+    revs = got["revenue_units"].to_pylist()
+    keys = got["o_orderkey"].to_pylist()
+    assert sorted(zip(revs, keys), key=lambda t: (-t[0], t[1])) \
+        == list(zip(revs, keys))
+
+
+def test_shipping_priority_empty_segment():
+    from kgx.ops.relational import shipping_priority
+    got = _collect(shipping_priority(SF, segment="NO_SUCH_SEGMENT", n=10))
+    assert got.num_rows == 0
