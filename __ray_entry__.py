@@ -721,6 +721,54 @@ def _q_rel_topn(sf_dir: str):
                         id_col="o_orderkey", n=3)
 
 
+def _q_rel_semijoin(sf_dir: str):
+    """Bloom-prefiltered exact semi-join (kgx/ops/joins.py): lineitems of
+    URGENT orders, aggregated per (returnflag, linestatus) — non-matching
+    lineitems die map-side at the Bloom bitmap before any shuffle."""
+    import pyarrow as pa
+    import ray.data as rd
+    from kgx.ops.joins import bloom_semijoin
+
+    def urgent(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        return b.filter(pc.equal(b["o_orderpriority"], "1-URGENT"))
+
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_orderpriority"]
+    ).map_batches(urgent, batch_format="pyarrow")
+    items = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                            columns=["l_orderkey", "l_returnflag",
+                                     "l_linestatus", "l_quantity"])
+    matched = bloom_semijoin(items, orders, probe_on="l_orderkey",
+                             build_on="o_orderkey")
+
+    def partial(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        t = pa.table({
+            "l_returnflag": b["l_returnflag"],
+            "l_linestatus": b["l_linestatus"],
+            "qty_c": pc.cast(pc.floor(pc.add(pc.multiply(
+                b["l_quantity"], 100.0), 0.5)), pa.int64()),
+            "one": pa.array([1] * b.num_rows, pa.int64()),
+        })
+        return (t.group_by(["l_returnflag", "l_linestatus"])
+                 .aggregate([("qty_c", "sum"), ("one", "sum")]))
+
+    def final(g: pa.Table) -> pa.Table:
+        return pa.table({
+            "l_returnflag": g["l_returnflag"].slice(0, 1),
+            "l_linestatus": g["l_linestatus"].slice(0, 1),
+            "n_items": pa.array([sum(g["one_sum"].to_pylist())], pa.int64()),
+            "sum_qty_cents": pa.array([sum(g["qty_c_sum"].to_pylist())],
+                                      pa.int64()),
+        })
+
+    return (matched.map_batches(partial, batch_format="pyarrow")
+                   .groupby(["l_returnflag", "l_linestatus"])
+                   .map_groups(final, batch_format="pyarrow"))
+
+
 def _q_rel_shipping(sf_dir: str):
     """TPC-H Q3-shaped three-way join (customer broadcast semi-join ->
     lineitem map-side revenue partials -> one orderkey co-shuffle),
@@ -898,6 +946,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rel_antijoin": _q_rel_antijoin,
         "rel_topn": _q_rel_topn,
         "rel_shipping": _q_rel_shipping,
+        "rel_semijoin": _q_rel_semijoin,
         "rel_rollup": _q_rel_rollup,
         "rel_pivot": _q_rel_pivot,
         "events_quantile": _q_events_quantile,
@@ -1447,6 +1496,16 @@ def oracle_sql() -> dict[str, str]:
                      row_number() OVER (PARTITION BY o_custkey
                        ORDER BY o_totalprice DESC, o_orderkey) AS rk
               FROM orders) WHERE rk <= 3
+        """,
+        "rel_semijoin": """
+            SELECT l_returnflag, l_linestatus,
+                   count(*) AS n_items,
+                   CAST(sum(CAST(floor(l_quantity * 100 + 0.5) AS BIGINT))
+                        AS BIGINT) AS sum_qty_cents
+            FROM lineitem
+            WHERE l_orderkey IN (SELECT o_orderkey FROM orders
+                                 WHERE o_orderpriority = '1-URGENT')
+            GROUP BY l_returnflag, l_linestatus
         """,
         "rel_shipping": """
             WITH c AS (

@@ -229,3 +229,123 @@ def hash_equijoin(left_ds, right_ds, *, left_on: str, right_on: str,
 
     return tagged.groupby("__key").map_groups(
         join_group, batch_format="pyarrow")
+
+
+# -- bloom-filter semi-join ---------------------------------------------
+
+_BLOOM_C1 = 0xBF58476D1CE4E5B9
+_BLOOM_C2 = 0x94D049BB133111EB
+
+
+def _bloom_positions(keys, m_bits: int, n_hashes: int):
+    """splitmix64-style bit positions for int64 keys — identical on the
+    build and probe sides; uint64 arithmetic wraps (mod 2^64) by design."""
+    import numpy as np
+    out = []
+    x = keys.astype(np.uint64)
+    for seed in range(n_hashes):
+        with np.errstate(over="ignore"):
+            z = x + np.uint64(0x9E3779B97F4A7C15 * (seed + 1) % 2**64)
+            z = (z ^ (z >> np.uint64(30))) * np.uint64(_BLOOM_C1)
+            z = (z ^ (z >> np.uint64(27))) * np.uint64(_BLOOM_C2)
+            z = z ^ (z >> np.uint64(31))
+        out.append((z % np.uint64(m_bits)).astype(np.int64))
+    return out
+
+
+def bloom_semijoin(probe_ds, build_ds, *, probe_on: str, build_on: str,
+                   m_bits: int = 1 << 20, n_hashes: int = 4):
+    """Exact distributed semi-join: probe rows whose int64 key appears in
+    the build side, with a Bloom prefilter so non-matching probe rows
+    die map-side before any shuffle.
+
+    Shape (all three steps narrow):
+      1. BUILD — each build block sets its keys' bits in a fixed-size
+         bitmap partial (``m_bits``/8 bytes, independent of row count);
+         the driver ORs the per-block bitmaps and broadcasts the result
+         once via ``ray.put``.  No build row ever shuffles.
+      2. PREFILTER — probe blocks drop every row whose key misses any of
+         the ``n_hashes`` bits (no false negatives, bounded false
+         positives ~ (1-e^(-kn/m))^k).
+      3. VERIFY — Bloom positives are made exact by ONE narrow co-shuffle
+         of DISTINCT keys only (per-block unique partials from both
+         sides, groupby(key), keep keys seen on both); the verified key
+         set — bounded by the smaller side's distinct keys — broadcasts
+         back for a vectorized map-side ``is_in``.
+
+    PARTITIONING ASSUMPTION: the verified key INTERSECTION fits the
+    object store (the raw build side need not).  For an unbounded
+    intersection, replace step 3's broadcast with a second
+    groupby(key) carrying the probe payload.
+    Returns the probe dataset filtered to matching rows (all columns).
+    """
+    import numpy as np
+    import ray
+    from ray.data.aggregate import Max, Min
+
+    from kgx.functions.collect import collect_arrow
+
+    if m_bits % 8:
+        raise ValueError("m_bits must be a multiple of 8")
+
+    def build_bitmap(batch: pa.Table) -> pa.Table:
+        bm = np.zeros(m_bits // 8, dtype=np.uint8)
+        keys = batch[build_on].to_numpy(zero_copy_only=False)
+        for pos in _bloom_positions(keys, m_bits, n_hashes):
+            np.bitwise_or.at(bm, pos >> 3,
+                             np.left_shift(1, pos & 7).astype(np.uint8))
+        return pa.table({"bitmap": pa.array([bm.tobytes()], pa.binary())})
+
+    parts = collect_arrow(
+        build_ds.map_batches(build_bitmap, batch_format="pyarrow"))
+    bitmap = np.zeros(m_bits // 8, dtype=np.uint8)
+    if "bitmap" in parts.column_names:      # empty build side: no partials
+        for buf in parts["bitmap"].to_pylist():
+            bitmap |= np.frombuffer(buf, dtype=np.uint8)
+    bref = ray.put(bitmap)
+
+    def prefilter(batch: pa.Table) -> pa.Table:
+        bm = ray.get(bref)
+        keys = batch[probe_on].to_numpy(zero_copy_only=False)
+        ok = np.ones(len(keys), dtype=bool)
+        for pos in _bloom_positions(keys, m_bits, n_hashes):
+            ok &= (bm[pos >> 3] & np.left_shift(1, pos & 7)
+                   .astype(np.uint8)) != 0
+        return batch.filter(pa.array(ok))
+
+    survivors = probe_ds.map_batches(prefilter, batch_format="pyarrow")
+
+    def distinct_keys(col: str, side: int):
+        def fn(batch: pa.Table) -> pa.Table:
+            u = pc.unique(batch[col].combine_chunks().cast(pa.int64()))
+            return pa.table({
+                "k": u,
+                "is_build": pa.array([side] * len(u), pa.int64()),
+            })
+        return fn
+
+    tagged = survivors.map_batches(
+        distinct_keys(probe_on, 0), batch_format="pyarrow"
+    ).union(build_ds.map_batches(
+        distinct_keys(build_on, 1), batch_format="pyarrow"))
+    both = tagged.groupby("k").aggregate(Min("is_build"), Max("is_build"))
+
+    def verified(batch: pa.Table) -> pa.Table:
+        # intersection: seen as probe (min 0) AND as build (max 1)
+        keep = pc.and_(pc.equal(batch["min(is_build)"].combine_chunks(), 0),
+                       pc.equal(batch["max(is_build)"].combine_chunks(), 1))
+        return pa.table(
+            {"k": batch.filter(keep)["k"].combine_chunks()
+                  .cast(pa.int64())})
+
+    vt = collect_arrow(both.map_batches(verified, batch_format="pyarrow"))
+    vset = (pc.unique(vt["k"].combine_chunks()) if vt.num_rows
+            else pa.array([], pa.int64()))
+    vref = ray.put(vset)
+
+    def exact(batch: pa.Table) -> pa.Table:
+        mask = pc.is_in(batch[probe_on].combine_chunks().cast(pa.int64()),
+                        value_set=ray.get(vref))
+        return batch.filter(mask)
+
+    return survivors.map_batches(exact, batch_format="pyarrow")

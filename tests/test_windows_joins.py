@@ -3,12 +3,14 @@ operators; exact semantics unit-tested here, DuckDB-oracle-checked via
 the driver)."""
 
 import pyarrow as pa
+import pyarrow.compute as pc
 import ray.data as rd
 
 from kgx.ops.joins import asof_join_events, interval_join_events
 from kgx.ops.window import session_window_agg, sliding_window_agg
 
 US = 1_000_000
+SF = "/root/testdata/sf0.001"
 
 
 def _events(rows):
@@ -160,3 +162,65 @@ def test_hash_equijoin_rejects_collisions_and_bad_how(ray_session):
     r2 = rd.from_arrow(pa.table({"rk": [1], "w": [2]}))
     with pytest.raises(ValueError, match="how"):
         hash_equijoin(l, r2, left_on="k", right_on="rk", how="outer")
+
+
+def test_bloom_semijoin_exact_with_tiny_filter():
+    """A deliberately tiny (high-false-positive) Bloom bitmap must still
+    yield the exact semi-join — the verify pass kills false positives."""
+    import ray.data as rd
+    from kgx.functions.collect import collect_arrow
+    from kgx.ops.joins import bloom_semijoin
+    probe = rd.from_arrow(pa.table({
+        "k": pa.array(list(range(1000)), pa.int64()),
+        "v": pa.array([f"p{i}" for i in range(1000)], pa.string()),
+    }))
+    build = rd.from_arrow(pa.table({
+        "bk": pa.array([3, 500, 999, 12345], pa.int64()),
+    }))
+    out = collect_arrow(bloom_semijoin(probe, build, probe_on="k",
+                                       build_on="bk", m_bits=64,
+                                       n_hashes=2))
+    assert sorted(out["k"].to_pylist()) == [3, 500, 999]
+    assert sorted(out["v"].to_pylist()) == ["p3", "p500", "p999"]
+
+
+def test_bloom_semijoin_empty_build_side():
+    import ray.data as rd
+    from kgx.functions.collect import collect_arrow
+    from kgx.ops.joins import bloom_semijoin
+    probe = rd.from_arrow(pa.table({"k": pa.array([1, 2], pa.int64())}))
+    build = rd.from_arrow(pa.table({"bk": pa.array([], pa.int64())}))
+    out = collect_arrow(bloom_semijoin(probe, build,
+                                       probe_on="k", build_on="bk"))
+    assert out.num_rows == 0
+
+
+def test_bloom_semijoin_matches_sql():
+    import duckdb
+    import ray.data as rd
+    from kgx.functions.collect import collect_arrow
+    from kgx.ops.joins import bloom_semijoin
+
+    def urgent(b: pa.Table) -> pa.Table:
+        return b.filter(pc.equal(b["o_orderpriority"], "1-URGENT"))
+
+    orders = rd.read_parquet(
+        f"{SF}/orders.parquet",
+        columns=["o_orderkey", "o_orderpriority"]
+    ).map_batches(urgent, batch_format="pyarrow")
+    items = rd.read_parquet(f"{SF}/lineitem.parquet",
+                            columns=["l_orderkey", "l_linenumber"])
+    got = collect_arrow(bloom_semijoin(items, orders, probe_on="l_orderkey",
+                                       build_on="o_orderkey"))
+    con = duckdb.connect()
+    want = con.execute(f"""
+        SELECT l_orderkey, l_linenumber
+        FROM read_parquet('{SF}/lineitem.parquet')
+        WHERE l_orderkey IN (
+          SELECT o_orderkey FROM read_parquet('{SF}/orders.parquet')
+          WHERE o_orderpriority = '1-URGENT')
+    """).arrow()
+    assert sorted(zip(got["l_orderkey"].to_pylist(),
+                      got["l_linenumber"].to_pylist())) \
+        == sorted(zip(want["l_orderkey"].to_pylist(),
+                      want["l_linenumber"].to_pylist()))
