@@ -709,6 +709,17 @@ def _q_events_ordered(sf_dir: str):
     return ordered_window(ev)
 
 
+def _q_events_funnel(sf_dir: str):
+    """Min-chain funnel view -> click -> purchase per user: non-step
+    events die map-side, one narrow groupby(user) shuffle, numpy chain
+    per group (kgx/ops/sequence.py:funnel_steps)."""
+    import ray.data as rd
+    from kgx.ops.sequence import funnel_steps
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["user_id", "ts", "event_type"])
+    return funnel_steps(ev, steps=("view", "click", "purchase"))
+
+
 def _q_rel_topn(sf_dir: str):
     """Top-3 orders per customer by price: map-side per-key top-n
     combiner, the shuffle moves <= 3 rows per (customer, block)."""
@@ -952,6 +963,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_quantile": _q_events_quantile,
         "events_quantile_by_type": _q_events_quantile_by_type,
         "events_ordered": _q_events_ordered,
+        "events_funnel": _q_events_funnel,
         # multimodal plumbing
         "multimodal_stats": _q_multimodal_stats,
         "multimodal_decode": _q_multimodal_decode,
@@ -1489,6 +1501,28 @@ def oracle_sql() -> dict[str, str]:
                      AS cum_value_cents
             FROM events
             WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        """,
+        "events_funnel": """
+            WITH s1 AS (
+              SELECT user_id, min(ts) AS t1 FROM events
+              WHERE event_type = 'view' GROUP BY user_id),
+            s2 AS (
+              SELECT e.user_id, min(e.ts) AS t2
+              FROM events e JOIN s1 ON e.user_id = s1.user_id
+                                   AND e.ts > s1.t1
+              WHERE e.event_type = 'click' GROUP BY e.user_id),
+            s3 AS (
+              SELECT e.user_id, min(e.ts) AS t3
+              FROM events e JOIN s2 ON e.user_id = s2.user_id
+                                   AND e.ts > s2.t2
+              WHERE e.event_type = 'purchase' GROUP BY e.user_id)
+            SELECT s1.user_id, s1.t1 AS step1_ts, s2.t2 AS step2_ts,
+                   s3.t3 AS step3_ts,
+                   CAST(1 + CASE WHEN s2.user_id IS NULL THEN 0 ELSE 1 END
+                          + CASE WHEN s3.user_id IS NULL THEN 0 ELSE 1 END
+                        AS BIGINT) AS steps_reached
+            FROM s1 LEFT JOIN s2 ON s1.user_id = s2.user_id
+                    LEFT JOIN s3 ON s1.user_id = s3.user_id
         """,
         "rel_topn": """
             SELECT o_custkey, o_orderkey, o_totalprice, rk FROM (

@@ -121,3 +121,64 @@ def topn_per_key(ds, *, key: str, order_col: str, id_col: str, n: int = 3,
 
     partial_ds = ds.map_batches(partial, batch_format="pyarrow")
     return partial_ds.groupby(key).map_groups(final, batch_format="pyarrow")
+
+
+def funnel_steps(events_ds, *, steps: tuple[str, ...] = ("view", "click",
+                                                         "purchase"),
+                 key: str = "user_id", ts_col: str = "ts",
+                 type_col: str = "event_type"):
+    """Ordered funnel: per key, the earliest chain of ``steps`` where
+    step i+1 must happen STRICTLY after the chosen step-i timestamp
+    (the classic min-chain funnel).  Emits one row per key that reached
+    step 1.
+
+    Scale shape: rows of non-step types die in a map-side filter, so the
+    single ``groupby(key)`` shuffle carries only (key, ts, step_index) —
+    three narrow columns; the per-group chain is a numpy scan.
+    Partitioning assumption: one key's step events fit one group.
+    Output: (key, step1_ts..stepN_ts [null if unreached], steps_reached).
+    """
+    step_ix = {s: i for i, s in enumerate(steps)}
+    n_steps = len(steps)
+
+    def prefilter(batch: pa.Table) -> pa.Table:
+        mask = pc.is_in(batch[type_col].combine_chunks(),
+                        value_set=pa.array(list(steps), pa.string()))
+        b = batch.filter(mask)
+        six = pc.index_in(b[type_col].combine_chunks(),
+                          value_set=pa.array(list(steps), pa.string()))
+        return pa.table({
+            key: b[key],
+            "ts_us": pc.cast(b[ts_col], pa.int64()),
+            "step_ix": pc.cast(six, pa.int64()),
+        })
+
+    def chain(group: pa.Table) -> pa.Table:
+        ts = group["ts_us"].to_numpy(zero_copy_only=False)
+        six = group["step_ix"].to_numpy(zero_copy_only=False)
+        reached: list[int | None] = []
+        floor_ts = -(1 << 62)
+        for i in range(n_steps):
+            cand = ts[(six == i) & (ts > floor_ts)]
+            if len(cand) == 0:
+                break
+            floor_ts = int(cand.min())
+            reached.append(floor_ts)
+        if not reached:          # never saw step 1
+            cols = {key: group[key].slice(0, 0)}
+            for i in range(n_steps):
+                cols[f"step{i + 1}_ts"] = pa.array([], pa.timestamp("us"))
+            cols["steps_reached"] = pa.array([], pa.int64())
+            return pa.table(cols)
+        cols = {key: group[key].slice(0, 1)}
+        for i in range(n_steps):
+            v = reached[i] if i < len(reached) else None
+            cols[f"step{i + 1}_ts"] = pa.array([v], pa.int64()).cast(
+                pa.timestamp("us"))
+        cols["steps_reached"] = pa.array([len(reached)], pa.int64())
+        return pa.table(cols)
+
+    assert all(s in step_ix for s in steps)
+    return (events_ds.map_batches(prefilter, batch_format="pyarrow")
+                     .groupby(key)
+                     .map_groups(chain, batch_format="pyarrow"))

@@ -287,3 +287,38 @@ def test_shipping_priority_empty_segment():
     from kgx.ops.relational import shipping_priority
     got = _collect(shipping_priority(SF, segment="NO_SUCH_SEGMENT", n=10))
     assert got.num_rows == 0
+
+
+def test_funnel_steps_matches_sql():
+    import __ray_entry__ as entrymod
+    from kgx.ops.sequence import funnel_steps
+    ev = rd.read_parquet(f"{SF}/events.parquet",
+                         columns=["user_id", "ts", "event_type"])
+    got = _collect(funnel_steps(ev, steps=("view", "click", "purchase")))
+    want = _duck(entrymod.oracle_sql()["events_funnel"])
+    assert _sorted(got) == _sorted(want)
+    reached = got["steps_reached"].to_pylist()
+    assert set(reached) <= {1, 2, 3} and 3 in reached
+
+
+def test_funnel_steps_strict_ordering():
+    """Step 2 at the same timestamp as step 1 does NOT count (strict >),
+    and a click BEFORE the first view is ignored."""
+    from kgx.ops.sequence import funnel_steps
+    us = 1_000_000
+    ev = rd.from_arrow(pa.table({
+        "user_id": pa.array([1, 1, 1, 2, 2, 3], pa.int64()),
+        "ts": pa.array([10 * us, 10 * us, 20 * us,
+                        5 * us, 8 * us, 9 * us], pa.timestamp("us")),
+        "event_type": pa.array(["view", "click", "purchase",
+                                "click", "view", "view"], pa.string()),
+    }))
+    out = {r["user_id"]: r for r in
+           _collect(funnel_steps(ev)).to_pylist()}
+    # user 1: click at t==view -> not counted; purchase can't attach
+    assert out[1]["steps_reached"] == 1 and out[1]["step2_ts"] is None
+    # user 2: click precedes the first view -> only step 1
+    assert out[2]["steps_reached"] == 1
+    # user 3: view only
+    assert out[3]["steps_reached"] == 1
+    assert 4 not in out  # users with no view emit nothing
