@@ -709,6 +709,15 @@ def _q_events_ordered(sf_dir: str):
     return ordered_window(ev)
 
 
+def _q_events_histogram(sf_dir: str):
+    """Fixed-width value histogram: map-side per-bin partials, one
+    narrow bin-key shuffle (kgx/ops/quantile.py:value_histogram)."""
+    import ray.data as rd
+    from kgx.ops.quantile import value_histogram
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["value"])
+    return value_histogram(ev, "value", width=25.0)
+
+
 def _q_events_funnel(sf_dir: str):
     """Min-chain funnel view -> click -> purchase per user: non-step
     events die map-side, one narrow groupby(user) shuffle, numpy chain
@@ -964,6 +973,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_quantile_by_type": _q_events_quantile_by_type,
         "events_ordered": _q_events_ordered,
         "events_funnel": _q_events_funnel,
+        "events_histogram": _q_events_histogram,
         # multimodal plumbing
         "multimodal_stats": _q_multimodal_stats,
         "multimodal_decode": _q_multimodal_decode,
@@ -1501,6 +1511,15 @@ def oracle_sql() -> dict[str, str]:
                      AS cum_value_cents
             FROM events
             WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        """,
+        "events_histogram": """
+            SELECT CAST(floor(value / 25.0) AS BIGINT) AS bin,
+                   count(*) AS n_rows,
+                   CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT))
+                        AS BIGINT) AS sum_value_cents
+            FROM events
+            WHERE value IS NOT NULL AND NOT isnan(value)
+            GROUP BY 1
         """,
         "events_funnel": """
             WITH s1 AS (

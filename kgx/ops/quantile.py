@@ -161,3 +161,44 @@ def grouped_quantiles(ds, *, key: str, value_col: str,
 
     return ds.map_batches(narrow, batch_format="pyarrow") \
         .groupby(key).map_groups(qs, batch_format="pyarrow")
+
+
+def value_histogram(ds, col: str, *, width: float = 25.0):
+    """Fixed-width histogram of ``col``: one row per occupied bin with
+    count and exact integer-cents sum.
+
+    Scale shape: each batch pre-aggregates to (bin, n, sum_cents) rows
+    map-side, so the single groupby shuffle moves at most
+    n_bins x n_blocks tiny rows regardless of input size.
+    bin = floor(value / width) — the identical IEEE-double division the
+    DuckDB oracle evaluates.  NaN/null values are dropped (counted
+    nowhere), mirroring SQL aggregate semantics.
+    Output: (bin, n_rows, sum_value_cents).
+    """
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        v = _clean(batch, col)
+        bins = np.floor(v / width).astype(np.int64)
+        cents = np.floor(v * 100.0 + 0.5).astype(np.int64)
+        t = pa.table({
+            "bin": pa.array(bins, pa.int64()),
+            "n": pa.array(np.ones(len(bins), dtype=np.int64)),
+            "cents": pa.array(cents, pa.int64()),
+        })
+        return (t.group_by(["bin"])
+                 .aggregate([("n", "sum"), ("cents", "sum")]))
+
+    agg = (ds.map_batches(partial, batch_format="pyarrow")
+             .groupby("bin").aggregate(Sum("n_sum"), Sum("cents_sum")))
+
+    def finish(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "bin": batch["bin"].combine_chunks().cast(pa.int64()),
+            "n_rows": batch["sum(n_sum)"].combine_chunks()
+                           .cast(pa.int64()),
+            "sum_value_cents": batch["sum(cents_sum)"].combine_chunks()
+                                    .cast(pa.int64()),
+        })
+
+    return agg.map_batches(finish, batch_format="pyarrow")

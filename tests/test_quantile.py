@@ -6,6 +6,28 @@ import ray.data as rd
 from kgx.ops.quantile import exact_quantiles
 
 
+SF = "/root/testdata/sf0.001"
+
+
+def _collect(ds):
+    from kgx.functions.collect import collect_arrow
+    return collect_arrow(ds)
+
+
+def _duck(sql):
+    import duckdb
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM "
+                f"read_parquet('{SF}/events.parquet')")
+    return con.execute(sql).arrow()
+
+
+def _sorted(tbl):
+    cols = sorted(tbl.column_names)
+    rows = [tuple(r[c] for c in cols) for r in tbl.select(cols).to_pylist()]
+    return sorted(rows, key=lambda t: tuple((v is None, v) for v in t))
+
+
 def _ds(values, parts=4):
     return rd.from_arrow(pa.table({
         "value": pa.array(values, pa.float64())})).repartition(parts)
@@ -56,3 +78,28 @@ def test_quantiles_rejects_bad_p(ray_session):
     import pytest
     with pytest.raises(ValueError):
         exact_quantiles(_ds([1.0]), "value", [1.5])
+
+
+def test_value_histogram_matches_sql():
+    import __ray_entry__ as entrymod
+    from kgx.ops.quantile import value_histogram
+    ev = rd.read_parquet(f"{SF}/events.parquet", columns=["value"])
+    got = _collect(value_histogram(ev, "value", width=25.0))
+    want = _duck(entrymod.oracle_sql()["events_histogram"])
+    assert _sorted(got) == _sorted(want)
+    # bins tile the value domain without gaps in the count total
+    assert sum(got["n_rows"].to_pylist()) == sum(want["n_rows"].to_pylist())
+    assert got.num_rows > 1
+
+
+def test_value_histogram_negative_and_nan():
+    from kgx.ops.quantile import value_histogram
+    ds = rd.from_arrow(pa.table({
+        "v": pa.array([-0.5, -25.0, 0.0, 24.99, 25.0, float("nan"), None],
+                      pa.float64())}))
+    out = {r["bin"]: r for r in
+           _collect(value_histogram(ds, "v", width=25.0)).to_pylist()}
+    assert out[-1]["n_rows"] == 2      # -0.5 and -25.0 both floor to -1
+    assert out[0]["n_rows"] == 2       # 0.0, 24.99
+    assert out[1]["n_rows"] == 1       # 25.0
+    assert sum(r["n_rows"] for r in out.values()) == 5  # nan/null dropped
