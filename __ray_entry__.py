@@ -297,6 +297,16 @@ def _q_kg_pagerank(sf_dir: str):
     return pagerank(kg_tables(sf_dir)["edges"], iters=10)
 
 
+def _q_kg_triangles(sf_dir: str):
+    """Per-vertex triangle counts of the canonical co-occurrence KG via
+    the distributed wedge-join (kgx/ops/graph.py:triangle_counts) —
+    wedges stream through one pair-keyed groupby against the distinct
+    edge set; no driver-side adjacency is ever built."""
+    from kgx.ops.graph import triangle_counts
+    from kgx.pipelines.docs_kg import kg_tables
+    return triangle_counts(kg_tables(sf_dir)["edges"])
+
+
 def _pagerank_oracle(*, iters=10, damping_pct=85, scale=10**12) -> str:
     """DuckDB mirror of kgx.ops.graph.pagerank over the co-occurrence
     edges (same CTE as the kg_edges oracle), iterations unrolled in
@@ -914,6 +924,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_summaries": _q_kg_summaries,
         "kg_answer": _q_kg_answer,
         "kg_pagerank": _q_kg_pagerank,
+        "kg_triangles": _q_kg_triangles,
         # text analysis
         "text_tokens": _q_text_tokens,
         "text_quality": _q_text_quality,
@@ -1302,6 +1313,30 @@ def oracle_sql() -> dict[str, str]:
         """,
         "bm25_topk": _bm25_oracle(_BM25_QUERIES),
         "kg_pagerank": _pagerank_oracle(iters=10),
+        # Each triangle {a,b,c} (a<b<c in e0's ordered pairs) is
+        # enumerated exactly once, then exploded to its three vertices.
+        "kg_triangles": f"""
+            WITH dt AS (
+              SELECT doc_id,
+                     unnest(list_distinct(regexp_extract_all(
+                       text, '{_TERM_RE}'))) AS term
+              FROM documents),
+            e0 AS (
+              SELECT a.term AS s, b.term AS t
+              FROM dt a JOIN dt b
+                ON a.doc_id = b.doc_id AND a.term < b.term
+              GROUP BY 1, 2),
+            tri AS (
+              SELECT e1.s AS a, e1.t AS b, e2.t AS c
+              FROM e0 e1
+              JOIN e0 e2 ON e2.s = e1.t
+              JOIN e0 e3 ON e3.s = e1.s AND e3.t = e2.t),
+            v AS (SELECT a AS name FROM tri
+                  UNION ALL SELECT b AS name FROM tri
+                  UNION ALL SELECT c AS name FROM tri)
+            SELECT name, CAST(count(*) AS BIGINT) AS n_triangles
+            FROM v GROUP BY name
+        """,
         "rel_antijoin": """
             SELECT c_custkey, c_name FROM customer
             WHERE c_custkey NOT IN (

@@ -142,3 +142,89 @@ def degree_table(edges_ds, *, src_col: str = "subj_name",
         "name": verts,
         "degree": pa.array(degs, pa.int64()),
     }))
+
+
+def triangle_counts(edges_ds, *, src_col: str = "subj_name",
+                    dst_col: str = "obj_name"):
+    """Per-vertex triangle counts of the undirected graph — the classic
+    wedge-join: each vertex emits its neighbor pairs (wedges), and a
+    wedge closes into a triangle iff its endpoint pair is itself an
+    edge.  Every triangle {a,b,c} is counted exactly once per center,
+    so the per-vertex count needs no division.
+
+    Scale shape: TWO narrow shuffles — groupby(center) builds adjacency
+    and emits (endpoint-pair, center) wedge rows vectorized
+    (``np.triu_indices`` + Arrow ``take``/``binary_join_element_wise``),
+    then ONE groupby(pair) co-shuffle with the distinct edge rows closes
+    wedges; counts reduce with map-side partials.  PARTITIONING
+    ASSUMPTION: wedges per vertex are C(deg, 2) — a hub vertex
+    quadratically inflates the wedge stream, so degree-cap or
+    split-high-degree handling is required beyond ~10^4-degree hubs
+    (not present in canonicalized term graphs).
+    Output: (name, n_triangles), vertices in >= 1 triangle only.
+    """
+    from ray.data.aggregate import Sum
+
+    und = undirected_edges(edges_ds, src_col=src_col, dst_col=dst_col)
+
+    def wedges(group: pa.Table) -> pa.Table:
+        nbrs = pc.unique(group["dst"].combine_chunks())
+        nbrs = pc.take(nbrs, pc.sort_indices(nbrs))
+        m = len(nbrs)
+        if m < 2:
+            return pa.table({"pair": pa.array([], pa.string()),
+                             "center": pa.array([], pa.string()),
+                             "is_edge": pa.array([], pa.int64())})
+        ai, ci = np.triu_indices(m, k=1)
+        a = pc.take(nbrs, pa.array(ai, pa.int64()))
+        c = pc.take(nbrs, pa.array(ci, pa.int64()))
+        pair = pc.binary_join_element_wise(a, c, "|")
+        n = len(pair)
+        return pa.table({
+            "pair": pair,
+            "center": pa.concat_arrays(
+                [group["src"].combine_chunks().cast(pa.string())
+                 .slice(0, 1)] * n) if n else pa.array([], pa.string()),
+            "is_edge": pa.array(np.zeros(n, dtype=np.int64)),
+        })
+
+    def edge_rows(batch: pa.Table) -> pa.Table:
+        s = batch[src_col].combine_chunks().cast(pa.string())
+        t = batch[dst_col].combine_chunks().cast(pa.string())
+        lo = pc.min_element_wise(s, t)
+        hi = pc.max_element_wise(s, t)
+        return pa.table({
+            "pair": pc.binary_join_element_wise(lo, hi, "|"),
+            "center": pa.nulls(batch.num_rows, pa.string()),
+            "is_edge": pa.array(np.ones(batch.num_rows, dtype=np.int64)),
+        })
+
+    wedge_ds = und.groupby("src").map_groups(wedges, batch_format="pyarrow")
+    edge_ds = edges_ds.map_batches(edge_rows, batch_format="pyarrow")
+
+    def close(group: pa.Table) -> pa.Table:
+        is_e = group["is_edge"].to_numpy(zero_copy_only=False)
+        if is_e.max() == 0:       # wedge never closes: pair is not an edge
+            return pa.table({"name": pa.array([], pa.string())})
+        centers = group.filter(pc.equal(group["is_edge"], 0))["center"]
+        return pa.table({"name": centers.combine_chunks().cast(pa.string())})
+
+    closed = wedge_ds.union(edge_ds).groupby("pair").map_groups(
+        close, batch_format="pyarrow")
+
+    def count_partial(batch: pa.Table) -> pa.Table:
+        t = batch.append_column(
+            "one", pa.array(np.ones(batch.num_rows, dtype=np.int64)))
+        return t.group_by(["name"]).aggregate([("one", "sum")])
+
+    agg = (closed.map_batches(count_partial, batch_format="pyarrow")
+                 .groupby("name").aggregate(Sum("one_sum")))
+
+    def finish(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "name": batch["name"].combine_chunks().cast(pa.string()),
+            "n_triangles": batch["sum(one_sum)"].combine_chunks()
+                                .cast(pa.int64()),
+        })
+
+    return agg.map_batches(finish, batch_format="pyarrow")

@@ -2,7 +2,7 @@
 import pyarrow as pa
 import ray.data as rd
 
-from kgx.ops.graph import SCALE, degree_table, pagerank
+from kgx.ops.graph import SCALE, degree_table, pagerank, triangle_counts
 
 
 def _edges(pairs):
@@ -71,6 +71,49 @@ def test_pagerank_mass_conservation_bound(ray_session):
 
 def test_pagerank_empty(ray_session):
     assert pagerank(_edges([])).count() == 0
+
+
+def _triangles_reference(pairs):
+    """Sequential per-vertex triangle counts of the undirected graph."""
+    adj: dict[str, set] = {}
+    for a, b in pairs:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    out: dict[str, int] = {}
+    for v, nbrs in adj.items():
+        n = sorted(nbrs)
+        t = sum(1 for i in range(len(n)) for j in range(i + 1, len(n))
+                if n[j] in adj[n[i]])
+        if t:
+            out[v] = t
+    return out
+
+
+# K4 minus one edge: {a,b,c}, {a,b,d} triangles; c-d edge absent.
+DIAMOND = [("a", "b"), ("a", "c"), ("b", "c"), ("a", "d"), ("b", "d")]
+
+
+def test_triangle_counts_matches_sequential_reference(ray_session):
+    for pairs in (STAR, PATH, MIXED, DIAMOND,
+                  DIAMOND + [("c", "d")]):        # full K4
+        ref = _triangles_reference(pairs)
+        out = triangle_counts(_edges(pairs)).to_pandas()
+        got = ({} if out.empty
+               else dict(zip(out["name"], out["n_triangles"])))
+        assert got == ref, pairs
+
+
+def test_triangle_counts_partition_invariant(ray_session):
+    a = triangle_counts(_edges(MIXED)).to_pandas() \
+        .sort_values("name").reset_index(drop=True)
+    b = triangle_counts(_edges(MIXED).repartition(5)).to_pandas() \
+        .sort_values("name").reset_index(drop=True)
+    assert a.equals(b)
+
+
+def test_triangle_counts_triangle_free(ray_session):
+    assert triangle_counts(_edges(STAR)).count() == 0
+    assert triangle_counts(_edges(PATH)).count() == 0
 
 
 def test_degree_table(ray_session):
