@@ -307,6 +307,15 @@ def _q_kg_triangles(sf_dir: str):
     return triangle_counts(kg_tables(sf_dir)["edges"])
 
 
+def _q_kg_lcc(sf_dir: str):
+    """Local clustering coefficient per KG vertex in integer 1e-12
+    units (kgx/ops/graph.py:clustering_coefficients) — streamed
+    wedge-join triangles + O(|V|) driver-side degree join."""
+    from kgx.ops.graph import clustering_coefficients
+    from kgx.pipelines.docs_kg import kg_tables
+    return clustering_coefficients(kg_tables(sf_dir)["edges"])
+
+
 def _pagerank_oracle(*, iters=10, damping_pct=85, scale=10**12) -> str:
     """DuckDB mirror of kgx.ops.graph.pagerank over the co-occurrence
     edges (same CTE as the kg_edges oracle), iterations unrolled in
@@ -925,6 +934,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_answer": _q_kg_answer,
         "kg_pagerank": _q_kg_pagerank,
         "kg_triangles": _q_kg_triangles,
+        "kg_lcc": _q_kg_lcc,
         # text analysis
         "text_tokens": _q_text_tokens,
         "text_quality": _q_text_quality,
@@ -1336,6 +1346,39 @@ def oracle_sql() -> dict[str, str]:
                   UNION ALL SELECT c AS name FROM tri)
             SELECT name, CAST(count(*) AS BIGINT) AS n_triangles
             FROM v GROUP BY name
+        """,
+        # lcc_units = (2*T*1e12) // (deg*(deg-1)), integer floor-div —
+        # identical fixed-point arithmetic to kgx.ops.graph.
+        "kg_lcc": f"""
+            WITH dt AS (
+              SELECT doc_id,
+                     unnest(list_distinct(regexp_extract_all(
+                       text, '{_TERM_RE}'))) AS term
+              FROM documents),
+            e0 AS (
+              SELECT a.term AS s, b.term AS t
+              FROM dt a JOIN dt b
+                ON a.doc_id = b.doc_id AND a.term < b.term
+              GROUP BY 1, 2),
+            ed AS (SELECT s, t FROM e0
+                   UNION ALL SELECT t AS s, s AS t FROM e0),
+            deg AS (SELECT s AS v, count(*) AS d FROM ed GROUP BY s),
+            tri AS (
+              SELECT e1.s AS a, e1.t AS b, e2.t AS c
+              FROM e0 e1
+              JOIN e0 e2 ON e2.s = e1.t
+              JOIN e0 e3 ON e3.s = e1.s AND e3.t = e2.t),
+            vv AS (SELECT a AS name FROM tri
+                   UNION ALL SELECT b AS name FROM tri
+                   UNION ALL SELECT c AS name FROM tri),
+            tc AS (SELECT name, count(*) AS n FROM vv GROUP BY name)
+            SELECT d.v AS name,
+                   CAST(d.d AS BIGINT) AS degree,
+                   CAST(COALESCE(tc.n, 0) AS BIGINT) AS n_triangles,
+                   CAST((2 * COALESCE(tc.n, 0) * 1000000000000)
+                        // (d.d * (d.d - 1)) AS BIGINT) AS lcc_units
+            FROM deg d LEFT JOIN tc ON d.v = tc.name
+            WHERE d.d >= 2
         """,
         "rel_antijoin": """
             SELECT c_custkey, c_name FROM customer

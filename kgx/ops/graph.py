@@ -228,3 +228,55 @@ def triangle_counts(edges_ds, *, src_col: str = "subj_name",
         })
 
     return agg.map_batches(finish, batch_format="pyarrow")
+
+
+def clustering_coefficients(edges_ds, *, src_col: str = "subj_name",
+                            dst_col: str = "obj_name"):
+    """(name, degree, n_triangles, lcc_units) for every vertex of
+    degree >= 2 — the local clustering coefficient in integer
+    fixed-point units of 1e-12::
+
+        lcc_units(v) = (2 * T(v) * SCALE) // (deg(v) * (deg(v) - 1))
+
+    Integer floor-division (like ``pagerank``) makes the distributed
+    result bit-identical to the SQL oracle regardless of summation
+    order, which a float ratio could not guarantee.
+
+    Scale shape: triangles come from the streamed wedge-join
+    (``triangle_counts``); the degree vector is O(|V|) and joined on
+    the driver under the same vertex-set-fits-one-heap assumption as
+    ``pagerank`` (module docstring) — the corpus-sized edge/wedge
+    streams never collect.  RANGE ASSUMPTION: ``2 * T(v) * SCALE``
+    must fit int64, i.e. T(v) < ~4.6e6 triangles per vertex — far
+    beyond any canonicalized term graph; a >4k-degree hub needs the
+    degree-cap handling noted on ``triangle_counts`` first anyway.
+    """
+    ed = undirected_edges(edges_ds, src_col=src_col,
+                          dst_col=dst_col).materialize()
+    verts, degs = _vertex_arrays(ed)
+    if len(degs) == 0:
+        return ray.data.from_arrow(pa.table({
+            "name": pa.array([], pa.string()),
+            "degree": pa.array([], pa.int64()),
+            "n_triangles": pa.array([], pa.int64()),
+            "lcc_units": pa.array([], pa.int64()),
+        }))
+
+    tri = collect_arrow(
+        triangle_counts(edges_ds, src_col=src_col, dst_col=dst_col))
+    ntri = np.zeros(len(degs), dtype=np.int64)
+    if tri.num_rows:
+        ti = pc.index_in(tri["name"].combine_chunks(), value_set=verts) \
+               .to_numpy(zero_copy_only=False)
+        ntri[ti] = tri["n_triangles"].to_numpy(zero_copy_only=False)
+
+    keep = degs >= 2
+    d = degs[keep]
+    t = ntri[keep]
+    lcc = (2 * t * SCALE) // (d * (d - 1))
+    return ray.data.from_arrow(pa.table({
+        "name": pc.take(verts, pa.array(np.flatnonzero(keep), pa.int64())),
+        "degree": pa.array(d, pa.int64()),
+        "n_triangles": pa.array(t, pa.int64()),
+        "lcc_units": pa.array(lcc, pa.int64()),
+    }))

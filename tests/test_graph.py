@@ -2,7 +2,8 @@
 import pyarrow as pa
 import ray.data as rd
 
-from kgx.ops.graph import SCALE, degree_table, pagerank, triangle_counts
+from kgx.ops.graph import (SCALE, clustering_coefficients, degree_table,
+                           pagerank, triangle_counts)
 
 
 def _edges(pairs):
@@ -114,6 +115,29 @@ def test_triangle_counts_partition_invariant(ray_session):
 def test_triangle_counts_triangle_free(ray_session):
     assert triangle_counts(_edges(STAR)).count() == 0
     assert triangle_counts(_edges(PATH)).count() == 0
+
+
+def test_clustering_coefficients_matches_sequential(ray_session):
+    for pairs in (PATH, MIXED, DIAMOND, DIAMOND + [("c", "d")]):
+        adj: dict[str, set] = {}
+        for a, b in pairs:
+            adj.setdefault(a, set()).add(b)
+            adj.setdefault(b, set()).add(a)
+        tri = _triangles_reference(pairs)
+        ref = {v: (len(n), tri.get(v, 0),
+                   (2 * tri.get(v, 0) * SCALE) // (len(n) * (len(n) - 1)))
+               for v, n in adj.items() if len(n) >= 2}
+        out = clustering_coefficients(_edges(pairs)).to_pandas()
+        got = {r["name"]: (r["degree"], r["n_triangles"], r["lcc_units"])
+               for _, r in out.iterrows()}
+        assert got == ref, pairs
+
+
+def test_clustering_coefficients_k4_is_one(ray_session):
+    out = clustering_coefficients(
+        _edges(DIAMOND + [("c", "d")])).to_pandas()
+    assert (out["lcc_units"] == SCALE).all()     # K4: every lcc == 1.0
+    assert clustering_coefficients(_edges([])).count() == 0
 
 
 def test_degree_table(ray_session):
