@@ -218,6 +218,100 @@ def _q_dedup_components(sf_dir: str):
     return neardup_components(docs, threshold=0.8)
 
 
+def _q_embed_kmeans(sf_dir: str):
+    """Deterministic Lloyd's k-means over the embedding column
+    (kgx/ops/cluster.py): broadcast centroids + map-side partial sums,
+    the corpus is read-streamed once per iteration and never shuffled."""
+    import ray.data as rd
+    from kgx.ops.cluster import kmeans_assign
+    emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                          columns=["vec_id", "embedding"])
+    return kmeans_assign(emb, k=_KMEANS_K, iters=_KMEANS_ITERS)
+
+
+def _q_dedup_semantic(sf_dir: str):
+    """SemDeDup: kmeans clusters, then within-cluster cosine >= 0.4 to an
+    earlier member marks a semantic duplicate (kgx/ops/cluster.py)."""
+    import ray.data as rd
+    from kgx.ops.cluster import semantic_dedup
+    emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                          columns=["vec_id", "embedding"])
+    return semantic_dedup(emb, k=_KMEANS_K, iters=_KMEANS_ITERS,
+                          threshold=_SEMDEDUP_TAU)
+
+
+# Shared kmeans/SemDeDup constants (the oracle SQL is unrolled from them).
+_KMEANS_K = 10
+_KMEANS_ITERS = 3
+_SEMDEDUP_TAU = 0.4
+
+
+def _kmeans_ctes(*, k: int, iters: int) -> str:
+    """Unrolled Lloyd's-iteration CTE chain shared by the embed_kmeans and
+    dedup_semantic oracles (mirrors kgx/ops/cluster.py exactly: init = k
+    lowest vec_ids, distances and centroids rounded to 6 dp, ties to the
+    lowest cluster id, empty clusters keep their previous centroid)."""
+    parts = [f"""
+            e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                  FROM embeddings),
+            c0 AS (
+              SELECT row_number() OVER (ORDER BY vec_id) - 1 AS c,
+                     list_transform(v, x -> round(x, 6)) AS cv
+              FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT {k}))"""]
+    for t in range(1, iters + 1):
+        parts.append(f"""
+            a{t} AS (
+              SELECT vec_id, v, c FROM (
+                SELECT e.vec_id, e.v, c{t - 1}.c,
+                       row_number() OVER (PARTITION BY e.vec_id
+                         ORDER BY round(list_distance(e.v, c{t - 1}.cv), 6),
+                                  c{t - 1}.c) AS rn
+                FROM e CROSS JOIN c{t - 1}) WHERE rn = 1),
+            u{t} AS (
+              SELECT c, i, round(avg(x), 6) AS m
+              FROM (SELECT c, unnest(v) AS x,
+                           unnest(range(1, len(v) + 1)) AS i FROM a{t})
+              GROUP BY c, i),
+            c{t} AS (
+              SELECT c, list(m ORDER BY i) AS cv FROM u{t} GROUP BY c
+              UNION ALL
+              SELECT c, cv FROM c{t - 1}
+              WHERE c NOT IN (SELECT c FROM u{t}))""")
+    # final assignment against the post-iteration centroids
+    parts.append(f"""
+            afin AS (
+              SELECT vec_id, v, c, dist FROM (
+                SELECT e.vec_id, e.v, c{iters}.c,
+                       round(list_distance(e.v, c{iters}.cv), 6) AS dist,
+                       row_number() OVER (PARTITION BY e.vec_id
+                         ORDER BY round(list_distance(e.v, c{iters}.cv), 6),
+                                  c{iters}.c) AS rn
+                FROM e CROSS JOIN c{iters}) WHERE rn = 1)""")
+    return ",".join(parts)
+
+
+def _kmeans_oracle(*, k: int, iters: int) -> str:
+    return f"""
+            WITH {_kmeans_ctes(k=k, iters=iters)}
+            SELECT vec_id, c AS cluster, dist FROM afin
+    """
+
+
+def _semdedup_oracle(*, k: int, iters: int, tau: float) -> str:
+    return f"""
+            WITH {_kmeans_ctes(k=k, iters=iters)},
+            dup AS (
+              SELECT a.vec_id, min(b.vec_id) AS dup_of
+              FROM afin a JOIN afin b
+                ON a.c = b.c AND b.vec_id < a.vec_id
+               AND round(list_cosine_similarity(a.v, b.v), 6) >= {tau}
+              GROUP BY a.vec_id)
+            SELECT a.vec_id, a.c AS cluster,
+                   (d.dup_of IS NULL) AS keep, d.dup_of
+            FROM afin a LEFT JOIN dup d USING (vec_id)
+    """
+
+
 def _q_text_split(sf_dir: str):
     import ray.data as rd
     from kgx.ops.sampling import hash_split
@@ -959,6 +1053,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_embedding": _q_dedup_embedding,
         "dedup_components": _q_dedup_components,
         "dedup_lines": _q_dedup_lines,
+        # embedding-space clustering + semantic dedup
+        "embed_kmeans": _q_embed_kmeans,
+        "dedup_semantic": _q_dedup_semantic,
         # sampling / quotas
         "text_split": _q_text_split,
         "text_source_cap": _q_text_source_cap,
@@ -1904,6 +2001,9 @@ def oracle_sql() -> dict[str, str]:
                                 ELSE 58982 END AS keep
             FROM b
         """,
+        "embed_kmeans": _kmeans_oracle(k=_KMEANS_K, iters=_KMEANS_ITERS),
+        "dedup_semantic": _semdedup_oracle(k=_KMEANS_K, iters=_KMEANS_ITERS,
+                                           tau=_SEMDEDUP_TAU),
         "dedup_lines": """
             WITH toks AS (
               SELECT doc_id, string_split(text, ' ') AS tk FROM documents),

@@ -1,0 +1,173 @@
+"""Distributed k-means over an embedding column + SemDeDup semantic dedup.
+
+The missing embedding-side curation pair for a 100 TB corpus:
+
+- :func:`kmeans_assign` — Lloyd's iterations as broadcast + map-side
+  partial sums.  Per iteration the (k x d) centroid matrix is broadcast
+  ONCE (``ray.put``); every corpus block computes its assignment argmin
+  with one vectorized distance evaluation and emits exactly k partial
+  rows ``(cluster, count, sum-vector)``; the driver folds the <=
+  k x blocks kilobyte-scale partials and re-rounds the centroids.  The
+  corpus is never shuffled — the only data movement is the tiny partial
+  stream, so the iteration cost is one streaming read of the embedding
+  column regardless of cluster count.
+- :func:`semantic_dedup` — SemDeDup (Abbas et al., 2023,
+  arXiv:2303.09540): cluster, then within each cluster drop every vector
+  whose cosine similarity to an EARLIER (lower-id) cluster member is
+  >= threshold.  The pairwise step runs inside ``groupby(cluster)
+  .map_groups`` — one matmul per cluster — so the quadratic term is
+  bounded by the largest cluster, never the corpus.  PARTITIONING
+  ASSUMPTION: one cluster's vectors fit a worker; at 100 TB pick
+  k ~ n/10^4 (SemDeDup's own regime) so clusters stay ~10^4 rows.
+
+Determinism (shared with the DuckDB oracle, unrolled like the PageRank
+oracle): init centroids are the k lowest ``vec_id`` embeddings;
+distances are euclidean rounded to 6 dp with ties broken by lowest
+cluster id; centroids are re-rounded to 6 dp every update so both
+engines iterate on identical numbers; empty clusters keep their previous
+centroid.  The reference has no clustering stage at all (its embedding
+use is the VectorRAG baseline, /root/reference/baselines/vector_rag.py);
+this is the training-data surface the target scale needs.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import ray
+
+from kgx.ops.simsearch import emb_matrix
+
+
+def _init_centroids(emb_ds, k: int) -> np.ndarray:
+    """Deterministic init: embeddings of the k smallest vec_ids."""
+    from kgx.functions.collect import collect_arrow
+    # sort+limit pushes down: only k narrow rows reach the driver
+    tbl = collect_arrow(
+        emb_ds.select_columns(["vec_id", "embedding"]).sort("vec_id").limit(k))
+    C = emb_matrix(tbl["embedding"])
+    return np.round(C, 6)
+
+
+class _AssignPartial:
+    """One pass over a block: argmin assignment against the broadcast
+    centroids, emit k partial-sum rows (cluster, count, vector sum)."""
+
+    def __init__(self, cref):
+        self.C = ray.get(cref)                       # (k, d) rounded 6dp
+
+    def _assign(self, M: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+        # full (rows, k, d) subtraction mirrors the oracle's per-pair
+        # list_distance summation closely enough that 6-dp rounding wipes
+        # the float-order residue; ties break to the lowest cluster id
+        d = np.sqrt(((M[:, None, :] - self.C[None, :, :]) ** 2).sum(axis=2))
+        d = np.round(d, 6)
+        a = d.argmin(axis=1)                         # first min = lowest id
+        return a, d[np.arange(len(a)), a]
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        M = emb_matrix(batch["embedding"])
+        a, _ = self._assign(M)
+        k, dim = self.C.shape
+        counts = np.bincount(a, minlength=k)
+        sums = np.zeros((k, dim), dtype=np.float64)
+        np.add.at(sums, a, M)
+        nz = np.flatnonzero(counts)
+        return pa.table({
+            "cluster": pa.array(nz, pa.int64()),
+            "n": pa.array(counts[nz], pa.int64()),
+            "vsum": pa.array(list(sums[nz]), pa.list_(pa.float64())),
+        })
+
+
+class _AssignFinal(_AssignPartial):
+    def __call__(self, batch: pa.Table) -> pa.Table:  # type: ignore[override]
+        M = emb_matrix(batch["embedding"])
+        a, d = self._assign(M)
+        return pa.table({
+            "vec_id": batch["vec_id"],
+            "cluster": pa.array(a, pa.int64()),
+            "dist": pa.array(d, pa.float64()),
+        })
+
+
+def _lloyd_centroids(emb_ds, *, k: int, iters: int) -> np.ndarray:
+    """Run ``iters`` Lloyd updates; returns the final (k, d) centroids."""
+    from kgx.functions.collect import collect_arrow
+    C = _init_centroids(emb_ds, k)
+    for _ in range(iters):
+        cref = ray.put(C)
+        partials = emb_ds.map_batches(
+            _AssignPartial, batch_format="pyarrow", concurrency=(1, 8),
+            fn_constructor_kwargs={"cref": cref})
+        t = collect_arrow(partials)                  # <= k x blocks rows
+        cl = np.asarray(t["cluster"].to_pylist(), dtype=np.int64)
+        n = np.asarray(t["n"].to_pylist(), dtype=np.int64)
+        vs = np.asarray(t["vsum"].to_pylist(), dtype=np.float64)
+        nxt = C.copy()                               # empty -> keep previous
+        counts = np.zeros(k, dtype=np.int64)
+        np.add.at(counts, cl, n)
+        sums = np.zeros_like(C)
+        np.add.at(sums, cl, vs)
+        live = counts > 0
+        nxt[live] = np.round(sums[live] / counts[live, None], 6)
+        C = nxt
+    return C
+
+
+def kmeans_assign(emb_ds, *, k: int = 10, iters: int = 3):
+    """(vec_id, embedding) -> (vec_id, cluster, dist rounded 6dp) after
+    ``iters`` deterministic Lloyd iterations."""
+    C = _lloyd_centroids(emb_ds, k=k, iters=iters)
+    return emb_ds.map_batches(
+        _AssignFinal, batch_format="pyarrow", concurrency=(1, 8),
+        fn_constructor_kwargs={"cref": ray.put(C)})
+
+
+def semantic_dedup(emb_ds, *, k: int = 10, iters: int = 3,
+                   threshold: float = 0.4):
+    """SemDeDup: kmeans-cluster, then within each cluster mark every
+    vector having an earlier (lower vec_id) member with cosine >=
+    ``threshold`` as a duplicate of the SMALLEST such member.
+
+    Returns (vec_id, cluster, keep, dup_of nullable) — exact, oracle-
+    checkable semantics; similarity is rounded to 6 dp before the
+    threshold test so both engines agree at the boundary.
+    """
+    # one fused tag pass (assignment + embedding stay in the same row)
+    # instead of kmeans_assign + a corpus-wide re-join on vec_id:
+    C = _lloyd_centroids(emb_ds, k=k, iters=iters)
+    cref = ray.put(C)
+
+    def tag(batch: pa.Table) -> pa.Table:
+        M = emb_matrix(batch["embedding"])
+        a, _ = _AssignPartial(cref)._assign(M)
+        return batch.append_column("cluster", pa.array(a, pa.int64()))
+
+    tagged = emb_ds.map_batches(tag, batch_format="pyarrow")
+
+    def dedup_group(group: pa.Table) -> pa.Table:
+        ids = np.asarray(group["vec_id"].to_pylist(), dtype=np.int64)
+        order = np.argsort(ids)
+        ids = ids[order]
+        M = emb_matrix(group["embedding"])[order]
+        norms = np.linalg.norm(M, axis=1, keepdims=True)
+        norms[norms == 0] = 1.0
+        Mn = M / norms
+        S = np.round(Mn @ Mn.T, 6)
+        n = len(ids)
+        dup_of = np.full(n, -1, dtype=np.int64)
+        for j in range(1, n):                        # earlier = lower id
+            hits = np.flatnonzero(S[j, :j] >= threshold)
+            if hits.size:
+                dup_of[j] = ids[hits[0]]             # smallest earlier id
+        return pa.table({
+            "vec_id": pa.array(ids, pa.int64()),
+            "cluster": group["cluster"].take(pa.array(order)),
+            "keep": pa.array(dup_of < 0, pa.bool_()),
+            "dup_of": pa.array(
+                [None if d < 0 else int(d) for d in dup_of], pa.int64()),
+        })
+
+    return tagged.groupby("cluster").map_groups(
+        dedup_group, batch_format="pyarrow")

@@ -1,0 +1,85 @@
+"""kmeans_assign / semantic_dedup (kgx/ops/cluster.py) vs a sequential
+numpy reference, plus SemDeDup invariants.  The DuckDB oracle parity runs
+in test_oracle_parity.py (embed_kmeans / dedup_semantic entries)."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+import ray.data as rd
+
+from kgx.ops.cluster import kmeans_assign, semantic_dedup
+
+
+def _ref_kmeans(M: np.ndarray, ids: np.ndarray, k: int, iters: int):
+    """Sequential mirror of the documented semantics."""
+    order = np.argsort(ids)
+    C = np.round(M[order[:k]], 6)
+    for _ in range(iters):
+        d = np.round(np.sqrt(((M[:, None] - C[None]) ** 2).sum(-1)), 6)
+        a = d.argmin(1)
+        nxt = C.copy()
+        for c in range(k):
+            sel = a == c
+            if sel.any():
+                nxt[c] = np.round(M[sel].mean(0), 6)
+        C = nxt
+    d = np.round(np.sqrt(((M[:, None] - C[None]) ** 2).sum(-1)), 6)
+    a = d.argmin(1)
+    return a, d[np.arange(len(a)), a]
+
+
+@pytest.fixture(scope="module")
+def emb_ds(ray_session):
+    rng = np.random.default_rng(7)
+    centers = rng.normal(size=(4, 8)) * 5
+    M = np.concatenate(
+        [c + rng.normal(size=(30, 8)) for c in centers]).astype(np.float64)
+    ids = np.arange(len(M), dtype=np.int64)
+    tbl = pa.table({"vec_id": ids,
+                    "embedding": pa.array(list(M), pa.list_(pa.float64()))})
+    return rd.from_arrow(tbl), M, ids
+
+
+def test_kmeans_matches_sequential_reference(emb_ds):
+    ds, M, ids = emb_ds
+    out = kmeans_assign(ds, k=4, iters=3).to_pandas().sort_values("vec_id")
+    a, d = _ref_kmeans(M, ids, 4, 3)
+    assert out["cluster"].tolist() == a.tolist()
+    np.testing.assert_allclose(out["dist"].to_numpy(), d, atol=1e-9)
+
+
+def test_semantic_dedup_invariants(emb_ds):
+    ds, M, ids = emb_ds
+    out = semantic_dedup(ds, k=4, iters=2, threshold=0.9).to_pandas()
+    out = out.sort_values("vec_id").reset_index(drop=True)
+    assert len(out) == len(ids)
+    dup = out[~out["keep"]]
+    # a duplicate always points at a strictly earlier member of its cluster
+    assert (dup["dup_of"] < dup["vec_id"]).all()
+    cl = dict(zip(out["vec_id"], out["cluster"]))
+    assert all(cl[d] == cl[v]
+               for v, d in zip(dup["vec_id"], dup["dup_of"]))
+    # kept rows carry no dup_of
+    assert out[out["keep"]]["dup_of"].isna().all()
+    # the lowest id of every cluster is always kept
+    first = out.groupby("cluster")["vec_id"].min()
+    kept = set(out[out["keep"]]["vec_id"])
+    assert set(first).issubset(kept)
+
+
+def test_semantic_dedup_drops_planted_duplicates(ray_session):
+    rng = np.random.default_rng(3)
+    base = rng.normal(size=(20, 8)) * 4
+    # plant: rows 20..29 are near-copies of rows 0..9
+    dups = base[:10] + rng.normal(size=(10, 8)) * 1e-3
+    M = np.concatenate([base, dups])
+    tbl = pa.table({
+        "vec_id": pa.array(np.arange(30, dtype=np.int64)),
+        "embedding": pa.array(list(M), pa.list_(pa.float64()))})
+    out = semantic_dedup(rd.from_arrow(tbl), k=2, iters=2,
+                         threshold=0.999).to_pandas()
+    out = out.set_index("vec_id").sort_index()
+    for j in range(10):
+        assert not out.loc[20 + j, "keep"]
+        assert out.loc[20 + j, "dup_of"] == j
+    assert out.loc[:19, "keep"].all()
