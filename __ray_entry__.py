@@ -410,6 +410,64 @@ def _q_kg_lcc(sf_dir: str):
     return clustering_coefficients(kg_tables(sf_dir)["edges"])
 
 
+def _q_kg_wcc(sf_dir: str):
+    """Weakly connected components of the co-occurrence KG via the
+    distributed min-label propagation (kgx/ops/graph.py:
+    weakly_connected_components) — component id = lexicographically
+    smallest member name."""
+    from kgx.ops.graph import weakly_connected_components
+    from kgx.pipelines.docs_kg import kg_tables
+    return weakly_connected_components(kg_tables(sf_dir)["edges"])
+
+
+def _q_kg_kcore(sf_dir: str):
+    """2-core of the co-occurrence KG after 8 fixed peeling rounds
+    (kgx/ops/graph.py:kcore_vertices) — per-round streamed degree count
+    + map-side survivor filter, oracle-matched round for round."""
+    from kgx.ops.graph import kcore_vertices
+    from kgx.pipelines.docs_kg import kg_tables
+    return kcore_vertices(kg_tables(sf_dir)["edges"],
+                          k=_KCORE_K, rounds=_KCORE_ROUNDS)
+
+
+_KCORE_K = 2
+_KCORE_ROUNDS = 8
+
+
+def _kcore_oracle(*, k: int, rounds: int) -> str:
+    """Unrolled fixed-round k-core peel over the same co-occurrence edge
+    CTE as kg_triangles (mirrors kgx/ops/graph.py:kcore_vertices)."""
+    parts = []
+    for r in range(1, rounds + 1):
+        # MATERIALIZED stops DuckDB inlining each round's CTE into the
+        # next (inlining re-expands e0 3^rounds times -> fd exhaustion)
+        parts.append(f"""
+            s{r} AS MATERIALIZED (SELECT v FROM d{r - 1} WHERE d >= {k}),
+            e{r} AS MATERIALIZED (SELECT s, t FROM e{r - 1}
+                     WHERE s IN (SELECT v FROM s{r})
+                       AND t IN (SELECT v FROM s{r})),
+            d{r} AS MATERIALIZED (
+              SELECT s AS v, count(*) AS d FROM e{r} GROUP BY s)""")
+    return f"""
+            WITH dt AS (
+              SELECT doc_id,
+                     unnest(list_distinct(regexp_extract_all(
+                       text, '{_TERM_RE}'))) AS term
+              FROM documents),
+            p AS (
+              SELECT a.term AS s, b.term AS t
+              FROM dt a JOIN dt b
+                ON a.doc_id = b.doc_id AND a.term < b.term
+              GROUP BY 1, 2),
+            e0 AS MATERIALIZED (
+              SELECT s, t FROM p UNION ALL SELECT t AS s, s AS t FROM p),
+            d0 AS MATERIALIZED (
+              SELECT s AS v, count(*) AS d FROM e0 GROUP BY s),
+            {",".join(parts)}
+            SELECT v AS name, d AS degree FROM d{rounds} WHERE d >= {k}
+    """
+
+
 def _pagerank_oracle(*, iters=10, damping_pct=85, scale=10**12) -> str:
     """DuckDB mirror of kgx.ops.graph.pagerank over the co-occurrence
     edges (same CTE as the kg_edges oracle), iterations unrolled in
@@ -1029,6 +1087,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_pagerank": _q_kg_pagerank,
         "kg_triangles": _q_kg_triangles,
         "kg_lcc": _q_kg_lcc,
+        "kg_wcc": _q_kg_wcc,
+        "kg_kcore": _q_kg_kcore,
         # text analysis
         "text_tokens": _q_text_tokens,
         "text_quality": _q_text_quality,
@@ -1477,6 +1537,32 @@ def oracle_sql() -> dict[str, str]:
             FROM deg d LEFT JOIN tc ON d.v = tc.name
             WHERE d.d >= 2
         """,
+        # component = lexicographically smallest name reachable (incl.
+        # self); every vertex is an edge endpoint, so no isolated rows.
+        "kg_wcc": f"""
+            WITH dt AS (
+              SELECT doc_id,
+                     unnest(list_distinct(regexp_extract_all(
+                       text, '{_TERM_RE}'))) AS term
+              FROM documents),
+            e0 AS (
+              SELECT a.term AS s, b.term AS t
+              FROM dt a JOIN dt b
+                ON a.doc_id = b.doc_id AND a.term < b.term
+              GROUP BY 1, 2),
+            und AS (SELECT s, t FROM e0 UNION SELECT t AS s, s AS t FROM e0),
+            reach AS (
+              WITH RECURSIVE r(src, dst) AS (
+                SELECT s, t FROM und
+                UNION
+                SELECT r.src, u.t FROM r JOIN und u ON r.dst = u.s)
+              SELECT src, dst FROM r),
+            v AS (SELECT DISTINCT s AS name FROM und)
+            SELECT v.name, least(v.name, min(r.dst)) AS component
+            FROM v LEFT JOIN reach r ON r.src = v.name
+            GROUP BY v.name
+        """,
+        "kg_kcore": _kcore_oracle(k=_KCORE_K, rounds=_KCORE_ROUNDS),
         "rel_antijoin": """
             SELECT c_custkey, c_name FROM customer
             WHERE c_custkey NOT IN (

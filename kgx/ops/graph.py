@@ -280,3 +280,110 @@ def clustering_coefficients(edges_ds, *, src_col: str = "subj_name",
         "n_triangles": pa.array(t, pa.int64()),
         "lcc_units": pa.array(lcc, pa.int64()),
     }))
+
+
+def weakly_connected_components(edges_ds, *, src_col: str = "subj_name",
+                                dst_col: str = "obj_name",
+                                max_iters: int = 12):
+    """(name, component) per vertex, component = lexicographically
+    smallest vertex name in the weakly connected component.
+
+    Vertices are ranked into dense int64 ids by SORTED name (one O(|V|)
+    broadcast, same vertex-set assumption as ``pagerank``), so the
+    existing distributed min-label propagation
+    (kgx/ops/components.py:connected_components — shuffles only
+    (node, label) rows, converges in diameter-bounded rounds with an
+    exact sum-fixpoint test) applies unchanged: the minimum RANK is the
+    minimum NAME.  The edge stream itself is never collected.
+    """
+    from kgx.functions.collect import collect_arrow
+    from kgx.ops.components import connected_components
+
+    ed = undirected_edges(edges_ds, src_col=src_col,
+                          dst_col=dst_col).materialize()
+    verts, _ = _vertex_arrays(ed)
+    n = len(verts)
+    if n == 0:
+        return ray.data.from_arrow(pa.table({
+            "name": pa.array([], pa.string()),
+            "component": pa.array([], pa.string()),
+        }))
+    vref = ray.put(verts)
+
+    def to_id_pairs(batch: pa.Table, _vref=vref) -> pa.Table:
+        vs = ray.get(_vref)
+        si = pc.index_in(batch["src"].combine_chunks(), value_set=vs)
+        di = pc.index_in(batch["dst"].combine_chunks(), value_set=vs)
+        return pa.table({"doc_a": si.cast(pa.int64()),
+                         "doc_b": di.cast(pa.int64())})
+
+    # ed already holds each undirected edge in both directions; keeping
+    # src < dst passes each edge to the propagation exactly once.
+    pairs = ed.map_batches(
+        lambda t: t.filter(pc.less(t["src"], t["dst"])),
+        batch_format="pyarrow").map_batches(to_id_pairs,
+                                            batch_format="pyarrow")
+    nodes = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array(np.arange(n, dtype=np.int64), pa.int64())}))
+    comp = connected_components(nodes, pairs, max_iters=max_iters)
+
+    def back_to_names(batch: pa.Table, _vref=vref) -> pa.Table:
+        vs = ray.get(_vref)
+        ids = pa.array(batch["doc_id"].to_numpy(zero_copy_only=False),
+                       pa.int64())
+        labels = pa.array(batch["component_id"]
+                          .to_numpy(zero_copy_only=False), pa.int64())
+        return pa.table({"name": pc.take(vs, ids),
+                         "component": pc.take(vs, labels)})
+
+    return comp.map_batches(back_to_names, batch_format="pyarrow")
+
+
+def kcore_vertices(edges_ds, *, k: int = 2, rounds: int = 8,
+                   src_col: str = "subj_name", dst_col: str = "obj_name"):
+    """Fixed-round k-core peeling: after each round only vertices with
+    degree >= k in the current subgraph survive, and edges keep only
+    surviving endpoints.  Returns the survivors after ``rounds`` rounds
+    as (name, degree-in-subgraph).
+
+    Fixing the round count (instead of iterating to convergence) makes
+    the semantics engine-independent — the DuckDB oracle unrolls the
+    same rounds; extra rounds past the fixpoint are no-ops on both
+    sides.  Scale shape: each round is one streamed degree count over
+    the surviving edge list plus an O(|surviving V|) broadcast of the
+    survivor set; the edge stream is filtered map-side and re-
+    materialized per round (strictly shrinking).
+    """
+    ed = undirected_edges(edges_ds, src_col=src_col,
+                          dst_col=dst_col).materialize()
+    verts, degs = _vertex_arrays(ed)
+    if len(verts) == 0:
+        return ray.data.from_arrow(pa.table({
+            "name": pa.array([], pa.string()),
+            "degree": pa.array([], pa.int64()),
+        }))
+    for _ in range(rounds):
+        keep = degs >= k
+        if keep.all():
+            break                      # fixpoint: further rounds are no-ops
+        survivors = pc.take(verts, pa.array(np.flatnonzero(keep),
+                                            pa.int64()))
+        sref = ray.put(survivors)
+
+        def keep_edges(batch: pa.Table, _sref=sref) -> pa.Table:
+            sv = ray.get(_sref)
+            m = pc.and_(pc.is_in(batch["src"], value_set=sv),
+                        pc.is_in(batch["dst"], value_set=sv))
+            return batch.filter(m)
+
+        ed = ed.map_batches(keep_edges, batch_format="pyarrow") \
+               .materialize()
+        verts, degs = _vertex_arrays(ed)
+        if len(verts) == 0:
+            break
+    keep = degs >= k
+    idx = pa.array(np.flatnonzero(keep), pa.int64())
+    return ray.data.from_arrow(pa.table({
+        "name": pc.take(verts, idx),
+        "degree": pa.array(degs[keep], pa.int64()),
+    }))

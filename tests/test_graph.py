@@ -146,3 +146,68 @@ def test_degree_table(ray_session):
     assert out.loc["b", "degree"] == 2
     assert out.loc["c", "degree"] == 2
     assert out.loc["d", "degree"] == 1
+
+
+def test_wcc_two_components_and_singleton_pair(ray_session):
+    from kgx.ops.graph import weakly_connected_components
+    pairs = PATH + [("x", "y"), ("y", "z")]
+    out = weakly_connected_components(_edges(pairs)).to_pandas()
+    comp = dict(zip(out["name"], out["component"]))
+    assert comp == {"a": "a", "b": "a", "c": "a", "d": "a",
+                    "x": "x", "y": "x", "z": "x"}
+
+
+def test_wcc_matches_bruteforce_on_random_graphs(ray_session):
+    import itertools
+    import random
+    from kgx.ops.graph import weakly_connected_components
+    rng = random.Random(11)
+    names = [f"v{i}" for i in range(14)]
+    for trial in range(3):
+        pairs = sorted({tuple(sorted(rng.sample(names, 2)))
+                        for _ in range(12)})
+        # brute force: union-find
+        parent = {n: n for n in names}
+        def find(u):
+            while parent[u] != u:
+                parent[u] = parent[parent[u]]
+                u = parent[u]
+            return u
+        for s, t in pairs:
+            parent[find(s)] = find(t)
+        touched = {v for p in pairs for v in p}
+        ref = {}
+        for grp_root in {find(v) for v in touched}:
+            members = sorted(v for v in touched if find(v) == grp_root)
+            for m in members:
+                ref[m] = members[0]
+        out = weakly_connected_components(_edges(pairs)).to_pandas()
+        got = dict(zip(out["name"], out["component"]))
+        assert got == ref, pairs
+
+
+def test_kcore_peels_path_keeps_clique(ray_session):
+    from kgx.ops.graph import kcore_vertices
+    # a triangle with a pendant path: peeling k=2 removes the path tail
+    pairs = [("a", "b"), ("b", "c"), ("a", "c"),   # triangle
+             ("c", "d"), ("d", "e")]               # pendant path
+    out = kcore_vertices(_edges(pairs), k=2, rounds=8).to_pandas()
+    got = dict(zip(out["name"], out["degree"]))
+    assert got == {"a": 2, "b": 2, "c": 2}
+    # a pure path has no 2-core at all
+    assert kcore_vertices(_edges(PATH), k=2, rounds=8).count() == 0
+    # k=1 keeps everything
+    assert kcore_vertices(_edges(PATH), k=1, rounds=8).count() == 4
+
+
+def test_kcore_fixed_rounds_truncation_is_deterministic(ray_session):
+    from kgx.ops.graph import kcore_vertices
+    # a long path needs one round per vertex to fully peel; with only
+    # 2 rounds the middle survives with its round-2 subgraph degrees
+    chain = [(f"n{i}", f"n{i+1}") for i in range(9)]
+    out = kcore_vertices(_edges(chain), k=2, rounds=2).to_pandas()
+    got = dict(zip(out["name"], out["degree"]))
+    # after round 1 endpoints drop, after round 2 the next pair drops:
+    # survivors n2..n7, degrees: ends of the remaining chain have 1 but
+    # the final >=k filter drops them -> n3..n6
+    assert got == {f"n{i}": 2 for i in range(3, 7)}
