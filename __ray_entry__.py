@@ -430,6 +430,15 @@ def _q_kg_kcore(sf_dir: str):
                           k=_KCORE_K, rounds=_KCORE_ROUNDS)
 
 
+def _q_kg_neighbor_jaccard(sf_dir: str):
+    """Entity-linking candidates: open-neighborhood Jaccard per vertex
+    pair via the streamed wedge-join (kgx/ops/graph.py:
+    neighbor_jaccard_pairs), integer fixed-point >= 0.2."""
+    from kgx.ops.graph import neighbor_jaccard_pairs
+    from kgx.pipelines.docs_kg import kg_tables
+    return neighbor_jaccard_pairs(kg_tables(sf_dir)["edges"])
+
+
 _KCORE_K = 2
 _KCORE_ROUNDS = 8
 
@@ -1089,6 +1098,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_lcc": _q_kg_lcc,
         "kg_wcc": _q_kg_wcc,
         "kg_kcore": _q_kg_kcore,
+        "kg_neighbor_jaccard": _q_kg_neighbor_jaccard,
         # text analysis
         "text_tokens": _q_text_tokens,
         "text_quality": _q_text_quality,
@@ -1563,6 +1573,33 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY v.name
         """,
         "kg_kcore": _kcore_oracle(k=_KCORE_K, rounds=_KCORE_ROUNDS),
+        # common neighbors of (a,b) == wedges a-c-b; jac_units is the
+        # same integer floor-division as kgx.ops.graph (SCALE = 1e12)
+        "kg_neighbor_jaccard": f"""
+            WITH dt AS (
+              SELECT doc_id,
+                     unnest(list_distinct(regexp_extract_all(
+                       text, '{_TERM_RE}'))) AS term
+              FROM documents),
+            p AS (
+              SELECT a.term AS s, b.term AS t
+              FROM dt a JOIN dt b
+                ON a.doc_id = b.doc_id AND a.term < b.term
+              GROUP BY 1, 2),
+            ed AS (SELECT s, t FROM p UNION ALL SELECT t AS s, s AS t FROM p),
+            deg AS (SELECT s AS v, count(*) AS d FROM ed GROUP BY s),
+            w AS (SELECT l.t AS x, r.t AS y
+                  FROM ed l JOIN ed r ON l.s = r.s AND l.t < r.t),
+            cm AS (SELECT x, y, count(*) AS common FROM w GROUP BY x, y)
+            SELECT cm.x AS name_a, cm.y AS name_b,
+                   CAST(cm.common AS BIGINT) AS common,
+                   (cm.common * 1000000000000)
+                     // (da.d + db.d - cm.common) AS jac_units
+            FROM cm JOIN deg da ON da.v = cm.x
+                    JOIN deg db ON db.v = cm.y
+            WHERE (cm.common * 1000000000000)
+                    // (da.d + db.d - cm.common) >= 200000000000
+        """,
         "rel_antijoin": """
             SELECT c_custkey, c_name FROM customer
             WHERE c_custkey NOT IN (

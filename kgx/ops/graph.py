@@ -387,3 +387,83 @@ def kcore_vertices(edges_ds, *, k: int = 2, rounds: int = 8,
         "name": pc.take(verts, idx),
         "degree": pa.array(degs[keep], pa.int64()),
     }))
+
+
+def neighbor_jaccard_pairs(edges_ds, *, src_col: str = "subj_name",
+                           dst_col: str = "obj_name",
+                           min_units: int = SCALE // 5):
+    """Entity-pair similarity by OPEN-neighborhood Jaccard — the
+    entity-linking candidate generator: two canonical entities whose
+    neighbor sets overlap heavily are merge/alias candidates even when
+    their surface forms share nothing.
+
+    ``|N(a) & N(b)|`` comes from the same streamed wedge-join as
+    ``triangle_counts`` (common neighbors of (a,b) == wedges a-c-b;
+    groupby(center) emits neighbor pairs vectorized, ONE pair-keyed
+    groupby with map-side partial counts reduces them); degrees join
+    in O(|V|) on the driver (module-docstring vertex assumption).
+    Jaccard is integer fixed-point — ``jac_units = (common * SCALE) //
+    (deg(a) + deg(b) - common)`` — so the distributed result is
+    bit-identical to the SQL oracle.  Output: (name_a < name_b, common,
+    jac_units) for pairs with >= 1 common neighbor and jac_units >=
+    ``min_units``.  Hub caveat as on ``triangle_counts``: wedges per
+    center are C(deg, 2).
+    """
+    from ray.data.aggregate import Sum
+
+    und = undirected_edges(edges_ds, src_col=src_col,
+                           dst_col=dst_col).materialize()
+    verts, degs = _vertex_arrays(und)
+    if len(verts) == 0:
+        return ray.data.from_arrow(pa.table({
+            "name_a": pa.array([], pa.string()),
+            "name_b": pa.array([], pa.string()),
+            "common": pa.array([], pa.int64()),
+            "jac_units": pa.array([], pa.int64()),
+        }))
+
+    def wedge_pairs(group: pa.Table) -> pa.Table:
+        nbrs = pc.unique(group["dst"].combine_chunks())
+        nbrs = pc.take(nbrs, pc.sort_indices(nbrs))
+        m = len(nbrs)
+        if m < 2:
+            return pa.table({"name_a": pa.array([], pa.string()),
+                             "name_b": pa.array([], pa.string()),
+                             "one": pa.array([], pa.int64())})
+        ai, bi = np.triu_indices(m, k=1)
+        return pa.table({
+            "name_a": pc.take(nbrs, pa.array(ai, pa.int64())),
+            "name_b": pc.take(nbrs, pa.array(bi, pa.int64())),
+            "one": pa.array(np.ones(len(ai), dtype=np.int64)),
+        })
+
+    def partial(batch: pa.Table) -> pa.Table:
+        return batch.group_by(["name_a", "name_b"]).aggregate(
+            [("one", "sum")])
+
+    common = (und.groupby("src")
+                 .map_groups(wedge_pairs, batch_format="pyarrow")
+                 .map_batches(partial, batch_format="pyarrow")
+                 .groupby(["name_a", "name_b"]).aggregate(Sum("one_sum")))
+
+    dref = ray.put((verts, degs))
+
+    def jaccard(batch: pa.Table, _dref=dref) -> pa.Table:
+        vs, dg = ray.get(_dref)
+        a = batch["name_a"].combine_chunks().cast(pa.string())
+        b = batch["name_b"].combine_chunks().cast(pa.string())
+        c = batch["sum(one_sum)"].combine_chunks().cast(pa.int64()) \
+                 .to_numpy(zero_copy_only=False)
+        da = dg[pc.index_in(a, value_set=vs).to_numpy(zero_copy_only=False)]
+        db = dg[pc.index_in(b, value_set=vs).to_numpy(zero_copy_only=False)]
+        units = (c * SCALE) // (da + db - c)
+        keep = units >= min_units
+        idx = pa.array(np.flatnonzero(keep), pa.int64())
+        return pa.table({
+            "name_a": pc.take(a, idx),
+            "name_b": pc.take(b, idx),
+            "common": pa.array(c[keep], pa.int64()),
+            "jac_units": pa.array(units[keep], pa.int64()),
+        })
+
+    return common.map_batches(jaccard, batch_format="pyarrow")

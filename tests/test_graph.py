@@ -211,3 +211,45 @@ def test_kcore_fixed_rounds_truncation_is_deterministic(ray_session):
     # survivors n2..n7, degrees: ends of the remaining chain have 1 but
     # the final >=k filter drops them -> n3..n6
     assert got == {f"n{i}": 2 for i in range(3, 7)}
+
+
+def test_neighbor_jaccard_matches_bruteforce(ray_session):
+    import itertools
+    import random
+    from kgx.ops.graph import SCALE, neighbor_jaccard_pairs
+    rng = random.Random(5)
+    names = [f"v{i}" for i in range(10)]
+    for trial in range(3):
+        pairs = sorted({tuple(sorted(rng.sample(names, 2)))
+                        for _ in range(14)})
+        adj = {}
+        for s, t in pairs:
+            adj.setdefault(s, set()).add(t)
+            adj.setdefault(t, set()).add(s)
+        ref = {}
+        for a, b in itertools.combinations(sorted(adj), 2):
+            common = len(adj[a] & adj[b])
+            if common == 0:
+                continue
+            units = (common * SCALE) // (len(adj[a]) + len(adj[b]) - common)
+            if units >= SCALE // 5:
+                ref[(a, b)] = (common, units)
+        out = neighbor_jaccard_pairs(_edges(pairs)).to_pandas()
+        got = {(r["name_a"], r["name_b"]): (r["common"], r["jac_units"])
+               for _, r in out.iterrows()}
+        assert got == ref, pairs
+
+
+def test_neighbor_jaccard_shared_leaf_star(ray_session):
+    from kgx.ops.graph import SCALE, neighbor_jaccard_pairs
+    # two hubs sharing all three leaves: J(h1,h2) = 3/3 = 1.0
+    pairs = [("h1", "l1"), ("h1", "l2"), ("h1", "l3"),
+             ("h2", "l1"), ("h2", "l2"), ("h2", "l3")]
+    out = neighbor_jaccard_pairs(_edges(pairs), min_units=SCALE).to_pandas()
+    got = {(r["name_a"], r["name_b"]): (r["common"], r["jac_units"])
+           for _, r in out.iterrows()}
+    # hubs share all 3 leaves; each leaf pair shares both hubs — all J=1.0
+    assert got == {("h1", "h2"): (3, SCALE),
+                   ("l1", "l2"): (2, SCALE),
+                   ("l1", "l3"): (2, SCALE),
+                   ("l2", "l3"): (2, SCALE)}
