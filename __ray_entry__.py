@@ -898,6 +898,17 @@ def _q_events_histogram(sf_dir: str):
     return value_histogram(ev, "value", width=25.0)
 
 
+def _q_events_retention(sf_dir: str):
+    """Cohort retention matrix (kgx/ops/window.py:cohort_retention):
+    in-batch (user, day) distinct -> per-user offset emission -> partial
+    counts; the event payload never shuffles."""
+    import ray.data as rd
+    from kgx.ops.window import cohort_retention
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["user_id", "ts"])
+    return cohort_retention(ev)
+
+
 def _q_events_funnel(sf_dir: str):
     """Min-chain funnel view -> click -> purchase per user: non-step
     events die map-side, one narrow groupby(user) shuffle, numpy chain
@@ -1162,6 +1173,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_ordered": _q_events_ordered,
         "events_funnel": _q_events_funnel,
         "events_histogram": _q_events_histogram,
+        "events_retention": _q_events_retention,
         # multimodal plumbing
         "multimodal_stats": _q_multimodal_stats,
         "multimodal_decode": _q_multimodal_decode,
@@ -1809,6 +1821,18 @@ def oracle_sql() -> dict[str, str]:
                      AS cum_value_cents
             FROM events
             WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        """,
+        "events_retention": """
+            WITH ud AS (
+              SELECT DISTINCT user_id,
+                     epoch_us(ts) // 86400000000 AS day
+              FROM events),
+            c AS (SELECT user_id, min(day) AS cohort FROM ud GROUP BY 1)
+            SELECT c.cohort AS cohort_day,
+                   ud.day - c.cohort AS day_offset,
+                   CAST(count(*) AS BIGINT) AS n_users
+            FROM ud JOIN c USING (user_id)
+            GROUP BY 1, 2
         """,
         "events_histogram": """
             SELECT CAST(floor(value / 25.0) AS BIGINT) AS bin,

@@ -162,3 +162,64 @@ def session_window_agg(events_ds, *, gap_s: int = 1800,
 
     return events_ds.groupby(user_col).map_groups(
         sessions, batch_format="pyarrow")
+
+
+DAY_US = 86_400 * US
+
+
+def cohort_retention(events_ds, *, user_col: str = "user_id",
+                     ts_col: str = "ts", bucket_us: int = DAY_US):
+    """Classic cohort-retention matrix: cohort(u) = u's first active day,
+    and for every later active day the (cohort_day, day_offset) cell
+    counts distinct users.  Output: (cohort_day, day_offset, n_users),
+    day indices as int64 floor(epoch_us / bucket_us).
+
+    Scale shape — three narrow stages, the event payload never moves:
+
+    1. map-side project-to-(user, day) + in-batch DISTINCT, so the
+       first shuffle carries at most one row per user per day per block;
+    2. ``groupby(user)`` emits that user's (cohort, offset) rows — group
+       size = the user's distinct active days (bounded by the horizon,
+       e.g. 365), immune to event-count skew because step 1 already
+       collapsed duplicates;
+    3. in-batch partial counts + a final (cohort, offset) groupby sum
+       over rows bounded by horizon^2 per block.
+    """
+    import numpy as np
+    from ray.data.aggregate import Sum
+
+    def user_days(batch: pa.Table) -> pa.Table:
+        day = pc.divide(pc.cast(batch[ts_col], pa.int64()), bucket_us)
+        return pa.table({
+            "user_id": batch[user_col],
+            "day": day,
+        }).group_by(["user_id", "day"]).aggregate([])
+
+    def emit_offsets(group: pa.Table) -> pa.Table:
+        d = np.unique(group["day"].to_numpy(zero_copy_only=False))
+        cohort = d.min()
+        n = len(d)
+        return pa.table({
+            "cohort_day": pa.array(np.full(n, cohort), pa.int64()),
+            "day_offset": pa.array(d - cohort, pa.int64()),
+            "one": pa.array(np.ones(n, dtype=np.int64)),
+        })
+
+    def partial_count(batch: pa.Table) -> pa.Table:
+        return batch.group_by(["cohort_day", "day_offset"]).aggregate(
+            [("one", "sum")])
+
+    def finish(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "cohort_day": batch["cohort_day"].combine_chunks(),
+            "day_offset": batch["day_offset"].combine_chunks(),
+            "n_users": batch["sum(one_sum)"].combine_chunks()
+                            .cast(pa.int64()),
+        })
+
+    return (events_ds.map_batches(user_days, batch_format="pyarrow")
+            .groupby("user_id").map_groups(emit_offsets,
+                                           batch_format="pyarrow")
+            .map_batches(partial_count, batch_format="pyarrow")
+            .groupby(["cohort_day", "day_offset"]).aggregate(Sum("one_sum"))
+            .map_batches(finish, batch_format="pyarrow"))

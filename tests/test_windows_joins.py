@@ -224,3 +224,41 @@ def test_bloom_semijoin_matches_sql():
                       got["l_linenumber"].to_pylist())) \
         == sorted(zip(want["l_orderkey"].to_pylist(),
                       want["l_linenumber"].to_pylist()))
+
+
+def test_cohort_retention_small(ray_session):
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+    from kgx.ops.window import DAY_US, cohort_retention
+    # users: u1 active days 0,1,3 (two events day 0); u2 days 1,2; u3 day 3
+    rows = [(1, 0), (1, 0), (1, 1), (1, 3), (2, 1), (2, 2), (3, 3)]
+    tbl = pa.table({
+        "user_id": pa.array([u for u, _ in rows], pa.int64()),
+        "ts": pa.array([d * DAY_US + 17 for _, d in rows],
+                       pa.timestamp("us")),
+    })
+    out = cohort_retention(rd.from_arrow(tbl)).to_pandas()
+    got = {(r["cohort_day"], r["day_offset"]): r["n_users"]
+           for _, r in out.iterrows()}
+    assert got == {(0, 0): 1, (0, 1): 1, (0, 3): 1,
+                   (1, 0): 1, (1, 1): 1,
+                   (3, 0): 1}
+
+
+def test_cohort_retention_counts_distinct_users(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+    from kgx.ops.window import DAY_US, cohort_retention
+    # 5 users all starting day 2, three of them return day 4
+    rows = [(u, 2) for u in range(5)] + [(u, 4) for u in range(3)] \
+        + [(0, 4)]                        # duplicate event same day
+    tbl = pa.table({
+        "user_id": pa.array([u for u, _ in rows], pa.int64()),
+        "ts": pa.array([d * DAY_US for _, d in rows], pa.timestamp("us")),
+    })
+    out = cohort_retention(rd.from_arrow(tbl)).to_pandas()
+    got = {(r["cohort_day"], r["day_offset"]): r["n_users"]
+           for _, r in out.iterrows()}
+    assert got == {(2, 0): 5, (2, 2): 3}
