@@ -996,6 +996,23 @@ def _q_rel_pivot(sf_dir: str):
     return priority_pivot(sf_dir)
 
 
+def _q_rel_forecast(sf_dir: str):
+    """TPC-H Q6-shaped filter-aggregate: pruned 4-column read, map-side
+    partial sums, single-row exact integer result — no wide shuffle
+    (kgx/ops/relational.py:forecast_revenue)."""
+    from kgx.ops.relational import forecast_revenue
+    return forecast_revenue(sf_dir)
+
+
+def _q_rel_big_orders(sf_dir: str):
+    """TPC-H Q18-shaped large-volume orders: narrow per-order partial
+    quantity shuffle, rare-survivor broadcast semi-join back onto
+    orders, broadcast customer names, global top-100
+    (kgx/ops/relational.py:big_orders)."""
+    from kgx.ops.relational import big_orders
+    return big_orders(sf_dir)
+
+
 def _q_rel_rollup(sf_dir: str):
     """GROUP BY ROLLUP over lineitem: one wide shuffle for the finest
     level, super-aggregates re-aggregate the tiny result."""
@@ -1167,6 +1184,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rel_shipping": _q_rel_shipping,
         "rel_semijoin": _q_rel_semijoin,
         "rel_rollup": _q_rel_rollup,
+        "rel_forecast": _q_rel_forecast,
+        "rel_big_orders": _q_rel_big_orders,
         "rel_pivot": _q_rel_pivot,
         "events_quantile": _q_events_quantile,
         "events_quantile_by_type": _q_events_quantile_by_type,
@@ -1930,6 +1949,37 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(CASE WHEN o_orderpriority = '5-LOW'
                                  THEN 1 ELSE 0 END) AS BIGINT) AS n_low
             FROM orders GROUP BY o_orderstatus
+        """,
+        "rel_forecast": """
+            SELECT CAST(coalesce(sum(
+                     CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+                     * CAST(floor(l_discount * 100 + 0.5) AS BIGINT)), 0)
+                   AS BIGINT) AS revenue_units,
+                   CAST(count(*) AS BIGINT) AS n_items
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+              AND l_shipdate <  TIMESTAMP '1997-01-01'
+              AND CAST(floor(l_discount * 100 + 0.5) AS BIGINT)
+                    BETWEEN 5 AND 7
+              AND l_quantity < 24.0
+        """,
+        "rel_big_orders": """
+            WITH t AS (
+              SELECT l_orderkey,
+                     CAST(sum(CAST(floor(l_quantity * 100 + 0.5) AS BIGINT))
+                          AS BIGINT) AS qty_cents
+              FROM lineitem GROUP BY l_orderkey
+              HAVING sum(CAST(floor(l_quantity * 100 + 0.5) AS BIGINT))
+                       > 25000)
+            SELECT o.o_orderkey, o.o_custkey,
+                   CAST(floor(o.o_totalprice * 100 + 0.5) AS BIGINT)
+                     AS o_totalprice_cents,
+                   epoch_us(o.o_orderdate) AS o_orderdate,
+                   t.qty_cents, c.c_name
+            FROM t JOIN orders o ON o.o_orderkey = t.l_orderkey
+                   JOIN customer c ON c.c_custkey = o.o_custkey
+            ORDER BY t.qty_cents DESC, o.o_orderkey
+            LIMIT 100
         """,
         "text_pii": f"""
             WITH aug AS (

@@ -442,3 +442,128 @@ def shipping_priority(sf_dir: str, *, segment: str = "BUILDING",
                .sort(["revenue_units", "o_orderkey"],
                      descending=[True, False])
                .limit(n))
+
+
+def forecast_revenue(sf_dir: str, *, date_lo: str = "1996-01-01",
+                     date_hi: str = "1997-01-01",
+                     disc_lo_c: int = 5, disc_hi_c: int = 7,
+                     max_qty: float = 24.0):
+    """TPC-H Q6-shaped forecasting filter-aggregate: one streamed pass,
+    map-side partial sums, single-row output — the cheapest possible
+    query shape (pruned 4-column read, no shuffle at all beyond the
+    kilobyte partial stream).  Revenue in exact integer cents x cents:
+    sum(ext_c * disc_c) so the distributed fold is order-independent.
+    Output: (revenue_units, n_items)."""
+    lo = np.datetime64(date_lo).astype("datetime64[us]").astype("int64")
+    hi = np.datetime64(date_hi).astype("datetime64[us]").astype("int64")
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ship = pc.cast(batch["l_shipdate"], pa.int64())
+        disc_c = _cents(batch["l_discount"])
+        mask = pc.and_(
+            pc.and_(pc.greater_equal(ship, lo), pc.less(ship, hi)),
+            pc.and_(
+                pc.and_(pc.greater_equal(disc_c, disc_lo_c),
+                        pc.less_equal(disc_c, disc_hi_c)),
+                pc.less(batch["l_quantity"], max_qty)))
+        b = batch.filter(mask)
+        rev = pc.multiply(_cents(b["l_extendedprice"]).cast(pa.int64()),
+                          _cents(b["l_discount"]).cast(pa.int64()))
+        return pa.table({
+            "rev": pa.array([pc.sum(rev).as_py() or 0], pa.int64()),
+            "n": pa.array([b.num_rows], pa.int64()),
+        })
+
+    def finish(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "revenue_units": pa.array(
+                [pc.sum(batch["rev"]).as_py() or 0], pa.int64()),
+            "n_items": pa.array(
+                [pc.sum(batch["n"]).as_py() or 0], pa.int64()),
+        })
+
+    li = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_shipdate", "l_discount", "l_quantity",
+                 "l_extendedprice"])
+    return li.map_batches(partial, batch_format="pyarrow") \
+             .repartition(1).map_batches(finish, batch_format="pyarrow")
+
+
+def big_orders(sf_dir: str, *, min_qty_c: int = 25000, n: int = 100):
+    """TPC-H Q18-shaped large-volume-order report: orders whose total
+    lineitem quantity exceeds a threshold, with customer names.
+
+    Scale shape: lineitem pre-aggregates map-side per order (the only
+    corpus-sized shuffle is the narrow (orderkey, qty_cents) partial
+    stream), the HAVING filter shrinks the result to the rare big
+    orders, and the orders + customer sides attach via BROADCAST lookup
+    maps (both o_orderkey-keyed rows needed are exactly the surviving
+    keys, but orders is itself large, so the broadcast goes the other
+    way: the tiny surviving-orderkey set is broadcast and orders is
+    semi-joined map-side, then customer names broadcast-join onto it).
+    Output: top-n by (qty desc, orderkey asc).
+    """
+    from ray.data.aggregate import Sum
+
+    li = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                         columns=["l_orderkey", "l_quantity"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = pa.table({
+            "l_orderkey": batch["l_orderkey"],
+            "qty_c": _cents(batch["l_quantity"]),
+        })
+        return t.group_by(["l_orderkey"]).aggregate([("qty_c", "sum")])
+
+    totals = (li.map_batches(partial, batch_format="pyarrow")
+                .groupby("l_orderkey").aggregate(Sum("qty_c_sum"))
+                .map_batches(lambda t: pa.table({
+                    "o_orderkey": t["l_orderkey"].combine_chunks(),
+                    "qty_cents": t["sum(qty_c_sum)"].combine_chunks()
+                                     .cast(pa.int64()),
+                }), batch_format="pyarrow")
+                .filter(expr=f"qty_cents > {min_qty_c}"))
+
+    # surviving keys are rare -> collect + broadcast the small side
+    from kgx.functions.collect import collect_arrow
+    surv = collect_arrow(totals)
+    qty_map = dict(zip(surv["o_orderkey"].to_pylist(),
+                       surv["qty_cents"].to_pylist()))
+    kref = ray.put(qty_map)
+
+    def attach_orders(batch: pa.Table, _kref=kref) -> pa.Table:
+        km = ray.get(_kref)
+        keys = pa.array(list(km), pa.int64())
+        m = pc.is_in(batch["o_orderkey"], value_set=keys)
+        b = batch.filter(m)
+        qty = pa.array([km[k] for k in b["o_orderkey"].to_pylist()],
+                       pa.int64())
+        return pa.table({
+            "o_orderkey": b["o_orderkey"],
+            "o_custkey": b["o_custkey"],
+            "o_totalprice_cents": _cents(b["o_totalprice"]),
+            "o_orderdate": pc.cast(b["o_orderdate"], pa.int64()),
+            "qty_cents": qty,
+        })
+
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_totalprice", "o_orderdate"])
+    hits = orders.map_batches(attach_orders, batch_format="pyarrow")
+
+    cust = collect_arrow(rd.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_name"]))
+    name_map = dict(zip(cust["c_custkey"].to_pylist(),
+                        cust["c_name"].to_pylist()))
+    nref = ray.put(name_map)
+
+    def attach_names(batch: pa.Table, _nref=nref) -> pa.Table:
+        nm = ray.get(_nref)
+        names = pa.array([nm.get(k) for k in batch["o_custkey"].to_pylist()],
+                         pa.string())
+        return batch.append_column("c_name", names)
+
+    return (hits.map_batches(attach_names, batch_format="pyarrow")
+                .sort(["qty_cents", "o_orderkey"], descending=[True, False])
+                .limit(n))

@@ -464,3 +464,34 @@ def test_customers_without_orders(ray_session, tmp_path):
     out2 = customers_without_orders(str(tmp_path), min_totalprice=2.5) \
         .to_pandas().sort_values("c_custkey")
     assert out2["c_custkey"].tolist() == [1, 2, 4]
+
+
+def test_forecast_revenue_and_big_orders_shapes(ray_session):
+    """Semantics vs a pandas reference at sf0.001 (the DuckDB hash gate
+    runs in test_oracle_parity)."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow.parquet as pq
+    from kgx.ops.relational import big_orders, forecast_revenue
+
+    sf = "/root/testdata/sf0.001"
+    li = pq.read_table(f"{sf}/lineitem.parquet").to_pandas()
+    ext_c = np.floor(li["l_extendedprice"] * 100 + 0.5).astype("int64")
+    disc_c = np.floor(li["l_discount"] * 100 + 0.5).astype("int64")
+    ship = li["l_shipdate"].astype("datetime64[us]")
+    m = ((ship >= pd.Timestamp("1996-01-01"))
+         & (ship < pd.Timestamp("1997-01-01"))
+         & disc_c.between(5, 7) & (li["l_quantity"] < 24.0))
+    out = forecast_revenue(sf).to_pandas()
+    assert out["revenue_units"][0] == int((ext_c[m] * disc_c[m]).sum())
+    assert out["n_items"][0] == int(m.sum())
+
+    qty_c = np.floor(li["l_quantity"] * 100 + 0.5).astype("int64")
+    totals = qty_c.groupby(li["l_orderkey"]).sum()
+    big = totals[totals > 25000]
+    out2 = big_orders(sf).to_pandas()
+    assert len(out2) == min(100, len(big))
+    assert set(out2["o_orderkey"]) <= set(big.index)
+    # sorted by qty desc, orderkey asc
+    key = list(zip(-out2["qty_cents"], out2["o_orderkey"]))
+    assert key == sorted(key)
