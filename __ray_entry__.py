@@ -218,6 +218,17 @@ def _q_dedup_components(sf_dir: str):
     return neardup_components(docs, threshold=0.8)
 
 
+def _q_text_boilerplate(sf_dir: str):
+    """CCNet-style per-source boilerplate scrub: narrow (source, seg)
+    shuffle, broadcast boilerplate set, map-side rebuild
+    (kgx/ops/linededup.py:boilerplate_scrub)."""
+    import ray.data as rd
+    from kgx.ops.linededup import boilerplate_scrub
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text", "source"])
+    return boilerplate_scrub(docs, seg_tokens=10, min_docs=2)
+
+
 def _q_embed_kmeans(sf_dir: str):
     """Deterministic Lloyd's k-means over the embedding column
     (kgx/ops/cluster.py): broadcast centroids + map-side partial sums,
@@ -1151,6 +1162,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_embedding": _q_dedup_embedding,
         "dedup_components": _q_dedup_components,
         "dedup_lines": _q_dedup_lines,
+        "text_boilerplate": _q_text_boilerplate,
         # embedding-space clustering + semantic dedup
         "embed_kmeans": _q_embed_kmeans,
         "dedup_semantic": _q_dedup_semantic,
@@ -2197,6 +2209,36 @@ def oracle_sql() -> dict[str, str]:
                                 WHEN 'src3' THEN 49152
                                 ELSE 58982 END AS keep
             FROM b
+        """,
+        "text_boilerplate": """
+            WITH toks AS (
+              SELECT doc_id, source, string_split(text, ' ') AS tk
+              FROM documents),
+            segs0 AS (
+              SELECT doc_id, source, tk,
+                     unnest(generate_series(
+                       0, CAST(ceil(len(tk) / 10.0) AS BIGINT) - 1))
+                       AS seg_no
+              FROM toks),
+            segs AS (
+              SELECT doc_id, source, seg_no,
+                     array_to_string(
+                       tk[(seg_no * 10 + 1):((seg_no + 1) * 10)], ' ')
+                       AS seg
+              FROM segs0),
+            freq AS (
+              SELECT source, seg FROM segs
+              GROUP BY source, seg
+              HAVING count(DISTINCT doc_id) >= 2)
+            SELECT s.doc_id,
+                   string_agg(CASE WHEN f.seg IS NULL THEN s.seg END, ' '
+                              ORDER BY s.seg_no) AS text_clean,
+                   CAST(count(*) AS BIGINT) AS n_segs,
+                   CAST(sum(CASE WHEN f.seg IS NOT NULL THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_removed
+            FROM segs s LEFT JOIN freq f
+              ON f.source = s.source AND f.seg = s.seg
+            GROUP BY s.doc_id
         """,
         "embed_kmeans": _kmeans_oracle(k=_KMEANS_K, iters=_KMEANS_ITERS),
         "dedup_semantic": _semdedup_oracle(k=_KMEANS_K, iters=_KMEANS_ITERS,

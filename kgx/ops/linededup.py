@@ -118,3 +118,79 @@ def segment_dedup(docs_ds, *, seg_tokens: int = 10):
         })
 
     return docs_ds.map_batches(rebuild, batch_format="pyarrow")
+
+
+def boilerplate_scrub(docs_ds, *, seg_tokens: int = 10, min_docs: int = 2):
+    """CCNet-style PER-SOURCE boilerplate removal: a segment occurring in
+    >= ``min_docs`` DISTINCT documents of the same source is boilerplate
+    (site chrome / shared disclaimer) and ALL its occurrences are removed
+    — unlike :func:`segment_dedup`, which keeps one global winner.
+
+    Scale shape:
+
+    1. explode map-side to narrow ``(source, seg_md5, doc_id)`` rows,
+       deduplicated per document IN-BATCH, so the shuffle carries at
+       most one row per (doc, segment) — the text stays behind;
+    2. one ``groupby(source, seg_md5)`` counts distinct documents (group
+       size == the segment's doc frequency) and emits only segments at
+       or above ``min_docs`` — the boilerplate set, which is tiny by
+       construction (it's the *repeated* mass);
+    3. the boilerplate ``(source, seg_md5)`` set broadcasts (``ray.put``)
+       and every document is rebuilt map-side.
+
+    Output: (doc_id, text_clean nullable, n_segs, n_removed).
+    """
+
+    def explode(batch: pa.Table) -> pa.Table:
+        srcs, md5s = [], []
+        for d, t, src in zip(batch["doc_id"].to_pylist(),
+                             batch["text"].to_pylist(),
+                             batch["source"].to_pylist()):
+            seen = set()
+            for s in _segments(t, seg_tokens):
+                h = hashlib.md5(s.encode("utf-8")).digest()
+                if h not in seen:          # in-batch per-doc distinct
+                    seen.add(h)
+                    srcs.append(src)
+                    md5s.append(h)
+        return pa.table({
+            "source": pa.array(srcs, pa.string()),
+            "seg_md5": pa.array(md5s, pa.binary()),
+        })
+
+    def frequent(group: pa.Table) -> pa.Table:
+        # rows are (source, seg_md5) once per containing doc
+        if group.num_rows < min_docs:
+            return pa.table({"source": pa.array([], pa.string()),
+                             "seg_md5": pa.array([], pa.binary())})
+        return group.slice(0, 1).select(["source", "seg_md5"])
+
+    from kgx.functions.collect import collect_arrow
+    boiler = collect_arrow(
+        docs_ds.map_batches(explode, batch_format="pyarrow")
+               .groupby(["source", "seg_md5"])
+               .map_groups(frequent, batch_format="pyarrow"))
+    bset = frozenset(zip(boiler["source"].to_pylist(),
+                         boiler["seg_md5"].to_pylist()))
+    bref = ray.put(bset)
+
+    def rebuild(batch: pa.Table) -> pa.Table:
+        drop = ray.get(bref)
+        out_text, out_nseg, out_ndrop = [], [], []
+        for t, src in zip(batch["text"].to_pylist(),
+                          batch["source"].to_pylist()):
+            segs = _segments(t, seg_tokens)
+            kept = [s for s in segs
+                    if (src, hashlib.md5(s.encode("utf-8")).digest())
+                    not in drop]
+            out_text.append(" ".join(kept) if kept else None)
+            out_nseg.append(len(segs))
+            out_ndrop.append(len(segs) - len(kept))
+        return pa.table({
+            "doc_id": batch["doc_id"],
+            "text_clean": pa.array(out_text, pa.string()),
+            "n_segs": pa.array(out_nseg, pa.int64()),
+            "n_removed": pa.array(out_ndrop, pa.int64()),
+        })
+
+    return docs_ds.map_batches(rebuild, batch_format="pyarrow")

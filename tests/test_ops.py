@@ -495,3 +495,31 @@ def test_forecast_revenue_and_big_orders_shapes(ray_session):
     # sorted by qty desc, orderkey asc
     key = list(zip(-out2["qty_cents"], out2["o_orderkey"]))
     assert key == sorted(key)
+
+
+def test_boilerplate_scrub_removes_all_occurrences(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+    from kgx.ops.linededup import boilerplate_scrub
+    boiler = "copyright acme corp all rights reserved terms of use apply"
+    docs = [
+        (0, f"{boiler} unique words for document zero here padding tokens x", "a"),
+        (1, f"{boiler} other unique content one two three four five six y", "a"),
+        (2, boiler, "a"),                                   # only boilerplate
+        (3, f"{boiler} same text different source keeps it all intact z", "b"),
+    ]
+    tbl = pa.table({
+        "doc_id": pa.array([d for d, _, _ in docs], pa.int64()),
+        "text": pa.array([t for _, t, _ in docs], pa.string()),
+        "source": pa.array([s for _, _, s in docs], pa.string()),
+    })
+    out = boilerplate_scrub(rd.from_arrow(tbl), seg_tokens=10,
+                            min_docs=2).to_pandas().set_index("doc_id")
+    # source a: boiler segment is in 3 docs -> removed everywhere
+    assert out.loc[0, "n_removed"] == 1
+    assert boiler not in out.loc[0, "text_clean"]
+    assert out.loc[0, "text_clean"].startswith("unique words")
+    assert out.loc[2, "text_clean"] is None        # fully scrubbed
+    # source b has a single occurrence -> kept
+    assert out.loc[3, "n_removed"] == 0
+    assert out.loc[3, "text_clean"].startswith(boiler)
