@@ -16,6 +16,8 @@ the whole dataset in memory.
 from __future__ import annotations
 
 import dataclasses
+import glob
+import os
 import time
 
 import pyarrow as pa
@@ -308,19 +310,13 @@ def stream_kg(pages_path: str, cfg: KGConfig | None = None) -> dict:
     return {"nodes": nodes, "edges": edges}
 
 
-def run_pipeline(pages_path: str, out_dir: str,
-                 cfg: KGConfig | None = None, *,
-                 resume: bool = True,
-                 pages_ds_factory=None) -> dict:
-    """Run the full KG-construction pipeline; returns stage output paths.
-
-    ``pages_ds_factory`` optionally overrides how the pages Dataset is
-    built (e.g. adapting the testdata documents table); the default reads
-    the sharded pages Parquet with column pruning.
-    """
-    cfg = cfg or KGConfig()
-    base_cfg = cfg.semantic_dict()
-    base_cfg["extractor_version"] = EXTRACTOR_VERSION
+def _build_extraction(pages_path: str, dest_dir: str, cfg: "KGConfig",
+                      base_cfg: dict, *, resume: bool = True,
+                      pages_ds_factory=None) -> dict:
+    """Stages 1-3 (texts -> chunks -> partition-resumable extraction)
+    into ``dest_dir`` — shared by ``run_pipeline`` (base corpus at the KG
+    root) and ``update_pipeline`` (each ingested shard under
+    ``shards/<fp12>``)."""
     ncpu = int(ray.cluster_resources().get("CPU", 4))
     # Deterministic extractors/resolvers run as plain map_batches TASKS with
     # per-worker cached state (no pool startup, work stealing everywhere);
@@ -331,17 +327,9 @@ def run_pipeline(pages_path: str, out_dir: str,
     pool = (max(1, (ncpu - 2) // 2), max(1, ncpu - 2))
     extract_conc = cfg.extract_concurrency or (
         pool if cfg.extractor == "llm" else None)
-    resolve_conc = cfg.resolve_concurrency
-    # Scale the minimum read split count with the cluster instead of Ray's
-    # fixed default (200): on a small cluster 200 read tasks over a small
-    # stage checkpoint is pure per-task scheduling overhead, while on a
-    # large cluster real inputs produce far more blocks from size alone.
-    ctx = rd.DataContext.get_current()
-    ctx.read_op_min_num_blocks = min(200, max(2 * ncpu, 16))
     input_fp = mf.fingerprint_input(pages_path)
-    paths = {s: mf.stage_dir(out_dir, s)
-             for s in ("texts", "chunks", "extracted", "nodes", "edges",
-                       "claims")}
+    paths = {s: mf.stage_dir(dest_dir, s)
+             for s in ("texts", "chunks", "extracted")}
 
     def chash(stage: str) -> str:
         return mf.config_hash({**base_cfg, "stage": stage})
@@ -362,7 +350,8 @@ def run_pipeline(pages_path: str, out_dir: str,
             ds = dedup_pages_by_text(ds)
         ds.write_parquet(sdir)
         return ds
-    _run_stage(out_dir, "texts", input_fp, chash("texts"), build_texts, resume)
+    _run_stage(dest_dir, "texts", input_fp, chash("texts"), build_texts,
+               resume)
 
     # 2. chunks: token-window expansion (stateless tasks)
     fp_texts = mf.fingerprint_input(paths["texts"])
@@ -374,7 +363,7 @@ def run_pipeline(pages_path: str, out_dir: str,
             batch_format="pyarrow")
         ds.write_parquet(sdir)
         return ds
-    _run_stage(out_dir, "chunks", fp_texts, chash("chunks"), build_chunks,
+    _run_stage(dest_dir, "chunks", fp_texts, chash("chunks"), build_chunks,
                resume)
 
     # 3. extraction: tagged single-pass output (checkpointed once, consumed
@@ -397,16 +386,35 @@ def run_pipeline(pages_path: str, out_dir: str,
         ds.write_parquet(gdir)
 
     chunk_files = mf._parquet_files(paths["chunks"])
-    mf.run_partitioned_stage(out_dir, "extracted", chunk_files,
+    mf.run_partitioned_stage(dest_dir, "extracted", chunk_files,
                              chash("extracted"), build_extract_group,
                              resume, n_groups=max(8, ncpu // 2))
+    return paths
+
+
+def _finalize_graph(out_dir: str, extracted_paths: list, cfg: "KGConfig",
+                    base_cfg: dict, *, resume: bool = True) -> dict:
+    """Stages 4-6 (nodes -> edges -> claims) over the UNION of extracted
+    tables (the base corpus plus every ingested shard).  The
+    canonicalization and resolution shuffles are order-independent over
+    the extracted rows, so the result is byte-identical to a
+    from-scratch run over the union corpus (parity-tested)."""
+    resolve_conc = cfg.resolve_concurrency
+    paths = {s: mf.stage_dir(out_dir, s)
+             for s in ("nodes", "edges", "claims")}
+
+    def chash(stage: str) -> str:
+        return mf.config_hash({**base_cfg, "stage": stage})
 
     # 4. nodes: salted two-phase canonicalization shuffle + global sort
-    fp_ext = mf.fingerprint_input(paths["extracted"])
+    fp_ext = "".join(mf.fingerprint_input(p) for p in extracted_paths)
+    # a list mixing directories is not a valid pyarrow dataset source;
+    # expand each extracted checkpoint into its parquet files
+    ext_files = [f for p in extracted_paths for f in mf._parquet_files(p)]
 
     def build_nodes(sdir):
         mentions = rd.read_parquet(
-            paths["extracted"],
+            ext_files,
             columns=["kind", "url", "chunk_id", "mention", "norm_mention",
                      "type", "description"],
             filter=pc.field("kind") == "mention")
@@ -429,7 +437,7 @@ def run_pipeline(pages_path: str, out_dir: str,
 
     def build_edges(sdir):
         triples = rd.read_parquet(
-            paths["extracted"],
+            ext_files,
             columns=["kind", "url", "chunk_id", "subj", "pred", "obj",
                      "strength"],
             filter=pc.field("kind") == "triple")
@@ -451,7 +459,7 @@ def run_pipeline(pages_path: str, out_dir: str,
 
     def build_claims(sdir):
         claims = rd.read_parquet(
-            paths["extracted"],
+            ext_files,
             columns=["kind", "url", "chunk_id", "content", "entities"],
             filter=pc.field("kind") == "claim")
         claims = resolve_and_dedup_claims(
@@ -462,5 +470,86 @@ def run_pipeline(pages_path: str, out_dir: str,
         return claims
     _run_stage(out_dir, "claims", fp_ext + fp_nodes, chash("claims"),
                build_claims, resume)
+    return paths
 
+
+def _shard_extracted_dirs(out_dir: str) -> list:
+    return sorted(glob.glob(os.path.join(out_dir, "shards", "*",
+                                         "extracted")))
+
+
+def run_pipeline(pages_path: str, out_dir: str,
+                 cfg: KGConfig | None = None, *,
+                 resume: bool = True,
+                 pages_ds_factory=None) -> dict:
+    """Run the full KG-construction pipeline; returns stage output paths.
+
+    ``pages_ds_factory`` optionally overrides how the pages Dataset is
+    built (e.g. adapting the testdata documents table); the default reads
+    the sharded pages Parquet with column pruning.  If the KG directory
+    holds previously ingested shards (``update_pipeline``), the
+    nodes/edges/claims finalization covers them too.
+    """
+    cfg = cfg or KGConfig()
+    base_cfg = cfg.semantic_dict()
+    base_cfg["extractor_version"] = EXTRACTOR_VERSION
+    ncpu = int(ray.cluster_resources().get("CPU", 4))
+    # Scale the minimum read split count with the cluster instead of Ray's
+    # fixed default (200): on a small cluster 200 read tasks over a small
+    # stage checkpoint is pure per-task scheduling overhead, while on a
+    # large cluster real inputs produce far more blocks from size alone.
+    ctx = rd.DataContext.get_current()
+    ctx.read_op_min_num_blocks = min(200, max(2 * ncpu, 16))
+    paths = _build_extraction(pages_path, out_dir, cfg, base_cfg,
+                              resume=resume,
+                              pages_ds_factory=pages_ds_factory)
+    paths.update(_finalize_graph(
+        out_dir, [paths["extracted"], *_shard_extracted_dirs(out_dir)],
+        cfg, base_cfg, resume=resume))
+    return paths
+
+
+def update_pipeline(new_pages_path: str, out_dir: str,
+                    cfg: KGConfig | None = None, *,
+                    resume: bool = True,
+                    pages_ds_factory=None) -> dict:
+    """Incremental ingest: extract ONLY the new page shard, then
+    re-finalize nodes/edges/claims over the union of the base corpus and
+    every ingested shard's checkpointed extraction table.
+
+    Because canonicalization and edge/claim resolution are
+    order-independent shuffles over extracted rows, the updated KG is
+    byte-identical to a from-scratch ``run_pipeline`` over the combined
+    corpus (parity-tested) — but the expensive per-page extraction runs
+    only on the new shard: cost O(new pages) + the narrow
+    aggregation-state shuffle over total mentions.  Each shard lives
+    under ``{out_dir}/shards/<input-fp12>/`` with its own stage
+    manifests, so re-ingesting the same shard is a no-op and a killed
+    ingest resumes at partition granularity like the base run.
+
+    Scope note: ``cfg.dedup_pages`` dedups WITHIN each ingested shard
+    (exact cross-shard page dedup would need a shared fingerprint index;
+    duplicate pages across shards contribute duplicate mention
+    instances, exactly as re-feeding a page to the reference would).
+    """
+    cfg = cfg or KGConfig()
+    base_cfg = cfg.semantic_dict()
+    base_cfg["extractor_version"] = EXTRACTOR_VERSION
+    ncpu = int(ray.cluster_resources().get("CPU", 4))
+    ctx = rd.DataContext.get_current()
+    ctx.read_op_min_num_blocks = min(200, max(2 * ncpu, 16))
+    base_ext = mf.stage_dir(out_dir, "extracted")
+    if not os.path.isdir(base_ext):
+        raise FileNotFoundError(
+            f"{out_dir} has no base extraction — run run_pipeline first")
+    shard_dir = os.path.join(
+        out_dir, "shards", mf.fingerprint_input(new_pages_path)[:12])
+    spaths = _build_extraction(new_pages_path, shard_dir, cfg, base_cfg,
+                               resume=resume,
+                               pages_ds_factory=pages_ds_factory)
+    paths = _finalize_graph(
+        out_dir, [base_ext, *_shard_extracted_dirs(out_dir)],
+        cfg, base_cfg, resume=resume)
+    paths["shard"] = shard_dir
+    paths["shard_extracted"] = spaths["extracted"]
     return paths

@@ -309,3 +309,67 @@ class TestPageDedup:
         # collapse, so Ada has exactly one instance
         ada = [r for r in s_nodes if r.name == "Ada Lovelace"]
         assert ada and ada[0].n_instances == 1
+
+
+class TestIncrementalUpdate:
+    """update_pipeline: incremental shard ingest == from-scratch run over
+    the union corpus, byte for byte (kgx/pipelines/kg.py:update_pipeline)."""
+
+    @pytest.fixture(scope="class")
+    def split_corpus(self, smoke_corpus, tmp_path_factory):
+        """The smoke corpus's parquet shards split into two disjoint
+        page sub-corpora (same bytes, different directories)."""
+        import glob
+        import shutil
+        files = sorted(glob.glob(f"{smoke_corpus['pages']}/*.parquet"))
+        assert len(files) >= 2
+        root = tmp_path_factory.mktemp("split")
+        a, b = str(root / "shard_a"), str(root / "shard_b")
+        os.makedirs(a), os.makedirs(b)
+        for f in files[:len(files) // 2]:
+            shutil.copy(f, a)
+        for f in files[len(files) // 2:]:
+            shutil.copy(f, b)
+        return {"a": a, "b": b, "full": smoke_corpus["pages"]}
+
+    @pytest.fixture(scope="class")
+    def runs(self, split_corpus, tmp_path_factory, ray_session):
+        from kgx.pipelines.kg import update_pipeline
+        out_full = str(tmp_path_factory.mktemp("kg_full"))
+        out_inc = str(tmp_path_factory.mktemp("kg_inc"))
+        full = run_pipeline(split_corpus["full"], out_full, KGConfig())
+        base = run_pipeline(split_corpus["a"], out_inc, KGConfig())
+        inc = update_pipeline(split_corpus["b"], out_inc, KGConfig())
+        return {"full": full, "base": base, "inc": inc,
+                "out_inc": out_inc, "b": split_corpus["b"]}
+
+    def test_update_matches_fromscratch_union(self, runs):
+        import pyarrow.parquet as pq
+        for stage in ("nodes", "edges", "claims"):
+            got = pq.read_table(runs["inc"][stage])
+            want = pq.read_table(runs["full"][stage])
+            assert got.to_pylist() == want.to_pylist(), stage
+
+    def test_update_extends_base(self, runs):
+        import pyarrow.parquet as pq
+        base_n = pq.read_table(runs["base"]["nodes"]).num_rows
+        inc_n = pq.read_table(runs["inc"]["nodes"]).num_rows
+        assert inc_n >= base_n
+
+    def test_reingest_same_shard_is_noop(self, runs):
+        import json
+        import os
+        from kgx.pipelines.kg import update_pipeline
+        shard = runs["inc"]["shard"]
+        m = os.path.join(shard, "extracted", "_MANIFEST.json")
+        before = os.path.getmtime(m)
+        again = update_pipeline(runs["b"], runs["out_inc"], KGConfig())
+        assert again["shard"] == shard
+        assert os.path.getmtime(m) == before     # extraction skipped
+
+    def test_update_requires_base(self, tmp_path_factory, split_corpus,
+                                  ray_session):
+        from kgx.pipelines.kg import update_pipeline
+        empty = str(tmp_path_factory.mktemp("nobase"))
+        with pytest.raises(FileNotFoundError):
+            update_pipeline(split_corpus["b"], empty, KGConfig())
