@@ -441,6 +441,15 @@ def _q_kg_kcore(sf_dir: str):
                           k=_KCORE_K, rounds=_KCORE_ROUNDS)
 
 
+def _q_kg_khop(sf_dir: str):
+    """2-hop BFS neighborhood of the lexicographically smallest KG
+    vertex (kgx/ops/graph.py:khop_neighborhood) — broadcast frontier +
+    streamed is_in filter per hop."""
+    from kgx.ops.graph import khop_neighborhood
+    from kgx.pipelines.docs_kg import kg_tables
+    return khop_neighborhood(kg_tables(sf_dir)["edges"], hops=2)
+
+
 def _q_kg_neighbor_jaccard(sf_dir: str):
     """Entity-linking candidates: open-neighborhood Jaccard per vertex
     pair via the streamed wedge-join (kgx/ops/graph.py:
@@ -1138,6 +1147,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_wcc": _q_kg_wcc,
         "kg_kcore": _q_kg_kcore,
         "kg_neighbor_jaccard": _q_kg_neighbor_jaccard,
+        "kg_khop": _q_kg_khop,
         # text analysis
         "text_tokens": _q_text_tokens,
         "text_quality": _q_text_quality,
@@ -1616,6 +1626,30 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY v.name
         """,
         "kg_kcore": _kcore_oracle(k=_KCORE_K, rounds=_KCORE_ROUNDS),
+        # BFS distance = min hop over the unioned frontier expansions
+        "kg_khop": f"""
+            WITH dt AS (
+              SELECT doc_id,
+                     unnest(list_distinct(regexp_extract_all(
+                       text, '{_TERM_RE}'))) AS term
+              FROM documents),
+            p AS (
+              SELECT a.term AS s, b.term AS t
+              FROM dt a JOIN dt b
+                ON a.doc_id = b.doc_id AND a.term < b.term
+              GROUP BY 1, 2),
+            ed AS (SELECT s, t FROM p UNION ALL SELECT t AS s, s AS t FROM p),
+            seed AS (SELECT min(s) AS v FROM ed),
+            h1 AS (SELECT DISTINCT t AS name FROM ed
+                   WHERE s = (SELECT v FROM seed)),
+            h2 AS (SELECT DISTINCT e.t AS name
+                   FROM ed e JOIN h1 ON e.s = h1.name)
+            SELECT name, CAST(min(hop) AS BIGINT) AS hop FROM (
+              SELECT v AS name, 0 AS hop FROM seed
+              UNION ALL SELECT name, 1 FROM h1
+              UNION ALL SELECT name, 2 FROM h2)
+            GROUP BY name
+        """,
         # common neighbors of (a,b) == wedges a-c-b; jac_units is the
         # same integer floor-division as kgx.ops.graph (SCALE = 1e12)
         "kg_neighbor_jaccard": f"""

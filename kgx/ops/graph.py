@@ -467,3 +467,61 @@ def neighbor_jaccard_pairs(edges_ds, *, src_col: str = "subj_name",
         })
 
     return common.map_batches(jaccard, batch_format="pyarrow")
+
+
+def khop_neighborhood(edges_ds, *, seed: str | None = None, hops: int = 2,
+                      src_col: str = "subj_name",
+                      dst_col: str = "obj_name"):
+    """(name, hop) for every vertex within ``hops`` undirected hops of
+    ``seed`` (hop = BFS distance, seed itself at hop 0) — the subgraph
+    retrieval primitive behind "expand the query entity's neighborhood"
+    GraphRAG lookups.  ``seed=None`` picks the lexicographically
+    smallest vertex (deterministic, corpus-independent).
+
+    Scale shape: per hop, the CURRENT FRONTIER (bounded by the
+    neighborhood, not the graph) broadcasts via ``ray.put`` and one
+    streamed map-side ``is_in`` filter + distinct-endpoint groupby finds
+    the next frontier; the edge list is never collected.  PARTITIONING
+    ASSUMPTION: the visited set fits the driver (same O(|neighborhood|)
+    bound any BFS answer has).
+    """
+    from kgx.functions.collect import collect_arrow
+
+    ed = undirected_edges(edges_ds, src_col=src_col,
+                          dst_col=dst_col).materialize()
+    if seed is None:
+        verts, _ = _vertex_arrays(ed)
+        if len(verts) == 0:
+            return ray.data.from_arrow(pa.table({
+                "name": pa.array([], pa.string()),
+                "hop": pa.array([], pa.int64()),
+            }))
+        seed = verts[0].as_py()
+
+    dist: dict[str, int] = {seed: 0}
+    frontier = [seed]
+    for h in range(1, hops + 1):
+        fref = ray.put(pa.array(sorted(frontier), pa.string()))
+
+        def next_hop(batch: pa.Table, _fref=fref) -> pa.Table:
+            fs = ray.get(_fref)
+            hit = batch.filter(pc.is_in(batch["src"], value_set=fs))
+            nbrs = pc.unique(hit["dst"].combine_chunks())
+            return pa.table({"name": nbrs})
+
+        # in-batch distinct above, global distinct below — the shuffle
+        # carries at most one row per (block, neighbor)
+        nxt = collect_arrow(
+            ed.map_batches(next_hop, batch_format="pyarrow")
+              .groupby("name").count())
+        frontier = [n for n in nxt["name"].to_pylist() if n not in dist]
+        for n in frontier:
+            dist[n] = h
+        if not frontier:
+            break
+
+    names = sorted(dist)
+    return ray.data.from_arrow(pa.table({
+        "name": pa.array(names, pa.string()),
+        "hop": pa.array([dist[n] for n in names], pa.int64()),
+    }))

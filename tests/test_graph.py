@@ -253,3 +253,28 @@ def test_neighbor_jaccard_shared_leaf_star(ray_session):
                    ("l1", "l2"): (2, SCALE),
                    ("l1", "l3"): (2, SCALE),
                    ("l2", "l3"): (2, SCALE)}
+
+
+def test_khop_bfs_distances_on_path(ray_session):
+    from kgx.ops.graph import khop_neighborhood
+    out = khop_neighborhood(_edges(PATH), seed="a", hops=2).to_pandas()
+    got = dict(zip(out["name"], out["hop"]))
+    assert got == {"a": 0, "b": 1, "c": 2}
+    out3 = khop_neighborhood(_edges(PATH), seed="a", hops=3).to_pandas()
+    assert dict(zip(out3["name"], out3["hop"]))["d"] == 3
+
+
+def test_khop_min_distance_over_multiple_routes(ray_session):
+    from kgx.ops.graph import khop_neighborhood
+    # square a-b-c-d-a: c is 2 hops from a via either route, d and b are 1
+    square = [("a", "b"), ("b", "c"), ("c", "d"), ("d", "a")]
+    out = khop_neighborhood(_edges(square), seed="a", hops=4).to_pandas()
+    got = dict(zip(out["name"], out["hop"]))
+    assert got == {"a": 0, "b": 1, "d": 1, "c": 2}
+
+
+def test_khop_default_seed_is_min_vertex(ray_session):
+    from kgx.ops.graph import khop_neighborhood
+    out = khop_neighborhood(_edges(PATH), hops=1).to_pandas()
+    got = dict(zip(out["name"], out["hop"]))
+    assert got == {"a": 0, "b": 1}
