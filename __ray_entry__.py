@@ -1033,6 +1033,14 @@ def _q_rel_big_orders(sf_dir: str):
     return big_orders(sf_dir)
 
 
+def _q_rel_regional(sf_dir: str):
+    """TPC-H Q5-shaped regional revenue: fact tables co-shuffle via the
+    general hash equi-join, all dimension lookups broadcast + vectorized
+    index_in (kgx/ops/relational.py:regional_revenue)."""
+    from kgx.ops.relational import regional_revenue
+    return regional_revenue(sf_dir)
+
+
 def _q_rel_rollup(sf_dir: str):
     """GROUP BY ROLLUP over lineitem: one wide shuffle for the finest
     level, super-aggregates re-aggregate the tiny result."""
@@ -1208,6 +1216,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rel_rollup": _q_rel_rollup,
         "rel_forecast": _q_rel_forecast,
         "rel_big_orders": _q_rel_big_orders,
+        "rel_regional": _q_rel_regional,
         "rel_pivot": _q_rel_pivot,
         "events_quantile": _q_events_quantile,
         "events_quantile_by_type": _q_events_quantile_by_type,
@@ -1995,6 +2004,24 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(CASE WHEN o_orderpriority = '5-LOW'
                                  THEN 1 ELSE 0 END) AS BIGINT) AS n_low
             FROM orders GROUP BY o_orderstatus
+        """,
+        "rel_regional": """
+            SELECT n.n_name,
+                   CAST(sum(
+                     CAST(floor(l.l_extendedprice * 100 + 0.5) AS BIGINT)
+                     * (100 - CAST(floor(l.l_discount * 100 + 0.5)
+                                   AS BIGINT))) AS BIGINT) AS revenue_units
+            FROM customer c
+            JOIN orders o ON c.c_custkey = o.o_custkey
+            JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+            JOIN supplier s ON s.s_suppkey = l.l_suppkey
+                           AND s.s_nationkey = c.c_nationkey
+            JOIN nation n ON n.n_nationkey = c.c_nationkey
+            JOIN region r ON r.r_regionkey = n.n_regionkey
+            WHERE r.r_name = 'ASIA'
+              AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+              AND o.o_orderdate <  TIMESTAMP '1997-01-01'
+            GROUP BY n.n_name
         """,
         "rel_forecast": """
             SELECT CAST(coalesce(sum(

@@ -567,3 +567,128 @@ def big_orders(sf_dir: str, *, min_qty_c: int = 25000, n: int = 100):
     return (hits.map_batches(attach_names, batch_format="pyarrow")
                 .sort(["qty_cents", "o_orderkey"], descending=[True, False])
                 .limit(n))
+
+
+def regional_revenue(sf_dir: str, *, region: str = "ASIA",
+                     date_lo: str = "1996-01-01",
+                     date_hi: str = "1997-01-01"):
+    """TPC-H Q5-shaped regional supplier revenue: per-nation revenue from
+    lineitems where the supplier and the customer share a nation inside
+    ``region``, for orders in the date window.
+
+    Join plan for the 100 TB shape: the two FACT tables co-shuffle —
+    orders (date-filtered, projected to (o_orderkey, o_custkey)) joins
+    lineitem on the order key via the general hash equi-join — while
+    every DIMENSION lookup (customer nation at 1 row/customer is the
+    largest; supplier nation; nation->region) broadcasts once via
+    ``ray.put`` and resolves map-side.  Revenue is exact integer units:
+    sum(ext_cents * (100 - disc_cents)) — divide by 10^4 for currency.
+    Output: (n_name, revenue_units) for nations with >= 1 qualifying
+    lineitem.
+
+    NOTE on the customer broadcast: TPC-H customer is 0.15M rows/SF —
+    a (custkey -> nationkey) int64 pair map stays broadcastable far
+    beyond any realistic SF (16 B/row = 1.6 GB at SF=1000); if it ever
+    didn't, the same hash_equijoin handles it.
+    """
+    import pyarrow.parquet as _pq
+
+    from kgx.functions.collect import collect_arrow
+    from kgx.ops.joins import hash_equijoin
+    from ray.data.aggregate import Sum
+
+    lo = np.datetime64(date_lo).astype("datetime64[us]").astype("int64")
+    hi = np.datetime64(date_hi).astype("datetime64[us]").astype("int64")
+
+    # dimension broadcasts (tiny): nation/region -> the nationkey set in
+    # the region + nation names; supplier -> nationkey; customer -> nationkey
+    nation = _pq.read_table(f"{sf_dir}/nation.parquet")
+    reg = _pq.read_table(f"{sf_dir}/region.parquet")
+    rkeys = {r["r_regionkey"] for r in reg.to_pylist()
+             if r["r_name"] == region}
+    nat_name = {r["n_nationkey"]: r["n_name"] for r in nation.to_pylist()
+                if r["n_regionkey"] in rkeys}
+    supp = _pq.read_table(f"{sf_dir}/supplier.parquet",
+                          columns=["s_suppkey", "s_nationkey"])
+    supp_nat = {k: v for k, v in zip(supp["s_suppkey"].to_pylist(),
+                                     supp["s_nationkey"].to_pylist())
+                if v in nat_name}
+    cust = _pq.read_table(f"{sf_dir}/customer.parquet",
+                          columns=["c_custkey", "c_nationkey"])
+    cust_nat = {k: v for k, v in zip(cust["c_custkey"].to_pylist(),
+                                     cust["c_nationkey"].to_pylist())
+                if v in nat_name}
+    # broadcast as parallel Arrow/numpy arrays so the map side stays
+    # vectorized (index_in/take), never a per-row dict probe
+    sk_arr = pa.array(sorted(supp_nat), pa.int64())
+    sn_arr = np.asarray([supp_nat[k] for k in sorted(supp_nat)],
+                        dtype=np.int64)
+    ck_arr = pa.array(sorted(cust_nat), pa.int64())
+    cn_arr = np.asarray([cust_nat[k] for k in sorted(cust_nat)],
+                        dtype=np.int64)
+    nk_sorted = sorted(nat_name)
+    nk_arr = pa.array(nk_sorted, pa.int64())
+    nname_arr = pa.array([nat_name[k] for k in nk_sorted], pa.string())
+    dref = ray.put((sk_arr, sn_arr, ck_arr, cn_arr, nk_arr, nname_arr))
+
+    def orders_side(batch: pa.Table) -> pa.Table:
+        od = pc.cast(batch["o_orderdate"], pa.int64())
+        m = pc.and_(pc.greater_equal(od, lo), pc.less(od, hi))
+        b = batch.filter(m)
+        return pa.table({"o_orderkey": b["o_orderkey"],
+                         "o_custkey": b["o_custkey"]})
+
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_orderdate"]) \
+        .map_batches(orders_side, batch_format="pyarrow")
+
+    def line_side(batch: pa.Table) -> pa.Table:
+        ext_c = _cents(batch["l_extendedprice"]) \
+            .to_numpy(zero_copy_only=False)
+        disc_c = _cents(batch["l_discount"]).to_numpy(zero_copy_only=False)
+        return pa.table({
+            "l_orderkey": batch["l_orderkey"],
+            "l_suppkey": batch["l_suppkey"],
+            "rev_units": pa.array(ext_c * (100 - disc_c), pa.int64()),
+        })
+
+    line = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_suppkey", "l_extendedprice",
+                 "l_discount"]).map_batches(line_side,
+                                            batch_format="pyarrow")
+
+    joined = hash_equijoin(orders, line, left_on="o_orderkey",
+                           right_on="l_orderkey")
+
+    def resolve_partial(batch: pa.Table, _dref=dref) -> pa.Table:
+        sk_a, sn_a, ck_a, cn_a, nk_a, nm_a = ray.get(_dref)
+        ci = pc.index_in(batch["o_custkey"].combine_chunks()
+                         .cast(pa.int64()), value_set=ck_a) \
+               .to_numpy(zero_copy_only=False).astype(np.float64)
+        si = pc.index_in(batch["l_suppkey"].combine_chunks()
+                         .cast(pa.int64()), value_set=sk_a) \
+               .to_numpy(zero_copy_only=False).astype(np.float64)
+        ok = ~(np.isnan(ci) | np.isnan(si))
+        cii, sii = ci[ok].astype(np.int64), si[ok].astype(np.int64)
+        same = cn_a[cii] == sn_a[sii]
+        rev = batch["rev_units"].to_numpy(zero_copy_only=False)[ok][same]
+        nat = cii[same]
+        ni = pc.index_in(pa.array(cn_a[nat], pa.int64()), value_set=nk_a)
+        t = pa.table({"n_name": pc.take(nm_a, ni),
+                      "rev": pa.array(rev, pa.int64())})
+        agg = t.group_by(["n_name"]).aggregate([("rev", "sum")])
+        return pa.table({"n_name": agg["n_name"],
+                         "rev": agg["rev_sum"]})
+
+    def finish(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "n_name": batch["n_name"].combine_chunks(),
+            "revenue_units": batch["sum(rev)"].combine_chunks()
+                                  .cast(pa.int64()),
+        })
+
+    return (joined.map_batches(resolve_partial, batch_format="pyarrow")
+            .groupby("n_name").aggregate(Sum("rev"))
+            .map_batches(finish, batch_format="pyarrow"))
