@@ -251,10 +251,37 @@ def _q_dedup_semantic(sf_dir: str):
                           threshold=_SEMDEDUP_TAU)
 
 
+def _q_embed_sample(sf_dir: str):
+    """Cluster-balanced subsample: cap each kmeans cluster at 32 members
+    by deterministic md5 lottery (kgx/ops/cluster.py:
+    cluster_balanced_sample)."""
+    import ray.data as rd
+    from kgx.ops.cluster import cluster_balanced_sample
+    emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                          columns=["vec_id", "embedding"])
+    return cluster_balanced_sample(emb, k=_KMEANS_K, iters=_KMEANS_ITERS,
+                                   cap=_SAMPLE_CAP)
+
+
 # Shared kmeans/SemDeDup constants (the oracle SQL is unrolled from them).
 _KMEANS_K = 10
 _KMEANS_ITERS = 3
 _SEMDEDUP_TAU = 0.4
+_SAMPLE_CAP = 32
+
+
+def _cluster_sample_oracle(*, k: int, iters: int, cap: int) -> str:
+    return f"""
+            WITH {_kmeans_ctes(k=k, iters=iters)},
+            ranked AS (
+              SELECT vec_id, c,
+                     row_number() OVER (
+                       PARTITION BY c
+                       ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id)
+                       AS rn
+              FROM afin)
+            SELECT vec_id, c AS cluster, rn <= {cap} AS keep FROM ranked
+    """
 
 
 def _kmeans_ctes(*, k: int, iters: int) -> str:
@@ -1184,6 +1211,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # embedding-space clustering + semantic dedup
         "embed_kmeans": _q_embed_kmeans,
         "dedup_semantic": _q_dedup_semantic,
+        "embed_sample": _q_embed_sample,
         # sampling / quotas
         "text_split": _q_text_split,
         "text_source_cap": _q_text_source_cap,
@@ -2304,6 +2332,8 @@ def oracle_sql() -> dict[str, str]:
         "embed_kmeans": _kmeans_oracle(k=_KMEANS_K, iters=_KMEANS_ITERS),
         "dedup_semantic": _semdedup_oracle(k=_KMEANS_K, iters=_KMEANS_ITERS,
                                            tau=_SEMDEDUP_TAU),
+        "embed_sample": _cluster_sample_oracle(
+            k=_KMEANS_K, iters=_KMEANS_ITERS, cap=_SAMPLE_CAP),
         "dedup_lines": """
             WITH toks AS (
               SELECT doc_id, string_split(text, ' ') AS tk FROM documents),

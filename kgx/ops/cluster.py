@@ -171,3 +171,48 @@ def semantic_dedup(emb_ds, *, k: int = 10, iters: int = 3,
 
     return tagged.groupby("cluster").map_groups(
         dedup_group, batch_format="pyarrow")
+
+
+def cluster_balanced_sample(emb_ds, *, k: int = 10, iters: int = 3,
+                            cap: int = 32):
+    """Diversity-preserving subsample: cap every kmeans cluster at
+    ``cap`` members, chosen by md5 of the vec_id (a deterministic,
+    content-independent lottery, the same device as the corpus
+    train/val hash split) with vec_id as tie-break.  Dominant clusters
+    (boilerplate-heavy regions of embedding space) shrink to the cap;
+    small clusters survive whole — the balanced-mixture shape
+    cluster-based curation pipelines use after SemDeDup.
+
+    Output: (vec_id, cluster, keep).  Same partitioning assumption as
+    :func:`semantic_dedup` (one cluster per worker); the ranking is a
+    vectorized argsort per group.
+    """
+    import hashlib
+
+    C = _lloyd_centroids(emb_ds, k=k, iters=iters)
+    cref = ray.put(C)
+
+    def tag(batch: pa.Table) -> pa.Table:
+        M = emb_matrix(batch["embedding"])
+        a, _ = _AssignPartial(cref)._assign(M)
+        return pa.table({
+            "vec_id": batch["vec_id"],
+            "cluster": pa.array(a, pa.int64()),
+        })
+
+    def sample_group(group: pa.Table) -> pa.Table:
+        ids = np.asarray(group["vec_id"].to_pylist(), dtype=np.int64)
+        digests = np.asarray(
+            [hashlib.md5(str(i).encode()).hexdigest() for i in ids])
+        order = np.lexsort((ids, digests))
+        keep = np.zeros(len(ids), dtype=bool)
+        keep[order[:cap]] = True
+        return pa.table({
+            "vec_id": pa.array(ids, pa.int64()),
+            "cluster": group["cluster"],
+            "keep": pa.array(keep, pa.bool_()),
+        })
+
+    return (emb_ds.map_batches(tag, batch_format="pyarrow")
+            .groupby("cluster").map_groups(sample_group,
+                                           batch_format="pyarrow"))

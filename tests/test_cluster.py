@@ -83,3 +83,21 @@ def test_semantic_dedup_drops_planted_duplicates(ray_session):
         assert not out.loc[20 + j, "keep"]
         assert out.loc[20 + j, "dup_of"] == j
     assert out.loc[:19, "keep"].all()
+
+
+def test_cluster_balanced_sample_caps_each_cluster(emb_ds):
+    import hashlib
+    from kgx.ops.cluster import cluster_balanced_sample
+    ds, M, ids = emb_ds
+    out = cluster_balanced_sample(ds, k=4, iters=2, cap=10).to_pandas()
+    assert len(out) == len(ids)
+    per = out[out["keep"]].groupby("cluster").size()
+    sizes = out.groupby("cluster").size()
+    for c, n in sizes.items():
+        assert per.get(c, 0) == min(10, n)
+    # kept rows are exactly the cap smallest md5 digests per cluster
+    for c, grp in out.groupby("cluster"):
+        ranked = sorted(grp["vec_id"],
+                        key=lambda i: (hashlib.md5(str(i).encode())
+                                       .hexdigest(), i))
+        assert set(grp[grp["keep"]]["vec_id"]) == set(ranked[:10])
