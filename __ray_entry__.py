@@ -218,6 +218,26 @@ def _q_dedup_components(sf_dir: str):
     return neardup_components(docs, threshold=0.8)
 
 
+def _q_simsearch_knn(sf_dir: str):
+    """Exact all-pairs kNN self-join, the oracle baseline the LSH/IVF
+    paths are audited against (kgx/ops/simsearch.py:knn_self_join)."""
+    import ray.data as rd
+    from kgx.ops.simsearch import knn_self_join
+    emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                          columns=["vec_id", "embedding"])
+    return knn_self_join(emb, k=3)
+
+
+def _q_text_quality_gate(sf_dir: str):
+    """Per-source adaptive quality floor: keep docs at or above their
+    source's exact lower-quartile score (kgx/ops/text.py:quality_gate)."""
+    import ray.data as rd
+    from kgx.ops.text import quality_gate
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text", "source"])
+    return quality_gate(docs)
+
+
 def _q_text_boilerplate(sf_dir: str):
     """CCNet-style per-source boilerplate scrub: narrow (source, seg)
     shuffle, broadcast boilerplate set, map-side rebuild
@@ -1208,6 +1228,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_components": _q_dedup_components,
         "dedup_lines": _q_dedup_lines,
         "text_boilerplate": _q_text_boilerplate,
+        "text_quality_gate": _q_text_quality_gate,
+        "simsearch_knn": _q_simsearch_knn,
         # embedding-space clustering + semantic dedup
         "embed_kmeans": _q_embed_kmeans,
         "dedup_semantic": _q_dedup_semantic,
@@ -2298,6 +2320,55 @@ def oracle_sql() -> dict[str, str]:
                                 WHEN 'src3' THEN 49152
                                 ELSE 58982 END AS keep
             FROM b
+        """,
+        "simsearch_knn": """
+            WITH e AS (
+              SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+              FROM embeddings),
+            s AS (
+              SELECT a.vec_id, b.vec_id AS neighbor_id,
+                     round(list_cosine_similarity(a.v, b.v), 6) AS score,
+                     row_number() OVER (
+                       PARTITION BY a.vec_id
+                       ORDER BY list_cosine_similarity(a.v, b.v) DESC,
+                                b.vec_id ASC) AS rank
+              FROM e a JOIN e b ON a.vec_id <> b.vec_id)
+            SELECT vec_id, neighbor_id, score, rank FROM s WHERE rank <= 3
+        """,
+        "text_quality_gate": f"""
+            WITH t AS (
+              SELECT doc_id, source,
+                     length(regexp_replace(text, '\\s+', '', 'g'))
+                       AS n_nonws,
+                     regexp_extract_all(text, '{_WS_RE}') AS toks
+              FROM documents),
+            q AS (
+              SELECT doc_id, source,
+                     len(toks) AS n_tokens,
+                     len(list_distinct(toks)) AS n_distinct_tokens,
+                     len(list_filter(toks, x -> x IN {_STOP_SQL})) AS n_stop
+              FROM t),
+            sc AS (
+              SELECT doc_id, source,
+                     CAST(4000 * least(n_tokens, 100)
+                          + (300000 * n_distinct_tokens)
+                              // greatest(n_tokens, 1)
+                          + (300000 * n_stop) // greatest(n_tokens, 1)
+                        AS BIGINT) AS quality_score_ppm
+              FROM q),
+            ranked AS (
+              SELECT source, quality_score_ppm,
+                     row_number() OVER (PARTITION BY source
+                                        ORDER BY quality_score_ppm) AS rn,
+                     count(*) OVER (PARTITION BY source) AS n
+              FROM sc),
+            thr AS (
+              SELECT source, quality_score_ppm AS threshold_ppm
+              FROM ranked WHERE rn = ((n - 1) * 1) // 4 + 1)
+            SELECT sc.doc_id, sc.source, sc.quality_score_ppm,
+                   thr.threshold_ppm,
+                   sc.quality_score_ppm >= thr.threshold_ppm AS keep
+            FROM sc JOIN thr USING (source)
         """,
         "text_boilerplate": """
             WITH toks AS (

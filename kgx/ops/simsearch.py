@@ -301,3 +301,58 @@ def lsh_topk(emb_ds, query_ids: list[int], *, k: int = 10, n_bits: int = 4,
     tagged = emb_ds.map_batches(tag_buckets, batch_format="pyarrow")
     return tagged.groupby("bucket").map_groups(
         bucket_topk, batch_format="pyarrow")
+
+
+def knn_self_join(emb_ds, *, k: int = 3):
+    """Exact all-pairs kNN self-join: every vector's top-k cosine
+    neighbors (self excluded) — the pairwise primitive behind kNN-graph
+    construction for cluster analysis and near-dup audits.
+
+    BASELINE SHAPE, like ``kgx.ops.dedup.embedding_dup_pairs``: the
+    normalized corpus matrix broadcasts once (``ray.put``) and each
+    block computes one (block x corpus) matmul + vectorized per-row
+    partial top-k, so the work distributes but the broadcast is O(n*d)
+    — fine to ~10^7x10^2 dims, *not* the 100 TB path.  At scale the
+    same output comes from LSH/IVF bucketing (``lsh_topk``/``ivf_topk``)
+    with exact verify inside buckets; this operator is the oracle-
+    checkable exact baseline those are audited against.
+
+    Output: (vec_id, neighbor_id, score rounded 6dp, rank 1..k), ties
+    broken (score desc, neighbor_id asc).
+    """
+    from kgx.functions.collect import collect_arrow
+
+    tbl = collect_arrow(emb_ds.select_columns(["vec_id", "embedding"]))
+    ids_all = np.asarray(tbl["vec_id"].to_pylist(), dtype=np.int64)
+    order = np.argsort(ids_all)
+    ids_all = ids_all[order]
+    M = emb_matrix(tbl["embedding"])[order]
+    norms = np.linalg.norm(M, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    mref = ray.put((ids_all, M / norms))
+
+    def block_knn(batch: pa.Table, _mref=mref) -> pa.Table:
+        ids_c, Mn = ray.get(_mref)
+        ids = np.asarray(batch["vec_id"].to_pylist(), dtype=np.int64)
+        B = emb_matrix(batch["embedding"])
+        bn = np.linalg.norm(B, axis=1, keepdims=True)
+        bn[bn == 0] = 1.0
+        S = (B / bn) @ Mn.T                       # block_rows x corpus
+        # exclude self; stable argsort on -S tie-breaks by neighbor id
+        # automatically (columns are in ascending ids_c order)
+        self_col = np.searchsorted(ids_c, ids)
+        S[np.arange(len(ids)), self_col] = -np.inf
+        kk = min(k, S.shape[1] - 1)
+        idx = np.argsort(-S, axis=1, kind="stable")[:, :kk]
+        rows = np.repeat(np.arange(len(ids)), kk)
+        cols = idx.ravel()
+        sc = S[rows, cols]
+        rank = np.tile(np.arange(1, kk + 1), len(ids))
+        return pa.table({
+            "vec_id": pa.array(ids[rows], pa.int64()),
+            "neighbor_id": pa.array(ids_c[cols], pa.int64()),
+            "score": pa.array(np.round(sc, 6), pa.float64()),
+            "rank": pa.array(rank, pa.int64()),
+        })
+
+    return emb_ds.map_batches(block_knn, batch_format="pyarrow")

@@ -259,3 +259,71 @@ def filter_quality(docs_ds, *, min_score_ppm: int = 300_000,
         return out.filter(keep)
 
     return docs_ds.map_batches(one_batch, batch_format="pyarrow")
+
+
+def quality_gate(docs_ds, *, q_num: int = 1, q_den: int = 4):
+    """Per-source adaptive quality filter: a document passes iff its
+    integer quality score (``quality_batch``'s exact ppm composite) is
+    >= its OWN source's q-th order-statistic threshold — the adaptive
+    analog of a fixed quality cutoff (per-site quality floors differ
+    wildly in web corpora).
+
+    The threshold is the exact lower order statistic: the score at
+    sorted position ``floor((n-1) * q_num/q_den)`` within the source
+    (no interpolation — integer scores stay integers, so the SQL oracle
+    matches bit for bit).
+
+    Scale shape: scores compute map-side (vectorized ``quality_batch``
+    kernels); ONE narrow ``(source, score)`` groupby computes each
+    source's threshold (group size = docs per source — the corpus-skew
+    bound; a 10^9-doc source needs the exact-quantile histogram route of
+    ``kgx.ops.quantile.exact_quantiles`` instead); the tiny per-source
+    threshold map broadcasts and the verdict is a map-side compare.
+    Output: (doc_id, source, quality_score_ppm, threshold_ppm, keep).
+    """
+    import ray
+
+    def scores(batch: pa.Table) -> pa.Table:
+        qb = quality_batch(batch)
+        return pa.table({
+            "doc_id": batch["doc_id"],
+            "source": batch["source"],
+            "quality_score_ppm": qb["quality_score_ppm"],
+        })
+
+    scored = docs_ds.map_batches(scores, batch_format="pyarrow") \
+                    .materialize()
+
+    def threshold(group: pa.Table) -> pa.Table:
+        s = np.sort(group["quality_score_ppm"]
+                    .to_numpy(zero_copy_only=False))
+        pos = ((len(s) - 1) * q_num) // q_den
+        return pa.table({
+            "source": group["source"].slice(0, 1),
+            "threshold_ppm": pa.array([int(s[pos])], pa.int64()),
+        })
+
+    from kgx.functions.collect import collect_arrow
+    thr = collect_arrow(
+        scored.map_batches(
+            lambda t: t.select(["source", "quality_score_ppm"]),
+            batch_format="pyarrow")
+        .groupby("source").map_groups(threshold, batch_format="pyarrow"))
+    tmap = dict(zip(thr["source"].to_pylist(),
+                    thr["threshold_ppm"].to_pylist()))
+    tref = ray.put(tmap)
+
+    def verdict(batch: pa.Table, _tref=tref) -> pa.Table:
+        tm = ray.get(_tref)
+        th = pa.array([tm[s] for s in batch["source"].to_pylist()],
+                      pa.int64())
+        keep = pc.greater_equal(batch["quality_score_ppm"], th)
+        return pa.table({
+            "doc_id": batch["doc_id"],
+            "source": batch["source"],
+            "quality_score_ppm": batch["quality_score_ppm"],
+            "threshold_ppm": th,
+            "keep": keep,
+        })
+
+    return scored.map_batches(verdict, batch_format="pyarrow")

@@ -523,3 +523,53 @@ def test_boilerplate_scrub_removes_all_occurrences(ray_session):
     # source b has a single occurrence -> kept
     assert out.loc[3, "n_removed"] == 0
     assert out.loc[3, "text_clean"].startswith(boiler)
+
+
+def test_knn_self_join_bruteforce(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+    from kgx.ops.simsearch import knn_self_join
+    rng = np.random.default_rng(2)
+    M = rng.normal(size=(25, 6))
+    ids = np.arange(25, dtype=np.int64)
+    ds = rd.from_arrow(pa.table({
+        "vec_id": ids,
+        "embedding": pa.array(list(M), pa.list_(pa.float64()))}))
+    out = knn_self_join(ds, k=4).to_pandas()
+    Mn = M / np.linalg.norm(M, axis=1, keepdims=True)
+    S = Mn @ Mn.T
+    np.fill_diagonal(S, -np.inf)
+    for i in ids:
+        mine = out[out["vec_id"] == i].sort_values("rank")
+        ref = np.argsort(-S[i], kind="stable")[:4]
+        assert mine["neighbor_id"].tolist() == ref.tolist()
+        np.testing.assert_allclose(
+            mine["score"].to_numpy(), np.round(S[i][ref], 6), atol=1e-9)
+
+
+def test_quality_gate_per_source_quartile(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+    from kgx.ops.text import quality_batch, quality_gate
+    rng = np.random.default_rng(9)
+    texts = [" ".join(rng.choice(["alpha", "beta", "the", "of", "gamma",
+                                  "delta", "x"], size=rng.integers(5, 40))
+                      .tolist()) for _ in range(60)]
+    srcs = [f"s{i % 3}" for i in range(60)]
+    tbl = pa.table({
+        "doc_id": pa.array(np.arange(60, dtype=np.int64)),
+        "text": pa.array(texts, pa.string()),
+        "source": pa.array(srcs, pa.string())})
+    out = quality_gate(rd.from_arrow(tbl)).to_pandas()
+    scores = quality_batch(tbl)["quality_score_ppm"].to_numpy()
+    for s in ("s0", "s1", "s2"):
+        sel = np.array([x == s for x in srcs])
+        ref_thr = int(np.sort(scores[sel])[(sel.sum() - 1) // 4])
+        grp = out[out["source"] == s]
+        assert (grp["threshold_ppm"] == ref_thr).all()
+        assert (grp["keep"] == (grp["quality_score_ppm"] >= ref_thr)).all()
+    # the gate keeps at least ~3/4 of each source by construction
+    kept = out.groupby("source")["keep"].mean()
+    assert (kept >= 0.7).all()
