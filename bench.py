@@ -133,8 +133,8 @@ def _operator_queries(sf_dir: str) -> dict:
         return rd.read_parquet(f"{sf_dir}/embeddings.parquet",
                                columns=["vec_id", "embedding"])
 
-    from kgx.ops import (bm25, dedup, linededup, pii, relational, simsearch,
-                         text, window)
+    from kgx.ops import (bm25, cluster, dedup, graph, linededup, pii,
+                         relational, simsearch, text, window)
     from kgx.pipelines.docs_kg import kg_tables
 
     return {
@@ -164,6 +164,16 @@ def _operator_queries(sf_dir: str) -> dict:
         "text_pii": lambda: pii.scrub_pii(docs()),
         "rel_pricing": lambda: relational.pricing_summary(sf_dir),
         "rel_top_customers": lambda: relational.top_customers(sf_dir, n=10),
+        # round-2 additions: embedding clustering/dedup, graph analytics
+        # over the KG, the co-shuffled Q5 join, cohort retention
+        "dedup_semantic": lambda: cluster.semantic_dedup(
+            emb(), k=10, iters=3, threshold=0.4),
+        "kg_wcc": lambda: graph.weakly_connected_components(
+            kg_tables(sf_dir)["edges"]),
+        "rel_regional": lambda: relational.regional_revenue(sf_dir),
+        "events_retention": lambda: window.cohort_retention(
+            rd.read_parquet(f"{sf_dir}/events.parquet",
+                            columns=["user_id", "ts"])),
     }
 
 

@@ -49,26 +49,29 @@ def _init_centroids(emb_ds, k: int) -> np.ndarray:
     return np.round(C, 6)
 
 
-class _AssignPartial:
-    """One pass over a block: argmin assignment against the broadcast
-    centroids, emit k partial-sum rows (cluster, count, vector sum)."""
+def _assign(M: np.ndarray, C: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Argmin euclidean assignment against centroids ``C``.
 
-    def __init__(self, cref):
-        self.C = ray.get(cref)                       # (k, d) rounded 6dp
+    The full (rows, k, d) subtraction mirrors the oracle's per-pair
+    list_distance summation closely enough that 6-dp rounding wipes
+    the float-order residue; ties break to the lowest cluster id."""
+    d = np.sqrt(((M[:, None, :] - C[None, :, :]) ** 2).sum(axis=2))
+    d = np.round(d, 6)
+    a = d.argmin(axis=1)                             # first min = lowest id
+    return a, d[np.arange(len(a)), a]
 
-    def _assign(self, M: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
-        # full (rows, k, d) subtraction mirrors the oracle's per-pair
-        # list_distance summation closely enough that 6-dp rounding wipes
-        # the float-order residue; ties break to the lowest cluster id
-        d = np.sqrt(((M[:, None, :] - self.C[None, :, :]) ** 2).sum(axis=2))
-        d = np.round(d, 6)
-        a = d.argmin(axis=1)                         # first min = lowest id
-        return a, d[np.arange(len(a)), a]
 
-    def __call__(self, batch: pa.Table) -> pa.Table:
+# All kmeans stages run as plain map_batches TASKS (work-stealing, no
+# actor-pool spin-up per Lloyd iteration — the pool startup dominated the
+# wall time at small scale); the broadcast centroid ref resolves via a
+# plasma-cached ray.get per task.
+
+def _make_partial_fn(cref):
+    def partial(batch: pa.Table) -> pa.Table:
+        C = ray.get(cref)
         M = emb_matrix(batch["embedding"])
-        a, _ = self._assign(M)
-        k, dim = self.C.shape
+        a, _ = _assign(M, C)
+        k, dim = C.shape
         counts = np.bincount(a, minlength=k)
         sums = np.zeros((k, dim), dtype=np.float64)
         np.add.at(sums, a, M)
@@ -78,17 +81,20 @@ class _AssignPartial:
             "n": pa.array(counts[nz], pa.int64()),
             "vsum": pa.array(list(sums[nz]), pa.list_(pa.float64())),
         })
+    return partial
 
 
-class _AssignFinal(_AssignPartial):
-    def __call__(self, batch: pa.Table) -> pa.Table:  # type: ignore[override]
+def _make_final_fn(cref):
+    def final(batch: pa.Table) -> pa.Table:
+        C = ray.get(cref)
         M = emb_matrix(batch["embedding"])
-        a, d = self._assign(M)
+        a, d = _assign(M, C)
         return pa.table({
             "vec_id": batch["vec_id"],
             "cluster": pa.array(a, pa.int64()),
             "dist": pa.array(d, pa.float64()),
         })
+    return final
 
 
 def _lloyd_centroids(emb_ds, *, k: int, iters: int) -> np.ndarray:
@@ -97,9 +103,8 @@ def _lloyd_centroids(emb_ds, *, k: int, iters: int) -> np.ndarray:
     C = _init_centroids(emb_ds, k)
     for _ in range(iters):
         cref = ray.put(C)
-        partials = emb_ds.map_batches(
-            _AssignPartial, batch_format="pyarrow", concurrency=(1, 8),
-            fn_constructor_kwargs={"cref": cref})
+        partials = emb_ds.map_batches(_make_partial_fn(cref),
+                                      batch_format="pyarrow")
         t = collect_arrow(partials)                  # <= k x blocks rows
         cl = np.asarray(t["cluster"].to_pylist(), dtype=np.int64)
         n = np.asarray(t["n"].to_pylist(), dtype=np.int64)
@@ -119,9 +124,8 @@ def kmeans_assign(emb_ds, *, k: int = 10, iters: int = 3):
     """(vec_id, embedding) -> (vec_id, cluster, dist rounded 6dp) after
     ``iters`` deterministic Lloyd iterations."""
     C = _lloyd_centroids(emb_ds, k=k, iters=iters)
-    return emb_ds.map_batches(
-        _AssignFinal, batch_format="pyarrow", concurrency=(1, 8),
-        fn_constructor_kwargs={"cref": ray.put(C)})
+    return emb_ds.map_batches(_make_final_fn(ray.put(C)),
+                              batch_format="pyarrow")
 
 
 def semantic_dedup(emb_ds, *, k: int = 10, iters: int = 3,
@@ -141,7 +145,7 @@ def semantic_dedup(emb_ds, *, k: int = 10, iters: int = 3,
 
     def tag(batch: pa.Table) -> pa.Table:
         M = emb_matrix(batch["embedding"])
-        a, _ = _AssignPartial(cref)._assign(M)
+        a, _ = _assign(M, ray.get(cref))
         return batch.append_column("cluster", pa.array(a, pa.int64()))
 
     tagged = emb_ds.map_batches(tag, batch_format="pyarrow")
@@ -194,7 +198,7 @@ def cluster_balanced_sample(emb_ds, *, k: int = 10, iters: int = 3,
 
     def tag(batch: pa.Table) -> pa.Table:
         M = emb_matrix(batch["embedding"])
-        a, _ = _AssignPartial(cref)._assign(M)
+        a, _ = _assign(M, ray.get(cref))
         return pa.table({
             "vec_id": batch["vec_id"],
             "cluster": pa.array(a, pa.int64()),
