@@ -63,6 +63,13 @@ class KGConfig:
     # the signature-Jaccard merge threshold.  SEMANTIC knob: changes
     # results, so it is part of the checkpoint identity.
     neardup_threshold: float | None = None
+    # Incremental-ingest page screening (update_pipeline only): drop pages
+    # of a NEW shard whose extracted text already exists in the base
+    # corpus or a previously ingested shard, via the sharded
+    # FingerprintIndex actors (kgx/state/dedup_index.py) — earlier-ingest
+    # wins, deterministic because prior corpora are immutable.  SEMANTIC
+    # knob.  Within-shard duplicates remain dedup_pages' job.
+    cross_shard_dedup: bool = False
     # Performance knobs (never part of the checkpoint config hash — they
     # cannot change results, only wall time).  ``None`` concurrency resolves
     # at run time to an autoscaling pool (1, cluster_cpus - 2): a fixed pool
@@ -312,7 +319,8 @@ def stream_kg(pages_path: str, cfg: KGConfig | None = None) -> dict:
 
 def _build_extraction(pages_path: str, dest_dir: str, cfg: "KGConfig",
                       base_cfg: dict, *, resume: bool = True,
-                      pages_ds_factory=None) -> dict:
+                      pages_ds_factory=None, seen_filter=None,
+                      extra_fp: str = "") -> dict:
     """Stages 1-3 (texts -> chunks -> partition-resumable extraction)
     into ``dest_dir`` — shared by ``run_pipeline`` (base corpus at the KG
     root) and ``update_pipeline`` (each ingested shard under
@@ -348,10 +356,12 @@ def _build_extraction(pages_path: str, dest_dir: str, cfg: "KGConfig",
                 batch_format="pyarrow")
         if cfg.dedup_pages:
             ds = dedup_pages_by_text(ds)
+        if seen_filter is not None:
+            ds = seen_filter(ds)
         ds.write_parquet(sdir)
         return ds
-    _run_stage(dest_dir, "texts", input_fp, chash("texts"), build_texts,
-               resume)
+    _run_stage(dest_dir, "texts", input_fp + extra_fp, chash("texts"),
+               build_texts, resume)
 
     # 2. chunks: token-window expansion (stateless tasks)
     fp_texts = mf.fingerprint_input(paths["texts"])
@@ -544,9 +554,27 @@ def update_pipeline(new_pages_path: str, out_dir: str,
             f"{out_dir} has no base extraction — run run_pipeline first")
     shard_dir = os.path.join(
         out_dir, "shards", mf.fingerprint_input(new_pages_path)[:12])
+    seen_filter, extra_fp = None, ""
+    if cfg.cross_shard_dedup:
+        # screen the new shard against every PRIOR corpus's extracted
+        # texts via the sharded membership actors; contains-only (no
+        # insert), so the result is deterministic.  Prior texts dirs
+        # join the stage fingerprint: a changed prior corpus re-runs.
+        from kgx.state.dedup_index import FingerprintIndex
+        prior = [mf.stage_dir(out_dir, "texts")] + [
+            os.path.join(os.path.dirname(p), "texts")
+            for p in _shard_extracted_dirs(out_dir)
+            if os.path.dirname(p) != shard_dir]
+        prior = [p for p in prior if os.path.isdir(p)]
+        index = FingerprintIndex(n_shards=max(4, ncpu // 4))
+        for p in prior:
+            index.ingest_texts(rd.read_parquet(p, columns=["text"]))
+        seen_filter = index.filter_seen
+        extra_fp = "".join(mf.fingerprint_input(p) for p in prior)
     spaths = _build_extraction(new_pages_path, shard_dir, cfg, base_cfg,
                                resume=resume,
-                               pages_ds_factory=pages_ds_factory)
+                               pages_ds_factory=pages_ds_factory,
+                               seen_filter=seen_filter, extra_fp=extra_fp)
     paths = _finalize_graph(
         out_dir, [base_ext, *_shard_extracted_dirs(out_dir)],
         cfg, base_cfg, resume=resume)

@@ -1,0 +1,101 @@
+"""FingerprintIndex actors (kgx/state/dedup_index.py) + cross-shard page
+screening in update_pipeline."""
+
+import os
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+import ray.data as rd
+
+from kgx.state.dedup_index import FingerprintIndex
+
+
+def _docs(texts, start=0):
+    return rd.from_arrow(pa.table({
+        "doc_id": pa.array(range(start, start + len(texts)), pa.int64()),
+        "text": pa.array(texts, pa.string()),
+    }))
+
+
+def test_filter_new_first_pass_keeps_all_second_drops_dups(ray_session):
+    idx = FingerprintIndex(n_shards=4)
+    first = ["alpha text", "beta text", "gamma text"]
+    out1 = idx.filter_new(_docs(first)).to_pandas()
+    assert sorted(out1["text"]) == sorted(first)
+    # second pass: one repeat, one new
+    out2 = idx.filter_new(_docs(["beta text", "delta text"], 10)).to_pandas()
+    assert out2["text"].tolist() == ["delta text"]
+    assert idx.size() == 4
+
+
+def test_filter_seen_does_not_mutate(ray_session):
+    idx = FingerprintIndex(n_shards=4)
+    idx.ingest_texts(_docs(["known one", "known two"]))
+    assert idx.size() == 2
+    out = idx.filter_seen(_docs(["known one", "fresh"])).to_pandas()
+    assert out["text"].tolist() == ["fresh"]
+    assert idx.size() == 2                      # contains-only
+    # repeated call gives the identical answer (deterministic)
+    out2 = idx.filter_seen(_docs(["known one", "fresh"])).to_pandas()
+    assert out2["text"].tolist() == ["fresh"]
+
+
+def test_save_load_roundtrip(ray_session, tmp_path):
+    idx = FingerprintIndex(n_shards=4)
+    texts = [f"doc number {i}" for i in range(50)]
+    idx.ingest_texts(_docs(texts))
+    d = str(tmp_path / "fpidx")
+    idx.save(d)
+    idx2 = FingerprintIndex.load(d)
+    assert idx2.size() == 50
+    assert idx2.filter_seen(_docs(texts[:5] + ["brand new"])) \
+               .to_pandas()["text"].tolist() == ["brand new"]
+
+
+def test_ingest_counts_only_new(ray_session):
+    idx = FingerprintIndex(n_shards=4)
+    assert idx.ingest_texts(_docs(["a b", "c d"])) == 2
+    assert idx.ingest_texts(_docs(["a b", "e f"])) == 1
+
+
+def test_update_pipeline_cross_shard_dedup(ray_session, tmp_path_factory):
+    """A new shard whose pages duplicate base-corpus pages contributes
+    NOTHING new: the cross-shard screen drops them before extraction."""
+    import glob
+    import shutil
+    from kgx.pipelines.kg import KGConfig, run_pipeline, update_pipeline
+    from kgx.synth import write_pages
+
+    root = str(tmp_path_factory.mktemp("xshard"))
+    pages = write_pages(root, 80, seed=13)
+    files = sorted(glob.glob(f"{pages}/*.parquet"))
+    a, b = os.path.join(root, "a"), os.path.join(root, "b")
+    os.makedirs(a), os.makedirs(b)
+    half = len(files) // 2
+    for f in files[:half]:
+        shutil.copy(f, a)
+    # shard b: the second half PLUS a copy of one first-half file
+    for f in files[half:]:
+        shutil.copy(f, b)
+    shutil.copy(files[0], os.path.join(b, "dup-of-first.parquet"))
+
+    cfg = KGConfig(cross_shard_dedup=True)
+    out = str(tmp_path_factory.mktemp("kg_x"))
+    run_pipeline(a, out, cfg)
+    p = update_pipeline(b, out, cfg)
+
+    # the duplicated file's pages were screened out of the shard's texts
+    shard_texts = pq.read_table(
+        os.path.join(p["shard"], "texts").replace("extracted", "texts"))
+    base_texts = pq.read_table(os.path.join(out, "texts"))
+    assert set(shard_texts["url"].to_pylist()).isdisjoint(
+        base_texts["url"].to_pylist())
+
+    # and the final KG equals a from-scratch run over the TRUE union
+    # (duplicates removed), because screened pages add no mentions
+    out_ref = str(tmp_path_factory.mktemp("kg_ref"))
+    ref = run_pipeline(pages, out_ref, KGConfig())
+    got = pq.read_table(p["nodes"])
+    want = pq.read_table(ref["nodes"])
+    assert got.to_pylist() == want.to_pylist()
