@@ -370,6 +370,17 @@ def _semdedup_oracle(*, k: int, iters: int, tau: float) -> str:
     """
 
 
+def _q_text_weighted_sample(sf_dir: str):
+    """Efraimidis-Spirakis weighted sampling without replacement, top-100
+    by char count (kgx/ops/sampling.py:weighted_sample) — per-block
+    partial top-k, single vectorized merge."""
+    import ray.data as rd
+    from kgx.ops.sampling import weighted_sample
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "n_chars"])
+    return weighted_sample(docs, k=100)
+
+
 def _q_text_split(sf_dir: str):
     import ray.data as rd
     from kgx.ops.sampling import hash_split
@@ -1236,6 +1247,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embed_sample": _q_embed_sample,
         # sampling / quotas
         "text_split": _q_text_split,
+        "text_weighted_sample": _q_text_weighted_sample,
         "text_source_cap": _q_text_source_cap,
         # similarity search
         "simsearch_topk": _q_simsearch_topk,
@@ -1537,6 +1549,25 @@ def oracle_sql() -> dict[str, str]:
                      AS component_id
             FROM documents d LEFT JOIN reach r ON r.src = d.doc_id
             GROUP BY d.doc_id
+        """,
+        # A-ES key = ln(u)/w, u = (hex12(md5(id)) + 1) / 16^12; libm-vs-
+        # DuckDB ln() differ at ~1 ulp, far under the 12-dp rounding
+        "text_weighted_sample": """
+            WITH u AS (
+              SELECT doc_id, n_chars,
+                     (CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)),
+                                          1, 12) AS BIGINT) + 1)
+                       / 281474976710656.0 AS uu
+              FROM documents),
+            s AS (
+              SELECT doc_id, CAST(n_chars AS BIGINT) AS weight,
+                     ln(uu) / greatest(n_chars, 1) AS key,
+                     row_number() OVER (
+                       ORDER BY ln(uu) / greatest(n_chars, 1) DESC,
+                                doc_id ASC) AS rank
+              FROM u)
+            SELECT doc_id, weight, round(key, 12) AS samp_key, rank
+            FROM s WHERE rank <= 100
         """,
         "text_split": """
             WITH b AS (

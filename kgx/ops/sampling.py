@@ -124,3 +124,54 @@ def cap_per_source(docs_ds, *, k: int = 10):
     scored = docs_ds.map_batches(score, batch_format="pyarrow")
     return scored.groupby("source").map_groups(
         lambda g: _top_k_group(g, k), batch_format="pyarrow")
+
+
+def weighted_sample(docs_ds, *, k: int = 100, weight_col: str = "n_chars"):
+    """Weighted sampling WITHOUT replacement (Efraimidis-Spirakis A-ES,
+    IPL 2006): each row gets key = ln(u) / w with u a deterministic
+    md5-derived uniform and w its weight; the k LARGEST keys are exactly
+    a weight-proportional sample without replacement.  Deterministic:
+    u comes from the first 12 hex chars of ``md5(str(doc_id))`` (same
+    device as ``hash_split``), so engines and runs agree.
+
+    Scale shape: keys compute map-side; each block emits only its local
+    top-k (score desc, doc_id asc) and one task merges the <= blocks x k
+    partials — the same partial-top-k + single-merge shape as
+    ``kgx.ops.simsearch.cosine_topk``, no corpus-sized shuffle.
+
+    Output: (doc_id, weight, samp_key rounded to 12 dp, rank 1..k).
+    """
+    import hashlib
+
+    import numpy as np
+
+    def keys(batch: pa.Table) -> pa.Table:
+        ids = np.asarray(batch["doc_id"].to_pylist(), dtype=np.int64)
+        w = np.asarray(batch[weight_col].to_pylist(), dtype=np.float64)
+        v = np.asarray([int(hashlib.md5(str(i).encode()).hexdigest()[:12],
+                            16) for i in ids], dtype=np.float64)
+        u = (v + 1.0) / float(16 ** 12)            # (0, 1]
+        key = np.log(u) / np.maximum(w, 1.0)
+        # block-local top-k: key desc, doc_id asc
+        order = np.lexsort((ids, -key))[:k]
+        return pa.table({
+            "doc_id": pa.array(ids[order], pa.int64()),
+            "weight": pa.array(w[order].astype(np.int64), pa.int64()),
+            "samp_key": pa.array(key[order], pa.float64()),
+        })
+
+    def merge(batch: pa.Table) -> pa.Table:
+        ids = np.asarray(batch["doc_id"].to_pylist(), dtype=np.int64)
+        w = np.asarray(batch["weight"].to_pylist(), dtype=np.int64)
+        key = np.asarray(batch["samp_key"].to_pylist(), dtype=np.float64)
+        order = np.lexsort((ids, -key))[:k]
+        return pa.table({
+            "doc_id": pa.array(ids[order], pa.int64()),
+            "weight": pa.array(w[order], pa.int64()),
+            "samp_key": pa.array(np.round(key[order], 12), pa.float64()),
+            "rank": pa.array(np.arange(1, len(order) + 1), pa.int64()),
+        })
+
+    return (docs_ds.map_batches(keys, batch_format="pyarrow")
+            .repartition(1)
+            .map_batches(merge, batch_format="pyarrow", batch_size=None))

@@ -83,3 +83,44 @@ class TestSampling:
         assert out[out["source"] == "s1"]["doc_id"].tolist() == [0, 1]
         assert out[out["source"] == "s2"]["doc_id"].tolist() == [3, 4]
         assert out["rank"].tolist() == [1, 2, 1, 2]
+
+
+def test_weighted_sample_is_aes_topk(ray_session):
+    import hashlib
+    import math
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+    from kgx.ops.sampling import weighted_sample
+    n = 200
+    w = (np.arange(n) % 37 + 3) * 10
+    tbl = pa.table({"doc_id": pa.array(np.arange(n, dtype=np.int64)),
+                    "n_chars": pa.array(w.astype(np.int64))})
+    out = weighted_sample(rd.from_arrow(tbl), k=25).to_pandas()
+    keys = {}
+    for i in range(n):
+        v = int(hashlib.md5(str(i).encode()).hexdigest()[:12], 16)
+        u = (v + 1) / 16 ** 12
+        keys[i] = math.log(u) / max(w[i], 1)
+    ref = sorted(keys, key=lambda i: (-keys[i], i))[:25]
+    assert out["doc_id"].tolist() == ref
+    assert out["rank"].tolist() == list(range(1, 26))
+    # partition invariance: same result from many small blocks
+    out2 = weighted_sample(rd.from_arrow(tbl).repartition(13),
+                           k=25).to_pandas()
+    assert out2["doc_id"].tolist() == ref
+
+
+def test_weighted_sample_prefers_heavy_rows_statistically(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+    from kgx.ops.sampling import weighted_sample
+    # half the corpus is 100x heavier; it should dominate the sample
+    n = 400
+    w = np.where(np.arange(n) < 200, 10000, 100).astype(np.int64)
+    tbl = pa.table({"doc_id": pa.array(np.arange(n, dtype=np.int64)),
+                    "n_chars": pa.array(w)})
+    out = weighted_sample(rd.from_arrow(tbl), k=50).to_pandas()
+    heavy = (out["doc_id"] < 200).sum()
+    assert heavy >= 45
