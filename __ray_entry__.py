@@ -1099,6 +1099,44 @@ def _q_rel_regional(sf_dir: str):
     return regional_revenue(sf_dir)
 
 
+def _q_rel_outerjoin(sf_dir: str):
+    """FULL OUTER co-shuffle join: big-spender order counts vs low-
+    balance customers — rows survive from either side with nulls on the
+    other (kgx/ops/joins.py:hash_equijoin how='outer')."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+    from kgx.ops.joins import hash_equijoin
+
+    def big_partial(batch: pa.Table) -> pa.Table:
+        b = batch.filter(pc.greater(batch["o_totalprice"], 300000.0))
+        t = pa.table({"custkey": b["o_custkey"],
+                      "one": pa.array([1] * b.num_rows, pa.int64())})
+        return t.group_by(["custkey"]).aggregate([("one", "sum")])
+
+    left = (rd.read_parquet(f"{sf_dir}/orders.parquet",
+                            columns=["o_custkey", "o_totalprice"])
+            .map_batches(big_partial, batch_format="pyarrow")
+            .groupby("custkey").aggregate(Sum("one_sum"))
+            .map_batches(lambda t: pa.table({
+                "custkey": t["custkey"].combine_chunks(),
+                "n_big": t["sum(one_sum)"].combine_chunks()
+                              .cast(pa.int64())}), batch_format="pyarrow"))
+
+    def low_bal(batch: pa.Table) -> pa.Table:
+        b = batch.filter(pc.less(batch["c_acctbal"], 1000.0))
+        from kgx.ops.relational import _cents
+        return pa.table({"c_custkey": b["c_custkey"],
+                         "acctbal_cents": _cents(b["c_acctbal"])})
+
+    right = rd.read_parquet(f"{sf_dir}/customer.parquet",
+                            columns=["c_custkey", "c_acctbal"]) \
+        .map_batches(low_bal, batch_format="pyarrow")
+    return hash_equijoin(left, right, left_on="custkey",
+                         right_on="c_custkey", how="outer")
+
+
 def _q_rel_rollup(sf_dir: str):
     """GROUP BY ROLLUP over lineitem: one wide shuffle for the finest
     level, super-aggregates re-aggregate the tiny result."""
@@ -1279,6 +1317,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rel_forecast": _q_rel_forecast,
         "rel_big_orders": _q_rel_big_orders,
         "rel_regional": _q_rel_regional,
+        "rel_outerjoin": _q_rel_outerjoin,
         "rel_pivot": _q_rel_pivot,
         "events_quantile": _q_events_quantile,
         "events_quantile_by_type": _q_events_quantile_by_type,
@@ -2085,6 +2124,20 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(CASE WHEN o_orderpriority = '5-LOW'
                                  THEN 1 ELSE 0 END) AS BIGINT) AS n_low
             FROM orders GROUP BY o_orderstatus
+        """,
+        "rel_outerjoin": """
+            WITH l AS (
+              SELECT o_custkey AS custkey, CAST(count(*) AS BIGINT) AS n_big
+              FROM orders WHERE o_totalprice > 300000.0
+              GROUP BY o_custkey),
+            r AS (
+              SELECT c_custkey,
+                     CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT)
+                       AS acctbal_cents
+              FROM customer WHERE c_acctbal < 1000.0)
+            SELECT coalesce(l.custkey, r.c_custkey) AS custkey,
+                   l.n_big, r.acctbal_cents
+            FROM l FULL OUTER JOIN r ON l.custkey = r.c_custkey
         """,
         "rel_regional": """
             SELECT n.n_name,

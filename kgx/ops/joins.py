@@ -148,7 +148,8 @@ def interval_join_events(events_ds, *, left_type: str, right_type: str,
 
 def hash_equijoin(left_ds, right_ds, *, left_on: str, right_on: str,
                   how: str = "inner"):
-    """General distributed hash equi-join (inner or left outer).
+    """General distributed hash equi-join (inner, left outer, or full
+    outer).
 
     The one relational shape the engine's other joins don't cover:
     both sides are LARGE (broadcast-side joins live in
@@ -171,8 +172,9 @@ def hash_equijoin(left_ds, right_ds, *, left_on: str, right_on: str,
     """
     import numpy as np
 
-    if how not in ("inner", "left"):
-        raise ValueError(f"how must be 'inner' or 'left', got {how!r}")
+    if how not in ("inner", "left", "outer"):
+        raise ValueError(
+            f"how must be 'inner', 'left' or 'outer', got {how!r}")
     l_fields = [(f.name, f.type) for f in left_ds.schema().base_schema
                 if f.name != left_on]
     r_fields = [(f.name, f.type) for f in right_ds.schema().base_schema
@@ -207,17 +209,28 @@ def hash_equijoin(left_ds, right_ds, *, left_on: str, right_on: str,
         sides = group["__side"].to_numpy(zero_copy_only=False)
         li = np.flatnonzero(sides == "l")
         ri = np.flatnonzero(sides == "r")
-        if len(li) == 0 or (len(ri) == 0 and how == "inner"):
+        if len(li) == 0 and how != "outer":
             return pa.table(
                 {left_on: group["__key"].slice(0, 0),
                  **{n: group[n].slice(0, 0) for n in l_names + r_names}}
             ).select(out_names)
-        if len(ri) == 0:    # left outer miss: left rows, right nulls
+        if len(ri) == 0 and how == "inner":
+            return pa.table(
+                {left_on: group["__key"].slice(0, 0),
+                 **{n: group[n].slice(0, 0) for n in l_names + r_names}}
+            ).select(out_names)
+        if len(ri) == 0:    # left/full outer miss: left rows, right nulls
             lt = group.take(pa.array(li, pa.int64()))
             return pa.table(
                 {left_on: lt["__key"],
                  **{n: lt[n] for n in l_names},
                  **{n: lt[n] for n in r_names}}).select(out_names)
+        if len(li) == 0:    # full outer right-only: right rows, left nulls
+            rt = group.take(pa.array(ri, pa.int64()))
+            return pa.table(
+                {left_on: rt["__key"],
+                 **{n: rt[n] for n in l_names},
+                 **{n: rt[n] for n in r_names}}).select(out_names)
         take_l = np.repeat(li, len(ri))
         take_r = np.tile(ri, len(li))
         lt = group.take(pa.array(take_l, pa.int64()))

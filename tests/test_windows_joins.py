@@ -161,7 +161,7 @@ def test_hash_equijoin_rejects_collisions_and_bad_how(ray_session):
         hash_equijoin(l, r, left_on="k", right_on="rk")
     r2 = rd.from_arrow(pa.table({"rk": [1], "w": [2]}))
     with pytest.raises(ValueError, match="how"):
-        hash_equijoin(l, r2, left_on="k", right_on="rk", how="outer")
+        hash_equijoin(l, r2, left_on="k", right_on="rk", how="cross")
 
 
 def test_bloom_semijoin_exact_with_tiny_filter():
@@ -262,3 +262,18 @@ def test_cohort_retention_counts_distinct_users(ray_session):
     got = {(r["cohort_day"], r["day_offset"]): r["n_users"]
            for _, r in out.iterrows()}
     assert got == {(2, 0): 5, (2, 2): 3}
+
+
+def test_hash_equijoin_full_outer(ray_session):
+    import pandas as pd
+    from kgx.ops.joins import hash_equijoin
+    left, right = _join_sides()
+    out = hash_equijoin(left, right, left_on="k", right_on="rk",
+                        how="outer").to_pandas() \
+        .sort_values(["k", "lv", "rv"]).reset_index(drop=True)
+    # 4 matches + left-only k=3 + right-only k=4
+    assert len(out) == 6
+    miss_l = out[out["k"] == 3]
+    assert miss_l["lv"].tolist() == ["d"] and pd.isna(miss_l["rv"]).all()
+    miss_r = out[out["k"] == 4]
+    assert miss_r["rv"].tolist() == [40] and pd.isna(miss_r["lv"]).all()
