@@ -821,6 +821,16 @@ def _q_sketch_heavy(sf_dir: str):
     return heavy_hitters(ev, "event_type", k=5)
 
 
+def _q_sketch_quantile(sf_dir: str):
+    """Mergeable compaction quantile sketch over event values — one
+    sketch row per batch, kilobyte reduce; approximate by design
+    (rows-only; tolerance vs exact_quantiles in pytest)."""
+    import ray.data as rd
+    from kgx.ops.sketch import quantile_sketch
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["value"])
+    return quantile_sketch(ev, "value")
+
+
 def _q_rel_pricing(sf_dir: str):
     from kgx.ops.relational import pricing_summary
     return pricing_summary(sf_dir)
@@ -1303,6 +1313,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # mergeable sketches
         "sketch_distinct": _q_sketch_distinct,
         "sketch_heavy": _q_sketch_heavy,
+        "sketch_quantile": _q_sketch_quantile,
         # relational surface
         "rel_pricing": _q_rel_pricing,
         "rel_top_customers": _q_rel_top_customers,

@@ -145,3 +145,73 @@ def heavy_hitters(ds, col: str, *, k: int = 20):
         "value": pa.array([str(v) for v, _c in top], pa.string()),
         "min_count": pa.array([c for _v, c in top], pa.int64()),
     })
+
+
+# ----------------------------------------------------------------------
+# Mergeable quantile sketch (uniform-compaction, deterministic)
+# ----------------------------------------------------------------------
+
+def _compact(vals: np.ndarray, weights: np.ndarray, b: int
+             ) -> tuple[np.ndarray, np.ndarray]:
+    """Compact a weighted sample to <= b points, preserving the weighted
+    rank structure: points are the weighted quantiles at the b midpoint
+    ranks, each carrying total_weight / b.  Deterministic (no sampling);
+    one compaction adds at most W/(2b) rank error, so a two-level
+    partial->merge pipeline stays within ~W/b."""
+    if len(vals) <= b:
+        return vals, weights
+    order = np.argsort(vals, kind="stable")
+    v = vals[order]
+    w = weights[order]
+    cw = np.cumsum(w)
+    total = cw[-1]
+    targets = (np.arange(b) + 0.5) * (total / b)
+    idx = np.searchsorted(cw, targets, side="left")
+    idx = np.minimum(idx, len(v) - 1)
+    return v[idx], np.full(b, total / b)
+
+
+def quantile_sketch(ds, col: str, *, ps: tuple = (0.5, 0.9, 0.99),
+                    b: int = 512):
+    """Approximate quantiles via a mergeable compaction sketch: each
+    batch folds to ONE row of <= b (value, weight) pairs, a single tiny
+    reduce merges + recompacts, and the requested quantiles read off the
+    weighted CDF.  Rank error ~ n/b after the two levels — tolerance-
+    tested; the EXACT path (two narrow passes over the data) is
+    ``kgx.ops.quantile.exact_quantiles``.  Output: (p, estimate).
+    """
+    def partial(batch: pa.Table) -> pa.Table:
+        a = batch[col].to_numpy(zero_copy_only=False).astype(np.float64)
+        a = a[~np.isnan(a)]
+        v, w = _compact(a, np.ones(len(a)), b)
+        return pa.table({
+            "vals": pa.array([v.tolist()], pa.list_(pa.float64())),
+            "weights": pa.array([w.tolist()], pa.list_(pa.float64())),
+        })
+
+    def reduce_all(batch: pa.Table) -> pa.Table:
+        v = np.concatenate([np.asarray(x, dtype=np.float64)
+                            for x in batch["vals"].to_pylist()])
+        w = np.concatenate([np.asarray(x, dtype=np.float64)
+                            for x in batch["weights"].to_pylist()])
+        v, w = _compact(v, w, b)
+        order = np.argsort(v, kind="stable")
+        v, w = v[order], w[order]
+        cw = np.cumsum(w)
+        total = cw[-1] if len(cw) else 0.0
+        out_p, out_e = [], []
+        for p in ps:
+            if total == 0.0:
+                continue
+            i = int(np.searchsorted(cw, p * total, side="left"))
+            out_p.append(float(p))
+            out_e.append(float(v[min(i, len(v) - 1)]))
+        return pa.table({
+            "p": pa.array(out_p, pa.float64()),
+            "estimate": pa.array(out_e, pa.float64()),
+        })
+
+    return (ds.map_batches(partial, batch_format="pyarrow")
+            .repartition(1)
+            .map_batches(reduce_all, batch_format="pyarrow",
+                         batch_size=None))

@@ -55,3 +55,38 @@ class TestMisraGries:
         assert out[0]["value"] == "alpha"
         assert out[1]["value"] == "beta"
         assert out[0]["min_count"] <= 900  # counts are lower bounds
+
+
+def test_quantile_sketch_within_rank_tolerance(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+    from kgx.ops.sketch import quantile_sketch
+    rng = np.random.default_rng(4)
+    vals = np.concatenate([rng.lognormal(0, 1, 20000),
+                           rng.normal(100, 5, 5000)])
+    ds = rd.from_arrow(pa.table({"value": pa.array(vals, pa.float64())}))
+    out = quantile_sketch(ds.repartition(16), "value",
+                          ps=(0.1, 0.5, 0.9, 0.99), b=512).to_pandas()
+    got = dict(zip(out["p"], out["estimate"]))
+    srt = np.sort(vals)
+    n = len(srt)
+    for p, est in got.items():
+        # rank of the estimate must be within ~2*n/b of the true rank
+        rank = np.searchsorted(srt, est) / n
+        assert abs(rank - p) < 2 * (1 / 512) + 0.01, (p, est, rank)
+
+
+def test_quantile_sketch_partition_invariant_small_exact(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+    from kgx.ops.sketch import quantile_sketch
+    vals = np.arange(100, dtype=np.float64)
+    ds = rd.from_arrow(pa.table({"value": pa.array(vals)}))
+    # under b points, no compaction happens anywhere -> the exact lower
+    # quantile: first value whose cumulative weight reaches p * total
+    # (rank 50 of 0..99 -> value 49.0)
+    out = quantile_sketch(ds.repartition(7), "value",
+                          ps=(0.5,), b=512).to_pandas()
+    assert out["estimate"][0] == 49.0
