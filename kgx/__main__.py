@@ -1,6 +1,7 @@
 """CLI entry points — the ``ray job submit`` surface.
 
     python -m kgx index  --pages DIR --out DIR [--extractor NAME] [...]
+    python -m kgx update --pages DIR --out DIR [--cross-shard-dedup] [...]
     python -m kgx query  --graph DIR --question TEXT [--level N] [--k K]
     python -m kgx export --out DIR --graph-json DIR
     python -m kgx synth  --out DIR --pages N [--seed S] [--filler-scale F]
@@ -37,6 +38,25 @@ def cmd_index(args) -> int:
                    extractor=args.extractor,
                    min_strength=args.min_strength)
     paths = run_pipeline(args.pages, args.out, cfg, resume=not args.no_resume)
+    print(json.dumps({"stages": paths}))
+    ray.shutdown()
+    return 0
+
+
+def cmd_update(args) -> int:
+    """Incremental ingest: extract only the new shard, re-finalize the
+    KG over every shard's extraction states (kgx/pipelines/kg.py:
+    update_pipeline)."""
+    import ray
+    from kgx.pipelines.kg import KGConfig, update_pipeline
+    _init_ray(args.num_cpus)
+    cfg = KGConfig(chunk_size=args.chunk_size,
+                   chunk_overlap=args.chunk_overlap,
+                   extractor=args.extractor,
+                   min_strength=args.min_strength,
+                   cross_shard_dedup=args.cross_shard_dedup)
+    paths = update_pipeline(args.pages, args.out, cfg,
+                            resume=not args.no_resume)
     print(json.dumps({"stages": paths}))
     ray.shutdown()
     return 0
@@ -98,6 +118,18 @@ def main(argv=None) -> int:
     pi.add_argument("--no-resume", action="store_true")
     pi.add_argument("--num-cpus", type=int, default=None)
     pi.set_defaults(fn=cmd_index)
+
+    pu = sub.add_parser("update")
+    pu.add_argument("--pages", required=True, help="NEW page shard")
+    pu.add_argument("--out", required=True, help="existing KG dir")
+    pu.add_argument("--extractor", default="gazetteer")
+    pu.add_argument("--chunk-size", type=int, default=200)
+    pu.add_argument("--chunk-overlap", type=int, default=50)
+    pu.add_argument("--min-strength", type=float, default=0.5)
+    pu.add_argument("--cross-shard-dedup", action="store_true")
+    pu.add_argument("--no-resume", action="store_true")
+    pu.add_argument("--num-cpus", type=int, default=None)
+    pu.set_defaults(fn=cmd_update)
 
     pe = sub.add_parser("export")
     pe.add_argument("--out", required=True, help="pipeline output dir")

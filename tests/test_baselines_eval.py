@@ -133,3 +133,28 @@ class TestCLI:
         assert r.returncode == 0, r.stderr[-2000:]
         ans = json.loads(r.stdout)
         assert "acme" in ans["answer"].lower()
+
+    def test_update_subcommand_ingests_new_shard(self, smoke_corpus,
+                                                 tmp_path):
+        import glob
+        import os
+        import shutil
+        env_cmd = [sys.executable, "-m", "kgx"]
+        files = sorted(glob.glob(f"{smoke_corpus['pages']}/*.parquet"))
+        a, b = str(tmp_path / "a"), str(tmp_path / "b")
+        os.makedirs(a), os.makedirs(b)
+        for f in files[:len(files) // 2]:
+            shutil.copy(f, a)
+        for f in files[len(files) // 2:]:
+            shutil.copy(f, b)
+        out = str(tmp_path / "kg")
+        r = subprocess.run(env_cmd + ["index", "--pages", a, "--out", out,
+                                      "--num-cpus", "4"],
+                           capture_output=True, text=True, cwd="/root/repo")
+        assert r.returncode == 0, r.stderr[-2000:]
+        r = subprocess.run(env_cmd + ["update", "--pages", b, "--out", out,
+                                      "--num-cpus", "4"],
+                           capture_output=True, text=True, cwd="/root/repo")
+        assert r.returncode == 0, r.stderr[-2000:]
+        stages = json.loads(r.stdout.strip().splitlines()[-1])["stages"]
+        assert "shard" in stages and "nodes" in stages
