@@ -238,6 +238,126 @@ def _q_text_quality_gate(sf_dir: str):
     return quality_gate(docs)
 
 
+def _q_text_curate(sf_dir: str):
+    """END-TO-END curation pipeline (kgx/pipelines/curate.py): lang
+    filter -> per-source quality gate -> boilerplate scrub -> corpus
+    segment dedup -> exact doc dedup -> sequence packing, one lazy
+    chain, exact composed oracle."""
+    from kgx.pipelines.curate import curate_corpus
+    return curate_corpus(sf_dir)
+
+
+def _curate_oracle(*, q_num: int = 1, q_den: int = 4, seq_len: int = 2048
+                   ) -> str:
+    """Unrolled composition of the per-stage oracles, stage order and
+    statistics scope identical to kgx.pipelines.curate.curate_corpus."""
+    return f"""
+            WITH d0 AS (
+              SELECT doc_id, text, source FROM documents
+              WHERE lang = 'en'),
+            t0 AS (
+              SELECT doc_id, source, text,
+                     regexp_extract_all(text, '{_WS_RE}') AS toks
+              FROM d0),
+            q0 AS (
+              SELECT doc_id, source, text,
+                     len(toks) AS n_tokens,
+                     len(list_distinct(toks)) AS n_distinct_tokens,
+                     len(list_filter(toks, x -> x IN {_STOP_SQL})) AS n_stop
+              FROM t0),
+            scq AS (
+              SELECT doc_id, source, text,
+                     CAST(4000 * least(n_tokens, 100)
+                          + (300000 * n_distinct_tokens)
+                              // greatest(n_tokens, 1)
+                          + (300000 * n_stop) // greatest(n_tokens, 1)
+                        AS BIGINT) AS ppm
+              FROM q0),
+            rankedq AS (
+              SELECT source, ppm,
+                     row_number() OVER (PARTITION BY source
+                                        ORDER BY ppm) AS rn,
+                     count(*) OVER (PARTITION BY source) AS n
+              FROM scq),
+            thr AS (SELECT source, ppm AS th FROM rankedq
+                    WHERE rn = ((n - 1) * {q_num}) // {q_den} + 1),
+            g AS (SELECT scq.doc_id, scq.source, scq.text
+                  FROM scq JOIN thr USING (source) WHERE scq.ppm >= thr.th),
+            btoks AS (
+              SELECT doc_id, source, string_split(text, ' ') AS tk FROM g),
+            bsegs0 AS (
+              SELECT doc_id, source, tk,
+                     unnest(generate_series(
+                       0, CAST(ceil(len(tk) / 10.0) AS BIGINT) - 1))
+                       AS seg_no
+              FROM btoks),
+            bsegs AS (
+              SELECT doc_id, source, seg_no,
+                     array_to_string(
+                       tk[(seg_no * 10 + 1):((seg_no + 1) * 10)], ' ')
+                       AS seg
+              FROM bsegs0),
+            bfreq AS (
+              SELECT source, seg FROM bsegs
+              GROUP BY source, seg HAVING count(DISTINCT doc_id) >= 2),
+            scrub AS (
+              SELECT s.doc_id,
+                     string_agg(CASE WHEN f.seg IS NULL THEN s.seg END, ' '
+                                ORDER BY s.seg_no) AS text
+              FROM bsegs s LEFT JOIN bfreq f
+                ON f.source = s.source AND f.seg = s.seg
+              GROUP BY s.doc_id),
+            s1 AS (SELECT doc_id, text FROM scrub WHERE text IS NOT NULL),
+            dtoks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM s1),
+            dsegs0 AS (
+              SELECT doc_id, tk,
+                     unnest(generate_series(
+                       0, CAST(ceil(len(tk) / 10.0) AS BIGINT) - 1))
+                       AS seg_no
+              FROM dtoks),
+            dsegs AS (
+              SELECT doc_id, seg_no,
+                     array_to_string(
+                       tk[(seg_no * 10 + 1):((seg_no + 1) * 10)], ' ')
+                       AS seg
+              FROM dsegs0),
+            dranked AS (
+              SELECT doc_id, seg_no, seg,
+                     row_number() OVER (PARTITION BY md5(seg)
+                                        ORDER BY doc_id, seg_no) AS rn
+              FROM dsegs),
+            dd AS (
+              SELECT doc_id,
+                     string_agg(CASE WHEN rn = 1 THEN seg END, ' '
+                                ORDER BY seg_no) AS text
+              FROM dranked GROUP BY doc_id),
+            s2 AS (SELECT doc_id, text FROM dd WHERE text IS NOT NULL),
+            uniq AS (
+              SELECT doc_id, text FROM (
+                SELECT doc_id, text,
+                       row_number() OVER (PARTITION BY md5(text)
+                                          ORDER BY doc_id) AS rn
+                FROM s2) WHERE rn = 1),
+            cnt AS (
+              SELECT doc_id,
+                     CAST(len(regexp_extract_all(text, '{_WS_RE}'))
+                          AS BIGINT) AS n_tokens
+              FROM uniq)
+            SELECT doc_id, n_tokens,
+                   CAST(coalesce(sum(n_tokens) OVER (
+                          ORDER BY doc_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND 1 PRECEDING), 0) AS BIGINT)
+                     AS begin_token,
+                   CAST(coalesce(sum(n_tokens) OVER (
+                          ORDER BY doc_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND 1 PRECEDING), 0) // {seq_len} AS BIGINT)
+                     AS seq_id
+            FROM cnt
+    """
+
+
 def _q_text_boilerplate(sf_dir: str):
     """CCNet-style per-source boilerplate scrub: narrow (source, seg)
     shuffle, broadcast boilerplate set, map-side rebuild
@@ -1288,6 +1408,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_lines": _q_dedup_lines,
         "text_boilerplate": _q_text_boilerplate,
         "text_quality_gate": _q_text_quality_gate,
+        "text_curate": _q_text_curate,
         "simsearch_knn": _q_simsearch_knn,
         # embedding-space clustering + semantic dedup
         "embed_kmeans": _q_embed_kmeans,
@@ -2465,6 +2586,7 @@ def oracle_sql() -> dict[str, str]:
                    sc.quality_score_ppm >= thr.threshold_ppm AS keep
             FROM sc JOIN thr USING (source)
         """,
+        "text_curate": _curate_oracle(),
         "text_boilerplate": """
             WITH toks AS (
               SELECT doc_id, source, string_split(text, ' ') AS tk

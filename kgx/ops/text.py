@@ -261,7 +261,8 @@ def filter_quality(docs_ds, *, min_score_ppm: int = 300_000,
     return docs_ds.map_batches(one_batch, batch_format="pyarrow")
 
 
-def quality_gate(docs_ds, *, q_num: int = 1, q_den: int = 4):
+def quality_gate(docs_ds, *, q_num: int = 1, q_den: int = 4,
+                 keep_rows: bool = False):
     """Per-source adaptive quality filter: a document passes iff its
     integer quality score (``quality_batch``'s exact ppm composite) is
     >= its OWN source's q-th order-statistic threshold — the adaptive
@@ -279,17 +280,22 @@ def quality_gate(docs_ds, *, q_num: int = 1, q_den: int = 4):
     bound; a 10^9-doc source needs the exact-quantile histogram route of
     ``kgx.ops.quantile.exact_quantiles`` instead); the tiny per-source
     threshold map broadcasts and the verdict is a map-side compare.
-    Output: (doc_id, source, quality_score_ppm, threshold_ppm, keep).
+    Output: (doc_id, source, quality_score_ppm, threshold_ppm, keep) —
+    or, with ``keep_rows=True``, the ORIGINAL rows filtered to the
+    keepers (the composable form ``kgx.pipelines.curate`` chains).
     """
     import ray
 
     def scores(batch: pa.Table) -> pa.Table:
         qb = quality_batch(batch)
-        return pa.table({
+        t = pa.table({
             "doc_id": batch["doc_id"],
             "source": batch["source"],
             "quality_score_ppm": qb["quality_score_ppm"],
         })
+        if keep_rows and "text" in batch.column_names:
+            t = t.append_column("text", batch["text"])
+        return t
 
     scored = docs_ds.map_batches(scores, batch_format="pyarrow") \
                     .materialize()
@@ -318,6 +324,12 @@ def quality_gate(docs_ds, *, q_num: int = 1, q_den: int = 4):
         th = pa.array([tm[s] for s in batch["source"].to_pylist()],
                       pa.int64())
         keep = pc.greater_equal(batch["quality_score_ppm"], th)
+        if keep_rows:
+            return pa.table({
+                "doc_id": batch["doc_id"],
+                "source": batch["source"],
+                "text": batch["text"],
+            }).filter(keep)
         return pa.table({
             "doc_id": batch["doc_id"],
             "source": batch["source"],

@@ -573,3 +573,20 @@ def test_quality_gate_per_source_quartile(ray_session):
     # the gate keeps at least ~3/4 of each source by construction
     kept = out.groupby("source")["keep"].mean()
     assert (kept >= 0.7).all()
+
+
+def test_curate_corpus_shape_and_packing_invariants(ray_session):
+    from kgx.pipelines.curate import curate_corpus
+    out = curate_corpus("/root/testdata/sf0.001").to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    assert len(out) > 0
+    # begin_token is the exclusive prefix sum over doc_id order
+    assert out["begin_token"].iloc[0] == 0
+    expect = out["n_tokens"].cumsum().shift(fill_value=0)
+    assert (out["begin_token"] == expect).all()
+    assert (out["seq_id"] == out["begin_token"] // 2048).all()
+    # curation strictly shrinks the corpus (lang + gate + dedups)
+    import pyarrow.parquet as pq
+    n_in = pq.read_metadata(
+        "/root/testdata/sf0.001/documents.parquet").num_rows
+    assert len(out) < n_in
