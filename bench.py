@@ -135,6 +135,7 @@ def _operator_queries(sf_dir: str) -> dict:
 
     from kgx.ops import (bm25, cluster, dedup, graph, linededup, pii,
                          relational, simsearch, text, window)
+    from kgx.pipelines.curate import curate_corpus
     from kgx.pipelines.docs_kg import kg_tables
 
     return {
@@ -174,6 +175,7 @@ def _operator_queries(sf_dir: str) -> dict:
         "events_retention": lambda: window.cohort_retention(
             rd.read_parquet(f"{sf_dir}/events.parquet",
                             columns=["user_id", "ts"])),
+        "text_curate": lambda: curate_corpus(sf_dir),
     }
 
 

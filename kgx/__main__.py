@@ -5,6 +5,7 @@
     python -m kgx query  --graph DIR --question TEXT [--level N] [--k K]
     python -m kgx export --out DIR --graph-json DIR
     python -m kgx synth  --out DIR --pages N [--seed S] [--filler-scale F]
+    python -m kgx curate --sf-dir DIR --out DIR [--lang L] [--seq-len N]
 
 Mirrors the reference's two entry points (index+query in
 /root/reference/graphrag_lite_x.py:151-203, load+query in main.py:120-135)
@@ -104,6 +105,20 @@ def cmd_synth(args) -> int:
     return 0
 
 
+def cmd_curate(args) -> int:
+    """Write the curated-corpus packing manifest (kgx/pipelines/curate.py)
+    as sharded Parquet."""
+    import ray
+    from kgx.pipelines.curate import curate_corpus
+    _init_ray(args.num_cpus)
+    ds = curate_corpus(args.sf_dir, lang=args.lang, seq_len=args.seq_len)
+    ds.write_parquet(args.out)
+    n = ds.count()
+    print(json.dumps({"out": args.out, "docs_packed": n}))
+    ray.shutdown()
+    return 0
+
+
 def main(argv=None) -> int:
     p = argparse.ArgumentParser(prog="kgx")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -150,6 +165,15 @@ def main(argv=None) -> int:
     ps.add_argument("--filler-scale", type=int, default=1)
     ps.add_argument("--num-cpus", type=int, default=None)
     ps.set_defaults(fn=cmd_synth)
+
+    pc_ = sub.add_parser("curate")
+    pc_.add_argument("--sf-dir", required=True,
+                     help="dir holding documents.parquet")
+    pc_.add_argument("--out", required=True)
+    pc_.add_argument("--lang", default="en")
+    pc_.add_argument("--seq-len", type=int, default=2048)
+    pc_.add_argument("--num-cpus", type=int, default=None)
+    pc_.set_defaults(fn=cmd_curate)
 
     args = p.parse_args(argv)
     return args.fn(args)
