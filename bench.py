@@ -305,10 +305,94 @@ def run_scaling(sf_dir: str, repeats: int = 3,
     }
 
 
+# ----------------------------------------------------------------------
+# --llm: production-path throughput with a fixed-latency fake transport
+# ----------------------------------------------------------------------
+
+_LLM_LATENCY_S = 0.05
+
+_LLM_ENTITY_JSON = (
+    '{"entities": [{"name": "Acme Corporation", "type": "ORGANIZATION",'
+    ' "description": "A company"},'
+    ' {"name": "Jane Doe", "type": "PERSON", "description": "An executive"}],'
+    ' "relationships": [{"source": "Jane Doe", "target": "Acme Corporation",'
+    ' "relationship": "works for", "relationship_strength": 0.9}]}')
+_LLM_CLAIM_JSON = (
+    '{"claims": [{"content": "Jane Doe leads Acme Corporation",'
+    ' "entities": ["Jane Doe", "Acme Corporation"]}]}')
+
+
+def _fake_llm_transport(prompt: str, temperature: float) -> str:
+    """Deterministic stand-in for a model server: fixed latency, canned
+    valid responses (thread-safe; latency dominates like production)."""
+    time.sleep(_LLM_LATENCY_S)
+    if "claims" in prompt.lower():
+        return _LLM_CLAIM_JSON
+    return _LLM_ENTITY_JSON
+
+
+def run_llm_bench(sf_dir: str, num_cpus: int) -> dict:
+    """Chunks/s through the REAL LLMExtractor actor pool with the fake
+    transport, at per-actor fan-out 1 vs 8 — evidence that the bounded
+    thread fan-out (reference: bounded asyncio gather) and the pool
+    sizing, not the engine, set production throughput.  Effective
+    concurrency = chunks * (2 calls/chunk) * latency / wall."""
+    import ray
+
+    ray.init(address="local", num_cpus=num_cpus, include_dashboard=False,
+             ignore_reinit_error=True, logging_level="ERROR")
+    try:
+        import ray.data as rd
+        from kgx.pipelines.kg import make_chunk_batch_fn
+        from kgx.stages.extract import LLMExtractor
+
+        docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text"])
+        chunks = docs.map_batches(
+            lambda t: make_chunk_batch_fn(200, 50)(
+                __import__("pyarrow").table(
+                    {"url": [f"doc://{d}" for d in t["doc_id"].to_pylist()],
+                     "text": t["text"].combine_chunks()})),
+            batch_format="pyarrow").materialize()
+        n_chunks = chunks.count()
+        pool = (max(1, (num_cpus - 2) // 2), max(1, num_cpus - 2))
+        out = {}
+        for mc in (1, 8):
+            t0 = time.perf_counter()
+            ds = chunks.map_batches(
+                LLMExtractor, batch_format="pyarrow", batch_size=64,
+                concurrency=pool,
+                fn_constructor_kwargs={"transport": _fake_llm_transport,
+                                       "max_concurrency": mc})
+            _consume(ds)
+            wall = time.perf_counter() - t0
+            out[f"mc{mc}"] = {
+                "wall_sec": round(wall, 3),
+                "chunks_per_sec": round(n_chunks / wall, 1),
+                "effective_concurrency": round(
+                    n_chunks * 2 * _LLM_LATENCY_S / wall, 1),
+            }
+        return {
+            "metric": "llm_path_chunks_per_sec",
+            "value": out["mc8"]["chunks_per_sec"],
+            "unit": "chunks/sec",
+            "queries": {k: v["wall_sec"] for k, v in out.items()},
+            "sf": _sf_of(sf_dir),
+            "num_cpus": num_cpus,
+            "n_chunks": n_chunks,
+            "latency_s": _LLM_LATENCY_S,
+            "levels": out,
+        }
+    finally:
+        ray.shutdown()
+
+
 def main() -> None:
     p = argparse.ArgumentParser()
     p.add_argument("--scaling", action="store_true")
     p.add_argument("--headline-only", action="store_true")
+    p.add_argument("--llm", action="store_true",
+                   help="production LLM-path throughput with the fixed-latency fake transport")
     p.add_argument("--repeats", type=int, default=3,
                    help="runs per CPU level in --scaling (median used)")
     args = p.parse_args()
@@ -316,6 +400,9 @@ def main() -> None:
     sf_dir = os.environ.get("GRAFT_SF_DIR", DEFAULT_SF_DIR)
     num_cpus = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 
+    if args.llm:
+        print(json.dumps(run_llm_bench(sf_dir, num_cpus)))
+        return
     if args.scaling:
         print(json.dumps(run_scaling(sf_dir, repeats=args.repeats)))
     else:
