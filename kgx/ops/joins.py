@@ -147,7 +147,7 @@ def interval_join_events(events_ds, *, left_type: str, right_type: str,
 
 
 def hash_equijoin(left_ds, right_ds, *, left_on: str, right_on: str,
-                  how: str = "inner"):
+                  how: str = "inner", hot_keys=None, n_salts: int = 8):
     """General distributed hash equi-join (inner, left outer, or full
     outer).
 
@@ -162,10 +162,16 @@ def hash_equijoin(left_ds, right_ds, *, left_on: str, right_on: str,
 
     PARTITIONING ASSUMPTIONS: one key's rows (both sides) fit one
     group, and payload column names are disjoint between sides (raises
-    otherwise).  For skewed keys, pre-salt the hot keys and replicate
-    the smaller side per salt — or use the broadcast join when one side
-    fits the object store; this operator deliberately implements only
-    the unsalted co-shuffle core.
+    otherwise).  For skewed keys pass ``hot_keys`` (inner joins only):
+    each hot key's LEFT rows spread round-robin over ``n_salts``
+    sub-groups and its RIGHT rows replicate into every sub-group, so no
+    single group holds the hot key's full cross-product input — the
+    standard salt-and-replicate treatment (output is identical; the
+    cross product per key is preserved exactly).  Outer joins cannot
+    salt this way (a missing hot key would emit its null row once per
+    salt) and raise.  When one side fits the object store, the
+    broadcast joins in kgx/ops/relational.py are cheaper than any
+    shuffle.
 
     Output columns: ``left_on`` (the key, left side's name), then the
     left payload, then the right payload (nulls on left-outer misses).
@@ -175,6 +181,9 @@ def hash_equijoin(left_ds, right_ds, *, left_on: str, right_on: str,
     if how not in ("inner", "left", "outer"):
         raise ValueError(
             f"how must be 'inner', 'left' or 'outer', got {how!r}")
+    if hot_keys is not None and how != "inner":
+        raise ValueError("hot_keys salting requires how='inner'")
+    hot_set = pa.array(sorted(set(hot_keys))) if hot_keys else None
     l_fields = [(f.name, f.type) for f in left_ds.schema().base_schema
                 if f.name != left_on]
     r_fields = [(f.name, f.type) for f in right_ds.schema().base_schema
@@ -188,8 +197,29 @@ def hash_equijoin(left_ds, right_ds, *, left_on: str, right_on: str,
     def tag(side: str, key_col: str, own, other):
         def fn(batch: pa.Table) -> pa.Table:
             n = batch.num_rows
+            if hot_set is not None and side == "r":
+                # replicate hot right rows once per salt
+                is_hot = pc.is_in(batch[key_col], value_set=hot_set) \
+                           .to_numpy(zero_copy_only=False)
+                cold = np.flatnonzero(~is_hot)
+                hot = np.flatnonzero(is_hot)
+                take = np.concatenate([cold, np.repeat(hot, n_salts)])
+                salt = np.concatenate([
+                    np.zeros(len(cold), dtype=np.int64),
+                    np.tile(np.arange(n_salts, dtype=np.int64), len(hot)),
+                ])
+                batch = batch.take(pa.array(take, pa.int64()))
+                n = batch.num_rows
             cols = {"__key": batch[key_col],
                     "__side": pa.array([side] * n, pa.string())}
+            if hot_set is not None:
+                if side == "l":
+                    is_hot = pc.is_in(batch[key_col], value_set=hot_set) \
+                               .to_numpy(zero_copy_only=False)
+                    salt = np.where(
+                        is_hot,
+                        np.arange(n, dtype=np.int64) % n_salts, 0)
+                cols["__salt"] = pa.array(salt, pa.int64())
             for name, _ in own:
                 cols[name] = batch[name]
             for name, typ in other:
@@ -240,7 +270,8 @@ def hash_equijoin(left_ds, right_ds, *, left_on: str, right_on: str,
              **{n: lt[n] for n in l_names},
              **{n: rt[n] for n in r_names}}).select(out_names)
 
-    return tagged.groupby("__key").map_groups(
+    group_keys = ["__key", "__salt"] if hot_set is not None else "__key"
+    return tagged.groupby(group_keys).map_groups(
         join_group, batch_format="pyarrow")
 
 

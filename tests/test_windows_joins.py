@@ -277,3 +277,68 @@ def test_hash_equijoin_full_outer(ray_session):
     assert miss_l["lv"].tolist() == ["d"] and pd.isna(miss_l["rv"]).all()
     miss_r = out[out["k"] == 4]
     assert miss_r["rv"].tolist() == [40] and pd.isna(miss_r["lv"]).all()
+
+
+def test_hash_equijoin_salted_matches_unsalted(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+    from kgx.ops.joins import hash_equijoin
+    # one hot key (0) with 300 left x 40 right rows, plus cold keys
+    lk = np.concatenate([np.zeros(300, dtype=np.int64),
+                         np.arange(1, 51, dtype=np.int64)])
+    rk = np.concatenate([np.zeros(40, dtype=np.int64),
+                         np.arange(1, 51, dtype=np.int64)])
+    left = rd.from_arrow(pa.table({
+        "k": pa.array(lk), "lv": pa.array(np.arange(len(lk)))}))
+    right = rd.from_arrow(pa.table({
+        "rk": pa.array(rk), "rv": pa.array(np.arange(len(rk)) * 10)}))
+    base = hash_equijoin(left, right, left_on="k", right_on="rk") \
+        .to_pandas().sort_values(["k", "lv", "rv"]).reset_index(drop=True)
+    salted = hash_equijoin(left.repartition(6), right.repartition(4),
+                           left_on="k", right_on="rk",
+                           hot_keys=[0], n_salts=8) \
+        .to_pandas().sort_values(["k", "lv", "rv"]).reset_index(drop=True)
+    assert len(base) == 300 * 40 + 50
+    assert base.equals(salted)
+
+
+def test_hash_equijoin_salting_rejects_outer(ray_session):
+    import pytest
+    from kgx.ops.joins import hash_equijoin
+    left, right = _join_sides()
+    with pytest.raises(ValueError, match="salting"):
+        hash_equijoin(left, right, left_on="k", right_on="rk",
+                      how="outer", hot_keys=[1])
+
+
+def test_hash_equijoin_property_vs_pandas(ray_session):
+    import pandas as pd
+    import pyarrow as pa
+    import random
+    import ray.data as rd
+    from kgx.ops.joins import hash_equijoin
+    rng = random.Random(21)
+    for how in ("inner", "left", "outer"):
+        for trial in range(3):
+            lk = [rng.randint(0, 6) for _ in range(rng.randint(0, 25))]
+            rk = [rng.randint(0, 6) for _ in range(rng.randint(0, 25))]
+            left = pd.DataFrame({"k": lk, "lv": range(len(lk))})
+            right = pd.DataFrame({"rk": rk, "rv": range(len(rk))})
+            want = left.merge(right, left_on="k", right_on="rk",
+                              how=("outer" if how == "outer" else how))
+            if how == "outer":
+                want["k"] = want["k"].fillna(want["rk"])
+            want = want.drop(columns=["rk"])
+            lds = rd.from_arrow(pa.table({
+                "k": pa.array(lk, pa.int64()),
+                "lv": pa.array(range(len(lk)), pa.int64())}))
+            rds = rd.from_arrow(pa.table({
+                "rk": pa.array(rk, pa.int64()),
+                "rv": pa.array(range(len(rk)), pa.int64())}))
+            got = hash_equijoin(lds, rds, left_on="k", right_on="rk",
+                                how=how).to_pandas()
+            canon = lambda df: sorted(
+                tuple("NA" if pd.isna(v) else int(v) for v in r)
+                for r in df[["k", "lv", "rv"]].itertuples(index=False))
+            assert canon(got) == canon(want), (how, lk, rk)
