@@ -105,6 +105,48 @@ def cmd_synth(args) -> int:
     return 0
 
 
+def cmd_lineage(args) -> int:
+    """Print the KG dir's per-stage lineage + manifest summary as JSON
+    (pure metadata read — no Ray session needed)."""
+    import glob
+    import os
+
+    import pyarrow.parquet as pq
+
+    out: dict = {"stages": {}, "shards": {}}
+
+    def stage_summary(root: str) -> dict:
+        stages = {}
+        for mpath in sorted(glob.glob(os.path.join(root, "*",
+                                                   "_MANIFEST.json"))):
+            with open(mpath) as f:
+                m = json.load(f)
+            stages[m["stage"]] = {
+                "rows_out": m.get("rows_out"),
+                "wall_s": m.get("wall_s"),
+                "n_files": len(m.get("files", [])),
+                "bytes": sum(rec["bytes"] for rec in m.get("files", [])),
+                "finished_at": m.get("finished_at"),
+            }
+        return stages
+
+    out["stages"] = stage_summary(args.out)
+    for sdir in sorted(glob.glob(os.path.join(args.out, "shards", "*"))):
+        out["shards"][os.path.basename(sdir)] = stage_summary(sdir)
+    lineage = {}
+    for lf in sorted(glob.glob(os.path.join(args.out, "lineage",
+                                            "*.parquet"))):
+        t = pq.read_table(lf)
+        lineage[os.path.basename(lf)[:-8]] = {
+            "partitions": t.num_rows,
+            "rows": sum(t["rows"].to_pylist()),
+            "bytes": sum(t["bytes"].to_pylist()),
+        }
+    out["lineage"] = lineage
+    print(json.dumps(out, indent=1, sort_keys=True))
+    return 0
+
+
 def cmd_curate(args) -> int:
     """Write the curated-corpus packing manifest (kgx/pipelines/curate.py)
     as sharded Parquet."""
@@ -165,6 +207,10 @@ def main(argv=None) -> int:
     ps.add_argument("--filler-scale", type=int, default=1)
     ps.add_argument("--num-cpus", type=int, default=None)
     ps.set_defaults(fn=cmd_synth)
+
+    pl = sub.add_parser("lineage")
+    pl.add_argument("--out", required=True, help="KG pipeline output dir")
+    pl.set_defaults(fn=cmd_lineage)
 
     pc_ = sub.add_parser("curate")
     pc_.add_argument("--sf-dir", required=True,
