@@ -1117,6 +1117,16 @@ def _q_events_retention(sf_dir: str):
     return cohort_retention(ev)
 
 
+def _q_events_zscore(sf_dir: str):
+    """Per-type z-score anomaly flags: one moment-partial pass, broadcast
+    (mean, std) map, map-side verdict (kgx/ops/window.py:zscore_flags)."""
+    import ray.data as rd
+    from kgx.ops.window import zscore_flags
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_id", "event_type", "value"])
+    return zscore_flags(ev)
+
+
 def _q_events_funnel(sf_dir: str):
     """Min-chain funnel view -> click -> purchase per user: non-step
     events die map-side, one narrow groupby(user) shuffle, numpy chain
@@ -1457,6 +1467,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_funnel": _q_events_funnel,
         "events_histogram": _q_events_histogram,
         "events_retention": _q_events_retention,
+        "events_zscore": _q_events_zscore,
         # multimodal plumbing
         "multimodal_stats": _q_multimodal_stats,
         "multimodal_decode": _q_multimodal_decode,
@@ -2147,6 +2158,30 @@ def oracle_sql() -> dict[str, str]:
                      AS cum_value_cents
             FROM events
             WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        """,
+        # population variance via n*E[x^2]-E[x]^2; mean/std rounded 6dp
+        # BEFORE z like the Ray side, z rounded 6dp then 1e-6 int units
+        "events_zscore": """
+            WITH v AS (
+              SELECT event_id, event_type, value FROM events
+              WHERE value IS NOT NULL AND NOT isnan(value)),
+            m AS (
+              SELECT event_type,
+                     round(avg(value), 6) AS mean,
+                     round(sqrt(greatest(
+                       avg(value * value) - avg(value) * avg(value),
+                       0.0)), 6) AS std
+              FROM v GROUP BY event_type),
+            z AS (
+              SELECT v.event_id, v.event_type, v.value,
+                     round((v.value - m.mean)
+                           / (CASE WHEN m.std > 0 THEN m.std ELSE 1 END),
+                           6) AS zz
+              FROM v JOIN m USING (event_type))
+            SELECT event_id, event_type, value,
+                   CAST(round(zz * 1000000, 0) AS BIGINT) AS z_units,
+                   abs(zz) > 3.0 AS is_anomaly
+            FROM z
         """,
         "events_retention": """
             WITH ud AS (

@@ -223,3 +223,76 @@ def cohort_retention(events_ds, *, user_col: str = "user_id",
             .map_batches(partial_count, batch_format="pyarrow")
             .groupby(["cohort_day", "day_offset"]).aggregate(Sum("one_sum"))
             .map_batches(finish, batch_format="pyarrow"))
+
+
+def zscore_flags(events_ds, *, value_col: str = "value",
+                 key_col: str = "event_type", z_cut: float = 3.0):
+    """Per-key anomaly screen: flag events whose value is more than
+    ``z_cut`` sample standard deviations from their key's mean.
+
+    Scale shape: ONE streamed pass computes per-key moment partials
+    (n, sum, sum-of-squares) in-batch — one narrow row per key per block
+    — a tiny groupby folds them, the per-key (mean, std) map broadcasts,
+    and the verdict is a second map-side pass.  Moments are exact IEEE
+    double sums of the raw float64 values folded in batch-then-key
+    order; mean/std round to 6 dp before the comparison so the SQL
+    oracle (population variance via n*sumsq - sum^2) agrees at the
+    boundary.  Output: (event_id, event_type, value, z_units =
+    z-score in 1e-6 units as int64, is_anomaly).
+    """
+    import ray
+    from ray.data.aggregate import Count, Sum
+
+    import numpy as np
+
+    def _clean(batch: pa.Table) -> pa.Table:
+        # null/NaN values carry no signal and would poison the moment
+        # sums; drop them (the SQL oracle applies the same WHERE)
+        v = batch[value_col]
+        return batch.filter(pc.and_(pc.is_valid(v),
+                                    pc.invert(pc.is_nan(v))))
+
+    def partial(batch: pa.Table) -> pa.Table:
+        batch = _clean(batch)
+        v = batch[value_col].to_numpy(zero_copy_only=False)
+        t = pa.table({
+            "key": batch[key_col],
+            "s1": pa.array(v, pa.float64()),
+            "s2": pa.array(v * v, pa.float64()),
+            "n": pa.array([1] * len(v), pa.int64()),
+        })
+        return t.group_by(["key"]).aggregate(
+            [("s1", "sum"), ("s2", "sum"), ("n", "sum")])
+
+    from kgx.functions.collect import collect_arrow
+    agg = collect_arrow(
+        events_ds.map_batches(partial, batch_format="pyarrow")
+                 .groupby("key").aggregate(Sum("s1_sum"), Sum("s2_sum"),
+                                           Sum("n_sum")))
+    stats = {}
+    for r in agg.to_pylist():
+        n = r["sum(n_sum)"]
+        mean = r["sum(s1_sum)"] / n
+        var = max(r["sum(s2_sum)"] / n - mean * mean, 0.0)
+        stats[r["key"]] = (round(mean, 6), round(var ** 0.5, 6))
+    sref = ray.put(stats)
+
+    def verdict(batch: pa.Table, _sref=sref) -> pa.Table:
+        st = ray.get(_sref)
+        batch = _clean(batch)
+        keys = batch[key_col].to_pylist()
+        v = batch[value_col].to_numpy(zero_copy_only=False)
+        mean = np.asarray([st[k][0] for k in keys])
+        std = np.asarray([st[k][1] for k in keys])
+        safe = np.where(std > 0, std, 1.0)
+        z = np.round((v - mean) / safe, 6)
+        z_units = np.round(z * 1e6).astype(np.int64)
+        return pa.table({
+            "event_id": batch["event_id"],
+            "event_type": batch[key_col],
+            "value": batch[value_col],
+            "z_units": pa.array(z_units, pa.int64()),
+            "is_anomaly": pa.array(np.abs(z) > z_cut, pa.bool_()),
+        })
+
+    return events_ds.map_batches(verdict, batch_format="pyarrow")

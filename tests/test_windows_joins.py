@@ -342,3 +342,30 @@ def test_hash_equijoin_property_vs_pandas(ray_session):
                 tuple("NA" if pd.isna(v) else int(v) for v in r)
                 for r in df[["k", "lv", "rv"]].itertuples(index=False))
             assert canon(got) == canon(want), (how, lk, rk)
+
+
+def test_zscore_flags_planted_outlier(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+    from kgx.ops.window import zscore_flags
+    vals = [10.0] * 50 + [10.5] * 50 + [999.0]      # one wild outlier
+    types = ["a"] * 101
+    tbl = pa.table({
+        "event_id": pa.array(range(101), pa.int64()),
+        "event_type": pa.array(types, pa.string()),
+        "value": pa.array(vals, pa.float64()),
+    })
+    out = zscore_flags(rd.from_arrow(tbl)).to_pandas() \
+        .set_index("event_id")
+    assert bool(out.loc[100, "is_anomaly"])
+    assert not out.loc[:99, "is_anomaly"].any()
+    # nulls/NaNs are dropped, zero-variance keys never flag
+    tbl2 = pa.table({
+        "event_id": pa.array([0, 1, 2], pa.int64()),
+        "event_type": pa.array(["b"] * 3, pa.string()),
+        "value": pa.array([5.0, 5.0, None], pa.float64()),
+    })
+    out2 = zscore_flags(rd.from_arrow(tbl2)).to_pandas()
+    assert len(out2) == 2 and not out2["is_anomaly"].any()
+    assert (out2["z_units"] == 0).all()
