@@ -99,3 +99,21 @@ def test_update_pipeline_cross_shard_dedup(ray_session, tmp_path_factory):
     got = pq.read_table(p["nodes"])
     want = pq.read_table(ref["nodes"])
     assert got.to_pylist() == want.to_pylist()
+
+
+def test_shard_actor_death_fails_loudly_not_silently(ray_session):
+    """A dead shard must raise, never silently report 'unseen' (which
+    would let duplicates back in).  Default max_restarts=0 means the
+    RayActorError surfaces to the caller — correctness by loud failure;
+    persistence (save/load) is the recovery path."""
+    import pytest
+    import ray
+    from ray.exceptions import RayActorError
+
+    idx = FingerprintIndex(n_shards=2)
+    idx.ingest_texts(_docs(["some known text"]))
+    ray.kill(idx.shards[0])
+    ray.kill(idx.shards[1])
+    with pytest.raises((RayActorError, Exception)):
+        fps = [idx.fingerprint("some known text")]
+        idx._call("contains", fps)
