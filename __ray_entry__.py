@@ -628,6 +628,17 @@ def _q_kg_khop(sf_dir: str):
     return khop_neighborhood(kg_tables(sf_dir)["edges"], hops=2)
 
 
+def _q_kg_lift(sf_dir: str):
+    """Term-pair co-occurrence LIFT in integer 1e-6 units over the
+    documents corpus (kgx/ops/vocab.py:cooccurrence_lift) — the
+    association weighting for co-occurrence KG edges."""
+    import ray.data as rd
+    from kgx.ops.vocab import cooccurrence_lift
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text"])
+    return cooccurrence_lift(docs)
+
+
 def _q_kg_neighbor_jaccard(sf_dir: str):
     """Entity-linking candidates: open-neighborhood Jaccard per vertex
     pair via the streamed wedge-join (kgx/ops/graph.py:
@@ -1392,6 +1403,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_kcore": _q_kg_kcore,
         "kg_neighbor_jaccard": _q_kg_neighbor_jaccard,
         "kg_khop": _q_kg_khop,
+        "kg_lift": _q_kg_lift,
         # text analysis
         "text_tokens": _q_text_tokens,
         "text_quality": _q_text_quality,
@@ -1898,6 +1910,28 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY v.name
         """,
         "kg_kcore": _kcore_oracle(k=_KCORE_K, rounds=_KCORE_ROUNDS),
+        # lift_units = (c_ab * N * 1e6) // (c_a * c_b), integer floor-div
+        "kg_lift": f"""
+            WITH dt AS (
+              SELECT doc_id,
+                     unnest(list_distinct(regexp_extract_all(
+                       lower(text), '{_TERM_RE}'))) AS term
+              FROM documents),
+            n AS (SELECT count(*) AS nd FROM documents),
+            df AS (SELECT term, count(*) AS c FROM dt GROUP BY term),
+            pairs AS (
+              SELECT a.term AS term_a, b.term AS term_b,
+                     count(*) AS n_both
+              FROM dt a JOIN dt b
+                ON a.doc_id = b.doc_id AND a.term < b.term
+              GROUP BY 1, 2)
+            SELECT p.term_a, p.term_b,
+                   CAST(p.n_both AS BIGINT) AS n_both,
+                   (p.n_both * (SELECT nd FROM n) * 1000000)
+                     // (da.c * db.c) AS lift_units
+            FROM pairs p JOIN df da ON da.term = p.term_a
+                         JOIN df db ON db.term = p.term_b
+        """,
         # BFS distance = min hop over the unioned frontier expansions
         "kg_khop": f"""
             WITH dt AS (

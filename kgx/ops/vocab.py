@@ -214,3 +214,72 @@ def unigram_logprob(docs_ds):
         })
 
     return docs_ds.map_batches(score, batch_format="pyarrow")
+
+
+def cooccurrence_lift(docs_ds, *, min_units: int = 0):
+    """Term-pair association strength by LIFT — the linear-space PMI:
+    ``lift = P(a,b) / (P(a) P(b))`` over document co-occurrence, in
+    integer 1e-6 units (``lift_units = (c_ab * n_docs * 10^6) //
+    (c_a * c_b)``) so the distributed fold hash-matches the SQL oracle
+    exactly (a log-space PMI could not).  Lift > 1e6 means the pair
+    co-occurs more than independence predicts — the association signal
+    that weights co-occurrence KG edges.
+
+    Scale shape: per batch, each document emits its distinct-term pairs
+    ONCE (triu over the sorted in-document term set) pre-counted per
+    batch, so the (a, b, partial-count) shuffle carries batch-distinct
+    pairs, never occurrences; per-term document frequencies ride the
+    same broadcast as ``document_frequencies``.  Hub caveat: a document
+    with T distinct terms emits C(T, 2) pairs — cap or shingle documents
+    beyond ~10^3 distinct terms (the KG extractor's 64-term cap upstream
+    already bounds this in the KG path).
+
+    Output: (term_a < term_b, n_both, lift_units) for pairs with
+    lift_units >= ``min_units``.  RANGE ASSUMPTION: ``n_both * n_docs *
+    10^6`` must fit int64 — beyond ~10^6 co-occurrences x 10^6 docs,
+    drop the units scale or move to Python ints in the final map.
+    """
+    from itertools import combinations
+
+    from ray.data.aggregate import Sum
+
+    def pair_partials(batch: pa.Table) -> pa.Table:
+        cnt: Counter = Counter()
+        for text in batch["text"].to_pylist():
+            terms = sorted(set(_TERM.findall((text or "").lower())))
+            cnt.update(combinations(terms, 2))
+        if not cnt:
+            return pa.table({"term_a": pa.array([], pa.string()),
+                             "term_b": pa.array([], pa.string()),
+                             "n": pa.array([], pa.int64())})
+        pairs = list(cnt.keys())
+        return pa.table({
+            "term_a": pa.array([p[0] for p in pairs], pa.string()),
+            "term_b": pa.array([p[1] for p in pairs], pa.string()),
+            "n": pa.array(list(cnt.values()), pa.int64()),
+        })
+
+    n_docs, df_ref = document_frequencies(docs_ds)
+    both = (docs_ds.map_batches(pair_partials, batch_format="pyarrow")
+            .groupby(["term_a", "term_b"]).aggregate(Sum("n")))
+
+    def lift(batch: pa.Table, _dref=df_ref) -> pa.Table:
+        df = ray.get(_dref)
+        a = batch["term_a"].to_pylist()
+        b = batch["term_b"].to_pylist()
+        nb = batch["sum(n)"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ca = np.asarray([df[t] for t in a], dtype=np.int64)
+        cb = np.asarray([df[t] for t in b], dtype=np.int64)
+        units = (nb * n_docs * 1_000_000) // (ca * cb)
+        keep = units >= min_units
+        idx = pa.array(np.flatnonzero(keep), pa.int64())
+        return pa.table({
+            "term_a": pa.chunked_array([batch["term_a"]]).combine_chunks()
+                        .take(idx),
+            "term_b": pa.chunked_array([batch["term_b"]]).combine_chunks()
+                        .take(idx),
+            "n_both": pa.array(nb[keep], pa.int64()),
+            "lift_units": pa.array(units[keep], pa.int64()),
+        })
+
+    return both.map_batches(lift, batch_format="pyarrow")

@@ -72,3 +72,31 @@ def test_tfidf_k_cut_and_empty_docs(ray_session):
     ]), k=3).to_pandas()
     assert set(out["doc_id"]) == {0}
     assert len(out) == 3
+
+
+def test_cooccurrence_lift_bruteforce(ray_session):
+    import itertools
+    import re
+    from collections import Counter
+    import pyarrow as pa
+    import ray.data as rd
+    from kgx.ops.vocab import cooccurrence_lift
+    texts = ["alpha beta gamma", "alpha beta", "alpha delta words here",
+             "beta gamma", "unrelated content entirely", "alpha beta gamma"]
+    tbl = pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()),
+                    "text": pa.array(texts, pa.string())})
+    out = cooccurrence_lift(rd.from_arrow(tbl)).to_pandas()
+    term = re.compile(r"\b[a-z]{4,}\b")
+    sets = [set(term.findall(t.lower())) for t in texts]
+    df = Counter(t for s in sets for t in s)
+    both = Counter()
+    for s in sets:
+        both.update(itertools.combinations(sorted(s), 2))
+    got = {(r["term_a"], r["term_b"]): (r["n_both"], r["lift_units"])
+           for _, r in out.iterrows()}
+    want = {p: (c, (c * len(texts) * 1_000_000) // (df[p[0]] * df[p[1]]))
+            for p, c in both.items()}
+    assert got == want
+    # alpha+beta co-occur 3/6 docs vs df 4*4 -> lift > 1.0 for none here;
+    # sanity: lift for (beta, gamma) = 3*6e6 // (4*3) = 1.5e6 > 1e6
+    assert got[("beta", "gamma")][1] == 1_500_000
