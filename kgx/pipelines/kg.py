@@ -57,6 +57,10 @@ class KGConfig:
     # keeping the smallest url — Common-Crawl corpora are rife with exact
     # re-crawls and mirrors.  SEMANTIC knob (changes provenance counts).
     dedup_pages: bool = False
+    # Keep only each url's NEWEST snapshot by warc_ts before anything
+    # else (kgx/sources/pages.py:latest_crawl_per_url) — the recrawl-side
+    # complement of dedup_pages.  SEMANTIC knob.
+    dedup_recrawls: bool = False
     # Optional near-duplicate entity merge after exact canonicalization
     # (MinHash-LSH over name shingles; the scalable analog of the
     # reference's 0.85-cosine greedy resolver).  None disables; a value is
@@ -347,8 +351,14 @@ def _build_extraction(pages_path: str, dest_dir: str, cfg: "KGConfig",
         if pages_ds_factory is not None:
             ds = pages_ds_factory()
         else:
-            ds = rd.read_parquet(pages_path,
-                                 columns=["url", "html", "text", "lang"])
+            cols = ["url", "html", "text", "lang"]
+            if cfg.dedup_recrawls:
+                cols.insert(1, "warc_ts")
+            ds = rd.read_parquet(pages_path, columns=cols)
+        if cfg.dedup_recrawls and "warc_ts" in [
+                f.name for f in ds.schema().base_schema]:
+            from kgx.sources.pages import latest_crawl_per_url
+            ds = latest_crawl_per_url(ds).drop_columns(["warc_ts"])
         ds = ds.map_batches(extract_text_batch, batch_format="pyarrow")
         if cfg.lang_filter:
             ds = ds.map_batches(

@@ -5,6 +5,8 @@ stage reads the narrow derived tables."""
 
 from __future__ import annotations
 
+import pyarrow as pa
+import pyarrow.compute as pc
 import ray.data as rd
 
 PAGES_COLUMNS = ["url", "warc_ts", "html", "text", "lang"]
@@ -98,3 +100,55 @@ def read_text_dir(directory: str, *, extensions=TEXT_EXTENSIONS):
 
     return rd.read_binary_files(paths, include_paths=True).map_batches(
         to_pages, batch_format="pyarrow")
+
+
+def latest_crawl_per_url(pages_ds):
+    """Recrawl dedup: keep each url's NEWEST snapshot by ``warc_ts`` —
+    the Common-Crawl-side complement of content dedup (the same page
+    fetched across crawls yields many (url, ts) rows; only the latest
+    should feed extraction).
+
+    Narrow-shuffle shape, html bytes never move: one ``groupby(url)``
+    over projected (url, warc_ts) rows finds urls with more than one
+    snapshot and their winning timestamp; that RECRAWLED-URL map —
+    bounded by the recrawl mass, not the corpus — broadcasts via
+    ``ray.put``, and rows drop map-side unless they carry the winner
+    timestamp.  Rows whose url was never recrawled stream through
+    untouched.  Exact (url, ts) duplicate rows both survive here; the
+    content dedup downstream collapses them.
+    """
+    import ray
+
+    from kgx.functions.collect import collect_arrow
+
+    def narrow(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "url": batch["url"],
+            "ts": pc.cast(batch["warc_ts"], pa.int64()),
+        })
+
+    def winner(group: pa.Table) -> pa.Table:
+        ts = group["ts"].to_pylist()
+        hi = max(ts)
+        if all(t == hi for t in ts):           # never recrawled
+            return pa.table({"url": pa.array([], pa.string()),
+                             "ts": pa.array([], pa.int64())})
+        return pa.table({"url": group["url"].slice(0, 1),
+                         "ts": pa.array([hi], pa.int64())})
+
+    recrawled = collect_arrow(
+        pages_ds.map_batches(narrow, batch_format="pyarrow")
+                .groupby("url").map_groups(winner, batch_format="pyarrow"))
+    win_map = dict(zip(recrawled["url"].to_pylist(),
+                       recrawled["ts"].to_pylist()))
+    wref = ray.put(win_map)
+
+    def keep_latest(batch: pa.Table, _wref=wref) -> pa.Table:
+        wm = ray.get(_wref)
+        urls = batch["url"].to_pylist()
+        ts = pc.cast(batch["warc_ts"], pa.int64()).to_pylist()
+        mask = pa.array([wm.get(u, t) == t for u, t in zip(urls, ts)],
+                        pa.bool_())
+        return batch.filter(mask)
+
+    return pages_ds.map_batches(keep_latest, batch_format="pyarrow")

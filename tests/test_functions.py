@@ -128,3 +128,25 @@ class TestHtmlText:
     def test_idempotent_across_runs(self):
         html = ("<html><body>" + "<p>p&aacute;ra</p>" * 50 + "</body></html>").encode()
         assert extract_text(html) == extract_text(html)
+
+
+def test_latest_crawl_per_url(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+    from kgx.sources.pages import latest_crawl_per_url
+    US = 1_000_000
+    rows = [("u1", 100), ("u1", 300), ("u1", 200),   # recrawled -> keep 300
+            ("u2", 50),                               # single snapshot
+            ("u3", 70), ("u3", 70)]                   # exact-tie duplicates
+    tbl = pa.table({
+        "url": pa.array([r[0] for r in rows], pa.string()),
+        "warc_ts": pa.array([r[1] * US for r in rows], pa.timestamp("us")),
+        "html": pa.array([f"<p>{i}</p>".encode() for i in range(len(rows))],
+                         pa.binary()),
+        "text": pa.array([None] * len(rows), pa.string()),
+        "lang": pa.array(["en"] * len(rows), pa.string()),
+    })
+    out = latest_crawl_per_url(rd.from_arrow(tbl)).to_pandas()
+    got = sorted((r["url"], int(r["warc_ts"].timestamp()))
+                 for _, r in out.iterrows())
+    assert got == [("u1", 300), ("u2", 50), ("u3", 70), ("u3", 70)]

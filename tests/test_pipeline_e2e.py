@@ -373,3 +373,35 @@ class TestIncrementalUpdate:
         empty = str(tmp_path_factory.mktemp("nobase"))
         with pytest.raises(FileNotFoundError):
             update_pipeline(split_corpus["b"], empty, KGConfig())
+
+
+def test_dedup_recrawls_config_keeps_newest(tmp_path_factory, ray_session):
+    """Recrawled urls feed only their newest snapshot into extraction."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq2
+    from kgx.pipelines.kg import KGConfig, run_pipeline
+    US = 1_000_000
+    root = tmp_path_factory.mktemp("recrawl")
+    old_html = b"<p>Acme Corporation was founded by Jane Smith.</p>"
+    new_html = b"<p>Acme Corporation acquired Globex Industries.</p>"
+    tbl = pa.table({
+        "url": pa.array(["https://a.example/x", "https://a.example/x",
+                         "https://b.example/y"], pa.string()),
+        "warc_ts": pa.array([100 * US, 200 * US, 50 * US],
+                            pa.timestamp("us")),
+        "html": pa.array([old_html, new_html,
+                          b"<p>Unrelated page text here.</p>"],
+                         pa.binary()),
+        "text": pa.array([None, None, None], pa.string()),
+        "lang": pa.array(["en", "en", "en"], pa.string()),
+    })
+    pages = str(root / "pages")
+    os.makedirs(pages)
+    pq2.write_table(tbl, f"{pages}/part-0.parquet")
+    out = str(root / "kg")
+    paths = run_pipeline(pages, out, KGConfig(dedup_recrawls=True))
+    texts = pq2.read_table(paths["texts"])
+    by_url = dict(zip(texts["url"].to_pylist(), texts["text"].to_pylist()))
+    assert len(texts) == 2
+    assert "acquired" in by_url["https://a.example/x"]
+    assert "founded" not in by_url["https://a.example/x"]
