@@ -80,16 +80,20 @@ def cmd_export(args) -> int:
 
 
 def cmd_query(args) -> int:
-    from kgx.pipelines.query import answer_question
-    from kgx.stages.community import detect_communities
-    from kgx.stages.summarize import summarize_hierarchy
+    from kgx.pipelines.query import answer_question, local_search
     from kgx.state.graph_io import load_graph_json
     tables = load_graph_json(f"{args.graph}/knowledge_graph.json")
-    hier = detect_communities(tables["nodes"], tables["edges"])
-    summaries = summarize_hierarchy(hier, tables["nodes"], tables["edges"],
-                                    tables["claims"])
-    ans = answer_question(args.question, summaries, level=args.level,
-                          k=args.k)
+    if args.mode == "local":
+        ans = local_search(args.question, tables["nodes"],
+                           tables["edges"], tables["claims"])
+    else:
+        from kgx.stages.community import detect_communities
+        from kgx.stages.summarize import summarize_hierarchy
+        hier = detect_communities(tables["nodes"], tables["edges"])
+        summaries = summarize_hierarchy(hier, tables["nodes"],
+                                        tables["edges"], tables["claims"])
+        ans = answer_question(args.question, summaries, level=args.level,
+                              k=args.k)
     print(json.dumps(ans, indent=2))
     return 0
 
@@ -198,6 +202,10 @@ def main(argv=None) -> int:
     pq_.add_argument("--question", required=True)
     pq_.add_argument("--level", type=int, default=0)
     pq_.add_argument("--k", type=int, default=10)
+    pq_.add_argument("--mode", default="global",
+                     choices=["global", "local"],
+                     help="global = community-summary map-reduce; "
+                          "local = entity-centric subgraph expansion")
     pq_.set_defaults(fn=cmd_query)
 
     ps = sub.add_parser("synth")

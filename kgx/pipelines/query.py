@@ -116,3 +116,86 @@ def answer_question(question: str, summaries: dict[str, dict], *,
     mapped = [map_community_answer(question, cid, summaries[cid])
               for cid, _score in ranked]
     return reduce_answers(question, mapped, summaries)
+
+
+def seed_entities(question: str, nodes) -> list[str]:
+    """Entity ids whose name or alias shares a term with the question,
+    ranked (lexical cosine desc, entity_id asc).  Deterministic stand-in
+    for the embedding entity matcher of GraphRAG-style local search."""
+    q = _terms(question)
+    scored = []
+    for r in nodes.to_pylist():
+        names = " ".join([r["name"]] + list(r.get("aliases") or []))
+        ts = _terms(names)
+        if q & ts:
+            scored.append((r["entity_id"],
+                           len(q & ts) / math.sqrt(len(q) * len(ts))))
+    scored.sort(key=lambda t: (-t[1], t[0]))
+    return [eid for eid, _ in scored]
+
+
+def local_search(question: str, nodes, edges, claims, *, hops: int = 2,
+                 max_seeds: int = 5, k_edges: int = 10,
+                 k_claims: int = 10) -> dict:
+    """Entity-centric LOCAL search — the counterpart of the global
+    community-summary path (``answer_question``): seed entities matched
+    from the question expand ``hops`` steps through the canonical edge
+    table; the answer context is the subgraph's entity descriptions,
+    its strongest relationships, and the claims grounded in it.
+
+    Placement note: this runs DRIVER-SIDE over the canonical tables —
+    the same placement as the reference's query stage (the canonical KG
+    is the small output of the distributed build; the distributed
+    k-hop over raw edge streams is kgx.ops.graph.khop_neighborhood).
+    Deterministic: seed ranking, BFS order and context ranking all
+    tie-break on ids.
+    """
+    adj: dict[str, set] = {}
+    for r in edges.to_pylist():
+        adj.setdefault(r["subj_id"], set()).add(r["obj_id"])
+        adj.setdefault(r["obj_id"], set()).add(r["subj_id"])
+
+    seeds = seed_entities(question, nodes)[:max_seeds]
+    dist = {s: 0 for s in seeds}
+    frontier = list(seeds)
+    for h in range(1, hops + 1):
+        nxt = sorted({n for f in frontier for n in adj.get(f, ())}
+                     - dist.keys())
+        for n in nxt:
+            dist[n] = h
+        frontier = nxt
+        if not frontier:
+            break
+
+    in_sub = dist.keys()
+    sub_nodes = [r for r in nodes.to_pylist() if r["entity_id"] in in_sub]
+    sub_edges = [r for r in edges.to_pylist()
+                 if r["subj_id"] in in_sub and r["obj_id"] in in_sub]
+    sub_edges.sort(key=lambda r: (-r["strength"], r["edge_id"]))
+    sub_claims = [r for r in claims.to_pylist()
+                  if any(e in in_sub for e in (r["entity_ids"] or []))]
+    sub_claims.sort(key=lambda r: (-len(set(r["entity_ids"] or [])
+                                        & in_sub), r["claim_id"]))
+
+    name_of = {r["entity_id"]: r["name"] for r in sub_nodes}
+    answer_bits = []
+    for r in sub_edges[:k_edges]:
+        answer_bits.append(f"{r['subj_name']} {r['pred']} {r['obj_name']}")
+    return {
+        "question": question,
+        "mode": "local",
+        "seed_entities": [name_of.get(s, s) for s in seeds],
+        "entities": [
+            {"name": r["name"], "type": r["type"], "hop": dist[r["entity_id"]],
+             "description": r["description"]}
+            for r in sorted(sub_nodes,
+                            key=lambda r: (dist[r["entity_id"]],
+                                           r["entity_id"]))],
+        "relationships": [
+            {"subj": r["subj_name"], "pred": r["pred"],
+             "obj": r["obj_name"], "strength": r["strength"]}
+            for r in sub_edges[:k_edges]],
+        "claims": [r["content"] for r in sub_claims[:k_claims]],
+        "answer": ("; ".join(answer_bits)
+                   if answer_bits else "No grounded facts found."),
+    }

@@ -218,3 +218,40 @@ class TestGraphIO:
         assert "subj_name" in rels.columns and "obj_name" in rels.columns
         assert len(ents) == graph_tables["nodes"].num_rows
         assert "entity_names" in claims.columns
+
+
+class TestLocalSearch:
+    def test_local_search_grounds_answer_in_subgraph(self, graph_tables):
+        from kgx.pipelines.query import local_search
+        out = local_search("Who founded Acme Corporation?",
+                           graph_tables["nodes"], graph_tables["edges"],
+                           graph_tables["claims"])
+        assert out["mode"] == "local"
+        assert any("acme" in e["name"].lower() for e in out["entities"])
+        assert out["relationships"], "seeded subgraph should have edges"
+        # every relationship endpoint is inside the expanded subgraph
+        names = {e["name"] for e in out["entities"]}
+        for r in out["relationships"]:
+            assert r["subj"] in names and r["obj"] in names
+        # hop 0 seeds come first, distances monotone in listing
+        hops = [e["hop"] for e in out["entities"]]
+        assert hops == sorted(hops)
+        assert "acme" in out["answer"].lower()
+
+    def test_local_search_no_match(self, graph_tables):
+        from kgx.pipelines.query import local_search
+        out = local_search("zzqy nonexistent gibberish",
+                           graph_tables["nodes"], graph_tables["edges"],
+                           graph_tables["claims"])
+        assert out["entities"] == [] and out["relationships"] == []
+        assert out["answer"] == "No grounded facts found."
+
+    def test_local_search_deterministic(self, graph_tables):
+        from kgx.pipelines.query import local_search
+        a = local_search("What does Globex Industries do?",
+                         graph_tables["nodes"], graph_tables["edges"],
+                         graph_tables["claims"])
+        b = local_search("What does Globex Industries do?",
+                         graph_tables["nodes"], graph_tables["edges"],
+                         graph_tables["claims"])
+        assert a == b
