@@ -1715,6 +1715,9 @@ def oracle_sql() -> dict[str, str]:
             JOIN sz sb ON sb.doc_id = db
             WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.8
         """,
+        # NOTE: this ORACLE (not the Ray operator) is quadratic in the
+        # per-term doc lists — fine at the driver's sf0.01 gate, ~hours
+        # in DuckDB at sf0.1+; the Ray side stays banded/linear.
         "dedup_components": f"""
             WITH dt AS (
               SELECT doc_id,
