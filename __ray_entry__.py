@@ -1128,6 +1128,18 @@ def _q_events_retention(sf_dir: str):
     return cohort_retention(ev)
 
 
+def _q_events_stream(sf_dir: str):
+    """Watermarked STREAMING tumbling windows driven over time-ordered
+    arrival (kgx/ops/streaming.py) — bounded state, watermark eviction;
+    equals the distributed batch aggregate when nothing violates the
+    lateness bound, so the oracle is the events_window SQL."""
+    from kgx.ops.streaming import stream_tumbling
+    import ray.data as rd
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["ts", "event_type", "value"])
+    return stream_tumbling(ev, width_s=3600)
+
+
 def _q_events_zscore(sf_dir: str):
     """Per-type z-score anomaly flags: one moment-partial pass, broadcast
     (mean, std) map, map-side verdict (kgx/ops/window.py:zscore_flags)."""
@@ -1480,6 +1492,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_histogram": _q_events_histogram,
         "events_retention": _q_events_retention,
         "events_zscore": _q_events_zscore,
+        "events_stream": _q_events_stream,
         # multimodal plumbing
         "multimodal_stats": _q_multimodal_stats,
         "multimodal_decode": _q_multimodal_decode,
@@ -2051,6 +2064,16 @@ def oracle_sql() -> dict[str, str]:
                    CAST(round(score * 1000000) AS BIGINT) AS tfidf_ppm,
                    CAST(rk AS BIGINT) AS "rank"
             FROM r WHERE rk <= 5
+        """,
+        "events_stream": """
+            SELECT make_timestamp((epoch_us(ts) // 3600000000) * 3600000000)
+                     AS window_start,
+                   event_type,
+                   count(*) AS n_events,
+                   round(sum(value), 2) AS sum_value,
+                   min(value) AS min_value,
+                   max(value) AS max_value
+            FROM events GROUP BY 1, 2
         """,
         "events_window": """
             SELECT make_timestamp((epoch_us(ts) // 3600000000) * 3600000000)
