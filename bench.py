@@ -12,7 +12,10 @@ prints ONE JSON line::
 (num_cpus=8 then num_cpus=32) on the same input and reports both
 throughputs plus scaling efficiency = (thr32/thr8)/4 — the sandbox
 evidence for the north_rule's N->4N cluster criterion (no real multi-node
-cluster here).  After the round-2 hot-path vectorization (extractor
+cluster here).  ``--llm`` measures the production LLM-extraction path
+(real LLMExtractor actor pool, deterministic fixed-latency fake
+transport) at per-actor fan-out 1 vs 8 — the latency-bound regime a real
+model server imposes.  After the round-2 hot-path vectorization (extractor
 two-level trigger screen, per-kind row accumulators, inlined chunker)
 the measured 8->32 efficiency clears the 0.8 bar on this box; numbers
 and methodology in BASELINE.md.

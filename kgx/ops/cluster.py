@@ -160,11 +160,12 @@ def semantic_dedup(emb_ds, *, k: int = 10, iters: int = 3,
         Mn = M / norms
         S = np.round(Mn @ Mn.T, 6)
         n = len(ids)
-        dup_of = np.full(n, -1, dtype=np.int64)
-        for j in range(1, n):                        # earlier = lower id
-            hits = np.flatnonzero(S[j, :j] >= threshold)
-            if hits.size:
-                dup_of[j] = ids[hits[0]]             # smallest earlier id
+        # first earlier member (strict lower triangle) at or above the
+        # threshold, fully vectorized: argmax returns the FIRST True
+        hit = np.tril(S >= threshold, -1)
+        has = hit.any(axis=1)
+        first = hit.argmax(axis=1)
+        dup_of = np.where(has, ids[first], -1).astype(np.int64)
         return pa.table({
             "vec_id": pa.array(ids, pa.int64()),
             "cluster": group["cluster"].take(pa.array(order)),
