@@ -1262,6 +1262,14 @@ def _q_rel_regional(sf_dir: str):
     return regional_revenue(sf_dir)
 
 
+def _q_rel_promo(sf_dir: str):
+    """TPC-H Q14-shaped promo revenue share: part dimension broadcast,
+    one streamed lineitem pass, exact integer ppm ratio
+    (kgx/ops/relational.py:promo_revenue)."""
+    from kgx.ops.relational import promo_revenue
+    return promo_revenue(sf_dir)
+
+
 def _q_rel_outerjoin(sf_dir: str):
     """FULL OUTER co-shuffle join: big-spender order counts vs low-
     balance customers — rows survive from either side with nulls on the
@@ -1484,6 +1492,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rel_big_orders": _q_rel_big_orders,
         "rel_regional": _q_rel_regional,
         "rel_outerjoin": _q_rel_outerjoin,
+        "rel_promo": _q_rel_promo,
         "rel_pivot": _q_rel_pivot,
         "events_quantile": _q_events_quantile,
         "events_quantile_by_type": _q_events_quantile_by_type,
@@ -2351,6 +2360,28 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(CASE WHEN o_orderpriority = '5-LOW'
                                  THEN 1 ELSE 0 END) AS BIGINT) AS n_low
             FROM orders GROUP BY o_orderstatus
+        """,
+        "rel_promo": """
+            WITH l AS (
+              SELECT l_partkey,
+                     CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+                     * (100 - CAST(floor(l_discount * 100 + 0.5)
+                                   AS BIGINT)) AS rev
+              FROM lineitem
+              WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+                AND l_shipdate <  TIMESTAMP '1996-02-01'),
+            s AS (
+              SELECT
+                CAST(coalesce(sum(CASE WHEN p.p_type = 'PROMO'
+                                       THEN l.rev END), 0) AS BIGINT)
+                  AS promo_units,
+                CAST(coalesce(sum(l.rev), 0) AS BIGINT) AS total_units
+              FROM l LEFT JOIN part p ON p.p_partkey = l.l_partkey)
+            SELECT promo_units, total_units,
+                   CASE WHEN total_units = 0 THEN 0
+                        ELSE (promo_units * 1000000) // total_units
+                   END AS promo_ratio_ppm
+            FROM s
         """,
         "rel_outerjoin": """
             WITH l AS (

@@ -692,3 +692,64 @@ def regional_revenue(sf_dir: str, *, region: str = "ASIA",
     return (joined.map_batches(resolve_partial, batch_format="pyarrow")
             .groupby("n_name").aggregate(Sum("rev"))
             .map_batches(finish, batch_format="pyarrow"))
+
+
+def promo_revenue(sf_dir: str, *, date_lo: str = "1996-01-01",
+                  date_hi: str = "1996-02-01"):
+    """TPC-H Q14-shaped promotion-effect ratio: the share of revenue from
+    PROMO-type parts in a shipping window.
+
+    Scale shape: the part dimension broadcasts once as a (partkey ->
+    is-promo) lookup (``ray.put``); lineitem streams through one
+    filter + vectorized index_in pass emitting per-block partial sums;
+    a single-task fold finishes.  Exact integer revenue units
+    (ext_cents x (100 - disc_cents)); ratio in integer ppm.
+    Output: one row (promo_units, total_units, promo_ratio_ppm)."""
+    import pyarrow.parquet as _pq
+
+    lo = np.datetime64(date_lo).astype("datetime64[us]").astype("int64")
+    hi = np.datetime64(date_hi).astype("datetime64[us]").astype("int64")
+
+    part = _pq.read_table(f"{sf_dir}/part.parquet",
+                          columns=["p_partkey", "p_type"])
+    keys = pa.array(part["p_partkey"].to_pylist(), pa.int64())
+    promo = np.asarray(
+        [t == "PROMO" for t in part["p_type"].to_pylist()], dtype=bool)
+    pref = ray.put((keys, promo))
+
+    def partial(batch: pa.Table, _pref=pref) -> pa.Table:
+        ks, pr = ray.get(_pref)
+        ship = pc.cast(batch["l_shipdate"], pa.int64())
+        m = pc.and_(pc.greater_equal(ship, lo), pc.less(ship, hi))
+        b = batch.filter(m)
+        rev = (_cents(b["l_extendedprice"]).to_numpy(zero_copy_only=False)
+               * (100 - _cents(b["l_discount"])
+                  .to_numpy(zero_copy_only=False)))
+        idx = pc.index_in(b["l_partkey"].combine_chunks().cast(pa.int64()),
+                          value_set=ks).to_numpy(zero_copy_only=False) \
+                .astype(np.float64)
+        ok = ~np.isnan(idx)
+        is_promo = np.zeros(len(rev), dtype=bool)
+        is_promo[ok] = pr[idx[ok].astype(np.int64)]
+        return pa.table({
+            "promo": pa.array([int(rev[is_promo].sum())], pa.int64()),
+            "total": pa.array([int(rev.sum())], pa.int64()),
+        })
+
+    def finish(batch: pa.Table) -> pa.Table:
+        p = sum(batch["promo"].to_pylist())
+        t = sum(batch["total"].to_pylist())
+        return pa.table({
+            "promo_units": pa.array([p], pa.int64()),
+            "total_units": pa.array([t], pa.int64()),
+            "promo_ratio_ppm": pa.array(
+                [0 if t == 0 else (p * 1_000_000) // t], pa.int64()),
+        })
+
+    li = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_partkey", "l_shipdate", "l_extendedprice",
+                 "l_discount"])
+    return li.map_batches(partial, batch_format="pyarrow") \
+             .repartition(1).map_batches(finish, batch_format="pyarrow",
+                                         batch_size=None)
