@@ -405,3 +405,31 @@ def test_dedup_recrawls_config_keeps_newest(tmp_path_factory, ray_session):
     assert len(texts) == 2
     assert "acquired" in by_url["https://a.example/x"]
     assert "founded" not in by_url["https://a.example/x"]
+
+
+def test_three_shard_chained_ingest_equals_fromscratch(
+        smoke_corpus, tmp_path_factory, ray_session):
+    """run_pipeline(a) -> update(b) -> update(c) == run_pipeline(a∪b∪c)."""
+    import glob
+    import shutil
+    from kgx.pipelines.kg import update_pipeline
+    files = sorted(glob.glob(f"{smoke_corpus['pages']}/*.parquet"))
+    assert len(files) >= 3
+    root = tmp_path_factory.mktemp("threeway")
+    shards = []
+    thirds = [files[i::3] for i in range(3)]
+    for i, fl in enumerate(thirds):
+        d = str(root / f"s{i}")
+        os.makedirs(d)
+        for f in fl:
+            shutil.copy(f, d)
+        shards.append(d)
+    out = str(root / "kg")
+    run_pipeline(shards[0], out, KGConfig())
+    update_pipeline(shards[1], out, KGConfig())
+    p = update_pipeline(shards[2], out, KGConfig())
+    ref = run_pipeline(smoke_corpus["pages"], str(root / "ref"), KGConfig())
+    for stage in ("nodes", "edges", "claims"):
+        got = pq.read_table(p[stage])
+        want = pq.read_table(ref[stage])
+        assert got.to_pylist() == want.to_pylist(), stage
