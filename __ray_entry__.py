@@ -1128,6 +1128,18 @@ def _q_events_retention(sf_dir: str):
     return cohort_retention(ev)
 
 
+def _q_events_json(sf_dir: str):
+    """Semi-structured extraction: integer field out of the JSON props
+    payload (vectorized polars json_path_match) + exact per-type
+    aggregate incl. distinct values (kgx/ops/sequence.py:
+    json_field_stats)."""
+    import ray.data as rd
+    from kgx.ops.sequence import json_field_stats
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_type", "props"])
+    return json_field_stats(ev)
+
+
 def _q_events_stream(sf_dir: str):
     """Watermarked STREAMING tumbling windows driven over time-ordered
     arrival (kgx/ops/streaming.py) — bounded state, watermark eviction;
@@ -1502,6 +1514,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_retention": _q_events_retention,
         "events_zscore": _q_events_zscore,
         "events_stream": _q_events_stream,
+        "events_json": _q_events_json,
         # multimodal plumbing
         "multimodal_stats": _q_multimodal_stats,
         "multimodal_decode": _q_multimodal_decode,
@@ -2251,6 +2264,21 @@ def oracle_sql() -> dict[str, str]:
                    CAST(round(zz * 1000000, 0) AS BIGINT) AS z_units,
                    abs(zz) > 3.0 AS is_anomaly
             FROM z
+        """,
+        "events_json": """
+            WITH v AS (
+              SELECT event_type,
+                     CAST(json_extract_string(props, '$.k') AS BIGINT)
+                       AS val
+              FROM events
+              WHERE json_extract_string(props, '$.k') IS NOT NULL)
+            SELECT event_type,
+                   CAST(count(*) AS BIGINT) AS n_events,
+                   CAST(sum(val) AS BIGINT) AS sum_val,
+                   CAST(min(val) AS BIGINT) AS min_val,
+                   CAST(max(val) AS BIGINT) AS max_val,
+                   CAST(count(DISTINCT val) AS BIGINT) AS n_distinct_vals
+            FROM v GROUP BY event_type
         """,
         "events_retention": """
             WITH ud AS (

@@ -182,3 +182,56 @@ def funnel_steps(events_ds, *, steps: tuple[str, ...] = ("view", "click",
     return (events_ds.map_batches(prefilter, batch_format="pyarrow")
                      .groupby(key)
                      .map_groups(chain, batch_format="pyarrow"))
+
+
+def json_field_stats(events_ds, *, props_col: str = "props",
+                     field: str = "k", key_col: str = "event_type"):
+    """Semi-structured extraction + aggregate: pull an integer ``field``
+    out of the JSON ``props`` payload (vectorized — polars
+    ``str.json_path_match``, never a per-row json.loads loop) and
+    aggregate per ``key_col``: event count, sum, min/max, distinct
+    values.
+
+    Scale shape: extraction + partial aggregation happen in-batch, so
+    the shuffle carries one row per (key, distinct-tracking chunk) —
+    distinct values per key ride along as in-batch-deduped narrow rows
+    and are counted exactly in the final per-key merge (group size =
+    the key's distinct-value count, bounded by the field's cardinality).
+    Output: (event_type, n_events, sum_val, min_val, max_val,
+    n_distinct_vals).
+    """
+    import polars as pl
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = pl.from_arrow(pa.table({
+            "key": batch[key_col],
+            "props": batch[props_col],
+        }))
+        df = df.with_columns(
+            pl.col("props").str.json_path_match(f"$.{field}")
+              .cast(pl.Int64).alias("val")).drop("props")
+        df = df.filter(pl.col("val").is_not_null())
+        agg = df.group_by(["key", "val"]).agg(pl.len().alias("n"))
+        out = agg.to_arrow()
+        return pa.table({
+            "key": out["key"].cast(pa.string()),
+            "val": out["val"].cast(pa.int64()),
+            "n": out["n"].cast(pa.int64()),
+        })
+
+    def finalize(group: pa.Table) -> pa.Table:
+        vals = group["val"].to_numpy(zero_copy_only=False)
+        ns = group["n"].to_numpy(zero_copy_only=False)
+        # the same (key, val) may arrive from many batches
+        uniq = np.unique(vals)
+        return pa.table({
+            "event_type": group["key"].slice(0, 1),
+            "n_events": pa.array([int(ns.sum())], pa.int64()),
+            "sum_val": pa.array([int((vals * ns).sum())], pa.int64()),
+            "min_val": pa.array([int(vals.min())], pa.int64()),
+            "max_val": pa.array([int(vals.max())], pa.int64()),
+            "n_distinct_vals": pa.array([len(uniq)], pa.int64()),
+        })
+
+    return (events_ds.map_batches(partial, batch_format="pyarrow")
+            .groupby("key").map_groups(finalize, batch_format="pyarrow"))

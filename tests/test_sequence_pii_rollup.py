@@ -322,3 +322,24 @@ def test_funnel_steps_strict_ordering():
     # user 3: view only
     assert out[3]["steps_reached"] == 1
     assert 4 not in out  # users with no view emit nothing
+
+
+def test_json_field_stats_counts_distincts_across_batches(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+    from kgx.ops.sequence import json_field_stats
+    rows = [("a", 1), ("a", 1), ("a", 2), ("b", 7),
+            ("a", 2), ("b", 7), ("b", 9), ("a", None)]
+    tbl = pa.table({
+        "event_type": pa.array([r[0] for r in rows], pa.string()),
+        "props": pa.array(
+            ["{}" if r[1] is None else '{"k": %d}' % r[1] for r in rows],
+            pa.string()),
+    })
+    out = json_field_stats(rd.from_arrow(tbl).repartition(4)).to_pandas() \
+        .set_index("event_type")
+    assert out.loc["a", "n_events"] == 4          # null-field row dropped
+    assert out.loc["a", "n_distinct_vals"] == 2   # {1, 2} across batches
+    assert out.loc["a", "sum_val"] == 6
+    assert out.loc["b", "n_distinct_vals"] == 2
+    assert out.loc["b", "min_val"] == 7 and out.loc["b", "max_val"] == 9
