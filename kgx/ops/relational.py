@@ -525,20 +525,20 @@ def big_orders(sf_dir: str, *, min_qty_c: int = 25000, n: int = 100):
                 }), batch_format="pyarrow")
                 .filter(expr=f"qty_cents > {min_qty_c}"))
 
-    # surviving keys are rare -> collect + broadcast the small side
+    # surviving keys are rare -> collect + broadcast the small side as
+    # parallel arrays (vectorized is_in/index_in/take, no dict probes)
     from kgx.functions.collect import collect_arrow
     surv = collect_arrow(totals)
-    qty_map = dict(zip(surv["o_orderkey"].to_pylist(),
-                       surv["qty_cents"].to_pylist()))
-    kref = ray.put(qty_map)
+    kref = ray.put((surv["o_orderkey"].combine_chunks().cast(pa.int64()),
+                    surv["qty_cents"].combine_chunks().cast(pa.int64())))
 
     def attach_orders(batch: pa.Table, _kref=kref) -> pa.Table:
-        km = ray.get(_kref)
-        keys = pa.array(list(km), pa.int64())
+        keys, qtys = ray.get(_kref)
         m = pc.is_in(batch["o_orderkey"], value_set=keys)
         b = batch.filter(m)
-        qty = pa.array([km[k] for k in b["o_orderkey"].to_pylist()],
-                       pa.int64())
+        idx = pc.index_in(b["o_orderkey"].combine_chunks()
+                          .cast(pa.int64()), value_set=keys)
+        qty = pc.take(qtys, idx)
         return pa.table({
             "o_orderkey": b["o_orderkey"],
             "o_custkey": b["o_custkey"],
@@ -554,15 +554,14 @@ def big_orders(sf_dir: str, *, min_qty_c: int = 25000, n: int = 100):
 
     cust = collect_arrow(rd.read_parquet(
         f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_name"]))
-    name_map = dict(zip(cust["c_custkey"].to_pylist(),
-                        cust["c_name"].to_pylist()))
-    nref = ray.put(name_map)
+    nref = ray.put((cust["c_custkey"].combine_chunks().cast(pa.int64()),
+                    cust["c_name"].combine_chunks()))
 
     def attach_names(batch: pa.Table, _nref=nref) -> pa.Table:
-        nm = ray.get(_nref)
-        names = pa.array([nm.get(k) for k in batch["o_custkey"].to_pylist()],
-                         pa.string())
-        return batch.append_column("c_name", names)
+        ckeys, cnames = ray.get(_nref)
+        idx = pc.index_in(batch["o_custkey"].combine_chunks()
+                          .cast(pa.int64()), value_set=ckeys)
+        return batch.append_column("c_name", pc.take(cnames, idx))
 
     return (hits.map_batches(attach_names, batch_format="pyarrow")
                 .sort(["qty_cents", "o_orderkey"], descending=[True, False])
