@@ -315,14 +315,13 @@ def quality_gate(docs_ds, *, q_num: int = 1, q_den: int = 4,
             lambda t: t.select(["source", "quality_score_ppm"]),
             batch_format="pyarrow")
         .groupby("source").map_groups(threshold, batch_format="pyarrow"))
-    tmap = dict(zip(thr["source"].to_pylist(),
-                    thr["threshold_ppm"].to_pylist()))
-    tref = ray.put(tmap)
+    tref = ray.put((thr["source"].combine_chunks(),
+                    thr["threshold_ppm"].combine_chunks()))
 
     def verdict(batch: pa.Table, _tref=tref) -> pa.Table:
-        tm = ray.get(_tref)
-        th = pa.array([tm[s] for s in batch["source"].to_pylist()],
-                      pa.int64())
+        srcs, ths = ray.get(_tref)
+        idx = pc.index_in(batch["source"].combine_chunks(), value_set=srcs)
+        th = pc.take(ths, idx)
         keep = pc.greater_equal(batch["quality_score_ppm"], th)
         if keep_rows:
             return pa.table({

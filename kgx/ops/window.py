@@ -269,21 +269,25 @@ def zscore_flags(events_ds, *, value_col: str = "value",
         events_ds.map_batches(partial, batch_format="pyarrow")
                  .groupby("key").aggregate(Sum("s1_sum"), Sum("s2_sum"),
                                            Sum("n_sum")))
-    stats = {}
+    skeys, smeans, sstds = [], [], []
     for r in agg.to_pylist():
         n = r["sum(n_sum)"]
         mean = r["sum(s1_sum)"] / n
         var = max(r["sum(s2_sum)"] / n - mean * mean, 0.0)
-        stats[r["key"]] = (round(mean, 6), round(var ** 0.5, 6))
-    sref = ray.put(stats)
+        skeys.append(r["key"])
+        smeans.append(round(mean, 6))
+        sstds.append(round(var ** 0.5, 6))
+    sref = ray.put((pa.array(skeys, pa.string()),
+                    np.asarray(smeans), np.asarray(sstds)))
 
     def verdict(batch: pa.Table, _sref=sref) -> pa.Table:
-        st = ray.get(_sref)
+        ks, ms, ss = ray.get(_sref)
         batch = _clean(batch)
-        keys = batch[key_col].to_pylist()
         v = batch[value_col].to_numpy(zero_copy_only=False)
-        mean = np.asarray([st[k][0] for k in keys])
-        std = np.asarray([st[k][1] for k in keys])
+        idx = pc.index_in(batch[key_col].combine_chunks(), value_set=ks) \
+                .to_numpy(zero_copy_only=False).astype(np.int64)
+        mean = ms[idx]
+        std = ss[idx]
         safe = np.where(std > 0, std, 1.0)
         z = np.round((v - mean) / safe, 6)
         z_units = np.round(z * 1e6).astype(np.int64)
