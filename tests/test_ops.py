@@ -590,3 +590,29 @@ def test_curate_corpus_shape_and_packing_invariants(ray_session):
     n_in = pq.read_metadata(
         "/root/testdata/sf0.001/documents.parquet").num_rows
     assert len(out) < n_in
+
+
+def test_lsh_topk_recall_vs_exact_knn(ray_session):
+    """simsearch_lsh's bucketed candidates must recover a healthy share
+    of the exact top-k (audited against the exact kNN baseline)."""
+    import ray.data as rd
+    from kgx.ops.simsearch import cosine_topk, lsh_topk
+    emb = rd.read_parquet("/root/testdata/sf0.001/embeddings.parquet",
+                          columns=["vec_id", "embedding"])
+    qids = list(range(8))
+    exact = cosine_topk(emb, qids, k=5).to_pandas()
+    approx = lsh_topk(emb, qids, k=5).to_pandas()
+    recalls = []
+    for q in qids:
+        want = set(exact[exact["query_id"] == q]["neighbor_id"])
+        got = set(approx[approx["query_id"] == q]["neighbor_id"])
+        if want:
+            recalls.append(len(want & got) / len(want))
+    # Near-random embeddings are the ADVERSARIAL case for single-probe
+    # hyperplane LSH (no cluster structure to exploit): measured average
+    # recall here is ~0.15 vs exact. This test pins that floor so a
+    # regression to zero (broken bucketing) is caught, and documents why
+    # IVF (recall >= 0.6 on the same data, test above) is the preferred
+    # scale path for weakly-clustered embedding spaces.
+    assert sum(recalls) / len(recalls) >= 0.1, recalls
+    assert any(r > 0 for r in recalls)
