@@ -6,6 +6,8 @@
     python -m kgx export --out DIR --graph-json DIR
     python -m kgx synth  --out DIR --pages N [--seed S] [--filler-scale F]
     python -m kgx curate --sf-dir DIR --out DIR [--lang L] [--seq-len N]
+    python -m kgx eval   --out DIR --question Q [--question Q2 ...] [--csv F]
+    python -m kgx lineage --out DIR
 
 Mirrors the reference's two entry points (index+query in
 /root/reference/graphrag_lite_x.py:151-203, load+query in main.py:120-135)
@@ -105,6 +107,44 @@ def cmd_synth(args) -> int:
     path = write_pages(args.out, args.pages, seed=args.seed,
                        filler_scale=args.filler_scale)
     print(json.dumps({"pages": path}))
+    ray.shutdown()
+    return 0
+
+
+def cmd_eval(args) -> int:
+    """Comparative GraphRAG-vs-VectorRAG evaluation over an indexed KG —
+    the reference's flagship entry point (evaluate_graphrag.py) end to
+    end: corpus stats, graph answers (global query path), VectorRAG
+    baseline answers over the chunk checkpoint, deterministic judging,
+    per-criterion tally + CSV."""
+    import ray
+
+    import pyarrow.parquet as pq_
+    import ray.data as rd_
+
+    from kgx.baselines.vector_rag import run_vector_rag
+    from kgx.evaluation import corpus_stats, evaluate, save_evaluation_to_csv
+    from kgx.pipelines.query import answer_question
+    from kgx.stages.community import detect_communities
+    from kgx.stages.summarize import summarize_hierarchy
+
+    _init_ray(args.num_cpus)
+    questions = args.question
+    nodes = pq_.read_table(f"{args.out}/nodes")
+    edges = pq_.read_table(f"{args.out}/edges")
+    claims = pq_.read_table(f"{args.out}/claims")
+    hier = detect_communities(nodes, edges)
+    summaries = summarize_hierarchy(hier, nodes, edges, claims)
+    graph_answers = [answer_question(q, summaries)["answer"]
+                     for q in questions]
+    chunks = rd_.read_parquet(f"{args.out}/chunks")
+    vector_answers = run_vector_rag(chunks, questions, k=args.k)
+    stats = corpus_stats(rd_.read_parquet(f"{args.out}/texts"))
+    result = evaluate(questions, graph_answers, vector_answers)
+    out = {"corpus": stats, "wins": result["wins"]}
+    if args.csv:
+        out["csv"] = save_evaluation_to_csv(result, args.csv)
+    print(json.dumps(out, indent=1))
     ray.shutdown()
     return 0
 
@@ -215,6 +255,15 @@ def main(argv=None) -> int:
     ps.add_argument("--filler-scale", type=int, default=1)
     ps.add_argument("--num-cpus", type=int, default=None)
     ps.set_defaults(fn=cmd_synth)
+
+    pv = sub.add_parser("eval")
+    pv.add_argument("--out", required=True, help="KG pipeline output dir")
+    pv.add_argument("--question", action="append", required=True,
+                    help="repeatable")
+    pv.add_argument("--k", type=int, default=5)
+    pv.add_argument("--csv", default=None)
+    pv.add_argument("--num-cpus", type=int, default=None)
+    pv.set_defaults(fn=cmd_eval)
 
     pl = sub.add_parser("lineage")
     pl.add_argument("--out", required=True, help="KG pipeline output dir")

@@ -158,3 +158,23 @@ class TestCLI:
         assert r.returncode == 0, r.stderr[-2000:]
         stages = json.loads(r.stdout.strip().splitlines()[-1])["stages"]
         assert "shard" in stages and "nodes" in stages
+
+    def test_eval_subcommand_end_to_end(self, smoke_corpus, tmp_path):
+        out = str(tmp_path / "kg")
+        env_cmd = [sys.executable, "-m", "kgx"]
+        r = subprocess.run(env_cmd + ["index", "--pages",
+                                      smoke_corpus["pages"], "--out", out,
+                                      "--num-cpus", "4"],
+                           capture_output=True, text=True, cwd="/root/repo")
+        assert r.returncode == 0, r.stderr[-2000:]
+        csv = str(tmp_path / "eval.csv")
+        r = subprocess.run(
+            env_cmd + ["eval", "--out", out,
+                       "--question", "Who founded Acme Corporation?",
+                       "--csv", csv, "--num-cpus", "4"],
+            capture_output=True, text=True, cwd="/root/repo")
+        assert r.returncode == 0, r.stderr[-2000:]
+        res = json.loads(r.stdout)
+        assert res["corpus"]["n_docs"] > 0
+        assert sum(res["wins"].values()) == 4      # 4 criteria x 1 question
+        assert open(csv).readline().startswith("question,")
