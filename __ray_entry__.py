@@ -1282,6 +1282,13 @@ def _q_rel_promo(sf_dir: str):
     return promo_revenue(sf_dir)
 
 
+def _q_rel_exists(sf_dir: str):
+    """TPC-H Q4-shaped EXISTS count per priority, composed from the
+    Bloom-prefiltered semi-join (kgx/ops/relational.py:priority_exists)."""
+    from kgx.ops.relational import priority_exists
+    return priority_exists(sf_dir)
+
+
 def _q_rel_outerjoin(sf_dir: str):
     """FULL OUTER co-shuffle join: big-spender order counts vs low-
     balance customers — rows survive from either side with nulls on the
@@ -1505,6 +1512,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rel_regional": _q_rel_regional,
         "rel_outerjoin": _q_rel_outerjoin,
         "rel_promo": _q_rel_promo,
+        "rel_exists": _q_rel_exists,
         "rel_pivot": _q_rel_pivot,
         "events_quantile": _q_events_quantile,
         "events_quantile_by_type": _q_events_quantile_by_type,
@@ -2388,6 +2396,15 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(CASE WHEN o_orderpriority = '5-LOW'
                                  THEN 1 ELSE 0 END) AS BIGINT) AS n_low
             FROM orders GROUP BY o_orderstatus
+        """,
+        "rel_exists": """
+            SELECT o_orderpriority,
+                   CAST(count(*) AS BIGINT) AS n_orders
+            FROM orders o
+            WHERE EXISTS (SELECT 1 FROM lineitem l
+                          WHERE l.l_orderkey = o.o_orderkey
+                            AND l.l_quantity > 49.0)
+            GROUP BY o_orderpriority
         """,
         "rel_promo": """
             WITH l AS (

@@ -752,3 +752,50 @@ def promo_revenue(sf_dir: str, *, date_lo: str = "1996-01-01",
     return li.map_batches(partial, batch_format="pyarrow") \
              .repartition(1).map_batches(finish, batch_format="pyarrow",
                                          batch_size=None)
+
+
+def priority_exists(sf_dir: str, *, min_qty: float = 49.0):
+    """TPC-H Q4-shaped EXISTS report: orders per priority having at
+    least one big-quantity lineitem.
+
+    Composition of existing narrow primitives: the qualifying order-key
+    set comes from a filtered lineitem projection (one narrow column),
+    the orders side semi-joins against it through the Bloom-prefiltered
+    exact semi-join (``kgx.ops.joins.bloom_semijoin`` — probe rows that
+    can't match die map-side; no wide shuffle carries payload), and a
+    partial-aggregated groupby counts per priority.
+    Output: (o_orderpriority, n_orders).
+    """
+    from ray.data.aggregate import Sum
+
+    from kgx.ops.joins import bloom_semijoin
+
+    big = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                          columns=["l_orderkey", "l_quantity"]) \
+        .map_batches(
+            lambda t: pa.table({
+                "l_orderkey": t.filter(
+                    pc.greater(t["l_quantity"], min_qty))["l_orderkey"]}),
+            batch_format="pyarrow")
+
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                             columns=["o_orderkey", "o_orderpriority"])
+    hits = bloom_semijoin(orders, big, probe_on="o_orderkey",
+                          build_on="l_orderkey")
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = batch.append_column(
+            "one", pa.array(np.ones(batch.num_rows, dtype=np.int64)))
+        return t.select(["o_orderpriority", "one"]) \
+                .group_by(["o_orderpriority"]).aggregate([("one", "sum")])
+
+    def finish(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "o_orderpriority": batch["o_orderpriority"].combine_chunks(),
+            "n_orders": batch["sum(one_sum)"].combine_chunks()
+                             .cast(pa.int64()),
+        })
+
+    return (hits.map_batches(partial, batch_format="pyarrow")
+            .groupby("o_orderpriority").aggregate(Sum("one_sum"))
+            .map_batches(finish, batch_format="pyarrow"))
