@@ -101,3 +101,19 @@ def test_cluster_balanced_sample_caps_each_cluster(emb_ds):
                         key=lambda i: (hashlib.md5(str(i).encode())
                                        .hexdigest(), i))
         assert set(grp[grp["keep"]]["vec_id"]) == set(ranked[:10])
+
+
+def test_kmeans_and_semdedup_partition_invariant(emb_ds):
+    from kgx.ops.cluster import kmeans_assign, semantic_dedup
+    ds, M, ids = emb_ds
+    a = kmeans_assign(ds, k=4, iters=3).to_pandas() \
+        .sort_values("vec_id").reset_index(drop=True)
+    b = kmeans_assign(ds.repartition(7), k=4, iters=3).to_pandas() \
+        .sort_values("vec_id").reset_index(drop=True)
+    assert a.equals(b)
+    c = semantic_dedup(ds, k=4, iters=2, threshold=0.9).to_pandas() \
+        .sort_values("vec_id").reset_index(drop=True)
+    d = semantic_dedup(ds.repartition(5), k=4, iters=2,
+                       threshold=0.9).to_pandas() \
+        .sort_values("vec_id").reset_index(drop=True)
+    assert c.equals(d)

@@ -369,3 +369,21 @@ def test_zscore_flags_planted_outlier(ray_session):
     out2 = zscore_flags(rd.from_arrow(tbl2)).to_pandas()
     assert len(out2) == 2 and not out2["is_anomaly"].any()
     assert (out2["z_units"] == 0).all()
+
+
+def test_retention_and_zscore_partition_invariant(ray_session):
+    import ray.data as rd
+    from kgx.ops.window import cohort_retention, zscore_flags
+    ev = rd.read_parquet("/root/testdata/sf0.001/events.parquet",
+                         columns=["event_id", "user_id", "ts",
+                                  "event_type", "value"])
+    r1 = cohort_retention(ev).to_pandas() \
+        .sort_values(["cohort_day", "day_offset"]).reset_index(drop=True)
+    r2 = cohort_retention(ev.repartition(9)).to_pandas() \
+        .sort_values(["cohort_day", "day_offset"]).reset_index(drop=True)
+    assert r1.equals(r2)
+    z1 = zscore_flags(ev).to_pandas().sort_values("event_id") \
+        .reset_index(drop=True)
+    z2 = zscore_flags(ev.repartition(9)).to_pandas() \
+        .sort_values("event_id").reset_index(drop=True)
+    assert z1.equals(z2)
