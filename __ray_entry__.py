@@ -639,6 +639,24 @@ def _q_kg_lift(sf_dir: str):
     return cooccurrence_lift(docs)
 
 
+def _q_kg_degree_hist(sf_dir: str):
+    """Degree distribution of the co-occurrence KG in width-4 buckets —
+    composes degree_table with the fixed-width histogram (both already
+    oracle-gated); the canonical first look at any graph's shape."""
+    import pyarrow as pa
+    from kgx.ops.graph import degree_table
+    from kgx.ops.quantile import value_histogram
+    deg = degree_table(kg_tables_edges(sf_dir)).map_batches(
+        lambda t: pa.table({"value": t["degree"].cast(pa.float64())}),
+        batch_format="pyarrow")
+    return value_histogram(deg, "value", width=4.0)
+
+
+def kg_tables_edges(sf_dir: str):
+    from kgx.pipelines.docs_kg import kg_tables
+    return kg_tables(sf_dir)["edges"]
+
+
 def _q_kg_neighbor_jaccard(sf_dir: str):
     """Entity-linking candidates: open-neighborhood Jaccard per vertex
     pair via the streamed wedge-join (kgx/ops/graph.py:
@@ -1443,6 +1461,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_neighbor_jaccard": _q_kg_neighbor_jaccard,
         "kg_khop": _q_kg_khop,
         "kg_lift": _q_kg_lift,
+        "kg_degree_hist": _q_kg_degree_hist,
         # text analysis
         "text_tokens": _q_text_tokens,
         "text_quality": _q_text_quality,
@@ -1956,6 +1975,28 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY v.name
         """,
         "kg_kcore": _kcore_oracle(k=_KCORE_K, rounds=_KCORE_ROUNDS),
+        # degree histogram buckets: floor(degree / 4); sum column is the
+        # histogram op's integer-cents contract (degree * 100)
+        "kg_degree_hist": f"""
+            WITH dt AS (
+              SELECT doc_id,
+                     unnest(list_distinct(regexp_extract_all(
+                       text, '{_TERM_RE}'))) AS term
+              FROM documents),
+            p AS (
+              SELECT a.term AS s, b.term AS t
+              FROM dt a JOIN dt b
+                ON a.doc_id = b.doc_id AND a.term < b.term
+              GROUP BY 1, 2),
+            ed AS (SELECT s, t FROM p UNION ALL SELECT t AS s, s AS t FROM p),
+            deg AS (SELECT s AS v, CAST(count(*) AS DOUBLE) AS d
+                    FROM ed GROUP BY s)
+            SELECT CAST(floor(d / 4.0) AS BIGINT) AS bin,
+                   CAST(count(*) AS BIGINT) AS n_rows,
+                   CAST(sum(CAST(floor(d * 100 + 0.5) AS BIGINT))
+                        AS BIGINT) AS sum_value_cents
+            FROM deg GROUP BY 1
+        """,
         # lift_units = (c_ab * N * 1e6) // (c_a * c_b), integer floor-div
         "kg_lift": f"""
             WITH dt AS (
