@@ -639,6 +639,31 @@ def _q_kg_lift(sf_dir: str):
     return cooccurrence_lift(docs)
 
 
+def _q_kg_stats(sf_dir: str):
+    """One-row KG shape report composed from the exact graph operators:
+    vertex/edge counts, max degree, component count, total triangles
+    (per-vertex counts / 3)."""
+    import pandas as pd
+    import pyarrow.compute as pc
+    from kgx.functions.collect import collect_arrow
+    from kgx.ops.graph import (degree_table, triangle_counts,
+                               weakly_connected_components)
+    edges = kg_tables_edges(sf_dir)
+    deg = collect_arrow(degree_table(edges))
+    tri = collect_arrow(triangle_counts(edges))
+    wcc = collect_arrow(weakly_connected_components(edges))
+    n_v = deg.num_rows
+    sum_deg = pc.sum(deg["degree"]).as_py() or 0
+    tri_total = (pc.sum(tri["n_triangles"]).as_py() or 0) // 3
+    n_c = len(set(wcc["component"].to_pylist()))
+    max_d = pc.max(deg["degree"]).as_py() or 0
+    return pd.DataFrame([{
+        "n_vertices": n_v, "n_edges": sum_deg // 2,
+        "max_degree": max_d, "n_components": n_c,
+        "n_triangles": tri_total,
+    }])
+
+
 def _q_kg_degree_hist(sf_dir: str):
     """Degree distribution of the co-occurrence KG in width-4 buckets —
     composes degree_table with the fixed-width histogram (both already
@@ -1462,6 +1487,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_khop": _q_kg_khop,
         "kg_lift": _q_kg_lift,
         "kg_degree_hist": _q_kg_degree_hist,
+        "kg_stats": _q_kg_stats,
         # text analysis
         "text_tokens": _q_text_tokens,
         "text_quality": _q_text_quality,
@@ -1975,6 +2001,42 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY v.name
         """,
         "kg_kcore": _kcore_oracle(k=_KCORE_K, rounds=_KCORE_ROUNDS),
+        # triangles counted once per vertex -> /3 for the triangle count
+        "kg_stats": f"""
+            WITH dt AS (
+              SELECT doc_id,
+                     unnest(list_distinct(regexp_extract_all(
+                       text, '{_TERM_RE}'))) AS term
+              FROM documents),
+            e0 AS (
+              SELECT a.term AS s, b.term AS t
+              FROM dt a JOIN dt b
+                ON a.doc_id = b.doc_id AND a.term < b.term
+              GROUP BY 1, 2),
+            ed AS (SELECT s, t FROM e0 UNION ALL SELECT t AS s, s AS t FROM e0),
+            deg AS (SELECT s AS v, count(*) AS d FROM ed GROUP BY s),
+            und AS (SELECT s, t FROM e0 UNION SELECT t AS s, s AS t FROM e0),
+            reach AS (
+              WITH RECURSIVE r(src, dst) AS (
+                SELECT s, t FROM und
+                UNION
+                SELECT r.src, u.t FROM r JOIN und u ON r.dst = u.s)
+              SELECT src, dst FROM r),
+            comp AS (
+              SELECT v.v AS name, least(v.v, min(r.dst)) AS component
+              FROM deg v LEFT JOIN reach r ON r.src = v.v
+              GROUP BY v.v),
+            tri AS (
+              SELECT count(*) AS n3 FROM e0 e1
+              JOIN e0 e2 ON e2.s = e1.t
+              JOIN e0 e3 ON e3.s = e1.s AND e3.t = e2.t)
+            SELECT CAST((SELECT count(*) FROM deg) AS BIGINT) AS n_vertices,
+                   CAST((SELECT count(*) FROM e0) AS BIGINT) AS n_edges,
+                   CAST((SELECT max(d) FROM deg) AS BIGINT) AS max_degree,
+                   CAST((SELECT count(DISTINCT component) FROM comp)
+                        AS BIGINT) AS n_components,
+                   CAST((SELECT n3 FROM tri) AS BIGINT) AS n_triangles
+        """,
         # degree histogram buckets: floor(degree / 4); sum column is the
         # histogram op's integer-cents contract (degree * 100)
         "kg_degree_hist": f"""
