@@ -32,7 +32,10 @@ def test_survey_query_names_exist():
     qs = set(entry_mod.queries())
     survey = open("/root/repo/SURVEY.md").read()
     sec = survey.split("### 2.11", 1)[1].split("\n---", 1)[0]
-    cited = set(re.findall(r"`([a-z0-9_]+)`", sec))
+    # only the inventory TABLE rows claim query names; prose may cite
+    # function/parameter names in backticks too
+    rows = "\n".join(ln for ln in sec.splitlines() if ln.startswith("|"))
+    cited = set(re.findall(r"`([a-z0-9_]+)`", rows))
     cited &= {c for c in cited if re.fullmatch(r"[a-z0-9]+(_[a-z0-9]+)+", c)}
     phantom = {c for c in cited if c not in qs
                and not c.startswith(("kgx", "python"))}
