@@ -117,3 +117,36 @@ def test_shard_actor_death_fails_loudly_not_silently(ray_session):
     with pytest.raises((RayActorError, Exception)):
         fps = [idx.fingerprint("some known text")]
         idx._call("contains", fps)
+
+
+def test_cross_shard_knob_invalidates_shard_checkpoint(ray_session,
+                                                       tmp_path_factory):
+    """cross_shard_dedup is a SEMANTIC knob: toggling it must re-run the
+    ingested shard's texts stage (config-hash invalidation), not silently
+    reuse the differently-filtered checkpoint."""
+    import glob
+    import os
+    import shutil
+    from kgx.pipelines.kg import KGConfig, run_pipeline, update_pipeline
+    from kgx.synth import write_pages
+
+    root = str(tmp_path_factory.mktemp("knobinv"))
+    pages = write_pages(root, 60, seed=23)
+    files = sorted(glob.glob(f"{pages}/*.parquet"))
+    a, b = os.path.join(root, "a"), os.path.join(root, "b")
+    os.makedirs(a), os.makedirs(b)
+    for f in files[:len(files) // 2]:
+        shutil.copy(f, a)
+    for f in files[len(files) // 2:]:
+        shutil.copy(f, b)
+    # duplicate one base file into the shard so the knob has an effect
+    shutil.copy(files[0], os.path.join(b, "dup.parquet"))
+
+    out = str(tmp_path_factory.mktemp("kg_knob"))
+    run_pipeline(a, out, KGConfig())
+    p1 = update_pipeline(b, out, KGConfig(cross_shard_dedup=False))
+    texts1 = pq.read_table(os.path.join(p1["shard"], "texts")).num_rows
+    p2 = update_pipeline(b, out, KGConfig(cross_shard_dedup=True))
+    texts2 = pq.read_table(os.path.join(p2["shard"], "texts")).num_rows
+    assert p1["shard"] == p2["shard"]
+    assert texts2 < texts1          # duplicated pages screened out
