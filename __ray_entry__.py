@@ -391,6 +391,17 @@ def _q_dedup_semantic(sf_dir: str):
                           threshold=_SEMDEDUP_TAU)
 
 
+def _q_embed_labels(sf_dir: str):
+    """Per-label centroid norm + cohesion over the labeled embeddings
+    (kgx/ops/cluster.py:label_stats) — two streamed passes, kilobyte
+    partial folds."""
+    import ray.data as rd
+    from kgx.ops.cluster import label_stats
+    emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                          columns=["vec_id", "embedding", "label"])
+    return label_stats(emb)
+
+
 def _q_embed_sample(sf_dir: str):
     """Cluster-balanced subsample: cap each kmeans cluster at 32 members
     by deterministic md5 lottery (kgx/ops/cluster.py:
@@ -1520,6 +1531,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embed_kmeans": _q_embed_kmeans,
         "dedup_semantic": _q_dedup_semantic,
         "embed_sample": _q_embed_sample,
+        "embed_labels": _q_embed_labels,
         # sampling / quotas
         "text_split": _q_text_split,
         "text_weighted_sample": _q_text_weighted_sample,
@@ -2896,6 +2908,32 @@ def oracle_sql() -> dict[str, str]:
                                            tau=_SEMDEDUP_TAU),
         "embed_sample": _cluster_sample_oracle(
             k=_KMEANS_K, iters=_KMEANS_ITERS, cap=_SAMPLE_CAP),
+        # centroid = per-dim mean rounded 6dp (the kmeans device); dist
+        # rounded 6dp per vector, mean rounded 4dp
+        "embed_labels": """
+            WITH e AS (
+              SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+              FROM embeddings),
+            cm AS (
+              SELECT label, i, round(avg(x), 6) AS m
+              FROM (SELECT label, unnest(v) AS x,
+                           unnest(range(1, len(v) + 1)) AS i FROM e)
+              GROUP BY label, i),
+            cent AS (SELECT label, list(m ORDER BY i) AS cv
+                     FROM cm GROUP BY label),
+            nrm AS (SELECT label, round(sqrt(sum(m * m)), 6)
+                      AS centroid_norm FROM cm GROUP BY label),
+            d AS (
+              SELECT e.label,
+                     round(list_distance(e.v, c.cv), 6) AS dist
+              FROM e JOIN cent c USING (label)),
+            s AS (
+              SELECT label, CAST(count(*) AS BIGINT) AS n_vecs,
+                     round(sum(dist) / count(*), 4) AS mean_dist
+              FROM d GROUP BY label)
+            SELECT s.label, s.n_vecs, nrm.centroid_norm, s.mean_dist
+            FROM s JOIN nrm USING (label)
+        """,
         "dedup_lines": """
             WITH toks AS (
               SELECT doc_id, string_split(text, ' ') AS tk FROM documents),

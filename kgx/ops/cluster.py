@@ -221,3 +221,78 @@ def cluster_balanced_sample(emb_ds, *, k: int = 10, iters: int = 3,
     return (emb_ds.map_batches(tag, batch_format="pyarrow")
             .groupby("cluster").map_groups(sample_group,
                                            batch_format="pyarrow"))
+
+
+def label_stats(emb_ds, *, label_col: str = "label"):
+    """Per-label embedding statistics — the supervised complement of
+    kmeans: each label's member count, centroid L2 norm, and cohesion
+    (mean euclidean distance of members to their label centroid).
+
+    Two streamed passes, nothing corpus-sized moves: pass 1 folds
+    per-label (count, sum-vector) partials map-side exactly like the
+    Lloyd partial; the driver builds centroids (per-dim mean rounded to
+    6 dp — shared with the SQL oracle, same device as kmeans); pass 2
+    broadcasts the centroid matrix and folds per-label distance sums.
+    Distances round to 6 dp per vector before summing and the mean
+    rounds to 4 dp, wiping cross-engine float-order residue.
+    Output: (label, n_vecs, centroid_norm 6dp, mean_dist 4dp).
+    """
+    from kgx.functions.collect import collect_arrow
+
+    def part1(batch: pa.Table) -> pa.Table:
+        M = emb_matrix(batch["embedding"])
+        labels = np.asarray(batch[label_col].to_pylist(), dtype=np.int64)
+        uniq = np.unique(labels)
+        sums = np.zeros((len(uniq), M.shape[1]))
+        counts = np.zeros(len(uniq), dtype=np.int64)
+        for i, u in enumerate(uniq):            # per-distinct-label fold
+            sel = labels == u
+            sums[i] = M[sel].sum(axis=0)
+            counts[i] = sel.sum()
+        return pa.table({
+            "label": pa.array(uniq, pa.int64()),
+            "n": pa.array(counts, pa.int64()),
+            "vsum": pa.array(list(sums), pa.list_(pa.float64())),
+        })
+
+    t = collect_arrow(emb_ds.map_batches(part1, batch_format="pyarrow"))
+    labels = sorted(set(t["label"].to_pylist()))
+    lab_ix = {u: i for i, u in enumerate(labels)}
+    dim = len(t["vsum"][0].as_py()) if t.num_rows else 0
+    sums = np.zeros((len(labels), dim))
+    counts = np.zeros(len(labels), dtype=np.int64)
+    for r in t.to_pylist():
+        i = lab_ix[r["label"]]
+        sums[i] += np.asarray(r["vsum"])
+        counts[i] += r["n"]
+    C = np.round(sums / counts[:, None], 6)
+    cref = ray.put((pa.array(labels, pa.int64()), C))
+
+    def part2(batch: pa.Table) -> pa.Table:
+        ls, cc = ray.get(cref)
+        M = emb_matrix(batch["embedding"])
+        import pyarrow.compute as pc
+        li = pc.index_in(pa.array(batch[label_col].to_pylist(), pa.int64()),
+                         value_set=ls).to_numpy(zero_copy_only=False) \
+               .astype(np.int64)
+        d = np.round(np.sqrt(((M - cc[li]) ** 2).sum(axis=1)), 6)
+        dsum = np.zeros(len(ls))
+        np.add.at(dsum, li, d)
+        nz = np.flatnonzero(dsum > 0)
+        return pa.table({
+            "label": pa.array(np.asarray(ls)[nz], pa.int64()),
+            "dsum": pa.array(dsum[nz], pa.float64()),
+        })
+
+    t2 = collect_arrow(emb_ds.map_batches(part2, batch_format="pyarrow"))
+    dsum = np.zeros(len(labels))
+    for r in t2.to_pylist():
+        dsum[lab_ix[r["label"]]] += r["dsum"]
+    import ray.data as rd
+    return rd.from_arrow(pa.table({
+        "label": pa.array(labels, pa.int64()),
+        "n_vecs": pa.array(counts, pa.int64()),
+        "centroid_norm": pa.array(
+            np.round(np.sqrt((C ** 2).sum(axis=1)), 6), pa.float64()),
+        "mean_dist": pa.array(np.round(dsum / counts, 4), pa.float64()),
+    }))

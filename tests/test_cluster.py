@@ -117,3 +117,26 @@ def test_kmeans_and_semdedup_partition_invariant(emb_ds):
                        threshold=0.9).to_pandas() \
         .sort_values("vec_id").reset_index(drop=True)
     assert c.equals(d)
+
+
+def test_label_stats_matches_numpy(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+    from kgx.ops.cluster import label_stats
+    rng = np.random.default_rng(17)
+    M = rng.normal(size=(60, 6))
+    labels = np.repeat(np.arange(3), 20)
+    ds = rd.from_arrow(pa.table({
+        "vec_id": pa.array(np.arange(60, dtype=np.int64)),
+        "embedding": pa.array(list(M), pa.list_(pa.float64())),
+        "label": pa.array(labels, pa.int64())}))
+    out = label_stats(ds.repartition(5)).to_pandas().set_index("label")
+    for lb in range(3):
+        sel = M[labels == lb]
+        C = np.round(sel.mean(axis=0), 6)
+        assert out.loc[lb, "n_vecs"] == 20
+        assert out.loc[lb, "centroid_norm"] == round(
+            float(np.sqrt((C ** 2).sum())), 6)
+        d = np.round(np.sqrt(((sel - C) ** 2).sum(axis=1)), 6)
+        assert abs(out.loc[lb, "mean_dist"] - round(d.mean(), 4)) < 2e-4
