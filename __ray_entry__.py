@@ -1858,12 +1858,13 @@ def oracle_sql() -> dict[str, str]:
               FROM documents),
             s AS (
               SELECT doc_id, CAST(n_chars AS BIGINT) AS weight,
-                     ln(uu) / greatest(n_chars, 1) AS key,
+                     round(ln(uu) / greatest(n_chars, 1), 12) AS key,
                      row_number() OVER (
-                       ORDER BY ln(uu) / greatest(n_chars, 1) DESC,
+                       ORDER BY round(ln(uu) / greatest(n_chars, 1), 12)
+                                  DESC,
                                 doc_id ASC) AS rank
               FROM u)
-            SELECT doc_id, weight, round(key, 12) AS samp_key, rank
+            SELECT doc_id, weight, key AS samp_key, rank
             FROM s WHERE rank <= 100
         """,
         "text_split": """
@@ -2830,9 +2831,13 @@ def oracle_sql() -> dict[str, str]:
             s AS (
               SELECT a.vec_id, b.vec_id AS neighbor_id,
                      round(list_cosine_similarity(a.v, b.v), 6) AS score,
+                     -- rank on the ROUNDED score (both engines sort the
+                     -- identical 6dp numbers; sub-ulp BLAS-vs-DuckDB
+                     -- differences can flip near-tie ranks otherwise)
                      row_number() OVER (
                        PARTITION BY a.vec_id
-                       ORDER BY list_cosine_similarity(a.v, b.v) DESC,
+                       ORDER BY round(list_cosine_similarity(a.v, b.v), 6)
+                                  DESC,
                                 b.vec_id ASC) AS rank
               FROM e a JOIN e b ON a.vec_id <> b.vec_id)
             SELECT vec_id, neighbor_id, score, rank FROM s WHERE rank <= 3

@@ -284,9 +284,17 @@ def clustering_coefficients(edges_ds, *, src_col: str = "subj_name",
 
 def weakly_connected_components(edges_ds, *, src_col: str = "subj_name",
                                 dst_col: str = "obj_name",
-                                max_iters: int = 12):
+                                max_iters: int = 50):
     """(name, component) per vertex, component = lexicographically
     smallest vertex name in the weakly connected component.
+
+    ``max_iters`` bounds the one-hop min-label propagation rounds; the
+    convergence test is exact (label-sum fixpoint), so extra budget
+    costs nothing once converged and each round shuffles only
+    (node, label) rows — the default is sized for diameter <= 50, far
+    beyond canonicalized term graphs (KG graphs are hub-dense, diameter
+    single digits).  A path-like graph with diameter > 50 raises loudly
+    rather than returning wrong labels; raise ``max_iters`` for those.
 
     Vertices are ranked into dense int64 ids by SORTED name (one O(|V|)
     broadcast, same vertex-set assumption as ``pagerank``), so the

@@ -151,7 +151,10 @@ def weighted_sample(docs_ds, *, k: int = 100, weight_col: str = "n_chars"):
         v = np.asarray([int(hashlib.md5(str(i).encode()).hexdigest()[:12],
                             16) for i in ids], dtype=np.float64)
         u = (v + 1.0) / float(16 ** 12)            # (0, 1]
-        key = np.log(u) / np.maximum(w, 1.0)
+        # rank on the key ROUNDED to 12 dp so libm-vs-DuckDB ln() ulp
+        # differences cannot flip near-tie ranks (oracle sorts the same
+        # rounded numbers; doc_id breaks exact ties)
+        key = np.round(np.log(u) / np.maximum(w, 1.0), 12)
         # block-local top-k: key desc, doc_id asc
         order = np.lexsort((ids, -key))[:k]
         return pa.table({

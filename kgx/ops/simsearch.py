@@ -337,7 +337,11 @@ def knn_self_join(emb_ds, *, k: int = 3):
         B = emb_matrix(batch["embedding"])
         bn = np.linalg.norm(B, axis=1, keepdims=True)
         bn[bn == 0] = 1.0
-        S = (B / bn) @ Mn.T                       # block_rows x corpus
+        # Rank on scores ROUNDED to 6dp so the oracle (DuckDB's own
+        # unrounded list_cosine_similarity, rounded in SQL) sorts the
+        # identical numbers — sub-ulp BLAS differences can otherwise
+        # flip ranks at near-ties and break the hash gate.
+        S = np.round((B / bn) @ Mn.T, 6)          # block_rows x corpus
         # exclude self; stable argsort on -S tie-breaks by neighbor id
         # automatically (columns are in ascending ids_c order)
         self_col = np.searchsorted(ids_c, ids)
@@ -351,7 +355,7 @@ def knn_self_join(emb_ds, *, k: int = 3):
         return pa.table({
             "vec_id": pa.array(ids[rows], pa.int64()),
             "neighbor_id": pa.array(ids_c[cols], pa.int64()),
-            "score": pa.array(np.round(sc, 6), pa.float64()),
+            "score": pa.array(sc, pa.float64()),
             "rank": pa.array(rank, pa.int64()),
         })
 

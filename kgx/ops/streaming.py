@@ -132,5 +132,9 @@ def stream_tumbling(events_ds, *, width_s: int = 3600,
             batch_size=4096, batch_format="pyarrow"):
         if batch.num_rows:
             outs.append(stream.feed(batch))
-    outs.append(stream.flush())
-    return pa.concat_tables([t for t in outs if t.num_rows])
+    flush = stream.flush()
+    outs.append(flush)
+    nonempty = [t for t in outs if t.num_rows]
+    # Empty stream: every emission has 0 rows; return a schema-bearing
+    # empty table instead of letting concat_tables([]) raise.
+    return pa.concat_tables(nonempty) if nonempty else flush

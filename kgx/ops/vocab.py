@@ -270,7 +270,13 @@ def cooccurrence_lift(docs_ds, *, min_units: int = 0):
         nb = batch["sum(n)"].to_numpy(zero_copy_only=False).astype(np.int64)
         ca = np.asarray([df[t] for t in a], dtype=np.int64)
         cb = np.asarray([df[t] for t in b], dtype=np.int64)
-        units = (nb * n_docs * 1_000_000) // (ca * cb)
+        # Exact arbitrary-precision math: n_both * n_docs * 1e6 can exceed
+        # int64 past ~9e6 docs, and numpy would wrap silently.  This map runs
+        # over the post-groupby distinct-pair table (small), so Python-int
+        # arithmetic costs nothing and matches the DuckDB oracle exactly.
+        units = np.asarray(
+            [int(nbi) * n_docs * 1_000_000 // (int(cai) * int(cbi))
+             for nbi, cai, cbi in zip(nb, ca, cb)], dtype=np.int64)
         keep = units >= min_units
         idx = pa.array(np.flatnonzero(keep), pa.int64())
         return pa.table({

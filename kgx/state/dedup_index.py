@@ -5,7 +5,8 @@ dedup within one pass, but cannot consult state from a previous pass
 without re-reading that corpus into the shuffle).
 
 Shape: ``n_shards`` single-purpose actors, each owning the fingerprints
-whose first 8 hex chars hash into its shard.  Lookups/inserts batch per
+whose first 8 digest bytes (as a big-endian int64) hash into its shard,
+so any shard count up to 2^64 gets a near-uniform split.  Lookups/inserts batch per
 (caller batch x shard): a ``map_batches`` task partitions its batch's
 fingerprints by shard and issues ONE ``check_and_add``/``contains`` call
 per shard, so actor round-trips are O(shards) per batch, not O(rows).
@@ -94,11 +95,16 @@ class FingerprintIndex:
         return hashlib.md5(text.encode("utf-8")).digest()
 
     def _route(self, fps: list[bytes]) -> dict[int, list[int]]:
-        """shard -> positions in fps (shard = first digest byte mod n)."""
+        """shard -> positions in fps (shard = first 8 digest bytes as a
+        big-endian int, mod n) — uniform for any shard count, unlike a
+        single-byte route which leaves shards past 256 permanently empty
+        and skews when n_shards does not divide 256.  ``load`` re-routes
+        from the raw fingerprints, so saved indexes stay compatible."""
         buckets: dict[int, list[int]] = {}
+        n = self.n_shards
         for i, f in enumerate(fps):
-            buckets.setdefault((f[0] if f else 0) % self.n_shards,
-                               []).append(i)
+            s = int.from_bytes(f[:8], "big") % n if f else 0
+            buckets.setdefault(s, []).append(i)
         return buckets
 
     def _call(self, method: str, fps: list[bytes]) -> list[bool]:

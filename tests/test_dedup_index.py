@@ -150,3 +150,19 @@ def test_cross_shard_knob_invalidates_shard_checkpoint(ray_session,
     texts2 = pq.read_table(os.path.join(p2["shard"], "texts")).num_rows
     assert p1["shard"] == p2["shard"]
     assert texts2 < texts1          # duplicated pages screened out
+
+
+def test_route_uses_wide_digest_not_first_byte(ray_session):
+    """ADVICE r2: routing must use 8 digest bytes so shard counts that do
+    not divide 256 (or exceed 256) still split near-uniformly."""
+    idx = FingerprintIndex(n_shards=5)
+    fps = [FingerprintIndex.fingerprint(f"doc-{i}") for i in range(2000)]
+    buckets = idx._route(fps)
+    sizes = sorted(len(v) for v in buckets.values())
+    assert len(buckets) == 5                    # every shard gets traffic
+    assert sizes[0] > 0.6 * sizes[-1]           # near-uniform, not 256-skewed
+    # first-byte-only routing would differ from the wide route for many fps
+    wide = {i: int.from_bytes(f[:8], "big") % 5 for i, f in enumerate(fps)}
+    for s, ii in buckets.items():
+        for i in ii:
+            assert wide[i] == s

@@ -75,3 +75,12 @@ def test_too_late_rows_dropped_and_counted():
     assert s2.late_rows == 1
     total = _as_dict(s2.flush())
     assert total == {(10, "a"): (1, 2.0, 2.0, 2.0)}
+
+
+def test_stream_tumbling_empty_input_returns_empty_table(ray_session):
+    """ADVICE r2: an empty events dataset must yield a schema-bearing
+    empty table, not a pa.concat_tables([]) ValueError."""
+    ev = rd.from_arrow(_batch([]))
+    got = stream_tumbling(ev, width_s=3600)
+    assert got.num_rows == 0
+    assert "window_start" in got.schema.names
