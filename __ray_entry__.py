@@ -404,7 +404,7 @@ def _q_embed_labels(sf_dir: str):
 
 def _q_embed_sample(sf_dir: str):
     """Cluster-balanced subsample: cap each kmeans cluster at 32 members
-    by deterministic md5 lottery (kgx/ops/cluster.py:
+    by a deterministic vectorized integer lottery (kgx/ops/cluster.py:
     cluster_balanced_sample)."""
     import ray.data as rd
     from kgx.ops.cluster import cluster_balanced_sample
@@ -421,6 +421,17 @@ _SEMDEDUP_TAU = 0.4
 _SAMPLE_CAP = 32
 
 
+def _mix32_sql(expr: str) -> str:
+    """SQL for kgx.ops.cluster._lottery32: a salted two-round 32-bit
+    multiplicative mix.  Multiplies route through HUGEINT then reduce
+    mod 2^32, so no 64-bit overflow; xor/shift match numpy uint64."""
+    h1 = f"CAST((({expr}) + 1013904223)::HUGEINT * 2654435761 " \
+         f"% 4294967296 AS BIGINT)"
+    h2 = f"xor({h1}, {h1} >> 16)"
+    h3 = f"CAST(({h2})::HUGEINT * 2246822519 % 4294967296 AS BIGINT)"
+    return f"xor({h3}, {h3} >> 13)"
+
+
 def _cluster_sample_oracle(*, k: int, iters: int, cap: int) -> str:
     return f"""
             WITH {_kmeans_ctes(k=k, iters=iters)},
@@ -428,7 +439,7 @@ def _cluster_sample_oracle(*, k: int, iters: int, cap: int) -> str:
               SELECT vec_id, c,
                      row_number() OVER (
                        PARTITION BY c
-                       ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id)
+                       ORDER BY {_mix32_sql("vec_id")}, vec_id)
                        AS rn
               FROM afin)
             SELECT vec_id, c AS cluster, rn <= {cap} AS keep FROM ranked

@@ -178,22 +178,35 @@ def semantic_dedup(emb_ds, *, k: int = 10, iters: int = 3,
         dedup_group, batch_format="pyarrow")
 
 
+def _lottery32(ids: np.ndarray) -> np.ndarray:
+    """Deterministic 32-bit multiplicative mix of vec_id — the sampling
+    lottery key.  Fully vectorized (uint64 arithmetic, no per-row Python
+    hashing) and SQL-expressible without 128-bit tricks: two
+    multiply-mod-2^32 rounds with xor-shift spreading, salted so 0 is
+    not a fixed point.  The DuckDB oracle computes the identical value
+    via HUGEINT casts (see ``_mix32_sql`` in ``__ray_entry__.py``)."""
+    h = ids.astype(np.uint64) + np.uint64(1013904223)
+    h = (h * np.uint64(2654435761)) & np.uint64(0xFFFFFFFF)
+    h ^= h >> np.uint64(16)
+    h = (h * np.uint64(2246822519)) & np.uint64(0xFFFFFFFF)
+    h ^= h >> np.uint64(13)
+    return h
+
+
 def cluster_balanced_sample(emb_ds, *, k: int = 10, iters: int = 3,
                             cap: int = 32):
     """Diversity-preserving subsample: cap every kmeans cluster at
-    ``cap`` members, chosen by md5 of the vec_id (a deterministic,
-    content-independent lottery, the same device as the corpus
-    train/val hash split) with vec_id as tie-break.  Dominant clusters
-    (boilerplate-heavy regions of embedding space) shrink to the cap;
-    small clusters survive whole — the balanced-mixture shape
-    cluster-based curation pipelines use after SemDeDup.
+    ``cap`` members, chosen by a deterministic content-independent
+    integer lottery (:func:`_lottery32` of the vec_id) with vec_id as
+    tie-break.  Dominant clusters (boilerplate-heavy regions of
+    embedding space) shrink to the cap; small clusters survive whole —
+    the balanced-mixture shape cluster-based curation pipelines use
+    after SemDeDup.
 
     Output: (vec_id, cluster, keep).  Same partitioning assumption as
     :func:`semantic_dedup` (one cluster per worker); the ranking is a
     vectorized argsort per group.
     """
-    import hashlib
-
     C = _lloyd_centroids(emb_ds, k=k, iters=iters)
     cref = ray.put(C)
 
@@ -207,9 +220,7 @@ def cluster_balanced_sample(emb_ds, *, k: int = 10, iters: int = 3,
 
     def sample_group(group: pa.Table) -> pa.Table:
         ids = np.asarray(group["vec_id"].to_pylist(), dtype=np.int64)
-        digests = np.asarray(
-            [hashlib.md5(str(i).encode()).hexdigest() for i in ids])
-        order = np.lexsort((ids, digests))
+        order = np.lexsort((ids, _lottery32(ids)))
         keep = np.zeros(len(ids), dtype=bool)
         keep[order[:cap]] = True
         return pa.table({
@@ -242,13 +253,10 @@ def label_stats(emb_ds, *, label_col: str = "label"):
     def part1(batch: pa.Table) -> pa.Table:
         M = emb_matrix(batch["embedding"])
         labels = np.asarray(batch[label_col].to_pylist(), dtype=np.int64)
-        uniq = np.unique(labels)
+        uniq, inv = np.unique(labels, return_inverse=True)
         sums = np.zeros((len(uniq), M.shape[1]))
-        counts = np.zeros(len(uniq), dtype=np.int64)
-        for i, u in enumerate(uniq):            # per-distinct-label fold
-            sel = labels == u
-            sums[i] = M[sel].sum(axis=0)
-            counts[i] = sel.sum()
+        np.add.at(sums, inv, M)                 # vectorized per-label fold
+        counts = np.bincount(inv, minlength=len(uniq)).astype(np.int64)
         return pa.table({
             "label": pa.array(uniq, pa.int64()),
             "n": pa.array(counts, pa.int64()),

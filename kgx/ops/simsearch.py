@@ -243,25 +243,50 @@ def _sign_bucket(M: np.ndarray, H: np.ndarray) -> np.ndarray:
     return bits.astype(np.int64) @ weights
 
 
+def _probe_buckets(raw: np.ndarray, n_bits: int, n_probe: int
+                   ) -> np.ndarray:
+    """Multi-probe bucket list per query (n_q x n_probe int64).
+
+    ``raw`` is the signed hyperplane margin matrix (Q @ H.T).  All
+    2^n_bits flip masks are enumerated and costed as the sum of |margin|
+    over flipped bits; each query probes the ``n_probe`` cheapest masks
+    (the un-flipped home bucket, cost 0, always first).  Flipping the
+    lowest-margin bits visits exactly the buckets a near-boundary
+    neighbor most likely fell into — the standard multi-probe LSH trick
+    that buys recall without extra hash tables or corpus replication."""
+    n_probe = min(n_probe, 1 << n_bits)
+    masks = np.arange(1 << n_bits, dtype=np.int64)
+    flip = ((masks[:, None] >> np.arange(n_bits)) & 1).astype(np.float64)
+    costs = np.abs(raw) @ flip.T                 # n_q x 2^n_bits
+    probe_ix = np.argsort(costs, axis=1, kind="stable")[:, :n_probe]
+    base = ((raw > 0).astype(np.int64)
+            @ (1 << np.arange(n_bits, dtype=np.int64)))
+    return base[:, None] ^ masks[probe_ix]
+
+
 def lsh_topk(emb_ds, query_ids: list[int], *, k: int = 10, n_bits: int = 4,
-             seed: int = 29):
-    """Approximate top-k: random-hyperplane bucket, exact scoring in-bucket.
+             seed: int = 29, n_probe: int = 8):
+    """Approximate top-k: random-hyperplane buckets with multi-probe
+    querying, exact scoring in-bucket.
 
     Each corpus block emits (bucket, vec_id, embedding) only for buckets
-    that contain at least one query; the per-bucket groupby then scores
-    queries against their bucket exactly.  Misses neighbors that land in
-    other buckets (by design); recall improves with fewer bits / multiple
-    tables.
+    some query probes — every corpus row still lands in exactly ONE
+    bucket, so multi-probe expands the query side only, never corpus
+    replication.  Each probed bucket's groupby group scores its queries
+    exactly and emits a partial top-k; a final single-task merge (the
+    partial stream is <= n_queries * n_probe * k narrow rows) ranks
+    across a query's probed buckets.  Recall rises with ``n_probe``
+    (probing the lowest-|margin| bit flips); still approximate — a
+    neighbor outside every probed bucket is missed by design.
     """
     qids, Q = _pull_queries(emb_ds, query_ids)
     dim = Q.shape[1]
     H = _hyperplanes(dim, n_bits, seed)
-    qbuckets = _sign_bucket(Q, H)
-    wanted = set(qbuckets.tolist())
-    qref = ray.put((qids, Q, qbuckets))
+    q_probes = _probe_buckets(Q @ H.T, n_bits, n_probe)
+    qref = ray.put((qids, Q, q_probes))
     href = ray.put(H)
 
-    wanted_arr = np.asarray(sorted(wanted), dtype=np.int64)
+    wanted_arr = np.unique(q_probes)
 
     def tag_buckets(batch: pa.Table) -> pa.Table:
         M = emb_matrix(batch["embedding"])
@@ -277,30 +302,33 @@ def lsh_topk(emb_ds, query_ids: list[int], *, k: int = 10, n_bits: int = 4,
 
     def bucket_topk(group: pa.Table) -> pa.Table:
         bucket = group["bucket"][0].as_py()
-        qids_, Q_, qb = ray.get(qref)
-        sel = np.flatnonzero(qb == bucket)
+        qids_, Q_, qp = ray.get(qref)
+        sel = np.flatnonzero((qp == bucket).any(axis=1))
         ids = np.asarray(group["vec_id"].to_pylist(), dtype=np.int64)
         M = emb_matrix(group["embedding"])
         M = M / np.linalg.norm(M, axis=1, keepdims=True)
         S = Q_[sel] @ M.T
-        q_col, n_col, s_col, r_col = [], [], [], []
+        q_col, n_col, s_col = [], [], []
         for row, qi in enumerate(sel):
             keep = np.flatnonzero(ids != qids_[qi])
             order = keep[np.lexsort((ids[keep], -S[row][keep]))][:k]
             q_col.extend([qids_[qi]] * len(order))
             n_col.extend(ids[order].tolist())
-            s_col.extend(np.round(S[row][order], 6).tolist())
-            r_col.extend(range(1, len(order) + 1))
+            s_col.extend(S[row][order].tolist())
         return pa.table({
             "query_id": pa.array(q_col, pa.int64()),
             "neighbor_id": pa.array(n_col, pa.int64()),
             "score": pa.array(s_col, pa.float64()),
-            "rank": pa.array(r_col, pa.int64()),
         })
 
     tagged = emb_ds.map_batches(tag_buckets, batch_format="pyarrow")
-    return tagged.groupby("bucket").map_groups(
+    per_bucket = tagged.groupby("bucket").map_groups(
         bucket_topk, batch_format="pyarrow")
+    # merge a query's partial top-ks across its probed buckets; the
+    # partial stream is <= n_queries * n_probe * k narrow rows
+    return per_bucket.repartition(1).map_batches(
+        lambda b: _merge_topk_all(b, k), batch_format="pyarrow",
+        batch_size=None)
 
 
 def knn_self_join(emb_ds, *, k: int = 3):

@@ -86,8 +86,8 @@ def test_semantic_dedup_drops_planted_duplicates(ray_session):
 
 
 def test_cluster_balanced_sample_caps_each_cluster(emb_ds):
-    import hashlib
-    from kgx.ops.cluster import cluster_balanced_sample
+    import numpy as np
+    from kgx.ops.cluster import _lottery32, cluster_balanced_sample
     ds, M, ids = emb_ds
     out = cluster_balanced_sample(ds, k=4, iters=2, cap=10).to_pandas()
     assert len(out) == len(ids)
@@ -95,11 +95,11 @@ def test_cluster_balanced_sample_caps_each_cluster(emb_ds):
     sizes = out.groupby("cluster").size()
     for c, n in sizes.items():
         assert per.get(c, 0) == min(10, n)
-    # kept rows are exactly the cap smallest md5 digests per cluster
+    # kept rows are exactly the cap smallest lottery keys per cluster
     for c, grp in out.groupby("cluster"):
-        ranked = sorted(grp["vec_id"],
-                        key=lambda i: (hashlib.md5(str(i).encode())
-                                       .hexdigest(), i))
+        ranked = sorted(
+            grp["vec_id"],
+            key=lambda i: (int(_lottery32(np.asarray([i]))[0]), i))
         assert set(grp[grp["keep"]]["vec_id"]) == set(ranked[:10])
 
 

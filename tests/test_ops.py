@@ -608,11 +608,21 @@ def test_lsh_topk_recall_vs_exact_knn(ray_session):
         got = set(approx[approx["query_id"] == q]["neighbor_id"])
         if want:
             recalls.append(len(want & got) / len(want))
-    # Near-random embeddings are the ADVERSARIAL case for single-probe
-    # hyperplane LSH (no cluster structure to exploit): measured average
-    # recall here is ~0.15 vs exact. This test pins that floor so a
-    # regression to zero (broken bucketing) is caught, and documents why
-    # IVF (recall >= 0.6 on the same data, test above) is the preferred
-    # scale path for weakly-clustered embedding spaces.
-    assert sum(recalls) / len(recalls) >= 0.1, recalls
-    assert any(r > 0 for r in recalls)
+    # Near-random embeddings are the ADVERSARIAL case for hyperplane LSH
+    # (no cluster structure to exploit): single-probe recall measured
+    # ~0.15 vs exact here.  Multi-probe (default n_probe=8 of 16
+    # buckets, lowest-|margin| bit flips) lifts the measured average to
+    # ~0.675 on this data; this pins a 3x-higher floor than the old
+    # single-probe one so a probing regression is caught.  On clustered
+    # real embeddings fewer probes buy the same recall.
+    assert sum(recalls) / len(recalls) >= 0.45, recalls
+    # single-probe semantics unchanged (home bucket is always probed)
+    from kgx.ops.simsearch import lsh_topk as _lsh
+    single = _lsh(emb, qids, k=5, n_probe=1).to_pandas()
+    r1 = []
+    for q in qids:
+        want = set(exact[exact["query_id"] == q]["neighbor_id"])
+        got = set(single[single["query_id"] == q]["neighbor_id"])
+        if want:
+            r1.append(len(want & got) / len(want))
+    assert sum(r1) / len(r1) >= 0.1, r1
