@@ -201,6 +201,10 @@ def _q_dedup_simhash(sf_dir: str):
 
 
 def _q_dedup_embedding(sf_dir: str):
+    """Exact cosine near-dup pairs via IVF cells + triangle-inequality
+    cell-pair pruning (kgx/ops/dedup.py:embedding_dup_pairs, default
+    method="bucketed" — no corpus broadcast, identical output to the
+    retained method="matrix" baseline)."""
     import ray.data as rd
     from kgx.ops.dedup import embedding_dup_pairs
     emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
@@ -219,8 +223,10 @@ def _q_dedup_components(sf_dir: str):
 
 
 def _q_simsearch_knn(sf_dir: str):
-    """Exact all-pairs kNN self-join, the oracle baseline the LSH/IVF
-    paths are audited against (kgx/ops/simsearch.py:knn_self_join)."""
+    """Exact all-pairs kNN self-join via the broadcast-free triangle
+    block join (kgx/ops/simsearch.py:knn_self_join, default
+    method="blocked"); the recall baseline the LSH/IVF paths are
+    audited against."""
     import ray.data as rd
     from kgx.ops.simsearch import knn_self_join
     emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet",

@@ -613,15 +613,29 @@ def simhash_pairs(docs_ds, *, bands: int = 4, max_hamming: int = 3,
 # Embedding-cosine near-dup
 # ----------------------------------------------------------------------
 
-def embedding_dup_pairs(emb_ds, *, threshold: float = 0.45):
+def embedding_dup_pairs(emb_ds, *, threshold: float = 0.45,
+                        method: str = "bucketed", n_cells: int = 16,
+                        train_mod: int = 4, iters: int = 5,
+                        seed: int = 37):
     """Exact embedding-cosine near-dup pairs >= threshold.
 
-    The normalized embedding matrix is pulled once, broadcast via
-    ``ray.put``, and each block scores with one float64 matmul.  Exact and
-    oracle-checked; the approximate scale path is LSH bucketing
-    (:func:`kgx.ops.simsearch.lsh_topk` uses the same hyperplane trick).
+    ``method="bucketed"`` (default, the 100 TB shape): IVF cells with
+    triangle-inequality cell-pair pruning — see
+    :func:`_embedding_dup_pairs_bucketed`.  Exact output, no corpus
+    broadcast; rows replicate only to admissible cell pairs.
+
+    ``method="matrix"``: the broadcast baseline — the normalized
+    embedding matrix is pulled once, broadcast via ``ray.put``, and each
+    block scores with one float64 matmul.  O(n*d) broadcast, kept as the
+    oracle/recall baseline the bucketed path is audited against.
     """
     import ray
+
+    if method == "bucketed":
+        return _embedding_dup_pairs_bucketed(
+            emb_ds, threshold=threshold, n_cells=n_cells,
+            train_mod=train_mod, iters=iters, seed=seed)
+    assert method == "matrix", method
 
     from kgx.functions.collect import collect_arrow
     tbl = collect_arrow(emb_ds.select_columns(["vec_id", "embedding"]))
@@ -655,3 +669,140 @@ def embedding_dup_pairs(emb_ds, *, threshold: float = 0.45):
     return emb_ds.map_batches(
         ScoreBlock, batch_format="pyarrow", concurrency=(1, 8),
         fn_constructor_kwargs={"mref": mref})
+
+
+def _embedding_dup_pairs_bucketed(emb_ds, *, threshold: float,
+                                  n_cells: int, train_mod: int,
+                                  iters: int, seed: int):
+    """IVF-bucketed EXACT cosine pairs >= threshold — no corpus broadcast.
+
+    Shape: a deterministic sample (``vec_id % train_mod == 0``) trains a
+    kmeans coarse quantizer driver-side; tiny centroid matrix broadcasts.
+    Pass 1 assigns each vector its cell and folds a per-cell radius
+    (max euclidean distance to centroid) map-side.  cos(a,b) >= t on
+    unit vectors implies ||a-b|| <= sqrt(2-2t), so by the triangle
+    inequality a qualifying pair's cells satisfy
+    ``||c_i-c_j|| <= r_i + r_j + sqrt(2-2t)`` — only those ADMISSIBLE
+    cell pairs are searched, and each unordered vector pair lives in
+    exactly one (cell_a, cell_b) group, so the result is exact and
+    emitted once with no downstream dedup.  Pass 2 replicates each row
+    to its cell's admissible pair-groups (replication factor = admissible
+    partners per cell; worst case ``n_cells`` on unclusterable data,
+    where the plan degrades to the classic triangle all-pairs block join
+    — still no O(n*d) broadcast, compute ~n^2/2) and a per-group matmul
+    emits qualifying pairs.  Pruning bites exactly when the embedding
+    space is clustered — the regime near-dup corpora live in."""
+    import ray
+
+    from kgx.functions.collect import collect_arrow
+    from kgx.ops.simsearch import _kmeans, emb_matrix
+
+    def train_sample(batch: pa.Table) -> pa.Table:
+        ids = np.asarray(batch["vec_id"].to_pylist(), dtype=np.int64)
+        keep = np.flatnonzero(ids % train_mod == 0)
+        return batch.take(pa.array(keep, pa.int64()))
+
+    sample_tbl = collect_arrow(
+        emb_ds.map_batches(train_sample, batch_format="pyarrow"))
+    order = np.argsort(np.asarray(sample_tbl["vec_id"].to_pylist()))
+    S = np.asarray(sample_tbl["embedding"].to_pylist(),
+                   dtype=np.float64)[order]
+    S = S / np.linalg.norm(S, axis=1, keepdims=True)
+    C = _kmeans(S, n_cells, iters, seed)
+    cref = ray.put(C)
+
+    # pass 1: per-cell radius partials (cell, max distance to centroid)
+    def radius_part(batch: pa.Table) -> pa.Table:
+        Cm = ray.get(cref)
+        M = emb_matrix(batch["embedding"])
+        M = M / np.linalg.norm(M, axis=1, keepdims=True)
+        cos = M @ Cm.T
+        cells = np.argmax(cos, axis=1).astype(np.int64)
+        best = cos[np.arange(len(cells)), cells]
+        d = np.sqrt(np.maximum(0.0, 2.0 - 2.0 * best))
+        uniq, inv = np.unique(cells, return_inverse=True)
+        rmax = np.zeros(len(uniq))
+        np.maximum.at(rmax, inv, d)
+        return pa.table({"cell": pa.array(uniq, pa.int64()),
+                         "r": pa.array(rmax, pa.float64())})
+
+    parts = collect_arrow(
+        emb_ds.map_batches(radius_part, batch_format="pyarrow"))
+    radius = np.zeros(len(C))
+    pc_cells = np.asarray(parts["cell"].to_pylist(), dtype=np.int64)
+    np.maximum.at(radius, pc_cells,
+                  np.asarray(parts["r"].to_pylist(), dtype=np.float64))
+    occupied = np.unique(pc_cells)
+
+    # driver: admissible cell pairs under the triangle-inequality bound
+    D = float(np.sqrt(max(0.0, 2.0 - 2.0 * threshold)))
+    cd = np.sqrt(np.maximum(
+        0.0, 2.0 - 2.0 * (C[occupied] @ C[occupied].T)))
+    bound = radius[occupied][:, None] + radius[occupied][None, :] + D
+    ii, jj = np.nonzero(np.triu(cd <= bound))
+    pair_cells = np.stack([occupied[ii], occupied[jj]], axis=1)
+    cell_groups: dict[int, list[int]] = {}
+    for gid, (a, b) in enumerate(pair_cells):
+        cell_groups.setdefault(int(a), []).append(gid)
+        if b != a:
+            cell_groups.setdefault(int(b), []).append(gid)
+    gref = ray.put((cell_groups, pair_cells))
+
+    def replicate(batch: pa.Table) -> pa.Table:
+        Cm = ray.get(cref)
+        groups, _ = ray.get(gref)
+        M = emb_matrix(batch["embedding"])
+        M = M / np.linalg.norm(M, axis=1, keepdims=True)
+        cells = np.argmax(M @ Cm.T, axis=1).astype(np.int64)
+        reps = np.asarray([len(groups.get(int(c), [])) for c in cells],
+                          dtype=np.int64)
+        gid_col = np.concatenate(
+            [np.asarray(groups.get(int(c), []), dtype=np.int64)
+             for c in cells]) if reps.sum() else np.zeros(0, np.int64)
+        rows = np.repeat(np.arange(len(cells)), reps)
+        rep = batch.take(pa.array(rows, pa.int64()))
+        return pa.table({
+            "gid": pa.array(gid_col, pa.int64()),
+            "cell": pa.array(cells[rows], pa.int64()),
+            "vec_id": rep["vec_id"].combine_chunks(),
+            "embedding": rep["embedding"].combine_chunks(),
+        })
+
+    def group_pairs(group: pa.Table) -> pa.Table:
+        _, pairs = ray.get(gref)
+        gid = group["gid"][0].as_py()
+        ca, cb = int(pairs[gid][0]), int(pairs[gid][1])
+        cells = np.asarray(group["cell"].to_pylist(), dtype=np.int64)
+        ids = np.asarray(group["vec_id"].to_pylist(), dtype=np.int64)
+        M = emb_matrix(group["embedding"])
+        M = M / np.linalg.norm(M, axis=1, keepdims=True)
+        empty = pa.table({"vec_a": pa.array([], pa.int64()),
+                          "vec_b": pa.array([], pa.int64()),
+                          "cosine": pa.array([], pa.float64())})
+        if ca == cb:
+            order = np.argsort(ids)
+            ids_s, Ms = ids[order], M[order]
+            Sc = Ms @ Ms.T
+            keep = (Sc >= threshold) & (ids_s[:, None] < ids_s[None, :])
+            ai, bi = np.nonzero(keep)
+            a_ids, b_ids, sc = ids_s[ai], ids_s[bi], Sc[ai, bi]
+        else:
+            am, bm = cells == ca, cells == cb
+            if not am.any() or not bm.any():
+                return empty
+            Sc = M[am] @ M[bm].T
+            ai, bi = np.nonzero(Sc >= threshold)
+            ia, ib = ids[am][ai], ids[bm][bi]
+            a_ids, b_ids = np.minimum(ia, ib), np.maximum(ia, ib)
+            sc = Sc[ai, bi]
+        if not len(a_ids):
+            return empty
+        return pa.table({
+            "vec_a": pa.array(a_ids, pa.int64()),
+            "vec_b": pa.array(b_ids, pa.int64()),
+            "cosine": pa.array(np.round(sc, 6), pa.float64()),
+        })
+
+    rep = emb_ds.map_batches(replicate, batch_format="pyarrow")
+    return rep.groupby("gid").map_groups(group_pairs,
+                                         batch_format="pyarrow")

@@ -331,23 +331,37 @@ def lsh_topk(emb_ds, query_ids: list[int], *, k: int = 10, n_bits: int = 4,
         batch_size=None)
 
 
-def knn_self_join(emb_ds, *, k: int = 3):
+def knn_self_join(emb_ds, *, k: int = 3, method: str = "blocked",
+                  n_blocks: int = 8, merge_parts: int = 8):
     """Exact all-pairs kNN self-join: every vector's top-k cosine
     neighbors (self excluded) — the pairwise primitive behind kNN-graph
     construction for cluster analysis and near-dup audits.
 
-    BASELINE SHAPE, like ``kgx.ops.dedup.embedding_dup_pairs``: the
-    normalized corpus matrix broadcasts once (``ray.put``) and each
-    block computes one (block x corpus) matmul + vectorized per-row
-    partial top-k, so the work distributes but the broadcast is O(n*d)
-    — fine to ~10^7x10^2 dims, *not* the 100 TB path.  At scale the
-    same output comes from LSH/IVF bucketing (``lsh_topk``/``ivf_topk``)
-    with exact verify inside buckets; this operator is the oracle-
-    checkable exact baseline those are audited against.
+    ``method="blocked"`` (default, the no-broadcast shape): the classic
+    triangle block join.  Rows hash into ``n_blocks`` blocks by vec_id;
+    every unordered block pair (i <= j) forms one group, each row
+    replicates to its block's ``n_blocks`` groups, and a per-group
+    matmul emits each side's partial top-k vs the other side.  A row's
+    true top-k neighbor is necessarily in its partial top-k vs the
+    neighbor's block, so merging a row's partials (a hash-partitioned
+    lexsort over <= n * n_blocks * k narrow rows) is EXACT.  Compute is
+    ~n^2/2 dots (half the broadcast baseline, which scores both
+    triangles); communication is n * n_blocks replicated rows — never
+    an O(n*d) driver-side matrix.  At 100 TB the approximate answers
+    come from ``lsh_topk``/``ivf_topk``; this stays the exact
+    recall-audit baseline, now in a shape that distributes.
+
+    ``method="matrix"``: the original broadcast-matrix baseline — the
+    normalized corpus broadcasts once (``ray.put``) and each block does
+    one (block x corpus) matmul.  Kept as the oracle cross-check.
 
     Output: (vec_id, neighbor_id, score rounded 6dp, rank 1..k), ties
-    broken (score desc, neighbor_id asc).
+    broken (score desc, neighbor_id asc) — identical for both methods.
     """
+    if method == "blocked":
+        return _knn_self_join_blocked(emb_ds, k=k, n_blocks=n_blocks,
+                                      merge_parts=merge_parts)
+    assert method == "matrix", method
     from kgx.functions.collect import collect_arrow
 
     tbl = collect_arrow(emb_ds.select_columns(["vec_id", "embedding"]))
@@ -388,3 +402,99 @@ def knn_self_join(emb_ds, *, k: int = 3):
         })
 
     return emb_ds.map_batches(block_knn, batch_format="pyarrow")
+
+
+def _side_topk(ids_q: np.ndarray, ids_n: np.ndarray, Sc: np.ndarray,
+               k: int) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Per-row partial top-k from a (rows x cols) rounded score matrix.
+    Columns must be in ascending ids_n order so the stable argsort
+    tie-breaks (score desc, neighbor_id asc) automatically."""
+    kk = min(k, Sc.shape[1])
+    if kk <= 0 or not len(ids_q):
+        z = np.zeros(0, np.int64)
+        return z, z, np.zeros(0, np.float64)
+    idx = np.argsort(-Sc, axis=1, kind="stable")[:, :kk]
+    rows = np.repeat(np.arange(len(ids_q)), kk)
+    cols = idx.ravel()
+    sc = Sc[rows, cols]
+    fin = sc > -np.inf                    # drop masked self slots
+    return ids_q[rows[fin]], ids_n[cols[fin]], sc[fin]
+
+
+def _knn_self_join_blocked(emb_ds, *, k: int, n_blocks: int,
+                           merge_parts: int):
+    """Triangle block-join kNN (see :func:`knn_self_join`)."""
+    pairs = [(i, j) for i in range(n_blocks) for j in range(i, n_blocks)]
+    block_gids: dict[int, list[int]] = {}
+    for gid, (i, j) in enumerate(pairs):
+        block_gids.setdefault(i, []).append(gid)
+        if j != i:
+            block_gids.setdefault(j, []).append(gid)
+    gref = ray.put((block_gids, np.asarray(pairs, dtype=np.int64)))
+
+    def replicate(batch: pa.Table) -> pa.Table:
+        groups, _ = ray.get(gref)
+        ids = np.asarray(batch["vec_id"].to_pylist(), dtype=np.int64)
+        blocks = ids % n_blocks
+        gid_col = np.concatenate(
+            [np.asarray(groups[int(b)], dtype=np.int64) for b in blocks]
+        ) if len(ids) else np.zeros(0, np.int64)
+        rows = np.repeat(np.arange(len(ids)), n_blocks)
+        rep = batch.take(pa.array(rows, pa.int64()))
+        return pa.table({
+            "gid": pa.array(gid_col, pa.int64()),
+            "block": pa.array(blocks[rows], pa.int64()),
+            "vec_id": rep["vec_id"].combine_chunks(),
+            "embedding": rep["embedding"].combine_chunks(),
+        })
+
+    def group_topk(group: pa.Table) -> pa.Table:
+        _, pairs_arr = ray.get(gref)
+        gid = group["gid"][0].as_py()
+        bi, bj = int(pairs_arr[gid][0]), int(pairs_arr[gid][1])
+        blocks = np.asarray(group["block"].to_pylist(), dtype=np.int64)
+        ids = np.asarray(group["vec_id"].to_pylist(), dtype=np.int64)
+        M = emb_matrix(group["embedding"])
+        nrm = np.linalg.norm(M, axis=1, keepdims=True)
+        nrm[nrm == 0] = 1.0
+        M = M / nrm
+        qs, ns, ss = [], [], []
+        if bi == bj:
+            order = np.argsort(ids)
+            ids_s, Ms = ids[order], M[order]
+            Sc = np.round(Ms @ Ms.T, 6)
+            np.fill_diagonal(Sc, -np.inf)     # exclude self
+            q, n, s = _side_topk(ids_s, ids_s, Sc, k)
+            qs.append(q); ns.append(n); ss.append(s)
+        else:
+            am, bm = blocks == bi, blocks == bj
+            oa, ob = np.argsort(ids[am]), np.argsort(ids[bm])
+            ia, ib = ids[am][oa], ids[bm][ob]
+            Ma, Mb = M[am][oa], M[bm][ob]
+            if len(ia) and len(ib):
+                Sc = np.round(Ma @ Mb.T, 6)
+                q, n, s = _side_topk(ia, ib, Sc, k)
+                qs.append(q); ns.append(n); ss.append(s)
+                q, n, s = _side_topk(ib, ia, Sc.T, k)
+                qs.append(q); ns.append(n); ss.append(s)
+        if not qs:
+            qs, ns, ss = [np.zeros(0, np.int64)], [np.zeros(0, np.int64)], \
+                         [np.zeros(0, np.float64)]
+        return pa.table({
+            "query_id": pa.array(np.concatenate(qs), pa.int64()),
+            "neighbor_id": pa.array(np.concatenate(ns), pa.int64()),
+            "score": pa.array(np.concatenate(ss), pa.float64()),
+            "part": pa.array(np.concatenate(qs) % merge_parts, pa.int64()),
+        })
+
+    rep = emb_ds.map_batches(replicate, batch_format="pyarrow")
+    partial = rep.groupby("gid").map_groups(group_topk,
+                                            batch_format="pyarrow")
+    # hash-partitioned merge: each part holds <= (n/merge_parts) *
+    # n_blocks * k narrow rows — no single-task bottleneck at scale
+    merged = partial.groupby("part").map_groups(
+        lambda g: _merge_topk_all(g, k), batch_format="pyarrow")
+    return merged.map_batches(
+        lambda t: t.rename_columns(
+            ["vec_id", "neighbor_id", "score", "rank"]),
+        batch_format="pyarrow")

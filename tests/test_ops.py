@@ -592,6 +592,43 @@ def test_curate_corpus_shape_and_packing_invariants(ray_session):
     assert len(out) < n_in
 
 
+def test_embedding_dup_pairs_bucketed_matches_matrix(ray_session):
+    """The IVF-bucketed default (triangle-inequality cell-pair pruning,
+    no corpus broadcast) must be pair-for-pair identical to the
+    broadcast-matrix baseline — the bucketing is exact, not approximate."""
+    import pandas as pd
+    import ray.data as rd
+    from kgx.ops.dedup import embedding_dup_pairs
+    emb = rd.read_parquet("/root/testdata/sf0.001/embeddings.parquet",
+                          columns=["vec_id", "embedding"])
+    key = ["vec_a", "vec_b"]
+    a = embedding_dup_pairs(emb, threshold=0.4, method="matrix") \
+        .to_pandas().sort_values(key).reset_index(drop=True)
+    b = embedding_dup_pairs(emb, threshold=0.4, method="bucketed",
+                            n_cells=7) \
+        .to_pandas().sort_values(key).reset_index(drop=True)
+    assert len(a) > 0
+    pd.testing.assert_frame_equal(a, b[a.columns])
+
+
+def test_knn_self_join_blocked_matches_matrix(ray_session):
+    """The triangle block-join default must reproduce the broadcast
+    baseline exactly, ranks and rounded scores included."""
+    import pandas as pd
+    import ray.data as rd
+    from kgx.ops.simsearch import knn_self_join
+    emb = rd.read_parquet("/root/testdata/sf0.001/embeddings.parquet",
+                          columns=["vec_id", "embedding"])
+    key = ["vec_id", "rank"]
+    a = knn_self_join(emb, k=4, method="matrix") \
+        .to_pandas().sort_values(key).reset_index(drop=True)
+    b = knn_self_join(emb, k=4, method="blocked", n_blocks=5,
+                      merge_parts=3) \
+        .to_pandas().sort_values(key).reset_index(drop=True)
+    assert len(a) > 0
+    pd.testing.assert_frame_equal(a, b[a.columns])
+
+
 def test_lsh_topk_recall_vs_exact_knn(ray_session):
     """simsearch_lsh's bucketed candidates must recover a healthy share
     of the exact top-k (audited against the exact kNN baseline)."""
