@@ -1223,6 +1223,20 @@ def _q_events_stream(sf_dir: str):
     return stream_tumbling(ev, width_s=3600)
 
 
+def _q_events_stream_sharded(sf_dir: str):
+    """PARALLEL stream hosting: the event stream key-hash-partitions
+    into 8 shards and groupby(shard).map_groups hosts one independent
+    TumblingWindowStream per shard (kgx/ops/streaming.py:
+    stream_sharded).  Each (window, key) lives on exactly one shard, so
+    the union equals the batch aggregate — same SQL oracle as
+    events_stream/events_window."""
+    import ray.data as rd
+    from kgx.ops.streaming import stream_sharded
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["ts", "event_type", "value"])
+    return stream_sharded(ev, width_s=3600)
+
+
 def _q_events_zscore(sf_dir: str):
     """Per-type z-score anomaly flags: one moment-partial pass, broadcast
     (mean, std) map, map-side verdict (kgx/ops/window.py:zscore_flags)."""
@@ -1636,7 +1650,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "multimodal_stats": _q_multimodal_stats,
         "multimodal_decode": _q_multimodal_decode,
         "multimodal_frames": _q_multimodal_frames,
-        # --- position 51+: driver-checked in round 2 -------------------
+        # --- position 51+: new in round 3 (locally gated; rotate into
+        # the head next round) then previously driver-checked entries --
+        "events_stream_sharded": _q_events_stream_sharded,
         # KG-construction pipeline (SURVEY.md §2) over the documents table
         "kg_chunks": _q_kg_chunks,
         "kg_chunks_win": _q_kg_chunks_win,
@@ -2343,6 +2359,16 @@ def oracle_sql() -> dict[str, str]:
             FROM events GROUP BY 1, 2
         """,
         "events_window": """
+            SELECT make_timestamp((epoch_us(ts) // 3600000000) * 3600000000)
+                     AS window_start,
+                   event_type,
+                   count(*) AS n_events,
+                   round(sum(value), 2) AS sum_value,
+                   min(value) AS min_value,
+                   max(value) AS max_value
+            FROM events GROUP BY 1, 2
+        """,
+        "events_stream_sharded": """
             SELECT make_timestamp((epoch_us(ts) // 3600000000) * 3600000000)
                      AS window_start,
                    event_type,

@@ -15,9 +15,12 @@ of stream length.
 Semantics equal the batch aggregate exactly whenever no row violates the
 lateness bound (parity-tested; the driver query ``events_stream`` runs
 the stream over time-ordered arrival and hash-matches the batch SQL
-oracle).  Placement: the CLASS is a per-consumer sequential sink — e.g.
-hosted one-per-shard behind a key-partitioned stream; the distributed
-whole-table path remains ``tumbling_window_agg``.
+oracle).  Placement: the CLASS is a per-consumer sequential sink;
+:func:`stream_sharded` demonstrates the hosted one-per-shard deployment
+(key-hash partition via ``groupby(shard).map_groups``, one stream per
+shard, union == batch aggregate — driver query
+``events_stream_sharded``); the distributed whole-table path remains
+``tumbling_window_agg``.
 
 The reference has no streaming surface at all; this is the custom-
 operator category the brief names ("a streaming window").
@@ -138,3 +141,55 @@ def stream_tumbling(events_ds, *, width_s: int = 3600,
     # Empty stream: every emission has 0 rows; return a schema-bearing
     # empty table instead of letting concat_tables([]) raise.
     return pa.concat_tables(nonempty) if nonempty else flush
+
+
+def stream_sharded(events_ds, *, n_shards: int = 8, width_s: int = 3600,
+                   lateness_s: int = 300, key: str = "event_type",
+                   value_col: str = "value", feed_batch: int = 4096):
+    """PARALLEL hosting of :class:`TumblingWindowStream` — the deployment
+    the class docstring promises: the stream is partitioned by key hash
+    into ``n_shards`` consumers, and ``groupby(shard).map_groups`` hosts
+    one independent stream instance per shard, each fed its shard's rows
+    in event-time order.
+
+    Every (window, key) state lives on exactly one shard, so the union
+    of the shards' emissions equals the single-consumer
+    :func:`stream_tumbling` run and the distributed batch
+    ``tumbling_window_agg`` exactly (parity-tested; the driver query
+    ``events_stream_sharded`` hash-matches the same SQL oracle).  Scale
+    shape: the shuffle is the key-hash partition a log bus (e.g. a
+    partitioned queue) would already provide; per-shard state stays
+    O(open windows x keys-in-shard); shards run concurrently as ordinary
+    Ray Data groups.  Watermarks advance per shard, which is exactly how
+    key-partitioned consumers behave in production."""
+    import hashlib
+
+    import numpy as np
+
+    def tag(batch: pa.Table) -> pa.Table:
+        ks = batch[key].to_pylist()
+        uniq = sorted(set(ks))
+        smap = {u: int.from_bytes(
+            hashlib.blake2b(str(u).encode(), digest_size=8).digest(),
+            "big") % n_shards for u in uniq}
+        return batch.append_column(
+            "shard", pa.array([smap[x] for x in ks], pa.int64()))
+
+    def run_shard(group: pa.Table) -> pa.Table:
+        ts = pc.cast(group["ts"], pa.int64()).to_numpy(
+            zero_copy_only=False)
+        order = np.argsort(ts, kind="stable")
+        g = group.take(pa.array(order, pa.int64())).drop(["shard"])
+        stream = TumblingWindowStream(
+            width_s=width_s, lateness_s=lateness_s, key=key,
+            value_col=value_col)
+        outs = []
+        for lo in range(0, g.num_rows, feed_batch):
+            outs.append(stream.feed(g.slice(lo, feed_batch)))
+        flush = stream.flush()
+        outs.append(flush)
+        nonempty = [t for t in outs if t.num_rows]
+        return pa.concat_tables(nonempty) if nonempty else flush
+
+    return events_ds.map_batches(tag, batch_format="pyarrow") \
+        .groupby("shard").map_groups(run_shard, batch_format="pyarrow")

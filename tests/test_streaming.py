@@ -4,7 +4,8 @@ import pyarrow as pa
 import pytest
 import ray.data as rd
 
-from kgx.ops.streaming import TumblingWindowStream, stream_tumbling
+from kgx.ops.streaming import (TumblingWindowStream, stream_sharded,
+                               stream_tumbling)
 from kgx.ops.window import US, tumbling_window_agg
 
 
@@ -30,6 +31,28 @@ def test_stream_matches_batch_aggregate_on_events(ray_session):
         tumbling_window_agg(ev, width_s=3600)
         .iter_batches(batch_format="pyarrow")))
     assert _as_dict(got) == _as_dict(want)
+
+
+def test_sharded_streams_match_batch_and_sequential(ray_session):
+    """The hosted one-per-shard deployment (groupby(shard).map_groups,
+    one TumblingWindowStream per key-hash shard) must equal BOTH the
+    sequential single-consumer run and the distributed batch aggregate —
+    every (window, key) lives on exactly one shard."""
+    ev = rd.read_parquet("/root/testdata/sf0.001/events.parquet",
+                         columns=["ts", "event_type", "value"])
+    sharded = pa.concat_tables(list(
+        stream_sharded(ev, n_shards=4, width_s=3600)
+        .iter_batches(batch_format="pyarrow")))
+    sequential = stream_tumbling(ev, width_s=3600)
+    batch = pa.concat_tables(list(
+        tumbling_window_agg(ev, width_s=3600)
+        .iter_batches(batch_format="pyarrow")))
+    assert _as_dict(sharded) == _as_dict(sequential) == _as_dict(batch)
+    # more shards than keys: empty shards never appear, parity holds
+    wide = pa.concat_tables(list(
+        stream_sharded(ev, n_shards=16, width_s=3600)
+        .iter_batches(batch_format="pyarrow")))
+    assert _as_dict(wide) == _as_dict(batch)
 
 
 def test_watermark_closes_windows_incrementally():
