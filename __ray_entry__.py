@@ -427,6 +427,30 @@ _SEMDEDUP_TAU = 0.4
 _SAMPLE_CAP = 32
 
 
+def _lp_rounds_ctes(*, rounds: int) -> str:
+    """Unrolled connected-components rounds over CTEs ``und`` (directed
+    pair list src->dst) and ``l0`` (doc_id, lbl=doc_id).  Round r does a
+    one-hop neighbor-min (n{r}) then a pointer jump l(v) <- min(l(v),
+    l(l(v))) (l{r}), so label distance halves per round after the hop —
+    ``rounds=8`` converges for any component diameter <= 2^8.  Every
+    stage is AS MATERIALIZED: DuckDB would otherwise inline each
+    round's CTE into the next, exploding the plan exponentially."""
+    parts = []
+    for r in range(1, rounds + 1):
+        parts.append(f"""
+            n{r} AS MATERIALIZED (
+              SELECT l.doc_id,
+                     least(l.lbl, coalesce(min(n.lbl), l.lbl)) AS lbl
+              FROM l{r - 1} l
+              LEFT JOIN und u ON u.src = l.doc_id
+              LEFT JOIN l{r - 1} n ON n.doc_id = u.dst
+              GROUP BY l.doc_id, l.lbl),
+            l{r} AS MATERIALIZED (
+              SELECT a.doc_id, least(a.lbl, b.lbl) AS lbl
+              FROM n{r} a JOIN n{r} b ON b.doc_id = a.lbl)""")
+    return ",".join(parts)
+
+
 def _mix32_sql(expr: str) -> str:
     """SQL for kgx.ops.cluster._lottery32: a salted two-round 32-bit
     multiplicative mix.  Multiplies route through HUGEINT then reduce
@@ -1952,9 +1976,11 @@ def oracle_sql() -> dict[str, str]:
             JOIN sz sb ON sb.doc_id = db
             WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.8
         """,
-        # NOTE: this ORACLE (not the Ray operator) is quadratic in the
-        # per-term doc lists — fine at the driver's sf0.01 gate, ~hours
-        # in DuckDB at sf0.1+; the Ray side stays banded/linear.
+        # Unrolled min-label propagation + pointer jumping (the
+        # kg_kcore AS MATERIALIZED device): each round is one linear
+        # neighbor-min pass plus one label self-join, and jumping makes
+        # convergence log-diameter, so 8 rounds cover diameter 2^8 —
+        # no quadratic transitive closure, gates at sf0.1 in seconds.
         "dedup_components": f"""
             WITH dt AS (
               SELECT doc_id,
@@ -1970,19 +1996,13 @@ def oracle_sql() -> dict[str, str]:
               JOIN sz sa ON sa.doc_id = da
               JOIN sz sb ON sb.doc_id = db
               WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.8),
-            und AS (SELECT da AS src, db AS dst FROM p
-                    UNION SELECT db, da FROM p),
-            reach AS (
-              WITH RECURSIVE r(src, dst) AS (
-                SELECT src, dst FROM und
-                UNION
-                SELECT r.src, u.dst FROM r JOIN und u ON r.dst = u.src)
-              SELECT src, dst FROM r)
-            SELECT d.doc_id,
-                   least(d.doc_id, coalesce(min(r.dst), d.doc_id))
-                     AS component_id
-            FROM documents d LEFT JOIN reach r ON r.src = d.doc_id
-            GROUP BY d.doc_id
+            und AS MATERIALIZED (
+              SELECT da AS src, db AS dst FROM p
+              UNION ALL SELECT db, da FROM p),
+            l0 AS MATERIALIZED (
+              SELECT doc_id, doc_id AS lbl FROM documents),
+            {_lp_rounds_ctes(rounds=8)}
+            SELECT doc_id, lbl AS component_id FROM l8
         """,
         # A-ES key = ln(u)/w, u = (hex12(md5(id)) + 1) / 16^12; libm-vs-
         # DuckDB ln() differ at ~1 ulp, far under the 12-dp rounding
