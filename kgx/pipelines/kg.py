@@ -67,6 +67,14 @@ class KGConfig:
     # the signature-Jaccard merge threshold.  SEMANTIC knob: changes
     # results, so it is part of the checkpoint identity.
     neardup_threshold: float | None = None
+    # Optional embedding-COSINE entity merge — the reference resolver's
+    # exact semantics (entity_resolver.py:25-56) via hyperplane-LSH
+    # candidates + exact cosine verify over name embeddings
+    # (kgx/stages/neardup.py:cosine_merge_nodes).  None disables; a value
+    # is the cosine merge threshold (0.6 fits the character-shingle
+    # stand-in embedding; 0.85 with a real encoder).  Composes with
+    # neardup_threshold (cosine pass runs after).  SEMANTIC knob.
+    cosine_merge_threshold: float | None = None
     # Incremental-ingest page screening (update_pipeline only): drop pages
     # of a NEW shard whose extracted text already exists in the base
     # corpus or a previously ingested shard, via the sharded
@@ -291,6 +299,11 @@ def stream_kg(pages_path: str, cfg: KGConfig | None = None) -> dict:
         from kgx.stages.neardup import neardup_merge_nodes
         nodes = neardup_merge_nodes(nodes, threshold=cfg.neardup_threshold,
                                     cap=cfg.instance_cap)
+    if cfg.cosine_merge_threshold is not None:
+        from kgx.stages.neardup import cosine_merge_nodes
+        nodes = cosine_merge_nodes(nodes,
+                                   threshold=cfg.cosine_merge_threshold,
+                                   cap=cfg.instance_cap)
     nodes = nodes.materialize()
 
     if cfg.resolve_strategy == "coshuffle":
@@ -445,6 +458,11 @@ def _finalize_graph(out_dir: str, extracted_paths: list, cfg: "KGConfig",
             nodes = neardup_merge_nodes(nodes,
                                         threshold=cfg.neardup_threshold,
                                         cap=cfg.instance_cap)
+        if cfg.cosine_merge_threshold is not None:
+            from kgx.stages.neardup import cosine_merge_nodes
+            nodes = cosine_merge_nodes(
+                nodes, threshold=cfg.cosine_merge_threshold,
+                cap=cfg.instance_cap)
         nodes.write_parquet(sdir)
         return nodes
     _run_stage(out_dir, "nodes", fp_ext, chash("nodes"), build_nodes, resume)

@@ -195,20 +195,124 @@ def _merge_member_group(group: pa.Table,
                      for f in NODES_SCHEMA})
 
 
-def neardup_merge_nodes(nodes_ds, *, threshold: float = 0.7,
-                        num_perm: int = 32, bands: int = 8, k: int = 3,
-                        seed: int = 17, cap: int = DEFAULT_INSTANCE_CAP):
-    """Optional near-dup pass over canonical nodes; returns merged nodes
-    sorted by entity_id.  With no near-duplicates this is a no-op."""
-    import ray
+def _name_embed(norm: str, dim: int) -> np.ndarray:
+    """Deterministic character-shingle feature-hash embedding of a
+    normalized name: each 3-shingle lands in bucket ``h % dim`` with a
+    sign from the hash's top bit, L2-normalized.  Near-duplicate
+    surface forms share most shingles, so their cosine is high — the
+    sandbox stand-in for the reference resolver's name-embedding model
+    (/root/reference/extraction/entity_resolver.py:25-56); a real
+    encoder drops in by replacing this one function."""
+    sh = _char_shingles(norm, 3)
+    v = np.zeros(dim, dtype=np.float64)
+    if len(sh):
+        idx = (sh % np.uint64(dim)).astype(np.int64)
+        sign = np.where((sh >> np.uint64(63)) & np.uint64(1), 1.0, -1.0)
+        np.add.at(v, idx, sign)
+    n = np.linalg.norm(v)
+    return v / n if n > 0 else v
 
+
+def band_nodes_cosine(nodes_ds, *, dim: int = 64, n_tables: int = 24,
+                      n_bits: int = 4, seed: int = 23):
+    """nodes -> (band, bucket, entity_id, n_instances, emb) LSH rows:
+    ``n_tables`` independent random-hyperplane sign buckets of ``n_bits``
+    each over the name embedding.  A corpus row lands in one bucket PER
+    TABLE (n_tables-fold replication of the tiny nodes table), giving
+    candidate recall ~1-(1-p^n_bits)^n_tables; exactness comes from the
+    cosine verify in :func:`candidate_pairs_cosine`."""
+
+    def to_bands(batch: pa.Table) -> pa.Table:
+        rng = np.random.default_rng(seed)
+        H = rng.standard_normal((n_tables * n_bits, dim))
+        names = batch["name"].to_pylist()
+        E = np.stack([_name_embed(normalize(n or ""), dim)
+                      for n in names]) if names else np.zeros((0, dim))
+        bits = (E @ H.T) > 0                    # rows x (tables*bits)
+        w = (1 << np.arange(n_bits, dtype=np.int64))
+        n = len(names)
+        tbl_ids = np.repeat(np.arange(n_tables, dtype=np.int64), n)
+        buckets = np.concatenate(
+            [bits[:, t * n_bits:(t + 1) * n_bits].astype(np.int64) @ w
+             for t in range(n_tables)]) if n else np.zeros(0, np.int64)
+        rows = np.tile(np.arange(n), n_tables)
+        rep = batch.take(pa.array(rows, pa.int64()))
+        return pa.table({
+            "band": pa.array(tbl_ids, pa.int32()),
+            "bucket": pa.array(buckets, pa.int64()),
+            "entity_id": rep["entity_id"].combine_chunks(),
+            "n_instances": rep["n_instances"].combine_chunks(),
+            "emb": pa.array([E[r].tolist() for r in rows],
+                            pa.list_(pa.float64())),
+        })
+
+    return nodes_ds.map_batches(to_bands, batch_format="pyarrow")
+
+
+def candidate_pairs_cosine(banded_ds, *, threshold: float):
+    """groupby(band, bucket) -> exact-cosine-verified pairs >= threshold.
+    A pair colliding in several tables is emitted once per table; the
+    downstream union-find is idempotent, so no ownership pass is
+    needed on this small side."""
+
+    def pairs(group: pa.Table) -> pa.Table:
+        ids = group["entity_id"].to_pylist()
+        order = sorted(range(len(ids)), key=lambda i: ids[i])
+        E = np.asarray(group["emb"].to_pylist(), dtype=np.float64)
+        ns = group["n_instances"].to_pylist()
+        a_c, b_c, c_c, na_c, nb_c = [], [], [], [], []
+        if len(order) > 1:
+            sel = np.asarray(order)
+            S = E[sel] @ E[sel].T
+            iu, ju = np.triu_indices(len(sel), k=1)
+            keep = np.flatnonzero(S[iu, ju] >= threshold)
+            for x in keep:
+                i, j = sel[iu[x]], sel[ju[x]]
+                if ids[i] == ids[j]:
+                    continue
+                a_c.append(ids[i]); b_c.append(ids[j])
+                c_c.append(float(np.round(S[iu[x], ju[x]], 6)))
+                na_c.append(ns[i]); nb_c.append(ns[j])
+        return pa.table({
+            "id_a": pa.array(a_c, pa.string()),
+            "id_b": pa.array(b_c, pa.string()),
+            "cosine": pa.array(c_c, pa.float64()),
+            "n_a": pa.array(na_c, pa.int64()),
+            "n_b": pa.array(nb_c, pa.int64()),
+        })
+
+    return banded_ds.groupby(["band", "bucket"]).map_groups(
+        pairs, batch_format="pyarrow")
+
+
+def cosine_merge_nodes(nodes_ds, *, threshold: float = 0.6,
+                       dim: int = 64, n_tables: int = 24, n_bits: int = 4,
+                       seed: int = 23, cap: int = DEFAULT_INSTANCE_CAP):
+    """Config-gated EMBEDDING-COSINE entity merge — the reference
+    resolver's semantics (entity_resolver.py:25-56, cosine >= 0.85 with
+    a real encoder) in an order-independent, bucketed construction:
+    hyperplane-LSH candidates over name embeddings, exact cosine verify
+    in-bucket, union-find canonical pick (max n_instances, tie smallest
+    id), broadcast remap + grouped merge — the same downstream flow as
+    :func:`neardup_merge_nodes`.  The default threshold 0.6 fits the
+    character-shingle stand-in embedding; with a real model plug the
+    reference's 0.85 back in."""
     from kgx.functions.collect import collect_arrow
-    banded = band_nodes(nodes_ds, num_perm=num_perm, bands=bands, k=k,
-                        seed=seed)
-    pairs = collect_arrow(candidate_pairs(banded, threshold=threshold))
+    banded = band_nodes_cosine(nodes_ds, dim=dim, n_tables=n_tables,
+                               n_bits=n_bits, seed=seed)
+    pairs = collect_arrow(candidate_pairs_cosine(banded,
+                                                 threshold=threshold))
     remap = build_remap(pairs)
     if not remap:
         return nodes_ds
+    return _apply_remap(nodes_ds, remap, cap)
+
+
+def _apply_remap(nodes_ds, remap: dict[str, str], cap: int):
+    """Broadcast remap rewrite + per-id member merge + global re-sort
+    (shared tail of the two near-dup merge passes)."""
+    import ray
+
     remap_ref = ray.put(remap)
 
     def rewrite(batch: pa.Table) -> pa.Table:
@@ -223,3 +327,18 @@ def neardup_merge_nodes(nodes_ds, *, threshold: float = 0.7,
         .groupby("entity_id").map_groups(
             lambda g: _merge_member_group(g, cap), batch_format="pyarrow")
     return merged.sort("entity_id")
+
+
+def neardup_merge_nodes(nodes_ds, *, threshold: float = 0.7,
+                        num_perm: int = 32, bands: int = 8, k: int = 3,
+                        seed: int = 17, cap: int = DEFAULT_INSTANCE_CAP):
+    """Optional near-dup pass over canonical nodes; returns merged nodes
+    sorted by entity_id.  With no near-duplicates this is a no-op."""
+    from kgx.functions.collect import collect_arrow
+    banded = band_nodes(nodes_ds, num_perm=num_perm, bands=bands, k=k,
+                        seed=seed)
+    pairs = collect_arrow(candidate_pairs(banded, threshold=threshold))
+    remap = build_remap(pairs)
+    if not remap:
+        return nodes_ds
+    return _apply_remap(nodes_ds, remap, cap)
