@@ -40,6 +40,57 @@ def pages_from_documents(documents_path: str):
         to_pages, batch_format="pyarrow")
 
 
+def read_jsonl_pages(path: str):
+    """JSONL corpus ingestion (one JSON object per line — the interchange
+    format most web-text dumps ship as) -> the pages shape.
+
+    Field mapping, tolerant by design: ``url`` (else ``doc://{doc_id}``,
+    else ``jsonl://{content-hash}`` is synthesized — batch-independent,
+    so exact duplicate rows collapse to one url and the recrawl/dedup
+    stages treat them as such), ``text`` (required), ``lang`` (default
+    ``en``); ``html`` is null (JSONL dumps are pre-extracted).
+
+    Distributed read via ``ray.data.read_json`` — line-delimited JSON is
+    its default; blocks parse where they are scheduled, never
+    driver-side.  Scale note: JSONL cannot column-prune like Parquet, so
+    this source is for INGEST (first hop into Parquet via
+    ``write_parquet``), not for repeated analytical reads.
+    """
+    def to_pages(batch: pa.Table) -> pa.Table:
+        import hashlib
+
+        names = set(batch.column_names)
+        n = batch.num_rows
+        texts = batch["text"].to_pylist() if "text" in names else [""] * n
+
+        def content_url(i: int) -> str:
+            h = hashlib.blake2b((texts[i] or "").encode(),
+                                digest_size=8).hexdigest()
+            return f"jsonl://{h}"
+
+        if "url" in names:
+            urls = [u or content_url(i) for i, u in
+                    enumerate(batch["url"].to_pylist())]
+        elif "doc_id" in names:
+            urls = [f"doc://{d}" for d in batch["doc_id"].to_pylist()]
+        else:
+            urls = [content_url(i) for i in range(n)]
+        langs = (batch["lang"].to_pylist() if "lang" in names
+                 else ["en"] * n)
+        return pa.table({
+            "url": pa.array(urls, pa.string()),
+            "warc_ts": pa.array([0] * n, pa.timestamp("us")),
+            "html": pa.array([None] * n, pa.binary()),
+            "text": pa.array([t if t is not None else "" for t in texts],
+                             pa.string()),
+            "lang": pa.array([x if x is not None else "en" for x in langs],
+                             pa.string()),
+        })
+
+    return rd.read_json(path).map_batches(to_pages,
+                                          batch_format="pyarrow")
+
+
 # Reference extension filter (read_text_files,
 # /root/reference/graphrag_lite_x.py:130-148, utils/io_utils.py:3-10).
 TEXT_EXTENSIONS = (".txt", ".md", ".py", ".java", ".js", ".html", ".css")

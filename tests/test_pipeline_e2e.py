@@ -152,6 +152,58 @@ class TestPartitionResume:
         assert t1 == t2
 
 
+class TestJsonlSource:
+    def test_jsonl_to_kg(self, tmp_path_factory, ray_session):
+        """S1 parity for the JSONL interchange shape: field mapping
+        (url / doc_id / bare text), content-hash url synthesis, and the
+        full pipeline end-to-end via pages_ds_factory."""
+        import json
+        import os
+        import pyarrow.parquet as pq
+        from kgx.pipelines.kg import KGConfig, run_pipeline
+        from kgx.sources.pages import read_jsonl_pages
+
+        root = str(tmp_path_factory.mktemp("jsonl"))
+        path = os.path.join(root, "corpus.jsonl")
+        with open(path, "w") as f:
+            f.write(json.dumps({
+                "url": "https://example.test/a",
+                "text": "Ada Lovelace works for Acme Corporation.",
+                "lang": "en"}) + "\n")
+            f.write(json.dumps({
+                "url": None,
+                "text": "Alan Turing works for Acme Corporation.",
+                "lang": None}) + "\n")
+
+        ds = read_jsonl_pages(path)
+        rows = ds.to_pandas().to_dict("records")
+        assert len(rows) == 2
+        by_url = {r["url"]: r for r in rows}
+        assert "https://example.test/a" in by_url
+        synth = [u for u in by_url if u.startswith("jsonl://")]
+        assert len(synth) == 1 and len(synth[0]) == len("jsonl://") + 16
+        assert by_url[synth[0]]["lang"] == "en"      # null lang defaulted
+        assert all(r["html"] is None for r in rows)
+
+        out = os.path.join(root, "out")
+        paths = run_pipeline(path, out, KGConfig(),
+                             pages_ds_factory=lambda: read_jsonl_pages(path))
+        names = set(pq.read_table(paths["nodes"])["name"].to_pylist())
+        assert {"Ada Lovelace", "Alan Turing", "Acme Corporation"} <= names
+
+    def test_jsonl_doc_id_mapping(self, tmp_path_factory, ray_session):
+        import json
+        import os
+        from kgx.sources.pages import read_jsonl_pages
+        root = str(tmp_path_factory.mktemp("jsonl2"))
+        path = os.path.join(root, "docs.jsonl")
+        with open(path, "w") as f:
+            for i in range(3):
+                f.write(json.dumps({"doc_id": i, "text": f"t{i}"}) + "\n")
+        urls = sorted(read_jsonl_pages(path).to_pandas()["url"])
+        assert urls == ["doc://0", "doc://1", "doc://2"]
+
+
 class TestTextDirSource:
     def test_raw_directory_to_kg(self, tmp_path_factory, ray_session):
         """S1 parity: a directory of loose .txt/.md/.html files runs the
