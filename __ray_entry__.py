@@ -234,6 +234,20 @@ def _q_simsearch_knn(sf_dir: str):
     return knn_self_join(emb, k=3)
 
 
+def _q_simsearch_pq(sf_dir: str):
+    """Product-quantized ANN (IVFADC+R, kgx/ops/pq.py): 16-byte PQ codes
+    + per-query ADC lookup tables shortlist candidates inside probed IVF
+    cells; one filtered pass over the float column re-ranks the
+    shortlist exactly.  Approximate by construction (cell pruning):
+    rows-only check; the recall floor vs the exact baseline is pinned in
+    tests/test_ops.py."""
+    import ray.data as rd
+    from kgx.ops.pq import pq_topk
+    emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                          columns=["vec_id", "embedding"])
+    return pq_topk(emb, query_ids=list(range(8)), k=10)
+
+
 def _q_text_quality_gate(sf_dir: str):
     """Per-source adaptive quality floor: keep docs at or above their
     source's exact lower-quartile score (kgx/ops/text.py:quality_gate)."""
@@ -1677,6 +1691,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- position 51+: new in round 3 (locally gated; rotate into
         # the head next round) then previously driver-checked entries --
         "events_stream_sharded": _q_events_stream_sharded,
+        "simsearch_pq": _q_simsearch_pq,
         # KG-construction pipeline (SURVEY.md §2) over the documents table
         "kg_chunks": _q_kg_chunks,
         "kg_chunks_win": _q_kg_chunks_win,

@@ -592,6 +592,52 @@ def test_curate_corpus_shape_and_packing_invariants(ray_session):
     assert len(out) < n_in
 
 
+def test_pq_topk_recall_and_determinism(ray_session):
+    """IVFADC+R: PQ codes (16 uint8 vs 64 floats) + ADC shortlist +
+    exact re-rank must recover an IVF-class share of the exact top-k on
+    the adversarially near-random embeddings, and twice-run results must
+    be byte-identical (seeded codebooks, stable tie-breaks)."""
+    import ray.data as rd
+    from kgx.ops.pq import pq_topk
+    from kgx.ops.simsearch import cosine_topk
+    emb = rd.read_parquet("/root/testdata/sf0.001/embeddings.parquet",
+                          columns=["vec_id", "embedding"])
+    qids = list(range(8))
+    exact = cosine_topk(emb, qids, k=5).to_pandas()
+    got = pq_topk(emb, qids, k=5).to_pandas()
+    recalls = []
+    for q in qids:
+        want = set(exact[exact["query_id"] == q]["neighbor_id"])
+        g = set(got[got["query_id"] == q]["neighbor_id"])
+        if want:
+            recalls.append(len(want & g) / len(want))
+    # measured 0.625 (refine=4) vs 0.375 raw-ADC on this data; pin a
+    # floor that catches a refine or probing regression
+    assert sum(recalls) / len(recalls) >= 0.45, recalls
+    again = pq_topk(emb, qids, k=5).to_pandas()
+    assert got.to_dict("records") == again.to_dict("records")
+    # refined scores are TRUE cosines: every (q, n) row matches the
+    # exact baseline's score for that pair when present there
+    ex = {(r["query_id"], r["neighbor_id"]): r["score"]
+          for r in exact.to_dict("records")}
+    for r in got.to_dict("records"):
+        key = (r["query_id"], r["neighbor_id"])
+        if key in ex:
+            assert abs(r["score"] - ex[key]) < 1e-6
+
+
+def test_pq_encode_compresses(ray_session):
+    import ray.data as rd
+    from kgx.ops.pq import pq_encode
+    emb = rd.read_parquet("/root/testdata/sf0.001/embeddings.parquet",
+                          columns=["vec_id", "embedding"])
+    enc, _, _ = pq_encode(emb, m=16, k_sub=32)
+    t = enc.to_pandas()
+    assert len(t) == 500
+    assert all(len(c) == 16 for c in t["code"])   # 16 B vs 64 floats
+    assert t["cell"].between(0, 15).all()
+
+
 def test_embedding_dup_pairs_bucketed_matches_matrix(ray_session):
     """The IVF-bucketed default (triangle-inequality cell-pair pruning,
     no corpus broadcast) must be pair-for-pair identical to the
