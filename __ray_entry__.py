@@ -234,6 +234,19 @@ def _q_simsearch_knn(sf_dir: str):
     return knn_self_join(emb, k=3)
 
 
+def _q_text_perplexity(sf_dir: str):
+    """CCNet-shaped bigram-LM scoring (kgx/ops/vocab.py:bigram_logprob):
+    the model trains on the deterministic doc_id%4 subset (the "clean
+    reference corpus" stand-in), broadcasts once, and every document is
+    scored map-side with zero shuffle — integer micro-unit logprobs
+    shared bit-for-bit with the SQL oracle."""
+    import ray.data as rd
+    from kgx.ops.vocab import bigram_logprob
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text"])
+    return bigram_logprob(docs, train_mod=4)
+
+
 def _q_simsearch_pq(sf_dir: str):
     """Product-quantized ANN (IVFADC+R, kgx/ops/pq.py): 16-byte PQ codes
     + per-query ADC lookup tables shortlist candidates inside probed IVF
@@ -1692,6 +1705,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # the head next round) then previously driver-checked entries --
         "events_stream_sharded": _q_events_stream_sharded,
         "simsearch_pq": _q_simsearch_pq,
+        "text_perplexity": _q_text_perplexity,
         # KG-construction pipeline (SURVEY.md §2) over the documents table
         "kg_chunks": _q_kg_chunks,
         "kg_chunks_win": _q_kg_chunks_win,
@@ -2871,6 +2885,48 @@ def oracle_sql() -> dict[str, str]:
                    coalesce(a.n_fingerprints, 0) AS n_fingerprints,
                    a.fp_min, a.fp_max, a.fp_sum
             FROM documents d LEFT JOIN agg a USING (doc_id)
+        """,
+        "text_perplexity": """
+            WITH dt AS (
+              SELECT doc_id,
+                     regexp_extract_all(lower(trim(text)), '\\S+') AS toks
+              FROM documents WHERE trim(text) <> ''),
+            bg AS (
+              SELECT doc_id,
+                     unnest(toks[1:len(toks) - 1]) AS w1,
+                     unnest(toks[2:len(toks)]) AS w2
+              FROM dt WHERE len(toks) >= 2),
+            tbg AS (
+              SELECT w1, w2, count(*) AS c12 FROM bg
+              WHERE doc_id % 4 = 0 GROUP BY 1, 2),
+            tctx AS (
+              SELECT w1, CAST(sum(c12) AS BIGINT) AS c1
+              FROM tbg GROUP BY 1),
+            tv AS (
+              SELECT count(DISTINCT tok) AS v FROM (
+                SELECT unnest(toks) AS tok FROM dt
+                WHERE doc_id % 4 = 0)),
+            scored AS (
+              SELECT b.doc_id,
+                     CASE
+                       WHEN t.c12 IS NOT NULL THEN
+                         CAST(floor(ln((t.c12 + 1.0) / (x.c1 + v.v))
+                                    * 1000000 + 0.5) AS BIGINT)
+                       WHEN x.c1 IS NOT NULL THEN
+                         CAST(floor(ln(1.0 / (x.c1 + v.v))
+                                    * 1000000 + 0.5) AS BIGINT)
+                       ELSE
+                         CAST(floor(ln(1.0 / v.v)
+                                    * 1000000 + 0.5) AS BIGINT)
+                     END AS lpm
+              FROM bg b
+              LEFT JOIN tbg t ON t.w1 = b.w1 AND t.w2 = b.w2
+              LEFT JOIN tctx x ON x.w1 = b.w1
+              CROSS JOIN tv v)
+            SELECT doc_id, count(*) AS n_bigrams,
+                   CAST(floor(CAST(sum(lpm) AS DOUBLE) / count(*))
+                     AS BIGINT) AS mean_logprob_micro
+            FROM scored GROUP BY doc_id
         """,
         "text_logprob": """
             WITH toks AS (

@@ -216,6 +216,110 @@ def unigram_logprob(docs_ds):
     return docs_ds.map_batches(score, batch_format="pyarrow")
 
 
+def bigram_logprob(docs_ds, *, train_mod: int = 4):
+    """Per-document mean BIGRAM log-probability — the CCNet-style LM
+    perplexity filter shape: a bigram model trains on a deterministic
+    corpus subset (``doc_id % train_mod == 0``, standing in for the
+    "clean reference corpus" CCNet trains KenLM on) and every document
+    is scored against it; fluent text follows corpus-typical token
+    transitions, gibberish and shuffled boilerplate do not — a signal
+    the unigram :func:`unigram_logprob` cannot see.
+
+    Scale shape: one pass over the TRAINING subset folds per-batch
+    (w1, w2, count) partials driver-side (model-fits-in-heap assumption,
+    bounded by the sample — the same vocabulary assumption as the
+    unigram pass, and exactly why production trains on a sample, not
+    100 TB); the model broadcasts once via ``ray.put``; the scoring pass
+    streams the whole corpus map-side with zero shuffle.
+
+    Determinism (shared with the SQL oracle, same devices as
+    :func:`unigram_logprob`): additive smoothing
+    ``p(w2|w1) = (c12 + 1) / (c1 + V)`` with unseen-context fallback
+    ``1 / V``; each bigram's logprob is fixed to integer MICRO units
+    (``floor(ln(p) * 1e6 + 0.5)``) before the order-independent
+    per-document sum; mean = ``floor(sum / n_bigrams)``.  Documents
+    with fewer than 2 tokens emit no row.
+    Output: (doc_id, n_bigrams, mean_logprob_micro).
+    """
+    def count_partial(batch: pa.Table) -> pa.Table:
+        bg: Counter = Counter()
+        toks_seen: Counter = Counter()
+        for doc_id, text in zip(batch["doc_id"].to_pylist(),
+                                batch["text"].to_pylist()):
+            if doc_id % train_mod != 0:
+                continue
+            stripped = (text or "").strip()
+            if not stripped:
+                continue
+            toks = _WS.split(stripped.lower())
+            toks_seen.update(toks)
+            bg.update(zip(toks, toks[1:]))
+        return pa.table({
+            "w1": pa.array([w1 for w1, _ in bg] +
+                           [t for t in toks_seen], pa.string()),
+            "w2": pa.array([w2 for _, w2 in bg] +
+                           [None] * len(toks_seen), pa.string()),
+            "c": pa.array(list(bg.values()) + list(toks_seen.values()),
+                          pa.int64()),
+        })
+
+    parts = collect_arrow(
+        docs_ds.map_batches(count_partial, batch_format="pyarrow"))
+    bigrams: Counter = Counter()
+    vocab: set = set()
+    for w1, w2, c in zip(parts["w1"].to_pylist(), parts["w2"].to_pylist(),
+                         parts["c"].to_numpy(zero_copy_only=False)):
+        if w2 is None:
+            vocab.add(w1)
+        else:
+            bigrams[(w1, w2)] += int(c)
+    if not vocab:
+        raise ValueError("bigram_logprob: empty training subset "
+                         f"(no doc_id % {train_mod} == 0 rows with text)")
+    V = len(vocab)
+    ctx: Counter = Counter()
+    for (w1, _), c in bigrams.items():
+        ctx[w1] += c
+    lp_pair = {k: math.floor(math.log((c + 1.0) / (ctx[k[0]] + V)) * 1e6
+                             + 0.5)
+               for k, c in bigrams.items()}
+    lp_ctx = {w: math.floor(math.log(1.0 / (c + V)) * 1e6 + 0.5)
+              for w, c in ctx.items()}
+    lp_oov = math.floor(math.log(1.0 / V) * 1e6 + 0.5)
+    mref = ray.put((lp_pair, lp_ctx, lp_oov))
+
+    def score(batch: pa.Table) -> pa.Table:
+        pair, cx, oov = ray.get(mref)
+        ids, ns, means = [], [], []
+        for doc_id, text in zip(batch["doc_id"].to_pylist(),
+                                batch["text"].to_pylist()):
+            stripped = (text or "").strip()
+            if not stripped:
+                continue
+            toks = _WS.split(stripped.lower())
+            if len(toks) < 2:
+                continue
+            s = 0
+            for w1, w2 in zip(toks, toks[1:]):
+                v = pair.get((w1, w2))   # explicit None checks: a micro
+                if v is None:            # value of 0 is legitimate
+                    v = cx.get(w1)
+                    if v is None:
+                        v = oov
+                s += v
+            n = len(toks) - 1
+            ids.append(doc_id)
+            ns.append(n)
+            means.append(math.floor(s / n))
+        return pa.table({
+            "doc_id": pa.array(ids, pa.int64()),
+            "n_bigrams": pa.array(ns, pa.int64()),
+            "mean_logprob_micro": pa.array(means, pa.int64()),
+        })
+
+    return docs_ds.map_batches(score, batch_format="pyarrow")
+
+
 def cooccurrence_lift(docs_ds, *, min_units: int = 0):
     """Term-pair association strength by LIFT — the linear-space PMI:
     ``lift = P(a,b) / (P(a) P(b))`` over document co-occurrence, in

@@ -100,3 +100,46 @@ def test_cooccurrence_lift_bruteforce(ray_session):
     # alpha+beta co-occur 3/6 docs vs df 4*4 -> lift > 1.0 for none here;
     # sanity: lift for (beta, gamma) = 3*6e6 // (4*3) = 1.5e6 > 1e6
     assert got[("beta", "gamma")][1] == 1_500_000
+
+
+def test_bigram_logprob_ranks_fluent_above_shuffled(ray_session):
+    """The bigram LM (trained on doc_id % 2 == 0 here) must score text
+    with corpus-typical transitions above the same tokens in a scrambled
+    order — the signal unigram_logprob cannot see — and skip sub-2-token
+    docs."""
+    from kgx.ops.vocab import bigram_logprob
+    fluent = "the quick brown fox jumps over the lazy dog"
+    shuffled = "fox the over quick dog brown lazy jumps the"
+    texts = [fluent,        # doc 0: trains
+             shuffled,      # doc 1: scored only (odd id)
+             fluent,        # doc 2: trains (reinforces fluent bigrams)
+             fluent,        # doc 3: scored only
+             "single"]      # doc 4: 1 token -> no row (even id is fine:
+                            #         vocab contribution only)
+    out = bigram_logprob(_docs(texts), train_mod=2).to_pandas() \
+        .set_index("doc_id")
+    assert 4 not in out.index
+    assert out.loc[3, "mean_logprob_micro"] > out.loc[1,
+                                                      "mean_logprob_micro"]
+    assert out.loc[3, "n_bigrams"] == 8
+    # determinism
+    again = bigram_logprob(_docs(texts), train_mod=2).to_pandas() \
+        .set_index("doc_id")
+    assert out.equals(again)
+
+
+def test_bigram_logprob_matches_handrolled_model(ray_session):
+    """Micro-unit arithmetic matches a by-hand bigram model exactly."""
+    from kgx.ops.vocab import bigram_logprob
+    texts = ["a b a b", "a b c"]
+    out = bigram_logprob(_docs(texts), train_mod=2).to_pandas() \
+        .set_index("doc_id")
+    # training subset = doc 0 only: bigrams ab x2, ba x1; ctx a=2, b=1;
+    # vocab {a, b} -> V=2
+    lp_ab = math.floor(math.log(3 / 4) * 1e6 + 0.5)   # (2+1)/(2+2)
+    lp_ba = math.floor(math.log(2 / 3) * 1e6 + 0.5)   # (1+1)/(1+2)
+    lp_bc = math.floor(math.log(1 / 3) * 1e6 + 0.5)   # unseen pair, ctx b
+    assert out.loc[0, "mean_logprob_micro"] == math.floor(
+        (lp_ab * 2 + lp_ba) / 3)
+    assert out.loc[1, "mean_logprob_micro"] == math.floor(
+        (lp_ab + lp_bc) / 2)
