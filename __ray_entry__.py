@@ -247,6 +247,18 @@ def _q_text_perplexity(sf_dir: str):
     return bigram_logprob(docs, train_mod=4)
 
 
+def _q_text_span_dup(sf_dir: str):
+    """Cross-document repeated-span report at 16-token windows
+    (kgx/ops/linededup.py:duplicated_spans) — the Lee-et-al exact
+    substring-dedup signal: narrow (hash, doc, pos) shuffle, first
+    occurrence owns, per-doc duplicated-window fraction in ppm."""
+    import ray.data as rd
+    from kgx.ops.linededup import duplicated_spans
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text"])
+    return duplicated_spans(docs, window=16)
+
+
 def _q_simsearch_pq(sf_dir: str):
     """Product-quantized ANN (IVFADC+R, kgx/ops/pq.py): 16-byte PQ codes
     + per-query ADC lookup tables shortlist candidates inside probed IVF
@@ -1706,6 +1718,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_stream_sharded": _q_events_stream_sharded,
         "simsearch_pq": _q_simsearch_pq,
         "text_perplexity": _q_text_perplexity,
+        "text_span_dup": _q_text_span_dup,
         # KG-construction pipeline (SURVEY.md §2) over the documents table
         "kg_chunks": _q_kg_chunks,
         "kg_chunks_win": _q_kg_chunks_win,
@@ -2885,6 +2898,35 @@ def oracle_sql() -> dict[str, str]:
                    coalesce(a.n_fingerprints, 0) AS n_fingerprints,
                    a.fp_min, a.fp_max, a.fp_sum
             FROM documents d LEFT JOIN agg a USING (doc_id)
+        """,
+        "text_span_dup": """
+            WITH dt AS (
+              SELECT doc_id,
+                     regexp_extract_all(lower(trim(text)), '\\S+') AS toks
+              FROM documents WHERE trim(text) <> ''),
+            dw AS (
+              SELECT doc_id, len(toks) - 15 AS n_win, toks
+              FROM dt WHERE len(toks) >= 16),
+            pos AS (
+              SELECT doc_id,
+                     unnest(generate_series(1, n_win)) AS i, toks
+              FROM dw),
+            w AS (
+              SELECT doc_id, i,
+                     array_to_string(toks[i:i + 15], ' ') AS win
+              FROM pos),
+            r AS (
+              SELECT doc_id,
+                     row_number() OVER (
+                       PARTITION BY win ORDER BY doc_id, i) AS rn
+              FROM w),
+            d AS (
+              SELECT doc_id, count(*) FILTER (WHERE rn > 1) AS dup
+              FROM r GROUP BY doc_id)
+            SELECT dw.doc_id, dw.n_win AS n_windows,
+                   coalesce(d.dup, 0) AS n_dup_windows,
+                   coalesce(d.dup, 0) * 1000000 // dw.n_win AS dup_ppm
+            FROM dw LEFT JOIN d USING (doc_id)
         """,
         "text_perplexity": """
             WITH dt AS (

@@ -36,6 +36,133 @@ import numpy as np
 import pyarrow as pa
 import ray
 
+_POLY_B = np.uint64(1099511628211)      # FNV prime as the rolling base
+
+
+def duplicated_spans(docs_ds, *, window: int = 16):
+    """Cross-document repeated-span report — the exact-substring-dedup
+    signal of Lee et al.'s "Deduplicating Training Data" at fixed
+    token-window granularity: every ``window``-token span (stride 1) is
+    hashed, spans occurring more than once corpus-wide are duplicates,
+    the FIRST occurrence (smallest (doc_id, pos)) owns the span, and
+    every other occurrence counts against its document.
+
+    Output: (doc_id, n_windows, n_dup_windows, dup_ppm) for documents
+    with at least one window (``len(toks) >= window``); ``dup_ppm =
+    floor(n_dup * 1e6 / n_windows)`` — the fraction of a document that
+    is verbatim-copied material, the score RefinedWeb-style pipelines
+    threshold on before the expensive span-cutting pass.
+
+    Scale shape: per-token blake2b hashes fold into per-window values
+    with a vectorized polynomial rolling combine (``window`` uint64
+    vector ops per block, wraparound mod 2^64); only NARROW
+    (window_hash, doc_id, pos) rows shuffle — one row per corpus token,
+    the same order of shuffle mass as the token-level tfidf/logprob
+    passes, never the text.  One ``groupby(hash)`` ranks occurrences;
+    map-side per-doc partials then one tiny per-doc groupby.  The
+    DuckDB oracle groups by the window STRING itself, so the gate also
+    certifies the 64-bit hash collision-free on the tested corpora.
+
+    (Lee et al. use suffix arrays to find variable-length duplicates;
+    fixed windows at stride 1 find exactly the spans of length >=
+    ``window`` with bounded state and no global sort.)
+    """
+    def explode(batch: pa.Table) -> pa.Table:
+        h_c, d_c, p_c = [], [], []
+        for doc_id, text in zip(batch["doc_id"].to_pylist(),
+                                batch["text"].to_pylist()):
+            stripped = (text or "").strip()
+            if not stripped:
+                continue
+            toks = stripped.lower().split()
+            n_win = len(toks) - window + 1
+            if n_win < 1:
+                continue
+            th = np.asarray(
+                [int.from_bytes(hashlib.blake2b(
+                    t.encode(), digest_size=8).digest(), "big")
+                 for t in toks], dtype=np.uint64)
+            wh = np.zeros(n_win, dtype=np.uint64)
+            for j in range(window):             # vectorized across windows
+                wh = wh * _POLY_B + th[j:j + n_win]
+            h_c.append(wh)
+            d_c.append(np.full(n_win, doc_id, dtype=np.int64))
+            p_c.append(np.arange(n_win, dtype=np.int64))
+        if not h_c:
+            return pa.table({"h": pa.array([], pa.uint64()),
+                             "doc_id": pa.array([], pa.int64()),
+                             "pos": pa.array([], pa.int64())})
+        return pa.table({
+            "h": pa.array(np.concatenate(h_c), pa.uint64()),
+            "doc_id": pa.array(np.concatenate(d_c), pa.int64()),
+            "pos": pa.array(np.concatenate(p_c), pa.int64()),
+        })
+
+    def rank_group(group: pa.Table) -> pa.Table:
+        """Per-hash: emit every occurrence, owner-flagged (first by
+        (doc_id, pos)), as per-doc (n_windows=0, n_dup) partials —
+        n_windows itself is counted map-side below to avoid carrying
+        singleton groups."""
+        d = np.asarray(group["doc_id"].to_pylist(), dtype=np.int64)
+        if len(d) < 2:
+            return pa.table({"doc_id": pa.array([], pa.int64()),
+                             "dup": pa.array([], pa.int64())})
+        p = np.asarray(group["pos"].to_pylist(), dtype=np.int64)
+        # every distinct hash value in this (hash-keyed) group ranks
+        # independently; owner = lexicographically first occurrence
+        h = np.asarray(group["h"].to_pylist(), dtype=np.uint64)
+        order = np.lexsort((p, d, h))
+        hs = h[order]
+        first = np.r_[True, hs[1:] != hs[:-1]]
+        losers = order[~first]
+        uniq, inv = np.unique(d[losers], return_inverse=True)
+        return pa.table({
+            "doc_id": pa.array(uniq, pa.int64()),
+            "dup": pa.array(np.bincount(inv, minlength=len(uniq))
+                            .astype(np.int64), pa.int64()),
+        })
+
+    def totals(batch: pa.Table) -> pa.Table:
+        ids, ns = [], []
+        for doc_id, text in zip(batch["doc_id"].to_pylist(),
+                                batch["text"].to_pylist()):
+            stripped = (text or "").strip()
+            if not stripped:
+                continue
+            n_win = len(stripped.lower().split()) - window + 1
+            if n_win >= 1:
+                ids.append(doc_id)
+                ns.append(n_win)
+        return pa.table({"doc_id": pa.array(ids, pa.int64()),
+                         "n_windows": pa.array(ns, pa.int64())})
+
+    from kgx.functions.collect import collect_arrow
+    exploded = docs_ds.map_batches(explode, batch_format="pyarrow")
+    dup_parts = collect_arrow(
+        exploded.groupby("h").map_groups(rank_group,
+                                         batch_format="pyarrow"))
+    dup_map: dict[int, int] = {}
+    for doc_id, c in zip(dup_parts["doc_id"].to_pylist(),
+                         dup_parts["dup"].to_pylist()):
+        dup_map[doc_id] = dup_map.get(doc_id, 0) + c
+    dref = ray.put(dup_map)
+
+    def finish(batch: pa.Table) -> pa.Table:
+        dm = ray.get(dref)
+        ids = np.asarray(batch["doc_id"].to_pylist(), dtype=np.int64)
+        nw = np.asarray(batch["n_windows"].to_pylist(), dtype=np.int64)
+        dup = np.asarray([dm.get(int(i), 0) for i in ids], dtype=np.int64)
+        ppm = (dup * 1_000_000) // nw
+        return pa.table({
+            "doc_id": pa.array(ids, pa.int64()),
+            "n_windows": pa.array(nw, pa.int64()),
+            "n_dup_windows": pa.array(dup, pa.int64()),
+            "dup_ppm": pa.array(ppm, pa.int64()),
+        })
+
+    return docs_ds.map_batches(totals, batch_format="pyarrow") \
+        .map_batches(finish, batch_format="pyarrow")
+
 # seg_no packs into the low bits of a composite int64 key.
 _SEG_BITS = 20
 _SEG_CAP = 1 << _SEG_BITS

@@ -343,3 +343,32 @@ def test_json_field_stats_counts_distincts_across_batches(ray_session):
     assert out.loc["a", "sum_val"] == 6
     assert out.loc["b", "n_distinct_vals"] == 2
     assert out.loc["b", "min_val"] == 7 and out.loc["b", "max_val"] == 9
+
+
+def test_duplicated_spans_flags_verbatim_copies(ray_session):
+    """Lee-et-al-style span report: a 16-token span copied verbatim into
+    another document counts against the LATER document only; documents
+    under 16 tokens emit no row; a fully unique doc scores 0 ppm."""
+    import pyarrow as pa
+    import ray.data as rd
+    from kgx.ops.linededup import duplicated_spans
+
+    base = " ".join(f"tok{i}" for i in range(30))          # 30 tokens
+    copier = base + " trailing unique suffix here"          # copies all
+    unique = " ".join(f"other{i}" for i in range(40))
+    short = "too short"
+    ds = rd.from_arrow(pa.table({
+        "doc_id": pa.array([0, 1, 2, 3], pa.int64()),
+        "text": pa.array([base, copier, unique, short], pa.string()),
+    }))
+    out = duplicated_spans(ds, window=16).to_pandas().set_index("doc_id")
+    assert 3 not in out.index                    # < 16 tokens
+    assert out.loc[0, "n_windows"] == 15         # 30 - 16 + 1
+    assert out.loc[0, "n_dup_windows"] == 0      # owner, not dup
+    assert out.loc[1, "n_dup_windows"] == 15     # every base window
+    assert out.loc[1, "n_windows"] == 19         # 34 - 16 + 1
+    assert out.loc[1, "dup_ppm"] == 15 * 1_000_000 // 19
+    assert out.loc[2, "n_dup_windows"] == 0
+    # determinism
+    again = duplicated_spans(ds, window=16).to_pandas().set_index("doc_id")
+    assert out.equals(again)
