@@ -247,6 +247,15 @@ def _q_text_perplexity(sf_dir: str):
     return bigram_logprob(docs, train_mod=4)
 
 
+def _q_rel_returns(sf_dir: str):
+    """TPC-H Q10-shaped returned-item report (kgx/ops/relational.py:
+    returned_revenue): orders/lineitem fact-fact co-shuffle on the
+    order key, map-side per-customer revenue partials, customer/nation
+    dims broadcast and resolved on the tiny top-20 output."""
+    from kgx.ops.relational import returned_revenue
+    return returned_revenue(sf_dir)
+
+
 def _q_text_span_dup(sf_dir: str):
     """Cross-document repeated-span report at 16-token windows
     (kgx/ops/linededup.py:duplicated_spans) — the Lee-et-al exact
@@ -1719,6 +1728,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simsearch_pq": _q_simsearch_pq,
         "text_perplexity": _q_text_perplexity,
         "text_span_dup": _q_text_span_dup,
+        "rel_returns": _q_rel_returns,
         # KG-construction pipeline (SURVEY.md §2) over the documents table
         "kg_chunks": _q_kg_chunks,
         "kg_chunks_win": _q_kg_chunks_win,
@@ -2784,6 +2794,27 @@ def oracle_sql() -> dict[str, str]:
               AND o.o_orderdate >= TIMESTAMP '1996-01-01'
               AND o.o_orderdate <  TIMESTAMP '1997-01-01'
             GROUP BY n.n_name
+        """,
+        "rel_returns": """
+            WITH agg AS (
+              SELECT o.o_custkey AS c_custkey,
+                     CAST(sum(
+                       CAST(floor(l.l_extendedprice * 100 + 0.5) AS BIGINT)
+                       * (100 - CAST(floor(l.l_discount * 100 + 0.5)
+                                     AS BIGINT))) AS BIGINT)
+                       AS revenue_units
+              FROM orders o
+              JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+              WHERE l.l_returnflag = 'R'
+                AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+                AND o.o_orderdate <  TIMESTAMP '1996-04-01'
+              GROUP BY 1)
+            SELECT a.c_custkey, c.c_name, n.n_name, a.revenue_units
+            FROM agg a
+            JOIN customer c ON c.c_custkey = a.c_custkey
+            JOIN nation n ON n.n_nationkey = c.c_nationkey
+            ORDER BY a.revenue_units DESC, a.c_custkey
+            LIMIT 20
         """,
         "rel_forecast": """
             SELECT CAST(coalesce(sum(

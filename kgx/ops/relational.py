@@ -693,6 +693,98 @@ def regional_revenue(sf_dir: str, *, region: str = "ASIA",
             .map_batches(finish, batch_format="pyarrow"))
 
 
+def returned_revenue(sf_dir: str, *, date_lo: str = "1996-01-01",
+                     date_hi: str = "1996-04-01", n: int = 20):
+    """TPC-H Q10-shaped returned-item report: top-``n`` customers by
+    revenue lost to returned lineitems (``l_returnflag = 'R'``) on
+    orders placed in the date window.
+
+    Join plan, same 100 TB shape as :func:`regional_revenue`: the two
+    FACT tables co-shuffle on the order key (orders date-filtered and
+    projected to (o_orderkey, o_custkey); lineitem return-filtered and
+    reduced to (l_orderkey, rev_units)); per-customer revenue partials
+    fold map-side before one small ``groupby(custkey)``; the customer
+    name / nation dimensions broadcast once and resolve on the tiny
+    top-``n`` output, never against the facts.  Revenue in exact
+    integer units (ext_cents * (100 - disc_cents)); ties break on
+    custkey asc.  Output: (c_custkey, c_name, n_name, revenue_units).
+    """
+    import pyarrow.parquet as _pq
+
+    from kgx.ops.joins import hash_equijoin
+    from ray.data.aggregate import Sum
+
+    lo = np.datetime64(date_lo).astype("datetime64[us]").astype("int64")
+    hi = np.datetime64(date_hi).astype("datetime64[us]").astype("int64")
+
+    nation = _pq.read_table(f"{sf_dir}/nation.parquet",
+                            columns=["n_nationkey", "n_name"])
+    nat = {k: v for k, v in zip(nation["n_nationkey"].to_pylist(),
+                                nation["n_name"].to_pylist())}
+    cust = _pq.read_table(f"{sf_dir}/customer.parquet",
+                          columns=["c_custkey", "c_name", "c_nationkey"])
+    cref = ray.put((cust.combine_chunks(), nat))
+
+    def orders_side(batch: pa.Table) -> pa.Table:
+        od = pc.cast(batch["o_orderdate"], pa.int64())
+        b = batch.filter(pc.and_(pc.greater_equal(od, lo),
+                                 pc.less(od, hi)))
+        return pa.table({"o_orderkey": b["o_orderkey"],
+                         "o_custkey": b["o_custkey"]})
+
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_orderdate"]) \
+        .map_batches(orders_side, batch_format="pyarrow")
+
+    def line_side(batch: pa.Table) -> pa.Table:
+        b = batch.filter(pc.equal(batch["l_returnflag"], "R"))
+        ext_c = _cents(b["l_extendedprice"]).to_numpy(zero_copy_only=False)
+        disc_c = _cents(b["l_discount"]).to_numpy(zero_copy_only=False)
+        return pa.table({
+            "l_orderkey": b["l_orderkey"],
+            "rev_units": pa.array(ext_c * (100 - disc_c), pa.int64()),
+        })
+
+    line = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_returnflag", "l_extendedprice",
+                 "l_discount"]).map_batches(line_side,
+                                            batch_format="pyarrow")
+
+    joined = hash_equijoin(orders, line, left_on="o_orderkey",
+                           right_on="l_orderkey")
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = pa.table({"c_custkey": batch["o_custkey"],
+                      "rev": batch["rev_units"]})
+        agg = t.group_by(["c_custkey"]).aggregate([("rev", "sum")])
+        return pa.table({"c_custkey": agg["c_custkey"],
+                         "rev": agg["rev_sum"]})
+
+    def attach(batch: pa.Table, _cref=cref) -> pa.Table:
+        ctab, nat_ = ray.get(_cref)
+        keys = batch["c_custkey"].combine_chunks().cast(pa.int64())
+        idx = pc.index_in(keys, value_set=ctab["c_custkey"]
+                          .combine_chunks().cast(pa.int64()))
+        nk = pc.take(ctab["c_nationkey"].combine_chunks(), idx)
+        return pa.table({
+            "c_custkey": keys,
+            "c_name": pc.take(ctab["c_name"].combine_chunks(), idx),
+            "n_name": pa.array([nat_.get(k) for k in nk.to_pylist()],
+                               pa.string()),
+            "revenue_units": batch["sum(rev)"].combine_chunks()
+                                  .cast(pa.int64()),
+        })
+
+    return (joined.map_batches(partial, batch_format="pyarrow")
+            .groupby("c_custkey").aggregate(Sum("rev"))
+            .map_batches(attach, batch_format="pyarrow")
+            .sort(["revenue_units", "c_custkey"],
+                  descending=[True, False])
+            .limit(n))
+
+
 def promo_revenue(sf_dir: str, *, date_lo: str = "1996-01-01",
                   date_hi: str = "1996-02-01"):
     """TPC-H Q14-shaped promotion-effect ratio: the share of revenue from
