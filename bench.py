@@ -136,8 +136,8 @@ def _operator_queries(sf_dir: str) -> dict:
         return rd.read_parquet(f"{sf_dir}/embeddings.parquet",
                                columns=["vec_id", "embedding"])
 
-    from kgx.ops import (bm25, cluster, dedup, graph, linededup, pii,
-                         relational, simsearch, text, window)
+    from kgx.ops import (bm25, cluster, dedup, graph, linededup, pii, pq,
+                         relational, simsearch, text, vocab, window)
     from kgx.pipelines.curate import curate_corpus
     from kgx.pipelines.docs_kg import kg_tables
 
@@ -179,6 +179,14 @@ def _operator_queries(sf_dir: str) -> dict:
             rd.read_parquet(f"{sf_dir}/events.parquet",
                             columns=["user_id", "ts"])),
         "text_curate": lambda: curate_corpus(sf_dir),
+        # round-3 additions: repeated-span report, bigram-LM scoring,
+        # PQ ANN (suite grew 21 -> 24; see BASELINE.md composition note)
+        "text_span_dup": lambda: linededup.duplicated_spans(docs(),
+                                                            window=16),
+        "text_perplexity": lambda: vocab.bigram_logprob(docs(),
+                                                        train_mod=4),
+        "simsearch_pq": lambda: pq.pq_topk(
+            emb(), query_ids=list(range(8)), k=10),
     }
 
 
