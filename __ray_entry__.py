@@ -1086,6 +1086,19 @@ def _q_sketch_distinct(sf_dir: str):
     return approx_distinct(ev, "user_id")
 
 
+def _q_sketch_distinct_by_type(sf_dir: str):
+    """Per-event-type HLL distinct users (kgx/ops/sketch.py:
+    approx_distinct_by_key) — grouped mergeable sketches: per-batch
+    per-key register folds, a narrow (key, 4 KB registers) shuffle,
+    elementwise-max merge per key.  Approximate by design, rows-only;
+    the per-key error bound is pinned in tests/test_sketch.py."""
+    import ray.data as rd
+    from kgx.ops.sketch import approx_distinct_by_key
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_type", "user_id"])
+    return approx_distinct_by_key(ev, "event_type", "user_id")
+
+
 def _q_sketch_heavy(sf_dir: str):
     """Misra-Gries heavy hitters over event types — exact top set at this
     skew, but counts are lower bounds; rows-only check."""
@@ -1729,6 +1742,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_perplexity": _q_text_perplexity,
         "text_span_dup": _q_text_span_dup,
         "rel_returns": _q_rel_returns,
+        "sketch_distinct_by_type": _q_sketch_distinct_by_type,
         # KG-construction pipeline (SURVEY.md §2) over the documents table
         "kg_chunks": _q_kg_chunks,
         "kg_chunks_win": _q_kg_chunks_win,
