@@ -197,7 +197,8 @@ def cmd_curate(args) -> int:
     import ray
     from kgx.pipelines.curate import curate_corpus
     _init_ray(args.num_cpus)
-    ds = curate_corpus(args.sf_dir, lang=args.lang, seq_len=args.seq_len)
+    ds = curate_corpus(args.sf_dir, lang=args.lang, seq_len=args.seq_len,
+                       span_dup_ppm_max=args.span_dup_ppm_max)
     ds.write_parquet(args.out)
     n = ds.count()
     print(json.dumps({"out": args.out, "docs_packed": n}))
@@ -275,6 +276,9 @@ def main(argv=None) -> int:
     pc_.add_argument("--out", required=True)
     pc_.add_argument("--lang", default="en")
     pc_.add_argument("--seq-len", type=int, default=2048)
+    pc_.add_argument("--span-dup-ppm-max", type=int, default=None,
+                     help="drop docs whose repeated-span fraction (ppm) "
+                          "exceeds this (off by default)")
     pc_.add_argument("--num-cpus", type=int, default=None)
     pc_.set_defaults(fn=cmd_curate)
 

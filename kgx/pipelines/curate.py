@@ -33,7 +33,9 @@ import ray.data as rd
 
 def curate_corpus(sf_dir: str, *, lang: str = "en", min_docs: int = 2,
                   seg_tokens: int = 10, q_num: int = 1, q_den: int = 4,
-                  seq_len: int = 2048):
+                  seq_len: int = 2048,
+                  span_dup_ppm_max: int | None = None,
+                  span_window: int = 16):
     """documents.parquet -> packed curated-corpus manifest:
     (doc_id, n_tokens, begin_token, seq_id) for every surviving doc.
 
@@ -42,6 +44,13 @@ def curate_corpus(sf_dir: str, *, lang: str = "en", min_docs: int = 2,
     boilerplate) over the survivors, then global dedups, then packing —
     each stage's statistics are computed over the PREVIOUS stage's
     survivors, which the oracle mirrors exactly.
+
+    ``span_dup_ppm_max`` (opt-in, default off so the exact composed
+    oracle is unchanged) inserts a repeated-span gate between the two
+    dedups: documents whose cross-corpus duplicated-window fraction
+    (:func:`kgx.ops.linededup.duplicated_spans`, measured over the
+    segment-deduped survivors) exceeds the threshold are dropped — the
+    RefinedWeb-style "mostly copied material" cut.
     """
     from kgx.functions.collect import collect_arrow
     from kgx.ops.linededup import boilerplate_scrub, segment_dedup
@@ -73,6 +82,21 @@ def curate_corpus(sf_dir: str, *, lang: str = "en", min_docs: int = 2,
             "text": t["text_dedup"],
         }).filter(pc.is_valid(t["text_dedup"])),
         batch_format="pyarrow").materialize()
+
+    if span_dup_ppm_max is not None:
+        from kgx.ops.linededup import duplicated_spans
+        rep = collect_arrow(duplicated_spans(deduped, window=span_window))
+        bad = [d for d, ppm in zip(rep["doc_id"].to_pylist(),
+                                   rep["dup_ppm"].to_pylist())
+               if ppm > span_dup_ppm_max]
+        bad_ref = ray.put(pa.array(sorted(bad), pa.int64()))
+
+        def drop_spanny(batch: pa.Table) -> pa.Table:
+            bd = ray.get(bad_ref)
+            return batch.filter(
+                pc.invert(pc.is_in(batch["doc_id"], value_set=bd)))
+
+        deduped = deduped.map_batches(drop_spanny, batch_format="pyarrow")
 
     # exact doc dedup, keep-rows form: shuffle only (md5, doc_id), find
     # each group's losers, broadcast the loser set, filter map-side

@@ -575,6 +575,24 @@ def test_quality_gate_per_source_quartile(ray_session):
     assert (kept >= 0.7).all()
 
 
+def test_curate_span_gate_is_optional_and_monotone(ray_session):
+    """span_dup_ppm_max off -> identical result to the oracle'd default;
+    on with threshold 0 -> a subset (only span-free docs survive), and
+    packing invariants still hold on the survivors."""
+    from kgx.pipelines.curate import curate_corpus
+    base = curate_corpus("/root/testdata/sf0.001").to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    gated = curate_corpus("/root/testdata/sf0.001",
+                          span_dup_ppm_max=0).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    assert set(gated["doc_id"]) <= set(base["doc_id"])
+    assert len(gated) > 0
+    # packing invariants on the gated manifest
+    expect = gated["n_tokens"].cumsum().shift(fill_value=0)
+    assert (gated["begin_token"] == expect).all()
+    assert (gated["seq_id"] == gated["begin_token"] // 2048).all()
+
+
 def test_curate_corpus_shape_and_packing_invariants(ray_session):
     from kgx.pipelines.curate import curate_corpus
     out = curate_corpus("/root/testdata/sf0.001").to_pandas() \
