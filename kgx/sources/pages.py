@@ -56,39 +56,57 @@ def read_jsonl_pages(path: str):
     this source is for INGEST (first hop into Parquet via
     ``write_parquet``), not for repeated analytical reads.
     """
-    def to_pages(batch: pa.Table) -> pa.Table:
-        import hashlib
-
-        names = set(batch.column_names)
-        n = batch.num_rows
-        texts = batch["text"].to_pylist() if "text" in names else [""] * n
-
-        def content_url(i: int) -> str:
-            h = hashlib.blake2b((texts[i] or "").encode(),
-                                digest_size=8).hexdigest()
-            return f"jsonl://{h}"
-
-        if "url" in names:
-            urls = [u or content_url(i) for i, u in
-                    enumerate(batch["url"].to_pylist())]
-        elif "doc_id" in names:
-            urls = [f"doc://{d}" for d in batch["doc_id"].to_pylist()]
-        else:
-            urls = [content_url(i) for i in range(n)]
-        langs = (batch["lang"].to_pylist() if "lang" in names
-                 else ["en"] * n)
-        return pa.table({
-            "url": pa.array(urls, pa.string()),
-            "warc_ts": pa.array([0] * n, pa.timestamp("us")),
-            "html": pa.array([None] * n, pa.binary()),
-            "text": pa.array([t if t is not None else "" for t in texts],
-                             pa.string()),
-            "lang": pa.array([x if x is not None else "en" for x in langs],
-                             pa.string()),
-        })
-
-    return rd.read_json(path).map_batches(to_pages,
+    return rd.read_json(path).map_batches(_tolerant_to_pages,
                                           batch_format="pyarrow")
+
+
+def _tolerant_to_pages(batch: pa.Table) -> pa.Table:
+    """Shared field mapping for row-oriented interchange sources
+    (JSONL/CSV): url | doc://{doc_id} | content-hash url; text required;
+    lang defaults to en; html null; warc_ts epoch."""
+    import hashlib
+
+    names = set(batch.column_names)
+    n = batch.num_rows
+    texts = batch["text"].to_pylist() if "text" in names else [""] * n
+
+    def content_url(i: int) -> str:
+        h = hashlib.blake2b((texts[i] or "").encode(),
+                            digest_size=8).hexdigest()
+        return f"jsonl://{h}"
+
+    if "url" in names:
+        urls = [u or content_url(i) for i, u in
+                enumerate(batch["url"].to_pylist())]
+    elif "doc_id" in names:
+        urls = [f"doc://{d}" for d in batch["doc_id"].to_pylist()]
+    else:
+        urls = [content_url(i) for i in range(n)]
+    langs = (batch["lang"].to_pylist() if "lang" in names
+             else ["en"] * n)
+    return pa.table({
+        "url": pa.array(urls, pa.string()),
+        "warc_ts": pa.array([0] * n, pa.timestamp("us")),
+        "html": pa.array([None] * n, pa.binary()),
+        "text": pa.array([t if t is not None else "" for t in texts],
+                         pa.string()),
+        "lang": pa.array([x if x is not None else "en" for x in langs],
+                         pa.string()),
+    })
+
+
+def read_csv_pages(path: str, **read_csv_kwargs):
+    """CSV corpus ingestion -> the pages shape, with the same tolerant
+    field mapping as :func:`read_jsonl_pages` (url, else doc://{doc_id},
+    else a content-hash url; text required; lang defaults to en).
+
+    Distributed read via ``ray.data.read_csv`` (Arrow CSV reader per
+    block).  Same scale note as JSONL: CSV cannot column-prune, so this
+    is an INGEST hop into Parquet, not an analytical source.
+    ``read_csv_kwargs`` pass through (delimiter, column types, ...).
+    """
+    return rd.read_csv(path, **read_csv_kwargs).map_batches(
+        _tolerant_to_pages, batch_format="pyarrow")
 
 
 # Reference extension filter (read_text_files,

@@ -191,6 +191,27 @@ class TestJsonlSource:
         names = set(pq.read_table(paths["nodes"])["name"].to_pylist())
         assert {"Ada Lovelace", "Alan Turing", "Acme Corporation"} <= names
 
+    def test_csv_source_maps_and_runs(self, tmp_path_factory, ray_session):
+        """CSV shares the tolerant field mapping and runs the pipeline."""
+        import os
+        import pyarrow.parquet as pq
+        from kgx.pipelines.kg import KGConfig, run_pipeline
+        from kgx.sources.pages import read_csv_pages
+        root = str(tmp_path_factory.mktemp("csvsrc"))
+        path = os.path.join(root, "docs.csv")
+        with open(path, "w") as f:
+            f.write("doc_id,text,lang\n")
+            f.write('1,"Ada Lovelace works for Acme Corporation.",en\n')
+            f.write('2,"Alan Turing works for Acme Corporation.",en\n')
+        ds = read_csv_pages(path)
+        rows = ds.to_pandas().to_dict("records")
+        assert sorted(r["url"] for r in rows) == ["doc://1", "doc://2"]
+        out = os.path.join(root, "out")
+        paths = run_pipeline(path, out, KGConfig(),
+                             pages_ds_factory=lambda: read_csv_pages(path))
+        names = set(pq.read_table(paths["nodes"])["name"].to_pylist())
+        assert {"Ada Lovelace", "Alan Turing", "Acme Corporation"} <= names
+
     def test_jsonl_doc_id_mapping(self, tmp_path_factory, ray_session):
         import json
         import os
