@@ -1086,6 +1086,29 @@ def _q_sketch_distinct(sf_dir: str):
     return approx_distinct(ev, "user_id")
 
 
+def _q_embed_negatives(sf_dir: str):
+    """Deterministic uniform negative sampling for contrastive training
+    (kgx/ops/training.py:negative_samples): k=4 draws per anchor via the
+    mix32 integer lottery over the sorted id directory — map-side,
+    shuffle-free, hash-exact against the same arithmetic in SQL."""
+    import ray.data as rd
+    from kgx.ops.training import negative_samples
+    emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                          columns=["vec_id"])
+    return negative_samples(emb, k=4, seed=101)
+
+
+def _q_embed_triplets(sf_dir: str):
+    """Contrastive triplets (kgx/ops/training.py:contrastive_triplets):
+    positive = exact rank-1 cosine neighbor via the blocked kNN join,
+    negatives = 2 mix32 draws, joined on a narrow (vec_id) co-shuffle."""
+    import ray.data as rd
+    from kgx.ops.training import contrastive_triplets
+    emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                          columns=["vec_id", "embedding"])
+    return contrastive_triplets(emb, k_neg=2, seed=101)
+
+
 def _q_sketch_distinct_by_type(sf_dir: str):
     """Per-event-type HLL distinct users (kgx/ops/sketch.py:
     approx_distinct_by_key) — grouped mergeable sketches: per-batch
@@ -1743,6 +1766,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_span_dup": _q_text_span_dup,
         "rel_returns": _q_rel_returns,
         "sketch_distinct_by_type": _q_sketch_distinct_by_type,
+        "embed_negatives": _q_embed_negatives,
+        "embed_triplets": _q_embed_triplets,
         # KG-construction pipeline (SURVEY.md §2) over the documents table
         "kg_chunks": _q_kg_chunks,
         "kg_chunks_win": _q_kg_chunks_win,
@@ -3148,6 +3173,62 @@ def oracle_sql() -> dict[str, str]:
                                 WHEN 'src3' THEN 49152
                                 ELSE 58982 END AS keep
             FROM b
+        """,
+        "embed_negatives": f"""
+            WITH dir AS (
+              SELECT list(vec_id ORDER BY vec_id) AS arr,
+                     count(*) AS n
+              FROM embeddings),
+            g AS (SELECT unnest(generate_series(1, 4)) AS j),
+            d AS (
+              SELECT e.vec_id, g.j,
+                     ({_mix32_sql("e.vec_id * 1000003 + g.j * 7919 + 101")})
+                       % i.n AS ix,
+                     i.arr, i.n
+              FROM embeddings e CROSS JOIN g CROSS JOIN dir i)
+            SELECT vec_id, j,
+                   CASE WHEN arr[CAST(ix AS BIGINT) + 1] = vec_id
+                        THEN arr[CAST((ix + 1) % n AS BIGINT) + 1]
+                        ELSE arr[CAST(ix AS BIGINT) + 1]
+                   END AS neg_id
+            FROM d
+        """,
+        "embed_triplets": f"""
+            WITH e AS (
+              SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+              FROM embeddings),
+            s AS (
+              SELECT a.vec_id, b.vec_id AS pos_id,
+                     round(list_cosine_similarity(a.v, b.v), 6) AS score,
+                     row_number() OVER (
+                       PARTITION BY a.vec_id
+                       ORDER BY round(list_cosine_similarity(a.v, b.v), 6)
+                                  DESC,
+                                b.vec_id ASC) AS rank
+              FROM e a JOIN e b ON a.vec_id <> b.vec_id),
+            pos AS (
+              SELECT vec_id, pos_id, score AS pos_score
+              FROM s WHERE rank = 1),
+            dir AS (
+              SELECT list(vec_id ORDER BY vec_id) AS arr,
+                     count(*) AS n
+              FROM embeddings),
+            g AS (SELECT unnest(generate_series(1, 2)) AS j),
+            d AS (
+              SELECT e2.vec_id, g.j,
+                     ({_mix32_sql("e2.vec_id * 1000003 + g.j * 7919 + 101")})
+                       % i.n AS ix,
+                     i.arr, i.n
+              FROM embeddings e2 CROSS JOIN g CROSS JOIN dir i),
+            neg AS (
+              SELECT vec_id, j,
+                     CASE WHEN arr[CAST(ix AS BIGINT) + 1] = vec_id
+                          THEN arr[CAST((ix + 1) % n AS BIGINT) + 1]
+                          ELSE arr[CAST(ix AS BIGINT) + 1]
+                     END AS neg_id
+              FROM d)
+            SELECT p.vec_id, p.pos_id, p.pos_score, ng.j, ng.neg_id
+            FROM pos p JOIN neg ng USING (vec_id)
         """,
         "simsearch_knn": """
             WITH e AS (
