@@ -147,31 +147,40 @@ def interval_join_events(events_ds, *, left_type: str, right_type: str,
 
 
 def hash_equijoin(left_ds, right_ds, *, left_on: str, right_on: str,
-                  how: str = "inner", hot_keys=None, n_salts: int = 8):
+                  how: str = "inner", hot_keys=None, n_salts: int = 8,
+                  n_buckets: int = 1024):
     """General distributed hash equi-join (inner, left outer, or full
     outer).
 
     The one relational shape the engine's other joins don't cover:
     both sides are LARGE (broadcast-side joins live in
     kgx/ops/relational.py; temporal joins above).  Shape: each side is
-    tagged and projected to (``__key``, own payload columns, the other
+    tagged and projected to (``__key``, a vectorized key-hash
+    ``__bucket`` mod ``n_buckets``, own payload columns, the other
     side's columns null-filled), the two streams union, and ONE
-    ``groupby(__key)`` shuffle co-locates matching keys; the per-group
-    cross product is built vectorized (``np.repeat``/``np.tile`` index
-    arrays + Arrow ``take``), no Python row loop.
+    ``groupby(__bucket)`` shuffle co-locates matching keys; each bucket
+    group then joins ALL its keys in one fully vectorized pass
+    (dictionary-encode keys -> stable sort -> per-segment left/right
+    counts -> arithmetic ``take`` index construction), so the Python
+    cost is per BUCKET, not per key — grouping directly on ``__key``
+    paid one Python call + several Arrow allocations per distinct key
+    (measured 16.3 s of task time on the sf0.1 Q5 join; bucketed:
+    one call per bucket).
 
-    PARTITIONING ASSUMPTIONS: one key's rows (both sides) fit one
-    group, and payload column names are disjoint between sides (raises
-    otherwise).  For skewed keys pass ``hot_keys`` (inner joins only):
-    each hot key's LEFT rows spread round-robin over ``n_salts``
-    sub-groups and its RIGHT rows replicate into every sub-group, so no
-    single group holds the hot key's full cross-product input — the
-    standard salt-and-replicate treatment (output is identical; the
-    cross product per key is preserved exactly).  Outer joins cannot
-    salt this way (a missing hot key would emit its null row once per
-    salt) and raise.  When one side fits the object store, the
-    broadcast joins in kgx/ops/relational.py are cheaper than any
-    shuffle.
+    PARTITIONING ASSUMPTIONS: one bucket's rows (both sides) fit one
+    worker — size ``n_buckets`` so total_rows / n_buckets is a
+    comfortable block (the default 1024 keeps sf-scale groups tiny;
+    raise it at cluster scale) — and payload column names are disjoint
+    between sides (raises otherwise).  For skewed keys pass
+    ``hot_keys`` (inner joins only): each hot key's LEFT rows spread
+    round-robin over ``n_salts`` sub-groups and its RIGHT rows
+    replicate into every sub-group, so no single group holds the hot
+    key's full cross-product input — the standard salt-and-replicate
+    treatment (output is identical; the cross product per key is
+    preserved exactly).  Outer joins cannot salt this way (a missing
+    hot key would emit its null row once per salt) and raise.  When one
+    side fits the object store, the broadcast joins in
+    kgx/ops/relational.py are cheaper than any shuffle.
 
     Output columns: ``left_on`` (the key, left side's name), then the
     left payload, then the right payload (nulls on left-outer misses).
@@ -210,7 +219,13 @@ def hash_equijoin(left_ds, right_ds, *, left_on: str, right_on: str,
                 ])
                 batch = batch.take(pa.array(take, pa.int64()))
                 n = batch.num_rows
+            import polars as pl
+            kh = pl.from_arrow(batch[key_col].combine_chunks()) \
+                   .hash(seed=7).to_numpy()
             cols = {"__key": batch[key_col],
+                    "__bucket": pa.array(
+                        (kh % np.uint64(n_buckets)).astype(np.int64),
+                        pa.int64()),
                     "__side": pa.array([side] * n, pa.string())}
             if hot_set is not None:
                 if side == "l":
@@ -234,35 +249,63 @@ def hash_equijoin(left_ds, right_ds, *, left_on: str, right_on: str,
 
     out_names = [left_on] + l_names + r_names
 
-    def join_group(group: pa.Table) -> pa.Table:
+    def join_bucket(group: pa.Table) -> pa.Table:
+        """Join EVERY key in one bucket group in a single vectorized
+        pass: dictionary-encode keys to dense codes, stable-sort rows
+        by code (original order preserved within a key), fold per-key
+        left/right counts, then build the cross-product take indices
+        arithmetically (left-major within each key, exactly like the
+        old per-key repeat/tile)."""
         import numpy as np
+        n_rows = group.num_rows
         sides = group["__side"].to_numpy(zero_copy_only=False)
-        li = np.flatnonzero(sides == "l")
-        ri = np.flatnonzero(sides == "r")
-        if len(li) == 0 and how != "outer":
-            return pa.table(
-                {left_on: group["__key"].slice(0, 0),
-                 **{n: group[n].slice(0, 0) for n in l_names + r_names}}
-            ).select(out_names)
-        if len(ri) == 0 and how == "inner":
-            return pa.table(
-                {left_on: group["__key"].slice(0, 0),
-                 **{n: group[n].slice(0, 0) for n in l_names + r_names}}
-            ).select(out_names)
-        if len(ri) == 0:    # left/full outer miss: left rows, right nulls
-            lt = group.take(pa.array(li, pa.int64()))
-            return pa.table(
-                {left_on: lt["__key"],
-                 **{n: lt[n] for n in l_names},
-                 **{n: lt[n] for n in r_names}}).select(out_names)
-        if len(li) == 0:    # full outer right-only: right rows, left nulls
-            rt = group.take(pa.array(ri, pa.int64()))
-            return pa.table(
-                {left_on: rt["__key"],
-                 **{n: rt[n] for n in l_names},
-                 **{n: rt[n] for n in r_names}}).select(out_names)
-        take_l = np.repeat(li, len(ri))
-        take_r = np.tile(ri, len(li))
+        codes = pc.dictionary_encode(group["__key"].combine_chunks()) \
+                  .indices.to_numpy(zero_copy_only=False) \
+                  .astype(np.int64)
+        order = np.argsort(codes, kind="stable")
+        c_s = codes[order]
+        l_s = sides[order] == "l"
+        seg_id = np.r_[0, np.cumsum(c_s[1:] != c_s[:-1])] \
+            if n_rows else np.zeros(0, np.int64)
+        nseg = int(seg_id[-1]) + 1 if n_rows else 0
+        left_rows = order[l_s]            # grouped by segment, stable
+        right_rows = order[~l_s]
+        lcounts = np.bincount(seg_id[l_s], minlength=nseg)
+        rcounts = np.bincount(seg_id[~l_s], minlength=nseg)
+        l_starts = np.r_[0, np.cumsum(lcounts)[:-1]]
+        r_starts = np.r_[0, np.cumsum(rcounts)[:-1]]
+
+        parts_l: list[np.ndarray] = []
+        parts_r: list[np.ndarray] = []
+        # cross part: segments with both sides present
+        out_per_seg = lcounts * rcounts
+        tot = int(out_per_seg.sum())
+        if tot:
+            out_start = np.repeat(np.r_[0, np.cumsum(out_per_seg)[:-1]],
+                                  out_per_seg)
+            within = np.arange(tot) - out_start
+            r_rep = np.repeat(rcounts, out_per_seg)
+            parts_l.append(left_rows[
+                np.repeat(l_starts, out_per_seg) + within // r_rep])
+            parts_r.append(right_rows[
+                np.repeat(r_starts, out_per_seg) + within % r_rep])
+        if how in ("left", "outer"):
+            # left rows of keys with no right match: right payload is
+            # already null on left-tagged rows, so take the SAME rows
+            miss = np.repeat(rcounts == 0, lcounts)
+            lm = left_rows[miss]
+            parts_l.append(lm)
+            parts_r.append(lm)
+        if how == "outer":
+            miss = np.repeat(lcounts == 0, rcounts)
+            rm = right_rows[miss]
+            parts_l.append(rm)
+            parts_r.append(rm)
+        if parts_l:
+            take_l = np.concatenate(parts_l)
+            take_r = np.concatenate(parts_r)
+        else:
+            take_l = take_r = np.zeros(0, np.int64)
         lt = group.take(pa.array(take_l, pa.int64()))
         rt = group.take(pa.array(take_r, pa.int64()))
         return pa.table(
@@ -270,9 +313,10 @@ def hash_equijoin(left_ds, right_ds, *, left_on: str, right_on: str,
              **{n: lt[n] for n in l_names},
              **{n: rt[n] for n in r_names}}).select(out_names)
 
-    group_keys = ["__key", "__salt"] if hot_set is not None else "__key"
+    group_keys = ["__bucket", "__salt"] if hot_set is not None \
+        else "__bucket"
     return tagged.groupby(group_keys).map_groups(
-        join_group, batch_format="pyarrow")
+        join_bucket, batch_format="pyarrow")
 
 
 # -- bloom-filter semi-join ---------------------------------------------
