@@ -62,22 +62,38 @@ def fingerprint_docs_batch(batch: pa.Table) -> pa.Table:
     })
 
 
-def _dedup_group(group: pa.Table) -> pa.Table:
-    ids = sorted(group["doc_id"].to_pylist())
+def _dedup_bucket(group: pa.Table) -> pa.Table:
+    """Fold EVERY fingerprint in one bucket group vectorized: np.unique
+    codes, min-doc representative via np.minimum.at, counts via
+    bincount — one Python call per bucket, not per distinct document."""
+    fps = np.asarray(group["fingerprint"].to_pylist())
+    ids = np.asarray(group["doc_id"].to_pylist(), dtype=np.int64)
+    uniq, inv = np.unique(fps, return_inverse=True)
+    rep = np.full(len(uniq), np.iinfo(np.int64).max, dtype=np.int64)
+    np.minimum.at(rep, inv, ids)
+    cnt = np.bincount(inv, minlength=len(uniq)).astype(np.int64)
     return pa.table({
-        "fingerprint": pa.array([group["fingerprint"][0].as_py()], pa.string()),
-        "rep_doc_id": pa.array([ids[0]], pa.int64()),
-        "n_docs": pa.array([len(ids)], pa.int64()),
+        "fingerprint": pa.array(uniq.tolist(), pa.string()),
+        "rep_doc_id": pa.array(rep, pa.int64()),
+        "n_docs": pa.array(cnt, pa.int64()),
     })
 
 
-def exact_dup_groups(docs_ds):
+def exact_dup_groups(docs_ds, *, n_buckets: int = 256):
     """documents -> one row per distinct content fingerprint with the
-    smallest doc_id as the kept representative (hash-partition + per-group
-    first; the canonical exact-dedup shape)."""
-    fp = docs_ds.map_batches(fingerprint_docs_batch, batch_format="pyarrow")
-    return fp.groupby("fingerprint").map_groups(
-        _dedup_group, batch_format="pyarrow")
+    smallest doc_id as the kept representative (hash-partition +
+    per-group first; the canonical exact-dedup shape).  Groups on a
+    fingerprint-prefix BUCKET (``n_buckets``, a rows-per-worker knob)
+    so the per-group Python cost is per bucket, not per distinct doc."""
+    def fp_bucket(batch: pa.Table) -> pa.Table:
+        t = fingerprint_docs_batch(batch)
+        b = [int(f[:8], 16) % n_buckets
+             for f in t["fingerprint"].to_pylist()]
+        return t.append_column("b", pa.array(b, pa.int64()))
+
+    fp = docs_ds.map_batches(fp_bucket, batch_format="pyarrow")
+    return fp.groupby("b").map_groups(
+        _dedup_bucket, batch_format="pyarrow")
 
 
 # ----------------------------------------------------------------------

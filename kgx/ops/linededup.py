@@ -90,26 +90,25 @@ def duplicated_spans(docs_ds, *, window: int = 16):
             p_c.append(np.arange(n_win, dtype=np.int64))
         if not h_c:
             return pa.table({"h": pa.array([], pa.uint64()),
+                             "b": pa.array([], pa.int64()),
                              "doc_id": pa.array([], pa.int64()),
                              "pos": pa.array([], pa.int64())})
+        hh = np.concatenate(h_c)
         return pa.table({
-            "h": pa.array(np.concatenate(h_c), pa.uint64()),
+            "h": pa.array(hh, pa.uint64()),
+            "b": pa.array((hh % np.uint64(256)).astype(np.int64),
+                          pa.int64()),
             "doc_id": pa.array(np.concatenate(d_c), pa.int64()),
             "pos": pa.array(np.concatenate(p_c), pa.int64()),
         })
 
     def rank_group(group: pa.Table) -> pa.Table:
-        """Per-hash: emit every occurrence, owner-flagged (first by
-        (doc_id, pos)), as per-doc (n_windows=0, n_dup) partials —
-        n_windows itself is counted map-side below to avoid carrying
-        singleton groups."""
+        """Per hash-BUCKET group: every distinct hash value in the
+        bucket ranks independently (owner = lexicographically first
+        (doc_id, pos) occurrence); emits per-doc duplicate-count
+        partials — one vectorized Python call per bucket."""
         d = np.asarray(group["doc_id"].to_pylist(), dtype=np.int64)
-        if len(d) < 2:
-            return pa.table({"doc_id": pa.array([], pa.int64()),
-                             "dup": pa.array([], pa.int64())})
         p = np.asarray(group["pos"].to_pylist(), dtype=np.int64)
-        # every distinct hash value in this (hash-keyed) group ranks
-        # independently; owner = lexicographically first occurrence
         h = np.asarray(group["h"].to_pylist(), dtype=np.uint64)
         order = np.lexsort((p, d, h))
         hs = h[order]
@@ -139,7 +138,7 @@ def duplicated_spans(docs_ds, *, window: int = 16):
     from kgx.functions.collect import collect_arrow
     exploded = docs_ds.map_batches(explode, batch_format="pyarrow")
     dup_parts = collect_arrow(
-        exploded.groupby("h").map_groups(rank_group,
+        exploded.groupby("b").map_groups(rank_group,
                                          batch_format="pyarrow"))
     dup_map: dict[int, int] = {}
     for doc_id, c in zip(dup_parts["doc_id"].to_pylist(),
@@ -181,8 +180,10 @@ def segment_dedup(docs_ds, *, seg_tokens: int = 10):
     (doc_id, seg_no)) is removed.  ``text_dedup`` is null when every
     segment of the document was a repeat."""
 
+    n_buckets = 256
+
     def explode(batch: pa.Table) -> pa.Table:
-        ids, segs_no, md5s = [], [], []
+        ids, segs_no, his, los = [], [], [], []
         for d, t in zip(batch["doc_id"].to_pylist(),
                         batch["text"].to_pylist()):
             segs = _segments(t, seg_tokens)
@@ -192,31 +193,43 @@ def segment_dedup(docs_ds, *, seg_tokens: int = 10):
                     "raise _SEG_BITS")
             ids.extend([d] * len(segs))
             segs_no.extend(range(len(segs)))
-            # raw 16-byte digest, not hex: halves the shuffle key bytes
-            # (the key is internal — the oracle compares only the rebuilt
-            # documents, and any injective hash yields the same winners)
-            md5s.extend(hashlib.md5(s.encode("utf-8")).digest()
-                        for s in segs)
+            # the digest ships as two int64 halves, not hex (half the
+            # shuffle key bytes; the key is internal — the oracle
+            # compares only the rebuilt documents, and any injective
+            # hash yields the same winners)
+            for s in segs:
+                dg = hashlib.md5(s.encode("utf-8")).digest()
+                his.append(int.from_bytes(dg[:8], "big", signed=True))
+                los.append(int.from_bytes(dg[8:], "big", signed=True))
         return pa.table({
-            "seg_md5": pa.array(md5s, pa.binary()),
+            "h_hi": pa.array(his, pa.int64()),
+            "h_lo": pa.array(los, pa.int64()),
+            "b": pa.array([h % n_buckets for h in his], pa.int64()),
             "doc_id": pa.array(ids, pa.int64()),
             "seg_no": pa.array(segs_no, pa.int64()),
         })
 
     def losers(group: pa.Table) -> pa.Table:
+        """All-but-the-winner of EVERY distinct digest in one bucket,
+        vectorized (one Python call per bucket, not per segment)."""
+        hi = np.asarray(group["h_hi"].to_pylist(), dtype=np.int64)
+        lo = np.asarray(group["h_lo"].to_pylist(), dtype=np.int64)
         ids = np.asarray(group["doc_id"].to_pylist(), dtype=np.int64)
         segs = np.asarray(group["seg_no"].to_pylist(), dtype=np.int64)
-        order = np.lexsort((segs, ids))[1:]        # all but the winner
+        order = np.lexsort((segs, ids, lo, hi))
+        h_s, l_s = hi[order], lo[order]
+        first = np.r_[True, (h_s[1:] != h_s[:-1]) | (l_s[1:] != l_s[:-1])]
+        lose = order[~first]
         return pa.table({
-            "doc_id": pa.array(ids[order], pa.int64()),
-            "seg_no": pa.array(segs[order], pa.int64()),
+            "doc_id": pa.array(ids[lose], pa.int64()),
+            "seg_no": pa.array(segs[lose], pa.int64()),
         })
 
     from kgx.functions.collect import collect_arrow
     loser_tbl = collect_arrow(
         docs_ds.map_batches(explode, batch_format="pyarrow")
-               .groupby("seg_md5").map_groups(losers,
-                                              batch_format="pyarrow"))
+               .groupby("b").map_groups(losers,
+                                        batch_format="pyarrow"))
     if loser_tbl.num_rows:
         drop_keys = (np.asarray(loser_tbl["doc_id"].to_pylist(),
                                 dtype=np.int64) * _SEG_CAP
@@ -268,8 +281,10 @@ def boilerplate_scrub(docs_ds, *, seg_tokens: int = 10, min_docs: int = 2):
     Output: (doc_id, text_clean nullable, n_segs, n_removed).
     """
 
+    n_buckets = 256
+
     def explode(batch: pa.Table) -> pa.Table:
-        srcs, md5s = [], []
+        srcs, md5s, bs = [], [], []
         for d, t, src in zip(batch["doc_id"].to_pylist(),
                              batch["text"].to_pylist(),
                              batch["source"].to_pylist()):
@@ -280,22 +295,40 @@ def boilerplate_scrub(docs_ds, *, seg_tokens: int = 10, min_docs: int = 2):
                     seen.add(h)
                     srcs.append(src)
                     md5s.append(h)
+                    bs.append(int.from_bytes(h[:8], "big") % n_buckets)
         return pa.table({
             "source": pa.array(srcs, pa.string()),
             "seg_md5": pa.array(md5s, pa.binary()),
+            "b": pa.array(bs, pa.int64()),
         })
 
     def frequent(group: pa.Table) -> pa.Table:
-        # rows are (source, seg_md5) once per containing doc
-        if group.num_rows < min_docs:
-            return pa.table({"source": pa.array([], pa.string()),
-                             "seg_md5": pa.array([], pa.binary())})
-        return group.slice(0, 1).select(["source", "seg_md5"])
+        """One row per (source, segment) occurring in >= min_docs docs,
+        folded over the whole digest-bucket group vectorized."""
+        import pyarrow.compute as pc
+        scodes = pc.dictionary_encode(group["source"].combine_chunks()) \
+                   .indices.to_numpy(zero_copy_only=False) \
+                   .astype(np.int64)
+        md5b = group["seg_md5"].to_pylist()
+        hcodes_map: dict[bytes, int] = {}
+        hcodes = np.asarray(
+            [hcodes_map.setdefault(h, len(hcodes_map)) for h in md5b],
+            dtype=np.int64)
+        order = np.lexsort((hcodes, scodes))
+        sc_s, hc_s = scodes[order], hcodes[order]
+        first = np.r_[True, (sc_s[1:] != sc_s[:-1]) |
+                      (hc_s[1:] != hc_s[:-1])]
+        seg_id = np.cumsum(first) - 1
+        counts = np.bincount(seg_id)
+        keep_first_rows = order[np.flatnonzero(first)][
+            counts >= min_docs]
+        return group.take(pa.array(keep_first_rows, pa.int64())) \
+            .select(["source", "seg_md5"])
 
     from kgx.functions.collect import collect_arrow
     boiler = collect_arrow(
         docs_ds.map_batches(explode, batch_format="pyarrow")
-               .groupby(["source", "seg_md5"])
+               .groupby("b")
                .map_groups(frequent, batch_format="pyarrow"))
     bset = frozenset(zip(boiler["source"].to_pylist(),
                          boiler["seg_md5"].to_pylist()))

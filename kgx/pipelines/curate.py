@@ -103,20 +103,34 @@ def curate_corpus(sf_dir: str, *, lang: str = "en", min_docs: int = 2,
     import hashlib
 
     def fp_rows(batch: pa.Table) -> pa.Table:
+        import numpy as np
+        dgs = [hashlib.md5(t.encode("utf-8")).digest()
+               for t in batch["text"].to_pylist()]
+        his = [int.from_bytes(d[:8], "big", signed=True) for d in dgs]
+        los = [int.from_bytes(d[8:], "big", signed=True) for d in dgs]
         return pa.table({
-            "fp": pa.array([hashlib.md5(t.encode("utf-8")).digest()
-                            for t in batch["text"].to_pylist()],
-                           pa.binary()),
+            "h_hi": pa.array(his, pa.int64()),
+            "h_lo": pa.array(los, pa.int64()),
+            "b": pa.array([h % 256 for h in his], pa.int64()),
             "doc_id": batch["doc_id"],
         })
 
     def losers(group: pa.Table) -> pa.Table:
-        ids = sorted(group["doc_id"].to_pylist())
-        return pa.table({"doc_id": pa.array(ids[1:], pa.int64())})
+        """All-but-smallest doc of every distinct digest in the bucket,
+        vectorized (one call per bucket, not per distinct text)."""
+        import numpy as np
+        hi = np.asarray(group["h_hi"].to_pylist(), dtype=np.int64)
+        lo = np.asarray(group["h_lo"].to_pylist(), dtype=np.int64)
+        ids = np.asarray(group["doc_id"].to_pylist(), dtype=np.int64)
+        order = np.lexsort((ids, lo, hi))
+        h_s, l_s = hi[order], lo[order]
+        first = np.r_[True, (h_s[1:] != h_s[:-1]) | (l_s[1:] != l_s[:-1])]
+        return pa.table({"doc_id": pa.array(ids[order[~first]],
+                                            pa.int64())})
 
     loser_tbl = collect_arrow(
         deduped.map_batches(fp_rows, batch_format="pyarrow")
-               .groupby("fp").map_groups(losers, batch_format="pyarrow"))
+               .groupby("b").map_groups(losers, batch_format="pyarrow"))
     drop = ray.put(pa.array(sorted(loser_tbl["doc_id"].to_pylist()),
                             pa.int64()))
 
