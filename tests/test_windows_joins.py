@@ -387,3 +387,45 @@ def test_retention_and_zscore_partition_invariant(ray_session):
     z2 = zscore_flags(ev.repartition(9)).to_pandas() \
         .sort_values("event_id").reset_index(drop=True)
     assert z1.equals(z2)
+
+
+def test_hash_equijoin_randomized_vs_duckdb(ray_session):
+    """Differential fuzz of the bucketed multi-key join against DuckDB
+    over random skewed tables, all three join modes, tiny bucket count
+    (n_buckets=3) so every bucket group mixes many keys — the exact
+    regime the vectorized per-segment fold must get right."""
+    import duckdb
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+    from kgx.ops.joins import hash_equijoin
+
+    rng = np.random.default_rng(23)
+    for trial in range(3):
+        nl, nr = int(rng.integers(5, 120)), int(rng.integers(5, 120))
+        lt = pa.table({
+            "k": pa.array(rng.integers(0, 15, nl), pa.int64()),
+            "lv": pa.array(rng.integers(0, 1000, nl), pa.int64())})
+        rt = pa.table({
+            "rk": pa.array(rng.integers(0, 15, nr), pa.int64()),
+            "rv": pa.array(rng.integers(0, 1000, nr), pa.int64())})
+        con = duckdb.connect()
+        con.register("l", lt)
+        con.register("r", rt)
+        for how, sql in (("inner", "JOIN"), ("left", "LEFT JOIN"),
+                         ("outer", "FULL OUTER JOIN")):
+            got = hash_equijoin(
+                rd.from_arrow(lt).repartition(3),
+                rd.from_arrow(rt).repartition(2),
+                left_on="k", right_on="rk", how=how, n_buckets=3) \
+                .to_pandas()
+            want = con.sql(
+                f"SELECT coalesce(l.k, r.rk) AS k, lv, rv "
+                f"FROM l {sql} r ON l.k = r.rk").df()
+            key = ["k", "lv", "rv"]
+            g = got[key].sort_values(key, na_position="last") \
+                .reset_index(drop=True)
+            w = want[key].sort_values(key, na_position="last") \
+                .reset_index(drop=True)
+            assert g.astype("float64").equals(w.astype("float64")), \
+                (trial, how, len(g), len(w))
