@@ -671,6 +671,16 @@ def _q_simsearch_ivf(sf_dir: str):
     return ivf_topk(emb, query_ids=list(range(8)), k=10)
 
 
+def _q_kg_ppr(sf_dir: str):
+    """Personalized PageRank from the lexicographically smallest KG
+    vertex (kgx/ops/graph.py:personalized_pagerank) — seed-restart
+    teleport, same integer fixed-point recurrence and broadcast-vector
+    shape as kg_pagerank, bit-identical to the unrolled SQL oracle."""
+    from kgx.ops.graph import personalized_pagerank
+    from kgx.pipelines.docs_kg import kg_tables
+    return personalized_pagerank(kg_tables(sf_dir)["edges"], iters=10)
+
+
 def _q_kg_pagerank(sf_dir: str):
     """Degree + integer fixed-point PageRank over the canonical
     co-occurrence KG (kgx/ops/graph.py).  Integer arithmetic makes the
@@ -826,6 +836,48 @@ def _kcore_oracle(*, k: int, rounds: int) -> str:
               SELECT s AS v, count(*) AS d FROM e0 GROUP BY s),
             {",".join(parts)}
             SELECT v AS name, d AS degree FROM d{rounds} WHERE d >= {k}
+    """
+
+
+def _ppr_oracle(*, iters=10, damping_pct=85, scale=10**12) -> str:
+    """DuckDB mirror of kgx.ops.graph.personalized_pagerank: identical
+    shape to _pagerank_oracle, but the teleport term lands only on the
+    lexicographically smallest vertex."""
+    seed_base = f"(({100 - damping_pct} * {scale}) // 100)"
+    its = []
+    for k in range(1, iters + 1):
+        its.append(f"""
+            r{k} AS (
+              SELECT ed.t AS v,
+                     CAST(CASE WHEN ed.t = (SELECT sv FROM sd)
+                               THEN {seed_base} ELSE 0 END
+                          + ({damping_pct} * sum(p.r // dg.d))
+                          // 100 AS BIGINT) AS r
+              FROM ed JOIN r{k - 1} p ON ed.s = p.v
+                      JOIN deg dg ON ed.s = dg.v
+              GROUP BY ed.t)""")
+    return f"""
+            WITH dt AS (
+              SELECT doc_id,
+                     unnest(list_distinct(regexp_extract_all(
+                       text, '{_TERM_RE}'))) AS term
+              FROM documents),
+            e0 AS (
+              SELECT a.term AS s, b.term AS t
+              FROM dt a JOIN dt b
+                ON a.doc_id = b.doc_id AND a.term < b.term
+              GROUP BY 1, 2),
+            ed AS (SELECT s, t FROM e0
+                   UNION ALL SELECT t AS s, s AS t FROM e0),
+            deg AS (SELECT s AS v, count(*) AS d FROM ed GROUP BY s),
+            sd AS (SELECT min(v) AS sv FROM deg),
+            r0 AS (SELECT v,
+                          CASE WHEN v = (SELECT sv FROM sd)
+                               THEN {scale} ELSE 0 END AS r
+                   FROM deg),{",".join(its)}
+            SELECT d.v AS name, d.d AS degree,
+                   CAST(rr.r AS BIGINT) AS ppr_units
+            FROM deg d JOIN r{iters} rr ON d.v = rr.v
     """
 
 
@@ -1768,6 +1820,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sketch_distinct_by_type": _q_sketch_distinct_by_type,
         "embed_negatives": _q_embed_negatives,
         "embed_triplets": _q_embed_triplets,
+        "kg_ppr": _q_kg_ppr,
         # KG-construction pipeline (SURVEY.md §2) over the documents table
         "kg_chunks": _q_kg_chunks,
         "kg_chunks_win": _q_kg_chunks_win,
@@ -2179,6 +2232,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "bm25_topk": _bm25_oracle(_BM25_QUERIES),
         "kg_pagerank": _pagerank_oracle(iters=10),
+        "kg_ppr": _ppr_oracle(iters=10),
         # Each triangle {a,b,c} (a<b<c in e0's ordered pairs) is
         # enumerated exactly once, then exploded to its three vertices.
         "kg_triangles": f"""

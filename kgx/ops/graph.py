@@ -133,6 +133,68 @@ def pagerank(edges_ds, *, src_col: str = "subj_name",
     }))
 
 
+def personalized_pagerank(edges_ds, *, src_col: str = "subj_name",
+                          dst_col: str = "obj_name", iters: int = 10,
+                          damping_pct: int = 85):
+    """Personalized PageRank from the lexicographically smallest vertex
+    (the deterministic seed device ``khop_neighborhood`` uses): the
+    teleport mass restarts at the SEED instead of spreading uniformly,
+    so ranks measure proximity to the seed — the recommend-around-an-
+    entity primitive.  Same integer fixed-point recurrence, broadcast
+    rank vector and map-side contribution partials as :func:`pagerank`
+    (O(|V|) broadcast documented there); only the restart vector
+    differs.  Output: (name, degree, ppr_units)."""
+    ed = undirected_edges(edges_ds, src_col=src_col,
+                          dst_col=dst_col).materialize()
+    verts, degs = _vertex_arrays(ed)
+    n = len(degs)
+    if n == 0:
+        return ray.data.from_arrow(pa.table({
+            "name": pa.array([], pa.string()),
+            "degree": pa.array([], pa.int64()),
+            "ppr_units": pa.array([], pa.int64()),
+        }))
+
+    seed_ix = int(np.argmin(np.asarray(verts.to_pylist())))
+    restart = np.zeros(n, dtype=np.int64)
+    restart[seed_ix] = SCALE
+    base_vec = ((100 - damping_pct) * restart) // 100
+    ranks = restart.copy()
+
+    for _ in range(iters):
+        bref = ray.put((verts, ranks, degs))
+
+        def partial(batch: pa.Table, _bref=bref) -> pa.Table:
+            vs, rk, dg = ray.get(_bref)
+            si = pc.index_in(batch["src"].combine_chunks(), value_set=vs) \
+                   .to_numpy(zero_copy_only=False)
+            di = pc.index_in(batch["dst"].combine_chunks(), value_set=vs) \
+                   .to_numpy(zero_copy_only=False)
+            contrib = rk[si] // dg[si]
+            acc = np.zeros(len(vs), dtype=np.int64)
+            np.add.at(acc, di, contrib)
+            nz = np.flatnonzero(acc)
+            return pa.table({
+                "vi": pa.array(nz, pa.int64()),
+                "c": pa.array(acc[nz], pa.int64()),
+            })
+
+        parts = collect_arrow(
+            ed.map_batches(partial, batch_format="pyarrow"))
+        total = np.zeros(n, dtype=np.int64)
+        if parts.num_rows:
+            np.add.at(total,
+                      parts["vi"].to_numpy(zero_copy_only=False),
+                      parts["c"].to_numpy(zero_copy_only=False))
+        ranks = base_vec + (damping_pct * total) // 100
+
+    return ray.data.from_arrow(pa.table({
+        "name": verts,
+        "degree": pa.array(degs, pa.int64()),
+        "ppr_units": pa.array(ranks, pa.int64()),
+    }))
+
+
 def degree_table(edges_ds, *, src_col: str = "subj_name",
                  dst_col: str = "obj_name"):
     """(name, degree) per vertex of the undirected graph."""
