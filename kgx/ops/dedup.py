@@ -456,37 +456,65 @@ def _log_bucket_drop(op: str, n_members: int, n_emitted: int,
 
 def _band_group_pairs(group: pa.Table,
                       max_pairs: int = DEFAULT_MAX_BUCKET_PAIRS) -> pa.Table:
-    """Owned pairs within one LSH bucket, with signature-estimated
-    Jaccard, fully vectorized.
+    """Owned pairs across EVERY (band, bucket) segment in one
+    digest-bucket group, with signature-estimated Jaccard.
+
+    The group key is a reduced hash of (band, bucket) (see
+    :func:`minhash_lsh_pairs`), so one group holds many true LSH
+    buckets: rows lexsort by (band, bucket, doc_id), each segment runs
+    the vectorized triu pair pass (numpy-only — the per-Ray-group
+    Python/Arrow overhead is paid once per 256-way group, not once per
+    LSH bucket), and one Arrow table leaves per group.
 
     First-band ownership (see :func:`_owned_bucket_pairs`) means a pair
     is emitted by exactly one band — no dedup shuffle downstream.  A
     degenerate bucket (boilerplate-identical corpus) is quadratic in its
-    member count, so emission is capped at ``max_pairs`` pairs (in
-    deterministic sorted-id order) and the drop count is logged."""
-    band = group["band"][0].as_py()
+    member count, so emission is capped at ``max_pairs`` pairs per
+    bucket (in deterministic sorted-id order) and the drop count is
+    logged."""
+    def _list_mat(col) -> np.ndarray:
+        # fixed-length uint64 lists -> (rows, width) without a Python
+        # round-trip (same flatten device as simsearch.emb_matrix)
+        arr = col.combine_chunks()
+        flat = arr.flatten().to_numpy(zero_copy_only=False)
+        return flat.reshape(len(arr), flat.size // max(len(arr), 1))
+
+    bands_col = np.asarray(group["band"].to_pylist(), dtype=np.int64)
+    buckets = np.asarray(group["bucket"].to_pylist(), dtype=np.uint64)
     ids = np.asarray(group["doc_id"].to_pylist(), dtype=np.int64)
-    order = np.argsort(ids)
-    ids = ids[order]
-    B = np.asarray(group["bands"].to_pylist(), dtype=np.uint64)[order]
-    S = np.asarray(group["sig"].to_pylist(), dtype=np.uint64)[order]
-    n = len(ids)
-    iu, ju = np.triu_indices(n, k=1)
-    if len(iu) == 0:
+    B = _list_mat(group["bands"]).astype(np.uint64, copy=False)
+    S = _list_mat(group["sig"]).astype(np.uint64, copy=False)
+    order = np.lexsort((ids, buckets, bands_col))
+    b_s, k_s = bands_col[order], buckets[order]
+    starts = np.flatnonzero(np.r_[True, (b_s[1:] != b_s[:-1]) |
+                                  (k_s[1:] != k_s[:-1])])
+    ends = np.r_[starts[1:], len(order)]
+    a_c, b_c, e_c = [], [], []
+    for s, e in zip(starts, ends):
+        if e - s < 2:
+            continue
+        seg = order[s:e]                  # already doc_id-ascending
+        band = int(b_s[s])
+        sid, sB, sS = ids[seg], B[seg], S[seg]
+        iu, ju = np.triu_indices(e - s, k=1)
+        first = (sB[iu] == sB[ju]).argmax(axis=1)
+        keep = np.flatnonzero(first == band)
+        if len(keep) > max_pairs:
+            _log_bucket_drop("minhash_lsh_pairs", e - s, max_pairs,
+                             len(keep) - max_pairs)
+            keep = keep[:max_pairs]
+        if len(keep):
+            a_c.append(sid[iu[keep]])
+            b_c.append(sid[ju[keep]])
+            e_c.append((sS[iu[keep]] == sS[ju[keep]]).mean(axis=1))
+    if not a_c:
         return pa.table({"doc_a": pa.array([], pa.int64()),
                          "doc_b": pa.array([], pa.int64()),
                          "est_jaccard": pa.array([], pa.float64())})
-    first = (B[iu] == B[ju]).argmax(axis=1)
-    keep = np.flatnonzero(first == band)
-    if len(keep) > max_pairs:
-        _log_bucket_drop("minhash_lsh_pairs", n, max_pairs,
-                         len(keep) - max_pairs)
-        keep = keep[:max_pairs]
-    est = (S[iu[keep]] == S[ju[keep]]).mean(axis=1)
     return pa.table({
-        "doc_a": pa.array(ids[iu[keep]], pa.int64()),
-        "doc_b": pa.array(ids[ju[keep]], pa.int64()),
-        "est_jaccard": pa.array(est, pa.float64()),
+        "doc_a": pa.array(np.concatenate(a_c), pa.int64()),
+        "doc_b": pa.array(np.concatenate(b_c), pa.int64()),
+        "est_jaccard": pa.array(np.concatenate(e_c), pa.float64()),
     })
 
 
@@ -496,22 +524,30 @@ def minhash_lsh_pairs(docs_ds, *, num_perm: int = 64, bands: int = 16,
                       max_bucket_pairs: int = DEFAULT_MAX_BUCKET_PAIRS):
     """MinHash+LSH candidate near-dup pairs (deterministic, approximate).
 
-    shingle -> minhash -> band-bucket groupby -> in-bucket pairs ->
-    pair-keyed groupby dedup.  Only (band, bucket, doc, sig) rows shuffle.
+    shingle -> minhash -> bucketed band-bucket groupby -> in-segment
+    pairs -> filter.  Only (band, bucket, doc, sig) rows shuffle, and
+    the groupby key is a 256-way reduction of (band, bucket) so the
+    per-Ray-group Python overhead amortizes over many LSH buckets; the
+    pair pass walks exact (band, bucket) segments inside each group.
     Skewed buckets are capped at ``max_bucket_pairs`` pairs each, with
     drops logged (never silent).
     """
-    # NOT coalesced before the groupby: the in-bucket pair stage is
-    # O(bucket^2) Python-side work whose parallelism tracks the block
-    # count, and that loss outweighs the sort's scheduling savings
-    # (measured 64->8 blocks: pair stage 1.5s -> 5.0s at sf0.1).
     banded = docs_ds.map_batches(
         MinHashBands, batch_format="pyarrow", concurrency=(1, 8),
         fn_constructor_kwargs={"num_perm": num_perm, "bands": bands,
                                "k": k, "seed": seed})
-    cand = banded.groupby(["band", "bucket"]).map_groups(
-        lambda g: _band_group_pairs(g, max_bucket_pairs),
-        batch_format="pyarrow")
+
+    def add_gb(t: pa.Table) -> pa.Table:
+        b = np.asarray(t["band"].to_pylist(), dtype=np.uint64)
+        kk = np.asarray(t["bucket"].to_pylist(), dtype=np.uint64)
+        gb = ((kk * np.uint64(2654435761) + b)
+              % np.uint64(256)).astype(np.int64)
+        return t.append_column("gb", pa.array(gb, pa.int64()))
+
+    cand = banded.map_batches(add_gb, batch_format="pyarrow") \
+        .groupby("gb").map_groups(
+            lambda g: _band_group_pairs(g, max_bucket_pairs),
+            batch_format="pyarrow")
     # first-band ownership already guarantees one row per distinct pair
     return cand.map_batches(
         lambda t: t.filter(
