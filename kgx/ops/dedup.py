@@ -623,41 +623,63 @@ def simhash_pairs(docs_ds, *, bands: int = 4, max_hamming: int = 3,
         lambda b: _simhash_band_rows(b, bands), batch_format="pyarrow")
 
     def bucket_pairs(group: pa.Table) -> pa.Table:
-        """Owned in-bucket pairs, vectorized: band chunks derive straight
-        from the carried simhash, so first-band ownership (emit-once,
-        see _owned_bucket_pairs) needs no extra columns; hamming via
-        64-bit popcount in numpy."""
-        band = group["band"][0].as_py()
+        """Owned pairs across every (band, val) segment of one 256-way
+        bucket group (the same amortization as the MinHash pair stage):
+        band chunks derive straight from the carried simhash, so
+        first-band ownership (emit-once, see _owned_bucket_pairs) needs
+        no extra columns; hamming via 64-bit popcount in numpy."""
+        bands_c = np.asarray(group["band"].to_pylist(), dtype=np.int64)
+        vals = np.asarray(group["val"].to_pylist(), dtype=np.uint64)
         ids = np.asarray(group["doc_id"].to_pylist(), dtype=np.int64)
-        order = np.argsort(ids)
-        ids = ids[order]
-        hs = np.asarray(group["simhash"].to_pylist(),
-                        dtype=np.uint64)[order]
-        n = len(ids)
-        iu, ju = np.triu_indices(n, k=1)
-        if len(iu) == 0:
+        hs = np.asarray(group["simhash"].to_pylist(), dtype=np.uint64)
+        order = np.lexsort((ids, vals, bands_c))
+        b_s, v_s = bands_c[order], vals[order]
+        starts = np.flatnonzero(np.r_[True, (b_s[1:] != b_s[:-1]) |
+                                      (v_s[1:] != v_s[:-1])])
+        ends = np.r_[starts[1:], len(order)]
+        a_c, b_c, h_c = [], [], []
+        for s, e in zip(starts, ends):
+            if e - s < 2:
+                continue
+            seg = order[s:e]              # already doc_id-ascending
+            band = int(b_s[s])
+            sid, shs = ids[seg], hs[seg]
+            iu, ju = np.triu_indices(e - s, k=1)
+            chunks = (shs[:, None] >> shifts[None, :]) & mask
+            first = (chunks[iu] == chunks[ju]).argmax(axis=1)
+            xor = shs[iu] ^ shs[ju]
+            ham = np.unpackbits(xor.view(np.uint8).reshape(-1, 8),
+                                axis=1).sum(axis=1)
+            keep = np.flatnonzero((first == band) & (ham <= max_hamming))
+            if len(keep) > max_bucket_pairs:
+                _log_bucket_drop("simhash_pairs", e - s, max_bucket_pairs,
+                                 len(keep) - max_bucket_pairs)
+                keep = keep[:max_bucket_pairs]
+            if len(keep):
+                a_c.append(sid[iu[keep]])
+                b_c.append(sid[ju[keep]])
+                h_c.append(ham[keep].astype(np.int32))
+        if not a_c:
             return pa.table({"doc_a": pa.array([], pa.int64()),
                              "doc_b": pa.array([], pa.int64()),
                              "hamming": pa.array([], pa.int32())})
-        chunks = (hs[:, None] >> shifts[None, :]) & mask   # n x bands
-        first = (chunks[iu] == chunks[ju]).argmax(axis=1)
-        xor = hs[iu] ^ hs[ju]
-        ham = np.unpackbits(xor.view(np.uint8).reshape(-1, 8),
-                            axis=1).sum(axis=1)
-        keep = np.flatnonzero((first == band) & (ham <= max_hamming))
-        if len(keep) > max_bucket_pairs:
-            _log_bucket_drop("simhash_pairs", n, max_bucket_pairs,
-                             len(keep) - max_bucket_pairs)
-            keep = keep[:max_bucket_pairs]
         return pa.table({
-            "doc_a": pa.array(ids[iu[keep]], pa.int64()),
-            "doc_b": pa.array(ids[ju[keep]], pa.int64()),
-            "hamming": pa.array(ham[keep].astype(np.int32), pa.int32()),
+            "doc_a": pa.array(np.concatenate(a_c), pa.int64()),
+            "doc_b": pa.array(np.concatenate(b_c), pa.int64()),
+            "hamming": pa.array(np.concatenate(h_c), pa.int32()),
         })
+
+    def add_gb(t: pa.Table) -> pa.Table:
+        b = np.asarray(t["band"].to_pylist(), dtype=np.uint64)
+        v = np.asarray(t["val"].to_pylist(), dtype=np.uint64)
+        gb = ((v * np.uint64(2654435761) + b)
+              % np.uint64(256)).astype(np.int64)
+        return t.append_column("gb", pa.array(gb, pa.int64()))
 
     # first-band ownership already emits each pair exactly once
     from kgx.functions.collect import coalesce_small
-    return coalesce_small(banded).groupby(["band", "val"]).map_groups(
+    return coalesce_small(banded).map_batches(
+        add_gb, batch_format="pyarrow").groupby("gb").map_groups(
         bucket_pairs, batch_format="pyarrow")
 
 
