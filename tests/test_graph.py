@@ -278,3 +278,21 @@ def test_khop_default_seed_is_min_vertex(ray_session):
     out = khop_neighborhood(_edges(PATH), hops=1).to_pandas()
     got = dict(zip(out["name"], out["hop"]))
     assert got == {"a": 0, "b": 1}
+
+
+def test_personalized_pagerank_concentrates_on_seed(ray_session):
+    """PPR mass must concentrate at the seed (the lexicographically
+    smallest vertex): the seed outranks every other vertex, totals stay
+    bounded by the scale, and re-runs are byte-identical."""
+    from kgx.ops.graph import personalized_pagerank
+    from kgx.pipelines.docs_kg import kg_tables
+    edges = kg_tables("/root/testdata/sf0.001")["edges"]
+    out = personalized_pagerank(edges, iters=10).to_pandas()
+    seed = out["name"].min()
+    seed_rank = out.set_index("name").loc[seed, "ppr_units"]
+    assert seed_rank == out["ppr_units"].max()
+    assert (out["ppr_units"] >= 0).all()
+    assert out["ppr_units"].sum() <= 10**12  # leaky (dangling) <= scale
+    again = personalized_pagerank(edges, iters=10).to_pandas()
+    assert out.sort_values("name").reset_index(drop=True).equals(
+        again.sort_values("name").reset_index(drop=True))
