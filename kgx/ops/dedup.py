@@ -251,21 +251,41 @@ def _jaccard_pairs_lsh_verified(docs_ds, *, threshold: float, pattern: str,
     a, b = _perm_params(num_perm, seed)
 
     from kgx.functions.collect import coalesce_small
+
+    def term_hash_rows(batch: pa.Table) -> pa.Table:
+        """(doc_id, thash): unique uint64 term hashes per doc — the
+        verify payload AND the minhash input, computed once.  Jaccard
+        over the hash sets equals Jaccard over the distinct term strings
+        up to 64-bit collisions (~C(|terms|,2) * 2^-64 per doc — far
+        below the gate's resolution, and deterministic)."""
+        import re
+        rx = re.compile(pattern)
+        ids, hs = [], []
+        for doc_id, text in zip(batch["doc_id"].to_pylist(),
+                                batch["text"].to_pylist()):
+            terms = set(rx.findall(text or ""))
+            ids.append(doc_id)
+            hs.append(np.unique(np.asarray(
+                [int.from_bytes(hashlib.blake2b(
+                    t.encode(), digest_size=8).digest(), "big")
+                 for t in terms], dtype=np.uint64)).tolist()
+                if terms else [])
+        return pa.table({
+            "doc_id": pa.array(ids, pa.int64()),
+            "thash": pa.array(hs, pa.list_(pa.uint64())),
+        })
+
     # materialized once (feeds banding + both verify joins) and coalesced:
     # the four downstream shuffles' task counts track the block count
     sets_ds = coalesce_small(docs_ds.map_batches(
-        lambda t: term_sets_batch(t, pattern), batch_format="pyarrow"))
+        term_hash_rows, batch_format="pyarrow"))
 
     def band_rows(batch: pa.Table) -> pa.Table:
         band_c, bucket_c, doc_c, bands_c = [], [], [], []
-        for doc_id, terms in zip(batch["doc_id"].to_pylist(),
-                                 batch["terms"].to_pylist()):
-            hashes = np.unique(np.asarray(
-                [int.from_bytes(hashlib.blake2b(
-                    t.encode(), digest_size=8).digest(), "big")
-                 for t in terms], dtype=np.uint64)) if terms else \
-                np.zeros(0, dtype=np.uint64)
-            sig = minhash_signature(hashes, a, b)
+        for doc_id, hashes in zip(batch["doc_id"].to_pylist(),
+                                  batch["thash"].to_pylist()):
+            sig = minhash_signature(
+                np.asarray(hashes, dtype=np.uint64), a, b)
             bh = _band_hashes(sig, bands, rows_per_band)
             bh_list = bh.tolist()
             for band in range(bands):
@@ -284,8 +304,8 @@ def _jaccard_pairs_lsh_verified(docs_ds, *, threshold: float, pattern: str,
         .groupby(["band", "bucket"]).map_groups(_owned_bucket_pairs,
                                                 batch_format="pyarrow")
 
-    # verify join phase A: attach doc_a's term set (key = doc_a)
-    TERMS = pa.list_(pa.string())
+    # verify join phase A: attach doc_a's term-hash set (key = doc_a)
+    TERMS = pa.list_(pa.uint64())
 
     def sets_as_join_rows(batch: pa.Table) -> pa.Table:
         n = batch.num_rows
@@ -294,7 +314,7 @@ def _jaccard_pairs_lsh_verified(docs_ds, *, threshold: float, pattern: str,
             "kind": pa.array(["s"] * n, pa.string()),
             "doc_a": pa.array([None] * n, pa.int64()),
             "doc_b": pa.array([None] * n, pa.int64()),
-            "terms": batch["terms"].combine_chunks().cast(TERMS),
+            "terms": batch["thash"].combine_chunks().cast(TERMS),
             "terms_a": pa.array([None] * n, TERMS),
         })
 
@@ -312,42 +332,58 @@ def _jaccard_pairs_lsh_verified(docs_ds, *, threshold: float, pattern: str,
     def attach_a(group: pa.Table) -> pa.Table:
         kinds = group["kind"].to_pylist()
         try:
-            terms = group["terms"].to_pylist()[kinds.index("s")]
+            s_row = kinds.index("s")
+            terms = np.asarray(group["terms"][s_row].as_py(),
+                               dtype=np.uint64)
         except ValueError:
             terms = None
         out = group.filter(pc.equal(group["kind"], "p"))
         if terms is None:
             return out.slice(0, 0)
         n = out.num_rows
+        # replicate the term-hash set per candidate via one numpy tile
+        # + ListArray offsets — no per-row Python list construction
+        rep = pa.ListArray.from_arrays(
+            pa.array(np.arange(n + 1, dtype=np.int32) * len(terms)),
+            pa.array(np.tile(terms, n), pa.uint64()))
         return pa.table({
             "key": out["doc_b"].combine_chunks(),   # next join key
             "kind": out["kind"].combine_chunks(),
             "doc_a": out["doc_a"].combine_chunks(),
             "doc_b": out["doc_b"].combine_chunks(),
             "terms": pa.array([None] * n, TERMS),
-            "terms_a": pa.array([terms] * n, TERMS),
+            "terms_a": rep.cast(TERMS),
         })
 
     def verify_b(group: pa.Table) -> pa.Table:
-        kinds = group["kind"].to_pylist()
-        try:
-            terms_b = set(group["terms"].to_pylist()[kinds.index("s")])
-        except ValueError:
-            terms_b = None
+        kinds = np.asarray(group["kind"].to_pylist())
+        s_rows = np.flatnonzero(kinds == "s")
         a_c, b_c, j_c = [], [], []
-        if terms_b is not None:
-            for kind, da, db, ta in zip(kinds, group["doc_a"].to_pylist(),
-                                        group["doc_b"].to_pylist(),
-                                        group["terms_a"].to_pylist()):
-                if kind != "p":
-                    continue
-                sa = set(ta)
-                inter = len(sa & terms_b)
-                union = len(sa) + len(terms_b) - inter
+        if len(s_rows):
+            terms_b = np.asarray(group["terms"][int(s_rows[0])].as_py(),
+                                 dtype=np.uint64)
+            nb = len(terms_b)
+            p_rows = np.flatnonzero(kinds == "p")
+            da_all = np.asarray(group["doc_a"].to_pylist())
+            db_all = np.asarray(group["doc_b"].to_pylist())
+            # zero-copy candidate term sets: flatten + offset slicing,
+            # no per-row Python list materialization
+            ta_col = group["terms_a"].combine_chunks()
+            # .values (not .flatten()) stays offset-aligned when null
+            # rows ("s" side) are present
+            flat = ta_col.values.to_numpy(zero_copy_only=False) \
+                .astype(np.uint64, copy=False)
+            offs = ta_col.offsets.to_numpy(zero_copy_only=False)
+            for i in p_rows:
+                sa = flat[offs[i]:offs[i + 1]]
+                # both sides are unique-sorted uint64 hash sets
+                inter = np.intersect1d(sa, terms_b,
+                                       assume_unique=True).size
+                union = len(sa) + nb - inter
                 j = inter / union if union else 0.0
                 if j >= threshold:
-                    a_c.append(da)
-                    b_c.append(db)
+                    a_c.append(da_all[i])
+                    b_c.append(db_all[i])
                     j_c.append(j)
         return pa.table({
             "doc_a": pa.array(a_c, pa.int64()),
