@@ -1161,6 +1161,20 @@ def _q_embed_triplets(sf_dir: str):
     return contrastive_triplets(emb, k_neg=2, seed=101)
 
 
+def _q_sketch_cms(sf_dir: str):
+    """Count-min point-frequency estimates for the five event types
+    (kgx/ops/sketch.py:cms_estimates): per-batch 64 KB count tables
+    merged by exact addition — the mergeable upper-bound complement of
+    Misra-Gries.  Approximate by design, rows-only; the one-sided error
+    bound is pinned in tests/test_sketch.py."""
+    import ray.data as rd
+    from kgx.ops.sketch import cms_estimates
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_type"])
+    types = ["click", "error", "purchase", "signup", "view"]
+    return cms_estimates(ev, "event_type", types)
+
+
 def _q_sketch_distinct_by_type(sf_dir: str):
     """Per-event-type HLL distinct users (kgx/ops/sketch.py:
     approx_distinct_by_key) — grouped mergeable sketches: per-batch
@@ -1821,6 +1835,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embed_negatives": _q_embed_negatives,
         "embed_triplets": _q_embed_triplets,
         "kg_ppr": _q_kg_ppr,
+        "sketch_cms": _q_sketch_cms,
         # KG-construction pipeline (SURVEY.md §2) over the documents table
         "kg_chunks": _q_kg_chunks,
         "kg_chunks_win": _q_kg_chunks_win,

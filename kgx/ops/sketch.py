@@ -190,6 +190,68 @@ def heavy_hitters(ds, col: str, *, k: int = 20):
 
 
 # ----------------------------------------------------------------------
+# Count-min sketch (additively mergeable point-frequency estimates)
+# ----------------------------------------------------------------------
+
+_CMS_A = np.uint64(0x9E3779B97F4A7C15)
+_CMS_B = np.uint64(0xC2B2AE3D27D4EB4F)
+
+
+def _cms_positions(h: np.ndarray, d: int, w: int) -> np.ndarray:
+    """(rows=d, len(h)) column positions: row r uses the pairwise-
+    independent family (h * (A + r) + r * B) mod 2^64 mod w — uint64
+    wraparound by design, identical on fold and query sides."""
+    rs = np.arange(d, dtype=np.uint64)[:, None]
+    with np.errstate(over="ignore"):
+        mixed = h[None, :] * (_CMS_A + rs) + rs * _CMS_B
+    return (mixed % np.uint64(w)).astype(np.int64)
+
+
+def cms_fold(values: list, *, d: int, w: int) -> np.ndarray:
+    """(d, w) int64 count table from raw values."""
+    tbl = np.zeros((d, w), dtype=np.int64)
+    if not values:
+        return tbl
+    pos = _cms_positions(_hash64(values), d, w)
+    for r in range(d):                        # d rows, vectorized per row
+        np.add.at(tbl[r], pos[r], 1)
+    return tbl
+
+
+def cms_estimates(ds, col: str, query_values: list, *, d: int = 4,
+                  w: int = 2048):
+    """Count-min point-frequency estimates for ``query_values``.
+
+    The mergeable counting complement of Misra-Gries: MG tracks the
+    top-k with LOWER-bound counts; CMS answers any point query with an
+    UPPER-bound count (never under, over by <= e*n/w with prob
+    1 - e^-d).  Scale shape: one (d x w) int64 table per batch — 64 KB
+    at the defaults — merged by elementwise ADD driver-side (CMS merge
+    is exact addition), so the stream is blocks x 64 KB regardless of
+    corpus size.  Deterministic (fixed hash family); approximate:
+    rows-only driver check with the error bound pinned in tests.
+    Output: (value, est_count, true_at_most_overcount columns d/w).
+    """
+    def partial(batch: pa.Table) -> pa.Table:
+        tbl = cms_fold(batch[col].to_pylist(), d=d, w=w)
+        return pa.table({"tbl": pa.array([tbl.tobytes()], pa.binary())})
+
+    merged = np.zeros((d, w), dtype=np.int64)
+    for b in ds.map_batches(partial, batch_format="pyarrow").iter_batches(
+            batch_format="pyarrow"):
+        for blob in b["tbl"].to_pylist():
+            merged += np.frombuffer(blob, dtype=np.int64).reshape(d, w)
+    qpos = _cms_positions(_hash64(query_values), d, w)
+    ests = merged[np.arange(d)[:, None], qpos].min(axis=0)
+    return pa.table({
+        "value": pa.array([str(v) for v in query_values], pa.string()),
+        "est_count": pa.array(ests, pa.int64()),
+        "depth": pa.array([d] * len(query_values), pa.int32()),
+        "width": pa.array([w] * len(query_values), pa.int32()),
+    })
+
+
+# ----------------------------------------------------------------------
 # Mergeable quantile sketch (uniform-compaction, deterministic)
 # ----------------------------------------------------------------------
 

@@ -121,3 +121,29 @@ def test_approx_distinct_by_key_error_bound(ray_session):
         .set_index("k")
     assert out["approx_distinct"].to_dict() == \
         out2["approx_distinct"].to_dict()
+
+
+def test_cms_one_sided_error_and_merge_invariance(ray_session):
+    """CMS never undercounts, overcounts stay within the e*n/w bound
+    with room to spare at the defaults, and the merged estimate is
+    partition-invariant (merge is exact addition)."""
+    import collections
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+    from kgx.ops.sketch import cms_estimates
+
+    rng = np.random.default_rng(11)
+    vals = [f"k{int(v)}" for v in rng.zipf(1.5, size=20000) % 500]
+    truth = collections.Counter(vals)
+    keys = [k for k, _ in truth.most_common(10)] + ["absent-key"]
+    ds = rd.from_arrow(pa.table({"v": pa.array(vals, pa.string())}))
+    out = cms_estimates(ds, "v", keys).to_pandas().set_index("value")
+    for k in keys:
+        est = int(out.loc[k, "est_count"])
+        true = truth.get(k, 0)
+        assert est >= true, (k, est, true)          # never under
+        assert est - true <= 2 * len(vals) / 2048 + 50, (k, est, true)
+    out2 = cms_estimates(ds.repartition(9), "v", keys).to_pandas() \
+        .set_index("value")
+    assert out["est_count"].to_dict() == out2["est_count"].to_dict()
