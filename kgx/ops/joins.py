@@ -205,6 +205,14 @@ def hash_equijoin(left_ds, right_ds, *, left_on: str, right_on: str,
 
     def tag(side: str, key_col: str, own, other):
         def fn(batch: pa.Table) -> pa.Table:
+            # SQL semantics: a null key never matches.  Drop null-key
+            # rows map-side when they cannot appear in the output
+            # (both sides for inner; the right side for left outer) so
+            # they never shuffle; the survivors (outer-side null rows)
+            # are emitted unmatched by join_bucket below.
+            if how == "inner" or (how == "left" and side == "r"):
+                batch = batch.filter(pc.is_valid(
+                    batch[key_col].combine_chunks()))
             n = batch.num_rows
             if hot_set is not None and side == "r":
                 # replicate hot right rows once per salt
@@ -259,9 +267,22 @@ def hash_equijoin(left_ds, right_ds, *, left_on: str, right_on: str,
         import numpy as np
         n_rows = group.num_rows
         sides = group["__side"].to_numpy(zero_copy_only=False)
-        codes = pc.dictionary_encode(group["__key"].combine_chunks()) \
-                  .indices.to_numpy(zero_copy_only=False) \
-                  .astype(np.int64)
+        idx = pc.dictionary_encode(group["__key"].combine_chunks()).indices
+        if idx.null_count:
+            # Null join keys reach here only on the outer side(s) of a
+            # left/full-outer join (tag drops the rest map-side).  Give
+            # every null-key row its OWN segment so it never matches
+            # any row — it then falls out of the miss branches below as
+            # an unmatched row, exactly SQL's null-never-equals-null.
+            # (The raw float conversion would yield NaN indices whose
+            # int64 cast is undefined and silently cross-joins nulls.)
+            raw = idx.to_numpy(zero_copy_only=False)
+            isnull = np.isnan(raw)
+            codes = np.where(isnull, 0, raw).astype(np.int64)
+            codes[isnull] = codes.max(initial=-1) + 1 + \
+                np.arange(int(isnull.sum()), dtype=np.int64)
+        else:
+            codes = idx.to_numpy(zero_copy_only=False).astype(np.int64)
         order = np.argsort(codes, kind="stable")
         c_s = codes[order]
         l_s = sides[order] == "l"

@@ -158,6 +158,7 @@ def pq_topk(emb_ds, query_ids: list[int], *, k: int = 10, m: int = 16,
         emb_ds, m=m, k_sub=k_sub, n_cells=n_cells, train_mod=train_mod,
         iters=iters, seed=seed)
 
+    shortlist_k = k if refine <= 0 else k * refine
     cells = ray.get(cref)
     q_cells = np.argsort(-(Q @ cells.T), axis=1, kind="stable")[:, :n_probe]
     probed = np.unique(q_cells)
@@ -188,7 +189,11 @@ def pq_topk(emb_ds, query_ids: list[int], *, k: int = 10, m: int = 16,
             scores = luts_[qi][cols, codes].sum(axis=1)    # ADC lookups
             scores = np.round(scores, 6)
             keep = np.flatnonzero(ids != qids_[qi])
-            top = keep[np.lexsort((ids[keep], -scores[keep]))][:k]
+            # emit the full per-cell shortlist (k * refine when
+            # refining), not just top-k: candidates ranked k+1..k*refine
+            # by ADC within one cell must survive to the exact re-rank
+            # for `refine` to buy the recall the docstring promises
+            top = keep[np.lexsort((ids[keep], -scores[keep]))][:shortlist_k]
             q_col.extend([qids_[qi]] * len(top))
             n_col.extend(ids[top].tolist())
             s_col.extend(scores[top].tolist())
@@ -198,7 +203,6 @@ def pq_topk(emb_ds, query_ids: list[int], *, k: int = 10, m: int = 16,
             "score": pa.array(s_col, pa.float64()),
         })
 
-    shortlist_k = k if refine <= 0 else k * refine
     per_cell = encoded.map_batches(keep_probed, batch_format="pyarrow") \
         .groupby("cell").map_groups(cell_topk, batch_format="pyarrow")
     # merge stream <= n_queries * n_probe * shortlist_k narrow rows

@@ -762,9 +762,19 @@ def returned_revenue(sf_dir: str, *, date_lo: str = "1996-01-01",
         return pa.table({"c_custkey": agg["c_custkey"],
                          "rev": agg["rev_sum"]})
 
+    def finish(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "c_custkey": batch["c_custkey"].combine_chunks()
+                              .cast(pa.int64()),
+            "revenue_units": batch["sum(rev)"].combine_chunks()
+                                  .cast(pa.int64()),
+        })
+
     def attach(batch: pa.Table, _cref=cref) -> pa.Table:
+        # runs AFTER sort+limit, so the dimension lookup touches only
+        # the top-n rows — matching the docstring's join plan
         ctab, nat_ = ray.get(_cref)
-        keys = batch["c_custkey"].combine_chunks().cast(pa.int64())
+        keys = batch["c_custkey"].combine_chunks()
         idx = pc.index_in(keys, value_set=ctab["c_custkey"]
                           .combine_chunks().cast(pa.int64()))
         nk = pc.take(ctab["c_nationkey"].combine_chunks(), idx)
@@ -773,16 +783,16 @@ def returned_revenue(sf_dir: str, *, date_lo: str = "1996-01-01",
             "c_name": pc.take(ctab["c_name"].combine_chunks(), idx),
             "n_name": pa.array([nat_.get(k) for k in nk.to_pylist()],
                                pa.string()),
-            "revenue_units": batch["sum(rev)"].combine_chunks()
-                                  .cast(pa.int64()),
+            "revenue_units": batch["revenue_units"],
         })
 
     return (joined.map_batches(partial, batch_format="pyarrow")
             .groupby("c_custkey").aggregate(Sum("rev"))
-            .map_batches(attach, batch_format="pyarrow")
+            .map_batches(finish, batch_format="pyarrow")
             .sort(["revenue_units", "c_custkey"],
                   descending=[True, False])
-            .limit(n))
+            .limit(n)
+            .map_batches(attach, batch_format="pyarrow"))
 
 
 def promo_revenue(sf_dir: str, *, date_lo: str = "1996-01-01",

@@ -110,7 +110,9 @@ def approx_distinct_by_key(ds, key: str, col: str, *, p: int = 12):
         by: dict = {}
         for k_, v in zip(keys, vals):
             by.setdefault(k_, []).append(v)
-        ks = sorted(by)
+        # null-safe, mixed-type-safe ordering (None < everything, then
+        # by string form): raw sorted() raises TypeError on None keys
+        ks = sorted(by, key=lambda k_: (k_ is not None, str(k_)))
         return pa.table({
             key: pa.array(ks, batch.schema.field(key).type),
             "regs": pa.array([hll_from_values(by[k_], p).tobytes()

@@ -123,6 +123,25 @@ def test_approx_distinct_by_key_error_bound(ray_session):
         out2["approx_distinct"].to_dict()
 
 
+def test_approx_distinct_by_key_null_key(ray_session):
+    """A null (None) key must not crash the partial's key ordering
+    (raw sorted() raises TypeError on None vs str) and gets its own
+    estimate row like any other key."""
+    import pyarrow as pa
+    import ray.data as rd
+    from kgx.ops.sketch import approx_distinct_by_key
+
+    tbl = pa.table({
+        "k": pa.array(["a", None, "a", None, "b"], pa.string()),
+        "v": pa.array([1, 2, 3, 2, 9], pa.int64()),
+    })
+    out = approx_distinct_by_key(rd.from_arrow(tbl), "k", "v") \
+        .to_pandas()
+    got = {(None if k != k or k is None else k): int(d)
+           for k, d in zip(out["k"], out["approx_distinct"])}
+    assert got == {"a": 2, None: 1, "b": 1}
+
+
 def test_cms_one_sided_error_and_merge_invariance(ray_session):
     """CMS never undercounts, overcounts stay within the e*n/w bound
     with room to spare at the defaults, and the merged estimate is

@@ -429,3 +429,51 @@ def test_hash_equijoin_randomized_vs_duckdb(ray_session):
                 .reset_index(drop=True)
             assert g.astype("float64").equals(w.astype("float64")), \
                 (trial, how, len(g), len(w))
+
+
+def test_hash_equijoin_null_keys_vs_duckdb(ray_session):
+    """Null join keys never match (SQL semantics): inner drops them,
+    left outer emits null-key LEFT rows unmatched, full outer emits
+    both sides' null-key rows unmatched — fuzzed against DuckDB.
+    Regression: null dictionary indices used to NaN-cast to arbitrary
+    int64 codes and silently cross-join with each other."""
+    import duckdb
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+    from kgx.ops.joins import hash_equijoin
+
+    rng = np.random.default_rng(29)
+    for trial in range(2):
+        nl, nr = int(rng.integers(10, 80)), int(rng.integers(10, 80))
+
+        def keys(n):
+            vals = rng.integers(0, 8, n)
+            return [None if rng.random() < 0.25 else int(v) for v in vals]
+
+        lt = pa.table({
+            "k": pa.array(keys(nl), pa.int64()),
+            "lv": pa.array(rng.integers(0, 100, nl), pa.int64())})
+        rt = pa.table({
+            "rk": pa.array(keys(nr), pa.int64()),
+            "rv": pa.array(rng.integers(0, 100, nr), pa.int64())})
+        con = duckdb.connect()
+        con.register("l", lt)
+        con.register("r", rt)
+        for how, sql in (("inner", "JOIN"), ("left", "LEFT JOIN"),
+                         ("outer", "FULL OUTER JOIN")):
+            got = hash_equijoin(
+                rd.from_arrow(lt).repartition(3),
+                rd.from_arrow(rt).repartition(2),
+                left_on="k", right_on="rk", how=how, n_buckets=3) \
+                .to_pandas()
+            want = con.sql(
+                f"SELECT coalesce(l.k, r.rk) AS k, lv, rv "
+                f"FROM l {sql} r ON l.k = r.rk").df()
+            key = ["k", "lv", "rv"]
+            g = got[key].sort_values(key, na_position="last") \
+                .reset_index(drop=True)
+            w = want[key].sort_values(key, na_position="last") \
+                .reset_index(drop=True)
+            assert g.astype("float64").equals(w.astype("float64")), \
+                (trial, how, len(g), len(w))
