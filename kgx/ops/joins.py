@@ -9,8 +9,6 @@ operator; both are exact, deterministic, and DuckDB-oracle-checked.
 
 from __future__ import annotations
 
-import bisect
-
 import pyarrow as pa
 import pyarrow.compute as pc
 
@@ -23,49 +21,45 @@ def asof_join_events(events_ds, *, left_type: str, right_type: str,
     key with ``right.ts <= left.ts`` (inner as-of join; ties on ts break
     to the larger event_id — deterministic).
 
-    One groupby(key) shuffle; per-group sorted-merge via binary search.
+    One groupby(key) shuffle; per-group sorted-merge via ONE
+    ``np.searchsorted`` over the group's (ts, event_id)-lexsorted right
+    side (no per-left-row Python loop — the bucketed-fold idiom).
     Partitioning assumption: one key's events fit one group.
     Output: (event_id, user_id, ts, value, prior_event_id, prior_ts,
     prior_value).
     """
     def per_key(group: pa.Table) -> pa.Table:
-        types = group["event_type"].to_pylist()
-        ids = group["event_id"].to_pylist()
-        ts = pc.cast(group[ts_col], pa.int64()).to_pylist()
-        vals = group["value"].to_pylist()
+        import numpy as np
+        ids = group["event_id"].to_numpy(zero_copy_only=False)
+        ts = pc.cast(group[ts_col], pa.int64()).to_numpy(
+            zero_copy_only=False)
+        vals = group["value"].to_numpy(zero_copy_only=False)
         user = group[key][0].as_py()
-
-        right = sorted((ts[i], ids[i], vals[i])
-                       for i in range(len(ids)) if types[i] == right_type)
-        rts = [r[0] for r in right]
-        out = {"event_id": [], "user_id": [], "ts": [], "value": [],
-               "prior_event_id": [], "prior_ts": [], "prior_value": []}
-        for i in sorted((j for j in range(len(ids))
-                         if types[j] == left_type),
-                        key=lambda j: (ts[j], ids[j])):
-            pos = bisect.bisect_right(rts, ts[i])
-            if pos == 0:
-                continue  # inner join: no prior right event
-            # ties on ts: entries with equal ts sort by event_id, so
-            # pos-1 is the largest (ts, event_id) <= ts[i]
-            pts, pid, pval = right[pos - 1]
-            out["event_id"].append(ids[i])
-            out["user_id"].append(user)
-            out["ts"].append(ts[i])
-            out["value"].append(vals[i])
-            out["prior_event_id"].append(pid)
-            out["prior_ts"].append(pts)
-            out["prior_value"].append(pval)
+        ri = np.flatnonzero(pc.equal(group["event_type"], right_type)
+                            .to_numpy(zero_copy_only=False))
+        li = np.flatnonzero(pc.equal(group["event_type"], left_type)
+                            .to_numpy(zero_copy_only=False))
+        # lexsort both sides by (ts, event_id); searchsorted(side=right)
+        # on the right ts then lands AFTER the last equal-ts entry, so
+        # pos-1 is the largest (ts, event_id) <= left ts — the same
+        # tie-break the old per-row bisect implemented
+        r_ord = ri[np.lexsort((ids[ri], ts[ri]))]
+        l_ord = li[np.lexsort((ids[li], ts[li]))]
+        rts = ts[r_ord]
+        pos = np.searchsorted(rts, ts[l_ord], side="right") - 1
+        keep = pos >= 0                 # inner join: no prior right event
+        lk = l_ord[keep]
+        pk = r_ord[pos[keep]]
         return pa.table({
-            "event_id": pa.array(out["event_id"], pa.int64()),
-            "user_id": pa.array(out["user_id"], pa.int64()),
-            "ts": pc.cast(pa.array(out["ts"], pa.int64()),
+            "event_id": pa.array(ids[lk], pa.int64()),
+            "user_id": pa.array(np.full(len(lk), user), pa.int64()),
+            "ts": pc.cast(pa.array(ts[lk], pa.int64()),
                           pa.timestamp("us")),
-            "value": pa.array(out["value"], pa.float64()),
-            "prior_event_id": pa.array(out["prior_event_id"], pa.int64()),
-            "prior_ts": pc.cast(pa.array(out["prior_ts"], pa.int64()),
+            "value": pa.array(vals[lk], pa.float64()),
+            "prior_event_id": pa.array(ids[pk], pa.int64()),
+            "prior_ts": pc.cast(pa.array(ts[pk], pa.int64()),
                                 pa.timestamp("us")),
-            "prior_value": pa.array(out["prior_value"], pa.float64()),
+            "prior_value": pa.array(vals[pk], pa.float64()),
         })
 
     return events_ds.groupby(key).map_groups(per_key,
@@ -116,29 +110,40 @@ def interval_join_events(events_ds, *, left_type: str, right_type: str,
         })
 
     def in_bucket(group: pa.Table) -> pa.Table:
-        sides = group["side"].to_pylist()
-        ids = group["event_id"].to_pylist()
-        ts = group["t"].to_pylist()
+        """Vectorized banded scan: lexsort both sides by (t, id), ONE
+        searchsorted pair gives each left row its qualifying right
+        range [lo, hi), and the pair list is built arithmetically
+        (repeat + cumsum offsets) — no per-left-row Python loop."""
+        import numpy as np
+        ids = group["event_id"].to_numpy(zero_copy_only=False)
+        ts = group["t"].to_numpy(zero_copy_only=False)
         user = group["key"][0].as_py()
-        lefts = sorted((ts[i], ids[i]) for i in range(len(ids))
-                       if sides[i] == "l")
-        rights = sorted((ts[i], ids[i]) for i in range(len(ids))
-                        if sides[i] == "r")
-        rts = [r[0] for r in rights]
-        u_c, l_c, r_c, d_c = [], [], [], []
-        for lt, lid in lefts:
-            lo = bisect.bisect_left(rts, lt - tol_us)
-            hi = bisect.bisect_right(rts, lt + tol_us)
-            for j in range(lo, hi):
-                u_c.append(user)
-                l_c.append(lid)
-                r_c.append(rights[j][1])
-                d_c.append((lt - rights[j][0]) // US)
+        is_l = pc.equal(group["side"], "l").to_numpy(zero_copy_only=False)
+        li = np.flatnonzero(is_l)
+        ri = np.flatnonzero(~is_l)
+        l_ord = li[np.lexsort((ids[li], ts[li]))]
+        r_ord = ri[np.lexsort((ids[ri], ts[ri]))]
+        rts = ts[r_ord]
+        lo = np.searchsorted(rts, ts[l_ord] - tol_us, side="left")
+        hi = np.searchsorted(rts, ts[l_ord] + tol_us, side="right")
+        cnt = hi - lo
+        tot = int(cnt.sum())
+        if not tot:
+            return pa.table({
+                "user_id": pa.array([], pa.int64()),
+                "left_event_id": pa.array([], pa.int64()),
+                "right_event_id": pa.array([], pa.int64()),
+                "delta_s": pa.array([], pa.int64()),
+            })
+        within = np.arange(tot) - np.repeat(
+            np.r_[0, np.cumsum(cnt)[:-1]], cnt)
+        j = np.repeat(lo, cnt) + within          # index into r_ord order
+        l_rep = np.repeat(l_ord, cnt)
         return pa.table({
-            "user_id": pa.array(u_c, pa.int64()),
-            "left_event_id": pa.array(l_c, pa.int64()),
-            "right_event_id": pa.array(r_c, pa.int64()),
-            "delta_s": pa.array(d_c, pa.int64()),
+            "user_id": pa.array(np.full(tot, user), pa.int64()),
+            "left_event_id": pa.array(ids[l_rep], pa.int64()),
+            "right_event_id": pa.array(ids[r_ord[j]], pa.int64()),
+            "delta_s": pa.array((ts[l_rep] - rts[j]) // US, pa.int64()),
         })
 
     bucketed = events_ds.map_batches(bucketize, batch_format="pyarrow")
