@@ -91,9 +91,21 @@ def run_headline(sf_dir: str, num_cpus: int, repeats: int = 2) -> dict:
     pages_path = _pages_corpus(n_pages)
 
     # Warm the worker pool (first execution in a fresh session pays worker
-    # startup + import cost; that's cluster bring-up, not pipeline throughput).
+    # startup + import cost; that's cluster bring-up, not pipeline
+    # throughput).  The warm-up map imports the kgx pipeline modules so
+    # every worker's ~1.1 s import happens here, not inside the first
+    # timed wave (at 32 CPUs that wave is ~4% of the run; on a real
+    # cluster imports happen once per long-lived worker).
     import ray.data as rd
-    rd.range(num_cpus * 4).map_batches(lambda b: b).count()
+
+    def _warm(b):
+        import kgx.pipelines.kg    # noqa: F401
+        import kgx.stages.extract  # noqa: F401
+        import kgx.stages.states   # noqa: F401
+        return b
+
+    rd.range(num_cpus * 8, override_num_blocks=num_cpus * 8) \
+        .map_batches(_warm, batch_size=1).count()
 
     # Flush pending writeback (corpus generation) and pre-touch the input
     # into page cache so the timed run measures the pipeline, not this

@@ -268,11 +268,15 @@ def stream_kg(pages_path: str, cfg: KGConfig | None = None) -> dict:
                                    make_combine_extracted_fn,
                                    nodes_from_states)
 
-    # Block count tracks the cluster: ~4 waves of fused
-    # read->text->chunk->extract tasks balances stragglers against driver
-    # scheduling overhead at any CPU count (file count alone would pin it).
+    # Block count tracks the cluster: ~8 waves of fused
+    # read->text->chunk->extract tasks.  More, smaller blocks shorten the
+    # straggler tail — on a co-tenant-noisy box individual tasks run up to
+    # 4x slower than the median for the same work, and work stealing
+    # re-levels around them only at task granularity (measured at 32 CPUs:
+    # 4 waves 28.4 s, 8 waves 24.6 s, 16 waves 23.6 s for the states stage;
+    # 8 picked as the knee — driver scheduling overhead grows past it).
     ds = rd.read_parquet(pages_path, columns=["url", "html", "text", "lang"],
-                         override_num_blocks=4 * ncpu)
+                         override_num_blocks=8 * ncpu)
     ds = ds.map_batches(extract_text_batch, batch_format="pyarrow")
     if cfg.lang_filter:
         ds = ds.map_batches(
@@ -292,7 +296,11 @@ def stream_kg(pages_path: str, cfg: KGConfig | None = None) -> dict:
         make_combine_extracted_fn(n_salts=cfg.n_salts, cap=cfg.instance_cap,
                                   min_strength=cfg.min_strength),
         batch_format="pyarrow", batch_size=None)
-    states = states.repartition(max(8, ncpu // 2)).materialize()
+    # One state block per CPU: the downstream resolve/finalize stages can
+    # then use every core (at ncpu//2 blocks the edge path topped out at
+    # half-width), while the groupby barriers still see only O(ncpu)
+    # kilobyte-scale blocks.
+    states = states.repartition(max(8, ncpu)).materialize()
 
     nodes = nodes_from_states(states, cap=cfg.instance_cap)
     if cfg.neardup_threshold is not None:

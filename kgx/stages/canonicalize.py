@@ -124,12 +124,31 @@ def combine_mentions_batch(batch: pa.Table, *,
     })
 
 
+def _fold_state_rows(jsons, cap: int) -> dict:
+    """Fold a group's state rows with ONE final dedupe/sort/cap instead of
+    per-merge ``sorted(set(...))`` maintenance (capped min-K and sorted
+    union are associative, so the result is byte-identical to the pairwise
+    :func:`merge_states` fold — asserted by the parity tests)."""
+    acc = _new_state()
+    inst: set = set()
+    al: set = set()
+    for s in jsons:
+        b = json.loads(s)
+        _merge_counts(acc["nc"], b["nc"])
+        _merge_counts(acc["tc"], b["tc"])
+        acc["d"] = _better_desc(acc["d"], b["d"])
+        acc["n"] += b["n"]
+        inst.update(map(tuple, b["inst"]))
+        al.update(b["al"])
+    acc["inst"] = sorted(inst)[:cap]
+    acc["al"] = sorted(al)
+    return acc
+
+
 def reduce_partial_group(group: pa.Table, *,
                          cap: int = DEFAULT_INSTANCE_CAP) -> pa.Table:
     """Phase-1 reducer: merge all states of one (norm, salt) group."""
-    acc = _new_state()
-    for s in group["state"].to_pylist():
-        acc = merge_states(acc, json.loads(s), cap)
+    acc = _fold_state_rows(group["state"].to_pylist(), cap)
     return pa.table({
         "norm_mention": pa.array([group["norm_mention"][0].as_py()], pa.string()),
         "state": pa.array([json.dumps(acc, sort_keys=True)], pa.string()),
@@ -139,9 +158,7 @@ def reduce_partial_group(group: pa.Table, *,
 def finalize_group(group: pa.Table, *,
                    cap: int = DEFAULT_INSTANCE_CAP) -> pa.Table:
     """Phase-2 reducer: merge remaining states and emit one nodes row."""
-    acc = _new_state()
-    for s in group["state"].to_pylist():
-        acc = merge_states(acc, json.loads(s), cap)
+    acc = _fold_state_rows(group["state"].to_pylist(), cap)
     norm = group["norm_mention"][0].as_py()
     row = {
         "entity_id": [entity_id(norm)],

@@ -157,13 +157,19 @@ def _finalize_edge_group(group: pa.Table, cap: int) -> pa.Table:
     pred = group["pred"][0].as_py()
     obj_id = group["obj_id"][0].as_py()
     sn = on = None
-    total, n, inst = 0.0, 0, []
+    total, n = 0.0, 0
+    seen: set = set()
     for s in group["state"].to_pylist():
         st = json.loads(s)
         sn, on = st["sn"], st["on"]
         total += st["sum"]
         n += st["n"]
-        inst = _cap_instances(inst + st["inst"], cap)
+        # capped min-K is associative under union, so ONE set union per
+        # state + one final sort replaces the old per-state
+        # sort(set(...))[:cap] re-cap (O(states * cap log cap) -> was
+        # the dominant cost of the whole edges stage at 200k states)
+        seen.update(map(tuple, st["inst"]))
+    inst = sorted(seen)[:cap]
     row = {
         "edge_id": [edge_id(subj_id, pred, obj_id)],
         "subj_id": [subj_id], "obj_id": [obj_id],
@@ -438,13 +444,15 @@ class ResolveClaims:
 
 def _finalize_claim_group(group: pa.Table, cap: int) -> pa.Table:
     key = group["content_key"][0].as_py()
-    content, ids, n, inst = None, set(), 0, []
+    content, ids, n = None, set(), 0
+    seen: set = set()
     for s in group["state"].to_pylist():
         st = json.loads(s)
         content = st["c"] if content is None else min(content, st["c"])
         ids |= set(st["ids"])
         n += st["n"]
-        inst = _cap_instances(inst + st["inst"], cap)
+        seen.update(map(tuple, st["inst"]))   # cap once below (associative)
+    inst = sorted(seen)[:cap]
     row = {
         "claim_id": [claim_id(key)],
         "content": [content],
