@@ -8,11 +8,16 @@ prints ONE JSON line::
     {"metric": ..., "value": total_sec, "unit": "sec",
      "queries": {name: sec, ...}, "sf": ..., "num_cpus": N, ...}
 
-``--scaling`` runs the headline pipeline twice in FRESH processes
-(num_cpus=8 then num_cpus=32) on the same input and reports both
-throughputs plus scaling efficiency = (thr32/thr8)/4 — the sandbox
-evidence for the north_rule's N->4N cluster criterion (no real multi-node
-cluster here).  ``--llm`` measures the production LLM-extraction path
+``--scaling`` runs the headline pipeline in FRESH processes
+(num_cpus=8 then num_cpus=32, interleaved ``--repeats`` times) on the
+same input and reports both throughputs plus scaling efficiency =
+(thr32/thr8)/4 — the sandbox evidence for the north_rule's N->4N cluster
+criterion (no real multi-node cluster here).  Each sample is annotated
+with its window's CPU-steal share AND a single-core calibration probe
+(catches co-tenant memory-bandwidth pressure steal can't see); the
+default (suite) mode embeds a 2-repeat scaling block into its JSON under
+``"scaling"`` so every shipped BENCH artifact carries the evidence
+(GRAFT_SKIP_SCALING=1 to skip, GRAFT_SCALING_REPEATS to resize).  ``--llm`` measures the production LLM-extraction path
 (real LLMExtractor actor pool, deterministic fixed-latency fake
 transport) at per-actor fan-out 1 vs 8 — the latency-bound regime a real
 model server imposes.  After the round-2 hot-path vectorization (extractor
@@ -69,6 +74,42 @@ def _pages_corpus(n_pages: int) -> str:
                        filler_scale=FILLER_SCALE)
 
 
+def _calibrate_single_core(pages_path: str, n_pages: int = 512) -> float:
+    """Single-core ms/page of the fixed extract chain over a fixed input
+    slice — a pure-CPU probe of how fast this box is RIGHT NOW.
+
+    CPU steal from /proc/stat only sees hypervisor preemption; co-tenant
+    memory-bandwidth pressure slows every task without any steal reading.
+    This probe moves with that pressure (same instruction mix as the
+    headline's hot stage), so each bench sample can be annotated with the
+    box speed during its window: on a quiet box it reads ~1.05-1.10
+    ms/page; interference-afflicted windows read 1.3-2.0+.  Annotation
+    only — throughputs are never rescaled by it."""
+    import pyarrow.parquet as pq
+
+    from kgx.pipelines.kg import (EXTRACTORS, KGConfig, extract_text_batch,
+                                  make_chunk_batch_fn, make_task_extractor)
+    from kgx.stages.states import make_combine_extracted_fn
+
+    cfg = KGConfig()
+    f = sorted(os.listdir(pages_path))[0]
+    t = pq.read_table(os.path.join(pages_path, f),
+                      columns=["url", "html", "text", "lang"]) \
+        .slice(0, n_pages)
+    chunk = make_chunk_batch_fn(cfg.chunk_size, cfg.chunk_overlap)
+    extract = make_task_extractor(EXTRACTORS[cfg.extractor])
+    combine = make_combine_extracted_fn(
+        n_salts=cfg.n_salts, cap=cfg.instance_cap,
+        min_strength=cfg.min_strength)
+    combine(extract(chunk(extract_text_batch(t.slice(0, 64)))))  # warm
+    best = float("inf")
+    for _ in range(2):
+        t0 = time.perf_counter()
+        combine(extract(chunk(extract_text_batch(t))))
+        best = min(best, time.perf_counter() - t0)
+    return round(1000.0 * best / t.num_rows, 4)
+
+
 def run_headline(sf_dir: str, num_cpus: int, repeats: int = 2) -> dict:
     """KG construction over the synthetic pages corpus (the north-star job):
     read -> html->text -> chunk -> extraction (with fused per-key
@@ -117,6 +158,7 @@ def run_headline(sf_dir: str, num_cpus: int, repeats: int = 2) -> dict:
             while fh.read(1 << 24):
                 pass
 
+    calib = _calibrate_single_core(pages_path)
     walls, n_nodes, n_triples = [], 0, 0
     for _ in range(max(1, repeats)):
         t0 = time.perf_counter()
@@ -133,6 +175,7 @@ def run_headline(sf_dir: str, num_cpus: int, repeats: int = 2) -> dict:
         "n_edges": n_triples,
         "pages_per_sec": round(n_pages / wall, 2),
         "triples_per_sec": round(n_triples / wall, 2),
+        "calib_ms_per_page": calib,
     }
 
 
@@ -241,20 +284,31 @@ def _cpu_times() -> tuple[int, int]:
     return user + nice + system + idle + iowait + irq + softirq + steal, steal
 
 
+CALIB_TOLERANCE = 1.15
+
+
 def run_scaling(sf_dir: str, repeats: int = 3,
                 steal_clean_pct: float = 1.0) -> dict:
     """Same headline job in fresh processes at 8 and 32 CPUs (N, 4N).
 
-    This sandbox VM sees bursty co-tenant CPU steal (0% quiet, 30%
-    observed during bursts — `tools/steal_probe.py`, BASELINE.md), which
-    hits the all-32-cores leg far harder than the 8-of-32 leg.  Steal is
-    one-sided — it only ever SLOWS a run — so instead of hoping a median
-    survives it, each sample's window is annotated with its measured
-    host-wide steal share from /proc/stat deltas, and the scaling
-    statistic is the median over CLEAN samples (steal < ``steal_clean_pct``
-    %); if a level has no clean sample the least-interfered (fastest)
-    sample stands in.  Every raw sample and its steal reading is reported
-    in the JSON for inspection, along with the unfiltered medians.
+    This sandbox VM sees bursty co-tenant interference of two kinds:
+    CPU steal (0% quiet, 30% observed during bursts —
+    `tools/steal_probe.py`, BASELINE.md), and memory-bandwidth pressure
+    that /proc/stat steal CANNOT see (identical code measured 22.7 s and
+    34.1 s for the same stage an hour apart at 0% steal).  Both hit the
+    all-32-cores leg far harder than the 8-of-32 leg, and both are
+    one-sided — they only ever SLOW a run.  So every sample's window is
+    annotated with (a) its measured host-wide steal share from /proc/stat
+    deltas and (b) a single-core calibration probe of the extract chain
+    run just before the sample (`_calibrate_single_core` — moves with
+    bandwidth pressure, unlike steal).  The scaling statistic is the
+    median over CLEAN samples: steal < ``steal_clean_pct`` % AND
+    calibration within ``CALIB_TOLERANCE`` of the session's fastest
+    calibration reading; if a level has no clean sample the
+    least-interfered (fastest) sample stands in.  Every raw sample with
+    both annotations is reported in the JSON for inspection, along with
+    the unfiltered medians.  Throughputs are never rescaled by the
+    calibration — it only selects samples.
     """
     import statistics
 
@@ -281,9 +335,15 @@ def run_scaling(sf_dir: str, repeats: int = 3,
                 100.0 * (s_after - s_before) / max(1, t_after - t_before), 3)
             samples[ncpu].append(h)
 
+    min_calib = min(h["calib_ms_per_page"]
+                    for hs in samples.values() for h in hs)
+
+    def is_clean(h: dict) -> bool:
+        return (h["steal_pct"] < steal_clean_pct
+                and h["calib_ms_per_page"] <= min_calib * CALIB_TOLERANCE)
+
     def level_stat(ncpu: int) -> dict:
-        clean = [h for h in samples[ncpu]
-                 if h["steal_pct"] < steal_clean_pct]
+        clean = [h for h in samples[ncpu] if is_clean(h)]
         used = clean or [max(samples[ncpu],
                              key=lambda h: h["pages_per_sec"])]
         return {
@@ -310,6 +370,8 @@ def run_scaling(sf_dir: str, repeats: int = 3,
         "num_cpus": 32,
         "repeats": repeats,
         "steal_clean_pct": steal_clean_pct,
+        "calib_tolerance": CALIB_TOLERANCE,
+        "calib_min_ms_per_page": min_calib,
         "clean_samples": {"8": stat[8]["n_clean"],
                           "32": stat[32]["n_clean"]},
         "throughput_pages_per_sec": {"8": stat[8]["pages_per_sec"],
@@ -319,7 +381,8 @@ def run_scaling(sf_dir: str, repeats: int = 3,
         "samples": {
             str(n): [{"pages_per_sec": h["pages_per_sec"],
                       "wall_sec": h["wall_sec"],
-                      "steal_pct": h["steal_pct"]}
+                      "steal_pct": h["steal_pct"],
+                      "calib_ms_per_page": h["calib_ms_per_page"]}
                      for h in samples[n]]
             for n in (8, 32)},
         "triples_per_sec": {"8": stat[8]["triples_per_sec"],
@@ -429,7 +492,18 @@ def main() -> None:
     if args.scaling:
         print(json.dumps(run_scaling(sf_dir, repeats=args.repeats)))
     else:
-        print(json.dumps(run_suite(sf_dir, num_cpus, args.headline_only)))
+        res = run_suite(sf_dir, num_cpus, args.headline_only)
+        # The north-rule's one quantitative bar (8->32 CPU efficiency
+        # >= 0.8) ships INSIDE the default artifact, measured in the same
+        # session as the suite so box conditions are shared and every
+        # sample carries its steal + calibration annotations.  Skippable
+        # for quick iteration via GRAFT_SKIP_SCALING=1.
+        if not args.headline_only and \
+                not os.environ.get("GRAFT_SKIP_SCALING"):
+            res["scaling"] = run_scaling(
+                sf_dir,
+                repeats=int(os.environ.get("GRAFT_SCALING_REPEATS", "2")))
+        print(json.dumps(res))
 
 
 if __name__ == "__main__":
