@@ -1754,6 +1754,94 @@ def _q_kg_nodes_llm(sf_dir: str):
         .select_columns(["name", "type", "n_instances"])
 
 
+def _q_kg_claims_llm(sf_dir: str):
+    """Claim dedup/resolution (O4/J2) through the PRODUCTION LLM path:
+    actor-pool LLMExtractor runs BOTH prompts per chunk (entity pass,
+    then claim pass over the same chunk's entity names — the reference's
+    two-pass flow) with the deterministic claim-emulating transport, so
+    the same kg_claims DuckDB oracle gates the full claim path."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray
+
+    from kgx.functions.fake_llm import ClaimEmulatingTransport
+    from kgx.pipelines.docs_kg import claims_table
+    from kgx.stages.extract import LLMExtractor
+
+    ncpu = int(ray.cluster_resources().get("CPU", 4))
+    claims = claims_table(
+        sf_dir, extractor=LLMExtractor,
+        extractor_kwargs={"transport": ClaimEmulatingTransport()},
+        concurrency=(1, max(2, ncpu - 2)))
+
+    def project(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "content": t["content"],
+            "n_entities": pc.cast(pc.list_value_length(t["entity_ids"]),
+                                  pa.int64()),
+            "n_instances": t["n_instances"],
+        })
+    return claims.map_batches(project, batch_format="pyarrow")
+
+
+def _q_kg_nodes_pipe(sf_dir: str):
+    """Nodes via the LLM path in the reference's richer PIPE-record
+    prompt format (M3 pipe family: pipe_entity_extraction ->
+    parse_pipe_extraction, falling back to the line format on empty
+    parses) — same kg_nodes oracle, so the pipe grammar round-trips
+    end-to-end, not just in parser pytest."""
+    import ray
+
+    from kgx.functions.fake_llm import PipeTermTransport
+    from kgx.pipelines.docs_kg import extract_documents
+    from kgx.stages.extract import LLMExtractor
+    from kgx.stages.states import (make_combine_extracted_fn,
+                                   nodes_from_states)
+
+    ncpu = int(ray.cluster_resources().get("CPU", 4))
+    extracted = extract_documents(
+        sf_dir, extractor=LLMExtractor,
+        extractor_kwargs={"transport": PipeTermTransport(),
+                          "prompt_format": "pipe",
+                          "extract_claims": False},
+        concurrency=(1, max(2, ncpu - 2)))
+    states = extracted.map_batches(
+        make_combine_extracted_fn(n_salts=16, cap=200, min_strength=0.5),
+        batch_format="pyarrow", batch_size=None)
+    states = states.repartition(max(8, ncpu // 2)).materialize()
+    return nodes_from_states(states, cap=200) \
+        .select_columns(["name", "type", "n_instances"])
+
+
+def _q_kg_claims_pipe(sf_dir: str):
+    """Claims via the pipe-record prompt family (M6 pipe twin:
+    pipe_claim_extraction -> parse_pipe_claims), gated by the same
+    kg_claims oracle."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray
+
+    from kgx.functions.fake_llm import PipeTermTransport
+    from kgx.pipelines.docs_kg import claims_table
+    from kgx.stages.extract import LLMExtractor
+
+    ncpu = int(ray.cluster_resources().get("CPU", 4))
+    claims = claims_table(
+        sf_dir, extractor=LLMExtractor,
+        extractor_kwargs={"transport": PipeTermTransport(),
+                          "prompt_format": "pipe"},
+        concurrency=(1, max(2, ncpu - 2)))
+
+    def project(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "content": t["content"],
+            "n_entities": pc.cast(pc.list_value_length(t["entity_ids"]),
+                                  pa.int64()),
+            "n_instances": t["n_instances"],
+        })
+    return claims.map_batches(project, batch_format="pyarrow")
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # ORDERING CONTRACT: the driver's correctness gate samples the FIRST
     # 50 entries in dict order, so the head is curated per round —
@@ -1771,6 +1859,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # (b) new this round
         "kg_update_parity": _q_kg_update_parity,
         "kg_nodes_llm": _q_kg_nodes_llm,
+        "kg_claims_llm": _q_kg_claims_llm,
+        "kg_nodes_pipe": _q_kg_nodes_pipe,
+        "kg_claims_pipe": _q_kg_claims_pipe,
         # (c) never driver-sampled before round 3
         # sampling / quotas
         "text_split": _q_text_split,
@@ -1959,6 +2050,15 @@ def oracle_sql() -> dict[str, str]:
                   FROM documents)
             GROUP BY term
         """,
+        # The pipe-record prompt family with the pipe term transport has
+        # the same mention semantics — one entity record per term
+        # occurrence — so the kg_nodes SQL gates it too.
+        "kg_nodes_pipe": f"""
+            SELECT term AS name, 'TERM' AS type, count(*) AS n_instances
+            FROM (SELECT unnest(regexp_extract_all(text, '{_TERM_RE}')) AS term
+                  FROM documents)
+            GROUP BY term
+        """,
         "kg_edges": f"""
             WITH dt AS (
               SELECT doc_id,
@@ -1971,6 +2071,39 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY 1, 2, 3
         """,
         "kg_claims": f"""
+            WITH t AS (
+              SELECT array_to_string(string_split_regex(trim(text), '\\s+'),
+                                     ' ') AS content
+              FROM documents WHERE trim(text) <> ''),
+            g AS (
+              SELECT min(content) AS content,
+                     CAST(len(list_distinct(flatten(array_agg(
+                       regexp_extract_all(content, '{_TERM_RE}')))))
+                       AS BIGINT) AS n_entities,
+                     count(*) AS n_instances
+              FROM t GROUP BY lower(content))
+            SELECT content, n_entities, n_instances
+            FROM g WHERE n_entities >= 1
+        """,
+        # The LLM claim path (ClaimEmulatingTransport / PipeTermTransport)
+        # reproduces TermExtractor(emit_claims=True) semantics exactly, so
+        # the kg_claims SQL gates both prompt formats end-to-end.
+        "kg_claims_llm": f"""
+            WITH t AS (
+              SELECT array_to_string(string_split_regex(trim(text), '\\s+'),
+                                     ' ') AS content
+              FROM documents WHERE trim(text) <> ''),
+            g AS (
+              SELECT min(content) AS content,
+                     CAST(len(list_distinct(flatten(array_agg(
+                       regexp_extract_all(content, '{_TERM_RE}')))))
+                       AS BIGINT) AS n_entities,
+                     count(*) AS n_instances
+              FROM t GROUP BY lower(content))
+            SELECT content, n_entities, n_instances
+            FROM g WHERE n_entities >= 1
+        """,
+        "kg_claims_pipe": f"""
             WITH t AS (
               SELECT array_to_string(string_split_regex(trim(text), '\\s+'),
                                      ' ') AS content

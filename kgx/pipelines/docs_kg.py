@@ -127,7 +127,9 @@ def kg_tables(sf_dir: str, *, chunk_size: int = 200, chunk_overlap: int = 50,
 
 
 def claims_table(sf_dir: str, *, chunk_size: int = 200,
-                 chunk_overlap: int = 50, n_salts: int = 16, cap: int = 200):
+                 chunk_overlap: int = 50, n_salts: int = 16, cap: int = 200,
+                 extractor=TermExtractor, extractor_kwargs: dict | None = None,
+                 concurrency=None):
     """Canonical deduplicated claims over the documents table.
 
     Exercises the full claim path (O4/J2: resolve entity names through
@@ -135,12 +137,19 @@ def claims_table(sf_dir: str, *, chunk_size: int = 200,
     groupby(lower(content)) union-merge — reference
     knowledge_graph.py:70-101, simple_graph_builder.py:126-145) with the
     generic TermExtractor emitting one claim per chunk (content = chunk
-    text, entities = its distinct terms).  Returns the claims Dataset
-    sorted by claim_id.
+    text, entities = its distinct terms) by default; pass ``extractor``/
+    ``extractor_kwargs``/``concurrency`` to run the same claim path
+    through another extraction stage (e.g. the actor-pool LLMExtractor
+    with a deterministic transport — driver queries ``kg_claims_llm`` /
+    ``kg_claims_pipe``).  Returns the claims Dataset sorted by claim_id.
     """
+    if extractor_kwargs is None:
+        extractor_kwargs = {"emit_claims": True} \
+            if extractor is TermExtractor else {}
     extracted = extract_documents(
         sf_dir, chunk_size=chunk_size, chunk_overlap=chunk_overlap,
-        extractor_kwargs={"emit_claims": True})
+        extractor=extractor, extractor_kwargs=extractor_kwargs,
+        concurrency=concurrency)
     extracted = extracted.materialize()
 
     mentions = extracted.map_batches(

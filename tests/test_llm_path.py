@@ -250,3 +250,74 @@ class TestLLMExtractor:
                            extract_claims=False)(batch)
         assert got.to_pylist() == seq.to_pylist()
         assert 1 < state["peak"] <= 4
+
+
+class TestEmulatingTransports:
+    """ClaimEmulatingTransport / PipeTermTransport must reproduce
+    TermExtractor(emit_claims=True) semantics through the full
+    LLMExtractor flow — the parity the kg_claims_llm / kg_nodes_pipe /
+    kg_claims_pipe driver oracles rely on."""
+
+    def _batch(self, texts):
+        import pyarrow as pa
+        n = len(texts)
+        return pa.table({
+            "url": pa.array([f"u{i}" for i in range(n)], pa.string()),
+            "chunk_id": pa.array([f"u{i}_0" for i in range(n)], pa.string()),
+            "text": pa.array(texts, pa.string()),
+        })
+
+    TEXTS = ["alpha beta alpha gamma", "no-Terms HERE 123", "",
+             "delta delta epsilon zeta delta"]
+
+    def _term_reference(self):
+        from kgx.stages.extract import TermExtractor
+        return TermExtractor(emit_claims=True)(self._batch(self.TEXTS))
+
+    @staticmethod
+    def _rows(table):
+        """Row multiset of the mention/claim rows (LLMExtractor emits
+        chunk-major, TermExtractor kind-major — order is irrelevant to
+        the downstream groupbys and oracles)."""
+        import json
+        return sorted(json.dumps(r, sort_keys=True)
+                      for r in table.to_pylist()
+                      if r["kind"] in ("mention", "claim"))
+
+    def test_claim_emulating_matches_term_extractor(self):
+        from kgx.functions.fake_llm import ClaimEmulatingTransport
+        from kgx.stages.extract import LLMExtractor
+        got = LLMExtractor(transport=ClaimEmulatingTransport(),
+                           max_concurrency=1)(self._batch(self.TEXTS))
+        assert self._rows(got) == self._rows(self._term_reference())
+
+    def test_pipe_transport_matches_term_extractor(self):
+        from kgx.functions.fake_llm import PipeTermTransport
+        from kgx.stages.extract import LLMExtractor
+        got = LLMExtractor(transport=PipeTermTransport(),
+                           prompt_format="pipe",
+                           max_concurrency=1)(self._batch(self.TEXTS))
+        assert self._rows(got) == self._rows(self._term_reference())
+
+    def test_pipe_zero_term_chunk_falls_back_clean(self):
+        """A chunk with no terms parses to 0 pipe records, triggering the
+        line-format fallback prompt; the transport must answer THAT in
+        the fallback grammar (pipe records there parse into junk)."""
+        from kgx.functions.fake_llm import PipeTermTransport
+        from kgx.stages.extract import LLMExtractor
+        got = LLMExtractor(transport=PipeTermTransport(),
+                           prompt_format="pipe", extract_claims=False,
+                           max_concurrency=1)(
+            self._batch(["NO TERMS 42"]))
+        assert got.num_rows == 0
+
+    def test_corpus_text_is_pipe_grammar_clean(self):
+        """The pipe claim record embeds raw chunk text; the synthetic
+        documents tables must stay free of the record grammar."""
+        import duckdb
+        bad = duckdb.connect().execute(
+            "SELECT count(*) FROM read_parquet("
+            "'/root/testdata/sf0.001/documents.parquet') "
+            "WHERE text LIKE '%|%' OR text LIKE '%**%' "
+            "OR text LIKE '%(%' OR text LIKE '%)%'").fetchone()[0]
+        assert bad == 0
