@@ -1726,6 +1726,62 @@ def _q_kg_update_parity(sf_dir: str):
         shutil.rmtree(root, ignore_errors=True)
 
 
+def _q_kg_update_supersede(sf_dir: str):
+    """Incremental recrawl supersede (newest-snapshot-wins): shard A is
+    every doc at warc_ts=1; shard B re-crawls the ODD docs at warc_ts=2
+    with changed text (one appended term).  update_pipeline with
+    supersede_recrawls must retract the odd docs' OLD extracted rows, so
+    the nodes equal a from-scratch build over each url's latest
+    snapshot — which the oracle expresses directly over documents."""
+    import os
+    import shutil
+    import tempfile
+
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    from kgx.pipelines.kg import KGConfig, run_pipeline, update_pipeline
+
+    docs = pq.read_table(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text", "lang"])
+    odd = pc.cast(pc.bit_wise_and(docs["doc_id"], 1), pa.bool_())
+
+    def pages(tbl: pa.Table, ts_us: int, suffix: str) -> pa.Table:
+        n = tbl.num_rows
+        return pa.table({
+            "url": pa.array([f"doc://{d}"
+                             for d in tbl["doc_id"].to_pylist()],
+                            pa.string()),
+            "warc_ts": pa.array([ts_us] * n, pa.timestamp("us")),
+            "html": pa.array([None] * n, pa.binary()),
+            "text": pa.array([t + suffix
+                              for t in tbl["text"].to_pylist()],
+                             pa.string()),
+            "lang": tbl["lang"].combine_chunks(),
+        })
+
+    root = tempfile.mkdtemp(prefix="kgx_sup_")
+    try:
+        a = os.path.join(root, "a")
+        b = os.path.join(root, "b")
+        os.makedirs(a)
+        os.makedirs(b)
+        pq.write_table(pages(docs, 1_000_000, ""),
+                       os.path.join(a, "part.parquet"))
+        pq.write_table(pages(docs.filter(odd), 2_000_000,
+                             " freshlyrecrawled"),
+                       os.path.join(b, "part.parquet"))
+        out = os.path.join(root, "out")
+        cfg = KGConfig(extractor="term", supersede_recrawls=True)
+        run_pipeline(a, out, cfg)
+        p = update_pipeline(b, out, cfg)
+        return pq.read_table(p["nodes"],
+                             columns=["name", "type", "n_instances"])
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 def _q_kg_nodes_llm(sf_dir: str):
     """Nodes via the PRODUCTION LLM extraction path (SURVEY §2.3 T1):
     actor-pool LLMExtractor, bounded thread fan-out, retry client and
@@ -1858,6 +1914,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_curate": _q_text_curate,
         # (b) new this round
         "kg_update_parity": _q_kg_update_parity,
+        "kg_update_supersede": _q_kg_update_supersede,
         "kg_nodes_llm": _q_kg_nodes_llm,
         "kg_claims_llm": _q_kg_claims_llm,
         "kg_nodes_pipe": _q_kg_nodes_pipe,
@@ -2039,6 +2096,18 @@ def oracle_sql() -> dict[str, str]:
         "kg_update_parity": f"""
             SELECT term AS name, 'TERM' AS type, count(*) AS n_instances
             FROM (SELECT unnest(regexp_extract_all(text, '{_TERM_RE}')) AS term
+                  FROM documents)
+            GROUP BY term
+        """,
+        # Newest-snapshot-wins: the final corpus is each url's LATEST
+        # snapshot — even docs keep their text, odd docs carry the
+        # re-crawled text (one appended term).
+        "kg_update_supersede": f"""
+            SELECT term AS name, 'TERM' AS type, count(*) AS n_instances
+            FROM (SELECT unnest(regexp_extract_all(
+                    CASE WHEN doc_id % 2 = 1
+                         THEN text || ' freshlyrecrawled' ELSE text END,
+                    '{_TERM_RE}')) AS term
                   FROM documents)
             GROUP BY term
         """,

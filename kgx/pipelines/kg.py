@@ -82,6 +82,18 @@ class KGConfig:
     # wins, deterministic because prior corpora are immutable.  SEMANTIC
     # knob.  Within-shard duplicates remain dedup_pages' job.
     cross_shard_dedup: bool = False
+    # Incremental-ingest recrawl supersede: a url re-ingested with a
+    # NEWER warc_ts retracts the older snapshot's extracted rows at
+    # finalize, so the updated KG equals a from-scratch build over each
+    # url's latest snapshot (newest-snapshot-wins; ties break to the
+    # later source).  Each source persists a tiny (url, warc_ts)
+    # crawlmeta sidecar; the finalize computes per-source loser-url sets
+    # from the sidecars and drops map-side.  SCALE SHAPE: the loser sets
+    # are bounded by the cross-source recrawl overlap (the refresh
+    # batch), not the corpus — swap the broadcast for a co-shuffle join
+    # on url if a refresh ever rewrites most of the corpus.  SEMANTIC
+    # knob.
+    supersede_recrawls: bool = False
     # Performance knobs (never part of the checkpoint config hash — they
     # cannot change results, only wall time).  ``None`` concurrency resolves
     # at run time to an autoscaling pool (1, cluster_cpus - 2): a fixed pool
@@ -373,13 +385,30 @@ def _build_extraction(pages_path: str, dest_dir: str, cfg: "KGConfig",
             ds = pages_ds_factory()
         else:
             cols = ["url", "html", "text", "lang"]
-            if cfg.dedup_recrawls:
+            if cfg.dedup_recrawls or cfg.supersede_recrawls:
                 cols.insert(1, "warc_ts")
             ds = rd.read_parquet(pages_path, columns=cols)
-        if cfg.dedup_recrawls and "warc_ts" in [
-                f.name for f in ds.schema().base_schema]:
+        has_ts = "warc_ts" in [f.name for f in ds.schema().base_schema]
+        if cfg.supersede_recrawls and not has_ts:
+            raise ValueError(
+                "supersede_recrawls needs a warc_ts column on the pages")
+        if (cfg.dedup_recrawls or cfg.supersede_recrawls) and has_ts:
             from kgx.sources.pages import latest_crawl_per_url
-            ds = latest_crawl_per_url(ds).drop_columns(["warc_ts"])
+            ds = latest_crawl_per_url(ds)
+            if cfg.supersede_recrawls:
+                # (url, ts) crawlmeta sidecar: the finalize's
+                # newest-snapshot-wins filter reads it to retract rows of
+                # urls re-crawled by a LATER source.  One extra narrow
+                # pass over the shard (url + ts only; html never moves).
+                import shutil
+                meta_dir = os.path.join(dest_dir, "crawlmeta")
+                shutil.rmtree(meta_dir, ignore_errors=True)
+                ds.map_batches(
+                    lambda b: pa.table({
+                        "url": b["url"],
+                        "ts": pc.cast(b["warc_ts"], pa.int64())}),
+                    batch_format="pyarrow").write_parquet(meta_dir)
+            ds = ds.drop_columns(["warc_ts"])
         ds = ds.map_batches(extract_text_batch, batch_format="pyarrow")
         if cfg.lang_filter:
             ds = ds.map_batches(
@@ -433,6 +462,33 @@ def _build_extraction(pages_path: str, dest_dir: str, cfg: "KGConfig",
     return paths
 
 
+def _supersede_losers(extracted_paths: list) -> list:
+    """Per-source url sets to DROP under newest-snapshot-wins: a url's
+    winning source maximizes (warc_ts, source position); every other
+    source holding that url loses its rows.  Reads only the (url, ts)
+    crawlmeta sidecars — bounded by distinct urls, never page text; the
+    driver-side dict is the documented small-refresh assumption
+    (KGConfig.supersede_recrawls), swap for a groupby(url) co-shuffle if
+    refreshes rewrite most of the corpus."""
+    metas = []
+    for p in extracted_paths:
+        mdir = os.path.join(os.path.dirname(p), "crawlmeta")
+        if not os.path.isdir(mdir):
+            raise FileNotFoundError(
+                f"supersede_recrawls: {mdir} missing — was this source "
+                "built with supersede_recrawls enabled?")
+        metas.append(pq.read_table(mdir))
+    best: dict = {}
+    for i, t in enumerate(metas):
+        for url, ts in zip(t["url"].to_pylist(), t["ts"].to_pylist()):
+            if (url not in best) or ((ts, i) > best[url]):
+                best[url] = (ts, i)
+    return [
+        {url for url in t["url"].to_pylist() if best[url][1] != i}
+        for i, t in enumerate(metas)
+    ]
+
+
 def _finalize_graph(out_dir: str, extracted_paths: list, cfg: "KGConfig",
                     base_cfg: dict, *, resume: bool = True) -> dict:
     """Stages 4-6 (nodes -> edges -> claims) over the UNION of extracted
@@ -453,12 +509,45 @@ def _finalize_graph(out_dir: str, extracted_paths: list, cfg: "KGConfig",
     # expand each extracted checkpoint into its parquet files
     ext_files = [f for p in extracted_paths for f in mf._parquet_files(p)]
 
+    losers = None
+    if cfg.supersede_recrawls:
+        losers = _supersede_losers(extracted_paths)
+        fp_ext += "".join(
+            mf.fingerprint_input(os.path.join(os.path.dirname(p),
+                                              "crawlmeta"))
+            for p in extracted_paths)
+
+    def read_extracted(columns: list, kind: str):
+        """Union of the extracted checkpoints filtered to one kind; under
+        supersede_recrawls each source additionally drops rows of urls a
+        newer source re-crawled (broadcast loser set, map-side filter)."""
+        if not losers:
+            return rd.read_parquet(ext_files, columns=columns,
+                                   filter=pc.field("kind") == kind)
+        parts = []
+        for i, p in enumerate(extracted_paths):
+            files = mf._parquet_files(p)
+            if not files:
+                continue
+            d = rd.read_parquet(files, columns=columns,
+                                filter=pc.field("kind") == kind)
+            if losers[i]:
+                ref = ray.put(pa.array(sorted(losers[i]), pa.string()))
+                d = d.map_batches(
+                    lambda b, _r=ref: b.filter(pc.invert(pc.is_in(
+                        b["url"].combine_chunks(),
+                        value_set=ray.get(_r)))),
+                    batch_format="pyarrow")
+            parts.append(d)
+        out = parts[0]
+        for d in parts[1:]:
+            out = out.union(d)
+        return out
+
     def build_nodes(sdir):
-        mentions = rd.read_parquet(
-            ext_files,
-            columns=["kind", "url", "chunk_id", "mention", "norm_mention",
-                     "type", "description"],
-            filter=pc.field("kind") == "mention")
+        mentions = read_extracted(
+            ["kind", "url", "chunk_id", "mention", "norm_mention",
+             "type", "description"], "mention")
         nodes = canonicalize(mentions, n_salts=cfg.n_salts,
                              cap=cfg.instance_cap)
         if cfg.neardup_threshold is not None:
@@ -482,11 +571,9 @@ def _finalize_graph(out_dir: str, extracted_paths: list, cfg: "KGConfig",
     fp_nodes = mf.fingerprint_input(paths["nodes"])
 
     def build_edges(sdir):
-        triples = rd.read_parquet(
-            ext_files,
-            columns=["kind", "url", "chunk_id", "subj", "pred", "obj",
-                     "strength"],
-            filter=pc.field("kind") == "triple")
+        triples = read_extracted(
+            ["kind", "url", "chunk_id", "subj", "pred", "obj",
+             "strength"], "triple")
         if cfg.resolve_strategy == "coshuffle":
             nodes_ds = rd.read_parquet(
                 paths["nodes"], columns=["entity_id", "name", "aliases"])
@@ -504,10 +591,8 @@ def _finalize_graph(out_dir: str, extracted_paths: list, cfg: "KGConfig",
                build_edges, resume)
 
     def build_claims(sdir):
-        claims = rd.read_parquet(
-            ext_files,
-            columns=["kind", "url", "chunk_id", "content", "entities"],
-            filter=pc.field("kind") == "claim")
+        claims = read_extracted(
+            ["kind", "url", "chunk_id", "content", "entities"], "claim")
         claims = resolve_and_dedup_claims(
             claims, alias_ref, cap=cfg.instance_cap,
             concurrency=resolve_conc,

@@ -166,3 +166,78 @@ def test_route_uses_wide_digest_not_first_byte(ray_session):
     for s, ii in buckets.items():
         for i in ii:
             assert wide[i] == s
+
+
+def _pages_parquet(path, rows):
+    """(url, ts_us, text) rows -> a pages-shaped parquet file."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    os.makedirs(path, exist_ok=True)
+    t = pa.table({
+        "url": pa.array([r[0] for r in rows], pa.string()),
+        "warc_ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+        "html": pa.array([None] * len(rows), pa.binary()),
+        "text": pa.array([r[2] for r in rows], pa.string()),
+        "lang": pa.array(["en"] * len(rows), pa.string()),
+    })
+    pq.write_table(t, os.path.join(path, "part.parquet"))
+    return path
+
+
+def test_update_supersede_parity(ray_session, tmp_path_factory):
+    """Newest-snapshot-wins: update_pipeline(supersede_recrawls=True)
+    over a shard that re-crawls a url with changed text must equal a
+    from-scratch build over each url's LATEST snapshot, byte for byte,
+    on nodes, edges and claims."""
+    import pyarrow.parquet as pq
+    from kgx.pipelines.kg import KGConfig, run_pipeline, update_pipeline
+
+    root = str(tmp_path_factory.mktemp("supersede"))
+    base_rows = [("u://1", 1_000_000, "alpha beta alpha"),
+                 ("u://2", 1_000_000, "beta gamma"),
+                 ("u://3", 1_000_000, "delta alpha epsilon")]
+    shard_rows = [("u://2", 2_000_000, "epsilon zeta zeta"),   # re-crawl
+                  ("u://4", 2_000_000, "gamma gamma theta")]   # new url
+    latest_rows = [base_rows[0], shard_rows[0], base_rows[2], shard_rows[1]]
+
+    cfg = KGConfig(extractor="term", supersede_recrawls=True)
+    a = _pages_parquet(os.path.join(root, "a"), base_rows)
+    b = _pages_parquet(os.path.join(root, "b"), shard_rows)
+    out = os.path.join(root, "out")
+    run_pipeline(a, out, cfg)
+    p = update_pipeline(b, out, cfg)
+
+    fresh_in = _pages_parquet(os.path.join(root, "latest"), latest_rows)
+    fresh = run_pipeline(fresh_in, os.path.join(root, "fresh"), cfg)
+
+    for stage in ("nodes", "edges", "claims"):
+        got = pq.read_table(p[stage]).to_pylist()
+        want = pq.read_table(fresh[stage]).to_pylist()
+        assert got == want, stage
+
+    # the retracted snapshot's terms must actually be gone
+    names = {r["name"] for r in pq.read_table(p["nodes"]).to_pylist()}
+    assert "beta" in names           # still in u://1
+    assert "zeta" in names and "theta" in names
+    # gamma now appears only via u://4 (u://2's old snapshot retracted)
+    nodes = {r["name"]: r["n_instances"]
+             for r in pq.read_table(p["nodes"]).to_pylist()}
+    assert nodes["gamma"] == 2
+
+
+def test_supersede_requires_warc_ts(ray_session, tmp_path_factory):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import pytest
+    from kgx.pipelines.kg import KGConfig, run_pipeline
+    root = str(tmp_path_factory.mktemp("supersede_bad"))
+    os.makedirs(os.path.join(root, "a"), exist_ok=True)
+    pq.write_table(pa.table({
+        "url": pa.array(["u://1"], pa.string()),
+        "html": pa.array([None], pa.binary()),
+        "text": pa.array(["alpha"], pa.string()),
+        "lang": pa.array(["en"], pa.string()),
+    }), os.path.join(root, "a", "part.parquet"))
+    with pytest.raises(Exception, match="warc_ts"):
+        run_pipeline(os.path.join(root, "a"), os.path.join(root, "out"),
+                     KGConfig(extractor="term", supersede_recrawls=True))
