@@ -1279,6 +1279,85 @@ def _q_kg_communities(sf_dir: str):
     return community_assignments(hier)
 
 
+def _q_kg_community_invariants(sf_dir: str):
+    """EXACT driver gate for the community hierarchy's checkable
+    invariants (O5/O6): Louvain's partition itself is not
+    SQL-expressible, but these are —
+      * C0 covers every canonical node exactly once
+        (n_members == the kg_nodes count),
+      * every graph edge is accounted for by the partition
+        (sum internal + cross/2 == the kg_edges pair count),
+      * min-size enforcement holds (min C0 size clamped at the
+        configured floor — a size-2 community would emit 2 != 3),
+      * the stored flow / description_length values match an
+        INDEPENDENT recomputation from the edges table (set arithmetic
+        here vs networkx inside the stage), 6-dp rounded,
+      * every deeper-level community is a subset of its parent.
+    The oracle recomputes the node/edge counts from documents and pins
+    the violation counters at zero."""
+    import math
+
+    import pyarrow as pa
+
+    from kgx.stages.community import detect_communities
+
+    t = _docs_graph(sf_dir)
+    hier = detect_communities(t["nodes"], t["edges"], seed=42)
+    min_size = 3                                   # detect default (O5)
+
+    all_nodes = t["nodes"]["entity_id"].to_pylist()
+    pairs = set(zip(t["edges"]["subj_id"].to_pylist(),
+                    t["edges"]["obj_id"].to_pylist()))
+    adj: dict = {n: set() for n in all_nodes}
+    for s, o in pairs:
+        adj[s].add(o)
+        adj[o].add(s)
+
+    c0 = hier["C0"]["communities"]
+    n_members = sum(c["size"] for c in c0.values())
+    sum_internal = sum_external = 0
+    flow_bad = dl_bad = 0
+    for c in c0.values():
+        members = set(c["nodes"])
+        internal = sum(1 for s, o in pairs
+                       if s in members and o in members)
+        external = sum(1 for n in members
+                       for nb in adj[n] if nb not in members)
+        sum_internal += internal
+        sum_external += external
+        if len(members) <= 1 or internal + external == 0:
+            flow, dl = 0.0, 0.0
+        else:
+            flow = internal / (internal + external)
+            pe = external / (internal + external)
+            dl = -sum(p * math.log2(p) for p in (flow, pe) if p > 0)
+        if round(c["flow"], 6) != round(flow, 6):
+            flow_bad += 1
+        if round(c["description_length"], 6) != round(dl, 6):
+            dl_bad += 1
+    orphans = 0
+    for key, lvl in hier.items():
+        if lvl["level"] == 0:
+            continue
+        parent_level = hier[f"C{lvl['level'] - 1}"]["communities"]
+        for c in lvl["communities"].values():
+            par = parent_level.get(str(c.get("parent")))
+            if par is None or not set(c["nodes"]) <= set(par["nodes"]):
+                orphans += 1
+    return pa.table({
+        "level": pa.array([0], pa.int32()),
+        "n_members": pa.array([n_members], pa.int64()),
+        "n_edges_accounted": pa.array(
+            [(2 * sum_internal + sum_external) // 2], pa.int64()),
+        "min_size_clamped": pa.array(
+            [min(min_size, min(c["size"] for c in c0.values()))],
+            pa.int64()),
+        "n_flow_mismatch": pa.array([flow_bad], pa.int64()),
+        "n_dl_mismatch": pa.array([dl_bad], pa.int64()),
+        "n_hierarchy_orphans": pa.array([orphans], pa.int64()),
+    })
+
+
 def _q_kg_summaries(sf_dir: str):
     """Deterministic extractive community reports — rows-only check."""
     import pyarrow as pa
@@ -1919,6 +1998,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_claims_llm": _q_kg_claims_llm,
         "kg_nodes_pipe": _q_kg_nodes_pipe,
         "kg_claims_pipe": _q_kg_claims_pipe,
+        "kg_community_invariants": _q_kg_community_invariants,
         # (c) never driver-sampled before round 3
         # sampling / quotas
         "text_split": _q_text_split,
@@ -2127,6 +2207,28 @@ def oracle_sql() -> dict[str, str]:
             FROM (SELECT unnest(regexp_extract_all(text, '{_TERM_RE}')) AS term
                   FROM documents)
             GROUP BY term
+        """,
+        # The Louvain partition is not SQL-expressible, but its checkable
+        # invariants are: C0 must cover every canonical node, account for
+        # every edge (internal + cross/2), respect the min-size floor,
+        # and the stored flow/description_length arithmetic must match an
+        # independent recomputation (violation counters pinned at 0).
+        "kg_community_invariants": f"""
+            WITH dt AS (
+              SELECT doc_id,
+                     unnest(list_distinct(regexp_extract_all(text, '{_TERM_RE}'))) AS term
+              FROM documents),
+            e AS (
+              SELECT DISTINCT a.term AS s, b.term AS o
+              FROM dt a JOIN dt b ON a.doc_id = b.doc_id AND a.term < b.term)
+            SELECT CAST(0 AS INT) AS level,
+                   (SELECT count(DISTINCT term) FROM dt)
+                     AS n_members,
+                   (SELECT count(*) FROM e) AS n_edges_accounted,
+                   CAST(3 AS BIGINT) AS min_size_clamped,
+                   CAST(0 AS BIGINT) AS n_flow_mismatch,
+                   CAST(0 AS BIGINT) AS n_dl_mismatch,
+                   CAST(0 AS BIGINT) AS n_hierarchy_orphans
         """,
         "kg_edges": f"""
             WITH dt AS (
