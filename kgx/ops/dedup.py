@@ -405,6 +405,9 @@ def _jaccard_pairs_lsh_verified(docs_ds, *, threshold: float, pattern: str,
 # ----------------------------------------------------------------------
 
 def _shingle_hashes(tokens: list[str], k: int) -> np.ndarray:
+    """Distinct uint64 shingle hashes — md5 low-64 (big-endian of the
+    first 8 digest bytes) so the DuckDB oracle can mirror it exactly:
+    ``CAST('0x' || substr(md5(s), 1, 16) AS UBIGINT)``."""
     if len(tokens) < k:
         joined = [" ".join(tokens)] if tokens else []
     else:
@@ -412,8 +415,8 @@ def _shingle_hashes(tokens: list[str], k: int) -> np.ndarray:
     if not joined:
         return np.zeros(0, dtype=np.uint64)
     return np.unique(np.asarray(
-        [int.from_bytes(hashlib.blake2b(s.encode(), digest_size=8).digest(),
-                        "big") for s in joined], dtype=np.uint64))
+        [int.from_bytes(hashlib.md5(s.encode()).digest()[:8], "big")
+         for s in joined], dtype=np.uint64))
 
 
 def _perm_params(num_perm: int, seed: int) -> tuple[np.ndarray, np.ndarray]:
@@ -596,7 +599,9 @@ def minhash_lsh_pairs(docs_ds, *, num_perm: int = 64, bands: int = 16,
 # ----------------------------------------------------------------------
 
 def simhash64(tokens: list[str]) -> int:
-    """64-bit SimHash over token tf weights (blake2b token hashes)."""
+    """64-bit SimHash over token tf weights — md5 low-64 token hashes so
+    the DuckDB oracle can recompute the signature exactly
+    (``CAST('0x' || substr(md5(t), 1, 16) AS UBIGINT)``)."""
     if not tokens:
         return 0
     acc = np.zeros(64, dtype=np.int64)
@@ -605,8 +610,8 @@ def simhash64(tokens: list[str]) -> int:
         counts[t] = counts.get(t, 0) + 1
     shifts = np.arange(64, dtype=np.uint64)
     for t, w in counts.items():
-        h = np.uint64(int.from_bytes(
-            hashlib.blake2b(t.encode(), digest_size=8).digest(), "big"))
+        h = np.uint64(int.from_bytes(hashlib.md5(t.encode()).digest()[:8],
+                                     "big"))
         bits = (h >> shifts) & np.uint64(1)
         acc += np.where(bits == np.uint64(1), w, -w)
     return int(((acc > 0).astype(np.uint64) << np.arange(64, dtype=np.uint64))
