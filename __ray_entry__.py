@@ -2319,81 +2319,33 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # ORDERING CONTRACT: the driver's correctness gate samples the FIRST
     # 50 entries in dict order, so the head is curated per round —
     # (a) a small always-on sentinel set for the core KG path,
-    # (b) queries new this round, then
-    # (c) the 45 entries the round-2 gate never reached (its sample ended
-    #     at embed_labels; all 45 were verified green locally via
-    #     tools/oracle_check.py — this rotation makes that driver-visible).
-    # Previously driver-checked entries follow after position 50.
+    # (b) queries NEW in round 4 (incl. the three ops converted from
+    #     rows-only to exact oracles this round),
+    # (c) the 10 round-3 queries no driver gate has ever sampled
+    #     (they sat at position 51+ last round; all pass the local
+    #     tools/oracle_check.py gate — this rotation makes that
+    #     driver-visible), then
+    # (d) queries whose IMPLEMENTATIONS were reshaped in round 4
+    #     (vectorized temporal joins, null-key join handling, one-shot
+    #     state folds, Q10 attach order) — re-gated under the driver.
+    # Previously driver-checked, untouched entries follow position 50.
     return {
         # (a) sentinels — always driver-checked
         "kg_nodes": _q_kg_nodes,
         "kg_edges": _q_kg_edges,
         "text_curate": _q_text_curate,
-        # (b) new this round
-        "kg_update_parity": _q_kg_update_parity,
+        # (b) new in round 4
         "kg_update_supersede": _q_kg_update_supersede,
-        "kg_nodes_llm": _q_kg_nodes_llm,
         "kg_claims_llm": _q_kg_claims_llm,
         "kg_nodes_pipe": _q_kg_nodes_pipe,
         "kg_claims_pipe": _q_kg_claims_pipe,
         "kg_community_invariants": _q_kg_community_invariants,
         "recall_lsh": _q_recall_lsh,
         "recall_minhash": _q_recall_minhash,
-        # (c) never driver-sampled before round 3
-        # sampling / quotas
-        "text_split": _q_text_split,
-        "text_weighted_sample": _q_text_weighted_sample,
-        "text_source_cap": _q_text_source_cap,
-        # similarity search
-        "simsearch_topk": _q_simsearch_topk,
-        "simsearch_lsh": _q_simsearch_lsh,
-        "simsearch_ivf": _q_simsearch_ivf,
-        "vector_rag_topk": _q_vector_rag,
-        # sparse keyword retrieval
-        "bm25_topk": _q_bm25_topk,
-        # windowed aggregates + temporal joins over the event stream
-        "events_window": _q_events_window,
-        "events_sliding": _q_events_sliding,
-        "events_session": _q_events_session,
-        "events_asof": _q_events_asof,
-        "events_interval": _q_events_interval,
-        # mergeable sketches
-        "sketch_distinct": _q_sketch_distinct,
-        "sketch_heavy": _q_sketch_heavy,
-        "sketch_quantile": _q_sketch_quantile,
-        # relational surface
-        "rel_pricing": _q_rel_pricing,
-        "rel_top_customers": _q_rel_top_customers,
-        "rel_distinct": _q_rel_distinct,
-        "rel_order_counts": _q_rel_order_counts,
-        "rel_join": _q_rel_join,
-        "rel_antijoin": _q_rel_antijoin,
-        "rel_topn": _q_rel_topn,
-        "rel_shipping": _q_rel_shipping,
-        "rel_semijoin": _q_rel_semijoin,
-        "rel_rollup": _q_rel_rollup,
-        "rel_forecast": _q_rel_forecast,
-        "rel_big_orders": _q_rel_big_orders,
-        "rel_regional": _q_rel_regional,
-        "rel_outerjoin": _q_rel_outerjoin,
-        "rel_promo": _q_rel_promo,
-        "rel_exists": _q_rel_exists,
-        "rel_pivot": _q_rel_pivot,
-        "events_quantile": _q_events_quantile,
-        "events_quantile_by_type": _q_events_quantile_by_type,
-        "events_ordered": _q_events_ordered,
-        "events_funnel": _q_events_funnel,
-        "events_histogram": _q_events_histogram,
-        "events_retention": _q_events_retention,
-        "events_zscore": _q_events_zscore,
-        "events_stream": _q_events_stream,
-        "events_json": _q_events_json,
-        # multimodal plumbing
-        "multimodal_stats": _q_multimodal_stats,
-        "multimodal_decode": _q_multimodal_decode,
-        "multimodal_frames": _q_multimodal_frames,
-        # --- position 51+: new in round 3 (locally gated; rotate into
-        # the head next round) then previously driver-checked entries --
+        "dedup_minhash": _q_dedup_minhash,       # rows-only -> exact r4
+        "dedup_simhash": _q_dedup_simhash,       # rows-only -> exact r4
+        "simsearch_lsh": _q_simsearch_lsh,       # rows-only -> exact r4
+        # (c) round-3 queries never driver-sampled
         "events_stream_sharded": _q_events_stream_sharded,
         "simsearch_pq": _q_simsearch_pq,
         "text_perplexity": _q_text_perplexity,
@@ -2404,11 +2356,19 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embed_triplets": _q_embed_triplets,
         "kg_ppr": _q_kg_ppr,
         "sketch_cms": _q_sketch_cms,
-        # KG-construction pipeline (SURVEY.md §2) over the documents table
+        # (d) implementations reshaped in round 4 — re-gate
+        "events_asof": _q_events_asof,
+        "events_interval": _q_events_interval,
+        "rel_join": _q_rel_join,
+        "rel_outerjoin": _q_rel_outerjoin,
+        "kg_update_parity": _q_kg_update_parity,
+        "kg_nodes_llm": _q_kg_nodes_llm,
+        "kg_claims": _q_kg_claims,
+        "dedup_jaccard": _q_dedup_jaccard,
+        # rest of the head: least-recently driver-gated (round-2 rows)
         "kg_chunks": _q_kg_chunks,
         "kg_chunks_win": _q_kg_chunks_win,
         "kg_mentions": _q_kg_mentions,
-        "kg_claims": _q_kg_claims,
         "kg_synth_nodes": _q_kg_synth_nodes,
         "kg_communities": _q_kg_communities,
         "kg_summaries": _q_kg_summaries,
@@ -2423,7 +2383,51 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_lift": _q_kg_lift,
         "kg_degree_hist": _q_kg_degree_hist,
         "kg_stats": _q_kg_stats,
-        # text analysis
+        "dedup_exact": _q_dedup_exact,
+        "dedup_embedding": _q_dedup_embedding,
+        "dedup_components": _q_dedup_components,
+        "dedup_lines": _q_dedup_lines,
+        # --- position 51+: previously driver-checked, untouched ---
+        "text_split": _q_text_split,
+        "text_weighted_sample": _q_text_weighted_sample,
+        "text_source_cap": _q_text_source_cap,
+        "simsearch_topk": _q_simsearch_topk,
+        "simsearch_ivf": _q_simsearch_ivf,
+        "vector_rag_topk": _q_vector_rag,
+        "bm25_topk": _q_bm25_topk,
+        "events_window": _q_events_window,
+        "events_sliding": _q_events_sliding,
+        "events_session": _q_events_session,
+        "sketch_distinct": _q_sketch_distinct,
+        "sketch_heavy": _q_sketch_heavy,
+        "sketch_quantile": _q_sketch_quantile,
+        "rel_pricing": _q_rel_pricing,
+        "rel_top_customers": _q_rel_top_customers,
+        "rel_distinct": _q_rel_distinct,
+        "rel_order_counts": _q_rel_order_counts,
+        "rel_antijoin": _q_rel_antijoin,
+        "rel_topn": _q_rel_topn,
+        "rel_shipping": _q_rel_shipping,
+        "rel_semijoin": _q_rel_semijoin,
+        "rel_rollup": _q_rel_rollup,
+        "rel_forecast": _q_rel_forecast,
+        "rel_big_orders": _q_rel_big_orders,
+        "rel_regional": _q_rel_regional,
+        "rel_promo": _q_rel_promo,
+        "rel_exists": _q_rel_exists,
+        "rel_pivot": _q_rel_pivot,
+        "events_quantile": _q_events_quantile,
+        "events_quantile_by_type": _q_events_quantile_by_type,
+        "events_ordered": _q_events_ordered,
+        "events_funnel": _q_events_funnel,
+        "events_histogram": _q_events_histogram,
+        "events_retention": _q_events_retention,
+        "events_zscore": _q_events_zscore,
+        "events_stream": _q_events_stream,
+        "events_json": _q_events_json,
+        "multimodal_stats": _q_multimodal_stats,
+        "multimodal_decode": _q_multimodal_decode,
+        "multimodal_frames": _q_multimodal_frames,
         "text_tokens": _q_text_tokens,
         "text_quality": _q_text_quality,
         "text_lang": _q_text_lang,
@@ -2439,18 +2443,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_repetition": _q_text_repetition,
         "text_mix": _q_text_mix,
         "text_logprob": _q_text_logprob,
-        # deduplication
-        "dedup_exact": _q_dedup_exact,
-        "dedup_jaccard": _q_dedup_jaccard,
-        "dedup_minhash": _q_dedup_minhash,
-        "dedup_simhash": _q_dedup_simhash,
-        "dedup_embedding": _q_dedup_embedding,
-        "dedup_components": _q_dedup_components,
-        "dedup_lines": _q_dedup_lines,
         "text_boilerplate": _q_text_boilerplate,
         "text_quality_gate": _q_text_quality_gate,
         "simsearch_knn": _q_simsearch_knn,
-        # embedding-space clustering + semantic dedup
         "embed_kmeans": _q_embed_kmeans,
         "dedup_semantic": _q_dedup_semantic,
         "embed_sample": _q_embed_sample,

@@ -156,12 +156,18 @@ def _finalize_edge_group(group: pa.Table, cap: int) -> pa.Table:
     subj_id = group["subj_id"][0].as_py()
     pred = group["pred"][0].as_py()
     obj_id = group["obj_id"][0].as_py()
-    sn = on = None
+    # the vectorized resolver carries the canonical names as COLUMNS
+    # (constant within a group — the group key fixes both entity ids)
+    # and leaves the pre-combined state json untouched
+    has_name_cols = "sn" in group.column_names
+    sn = group["sn"][0].as_py() if has_name_cols else None
+    on = group["on"][0].as_py() if has_name_cols else None
     total, n = 0.0, 0
     seen: set = set()
     for s in group["state"].to_pylist():
         st = json.loads(s)
-        sn, on = st["sn"], st["on"]
+        if not has_name_cols:
+            sn, on = st["sn"], st["on"]
         total += st["sum"]
         n += st["n"]
         # capped min-K is associative under union, so ONE set union per
@@ -279,6 +285,10 @@ def _combine_triples_unresolved(batch: pa.Table, *, min_strength: float,
     for k in keys:
         states[k]["inst"] = _cap_instances(states[k]["inst"], cap)
     n = len(keys)
+    # "no"/"p" ride along as COLUMNS (duplicating two json fields) so the
+    # broadcast resolver can rewrite keys fully vectorized (index_in)
+    # without parsing the state json per row; the co-shuffle path drops
+    # them when it unions with alias rows.
     return pa.table({
         "norm": pa.array([normalize(k[0]) for k in keys], pa.string()),
         "kind": pa.array(["t"] * n, pa.string()),
@@ -286,6 +296,8 @@ def _combine_triples_unresolved(batch: pa.Table, *, min_strength: float,
         "name": pa.array([None] * n, pa.string()),
         "state": pa.array([json.dumps(states[k], sort_keys=True)
                            for k in keys], pa.string()),
+        "no": pa.array([states[k]["no"] for k in keys], pa.string()),
+        "p": pa.array([k[1] for k in keys], pa.string()),
     })
 
 
@@ -356,7 +368,8 @@ def resolve_and_dedup_edges_coshuffle(triples_ds, nodes_ds, *,
     normalized name, then the shared dedup groupby + global sort."""
     combined = triples_ds.map_batches(
         lambda b: _combine_triples_unresolved(
-            b, min_strength=min_strength, cap=cap),
+            b, min_strength=min_strength, cap=cap).drop_columns(
+                ["no", "p"]),
         batch_format="pyarrow", batch_size=batch_size)
     return resolve_and_dedup_edges_coshuffle_from_states(
         combined, nodes_ds, cap=cap)

@@ -30,7 +30,6 @@ consumer need it); this fused shape is the throughput path.
 
 from __future__ import annotations
 
-import json
 
 import pyarrow as pa
 import pyarrow.compute as pc
@@ -48,6 +47,8 @@ STATES_SCHEMA = pa.schema([
     ("key", pa.string()),        # m: norm_mention; t: normalize(subj)
     ("salt", pa.int32()),        # m only (0 for t)
     ("state", pa.string()),      # json merge state
+    ("no", pa.string()),         # t only: normalize(obj) — resolver key
+    ("p", pa.string()),          # t only: predicate
 ])
 
 
@@ -70,6 +71,10 @@ def make_combine_extracted_fn(*, n_salts: int = DEFAULT_N_SALTS,
                               pa.array([0] * nt, pa.int32())]),
             pa.concat_arrays([m["state"].combine_chunks(),
                               t["state"].combine_chunks()]),
+            pa.concat_arrays([pa.nulls(nm, pa.string()),
+                              t["no"].combine_chunks()]),
+            pa.concat_arrays([pa.nulls(nm, pa.string()),
+                              t["p"].combine_chunks()]),
         ], schema=STATES_SCHEMA)
     return combine
 
@@ -94,33 +99,39 @@ class _ResolveTripleStates:
     """Broadcast-resolve pre-combined triple states: rewrite each raw
     (s, p, o) state to its (subj_id, pred, obj_id) key, dropping states
     with an unresolvable endpoint (J1 semantics).  States whose raw keys
-    resolve to the same id-key are merged by the downstream groupby."""
+    resolve to the same id-key are merged by the downstream groupby.
+
+    Fully vectorized: the subject/object norms are COLUMNS ("key"/"no"),
+    so resolution is two ``pc.index_in`` passes against the broadcast
+    alias arrays and the state json passes through untouched — no
+    per-row parse/re-dump (that loop was ~5 core-s on 200k states).  The
+    canonical names ride as "sn"/"on" columns for the finalize."""
 
     def __init__(self, alias_ref):
-        self.alias = ray.get(alias_ref) if isinstance(
+        alias = ray.get(alias_ref) if isinstance(
             alias_ref, ray.ObjectRef) else alias_ref
+        keys = sorted(alias)
+        self._keys = pa.array(keys, pa.string())
+        self._ids = pa.array([alias[k][0] for k in keys], pa.string())
+        self._names = pa.array([alias[k][1] for k in keys], pa.string())
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         t = batch.filter(pc.equal(batch["kind"], "t"))
-        sid_c, pred_c, oid_c, st_c = [], [], [], []
-        for key, s_json in zip(t["key"].to_pylist(),
-                               t["state"].to_pylist()):
-            st = json.loads(s_json)
-            s = self.alias.get(key)                      # key = norm(subj)
-            o = self.alias.get(st["no"])
-            if s is None or o is None:
-                continue
-            sid_c.append(s[0])
-            pred_c.append(st["p"])
-            oid_c.append(o[0])
-            st_c.append(json.dumps(
-                {"sn": s[1], "on": o[1], "sum": st["sum"], "n": st["n"],
-                 "inst": st["inst"]}, sort_keys=True))
+        s_idx = pc.index_in(t["key"].combine_chunks(),
+                            value_set=self._keys)
+        o_idx = pc.index_in(t["no"].combine_chunks(),
+                            value_set=self._keys)
+        ok = pc.and_(pc.is_valid(s_idx), pc.is_valid(o_idx))
+        t = t.filter(ok)
+        s_idx = s_idx.filter(ok)
+        o_idx = o_idx.filter(ok)
         return pa.table({
-            "subj_id": pa.array(sid_c, pa.string()),
-            "pred": pa.array(pred_c, pa.string()),
-            "obj_id": pa.array(oid_c, pa.string()),
-            "state": pa.array(st_c, pa.string()),
+            "subj_id": pc.take(self._ids, s_idx),
+            "pred": t["p"],
+            "obj_id": pc.take(self._ids, o_idx),
+            "sn": pc.take(self._names, s_idx),
+            "on": pc.take(self._names, o_idx),
+            "state": t["state"],
         })
 
 
