@@ -901,3 +901,295 @@ def priority_exists(sf_dir: str, *, min_qty: float = 49.0):
     return (hits.map_batches(partial, batch_format="pyarrow")
             .groupby("o_orderpriority").aggregate(Sum("one_sum"))
             .map_batches(finish, batch_format="pyarrow"))
+
+
+def volume_shipping(sf_dir: str, *, nation_a: str = "NATION_11",
+                    nation_b: str = "NATION_12",
+                    date_lo: str = "1996-01-01",
+                    date_hi: str = "1999-01-01"):
+    """TPC-H Q7-shaped volume shipping: revenue shipped between two
+    nations (both directions) per supplier-nation/customer-nation/year,
+    for lineitems shipped inside the window.
+
+    Join plan (the Q5/Q10 house shape): lineitem pre-filters map-side to
+    suppliers of the two nations (broadcast suppkey->nation) and
+    projects (l_orderkey, supp_nation, year(l_shipdate), rev_units);
+    orders projects (o_orderkey, o_custkey); ONE fact-fact co-shuffle on
+    the order key; the customer nation resolves map-side from a
+    broadcast pair map, keeping only the two directed nation pairs;
+    per-(snat, cnat, year) partials fold before one tiny groupby.
+    Revenue in exact integer units.  Output: (supp_nation, cust_nation,
+    l_year, revenue_units)."""
+    import pyarrow.parquet as _pq
+
+    from kgx.ops.joins import hash_equijoin
+    from ray.data.aggregate import Sum
+
+    lo = np.datetime64(date_lo).astype("datetime64[us]").astype("int64")
+    hi = np.datetime64(date_hi).astype("datetime64[us]").astype("int64")
+
+    nation = _pq.read_table(f"{sf_dir}/nation.parquet",
+                            columns=["n_nationkey", "n_name"])
+    nk = {r["n_name"]: r["n_nationkey"] for r in nation.to_pylist()}
+    pair_keys = {nk[nation_a], nk[nation_b]}
+    name_of = {nk[nation_a]: nation_a, nk[nation_b]: nation_b}
+    supp = _pq.read_table(f"{sf_dir}/supplier.parquet",
+                          columns=["s_suppkey", "s_nationkey"])
+    s_map = {k: v for k, v in zip(supp["s_suppkey"].to_pylist(),
+                                  supp["s_nationkey"].to_pylist())
+             if v in pair_keys}
+    cust = _pq.read_table(f"{sf_dir}/customer.parquet",
+                          columns=["c_custkey", "c_nationkey"])
+    c_map = {k: v for k, v in zip(cust["c_custkey"].to_pylist(),
+                                  cust["c_nationkey"].to_pylist())
+             if v in pair_keys}
+    sk = pa.array(sorted(s_map), pa.int64())
+    sn = np.asarray([s_map[k] for k in sorted(s_map)], dtype=np.int64)
+    ck = pa.array(sorted(c_map), pa.int64())
+    cn = np.asarray([c_map[k] for k in sorted(c_map)], dtype=np.int64)
+    dref = ray.put((sk, sn, ck, cn, name_of))
+
+    def line_side(batch: pa.Table, _d=dref) -> pa.Table:
+        sk_a, sn_a, _, _, _ = ray.get(_d)
+        sd = pc.cast(batch["l_shipdate"], pa.int64())
+        b = batch.filter(pc.and_(pc.greater_equal(sd, lo),
+                                 pc.less(sd, hi)))
+        si = pc.index_in(b["l_suppkey"].combine_chunks().cast(pa.int64()),
+                         value_set=sk_a) \
+               .to_numpy(zero_copy_only=False).astype(np.float64)
+        keep = ~np.isnan(si)
+        b = b.filter(pa.array(keep))
+        snat = sn_a[si[keep].astype(np.int64)]
+        ext_c = _cents(b["l_extendedprice"]).to_numpy(zero_copy_only=False)
+        disc_c = _cents(b["l_discount"]).to_numpy(zero_copy_only=False)
+        year = pc.year(b["l_shipdate"].combine_chunks()) \
+                 .to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({
+            "l_orderkey": b["l_orderkey"],
+            "snat": pa.array(snat, pa.int64()),
+            "l_year": pa.array(year, pa.int64()),
+            "rev_units": pa.array(ext_c * (100 - disc_c), pa.int64()),
+        })
+
+    line = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_suppkey", "l_shipdate",
+                 "l_extendedprice", "l_discount"]) \
+        .map_batches(line_side, batch_format="pyarrow")
+
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey"])
+
+    joined = hash_equijoin(orders, line, left_on="o_orderkey",
+                           right_on="l_orderkey")
+
+    def partial(batch: pa.Table, _d=dref) -> pa.Table:
+        _, _, ck_a, cn_a, _ = ray.get(_d)
+        ci = pc.index_in(batch["o_custkey"].combine_chunks()
+                         .cast(pa.int64()), value_set=ck_a) \
+               .to_numpy(zero_copy_only=False).astype(np.float64)
+        keep = ~np.isnan(ci)
+        snat = batch["snat"].to_numpy(zero_copy_only=False)[keep]
+        cnat = cn_a[ci[keep].astype(np.int64)]
+        cross = snat != cnat          # the two directed pairs only
+        t = pa.table({
+            "snat": pa.array(snat[cross], pa.int64()),
+            "cnat": pa.array(cnat[cross], pa.int64()),
+            "l_year": pa.array(
+                batch["l_year"].to_numpy(
+                    zero_copy_only=False)[keep][cross], pa.int64()),
+            "rev": pa.array(
+                batch["rev_units"].to_numpy(
+                    zero_copy_only=False)[keep][cross], pa.int64()),
+        })
+        agg = t.group_by(["snat", "cnat", "l_year"]).aggregate(
+            [("rev", "sum")])
+        return pa.table({"snat": agg["snat"], "cnat": agg["cnat"],
+                         "l_year": agg["l_year"], "rev": agg["rev_sum"]})
+
+    def finish(batch: pa.Table, _d=dref) -> pa.Table:
+        _, _, _, _, names = ray.get(_d)
+        return pa.table({
+            "supp_nation": pa.array(
+                [names[k] for k in batch["snat"].to_pylist()],
+                pa.string()),
+            "cust_nation": pa.array(
+                [names[k] for k in batch["cnat"].to_pylist()],
+                pa.string()),
+            "l_year": batch["l_year"].combine_chunks().cast(pa.int64()),
+            "revenue_units": batch["sum(rev)"].combine_chunks()
+                                  .cast(pa.int64()),
+        })
+
+    return (joined.map_batches(partial, batch_format="pyarrow")
+            .groupby(["snat", "cnat", "l_year"]).aggregate(Sum("rev"))
+            .map_batches(finish, batch_format="pyarrow"))
+
+
+def market_share(sf_dir: str, *, region: str = "ASIA",
+                 nation: str = "NATION_7", p_type: str = "ECONOMY",
+                 date_lo: str = "1996-01-01",
+                 date_hi: str = "1998-01-01"):
+    """TPC-H Q8-shaped market share: ``nation``'s share of revenue from
+    ``p_type`` parts sold into ``region`` per order year, in integer ppm.
+
+    Join plan: lineitem pre-filters map-side to the part-type key set
+    and tags each row with is-
+    ``nation`` supplier (two broadcast lookups), projecting
+    (l_orderkey, rev_units, nat_units); orders date-filters and keeps
+    only customers in ``region`` (broadcast custkey->in-region),
+    projecting (o_orderkey, o_year); ONE fact-fact co-shuffle on the
+    order key; per-year (nation_units, total_units) partials fold
+    map-side.  Output: (o_year, nation_units, total_units,
+    mkt_share_ppm = nation*10^6 // total)."""
+    import pyarrow.parquet as _pq
+
+    from kgx.ops.joins import hash_equijoin
+    from ray.data.aggregate import Sum
+
+    lo = np.datetime64(date_lo).astype("datetime64[us]").astype("int64")
+    hi = np.datetime64(date_hi).astype("datetime64[us]").astype("int64")
+
+    nat_tbl = _pq.read_table(f"{sf_dir}/nation.parquet")
+    reg = _pq.read_table(f"{sf_dir}/region.parquet")
+    rkeys = {r["r_regionkey"] for r in reg.to_pylist()
+             if r["r_name"] == region}
+    region_nations = {r["n_nationkey"] for r in nat_tbl.to_pylist()
+                      if r["n_regionkey"] in rkeys}
+    nation_key = {r["n_name"]: r["n_nationkey"]
+                  for r in nat_tbl.to_pylist()}[nation]
+    part = _pq.read_table(f"{sf_dir}/part.parquet",
+                          columns=["p_partkey", "p_type"])
+    pkeys = pa.array(sorted(
+        k for k, t in zip(part["p_partkey"].to_pylist(),
+                          part["p_type"].to_pylist()) if t == p_type),
+        pa.int64())
+    supp = _pq.read_table(f"{sf_dir}/supplier.parquet",
+                          columns=["s_suppkey", "s_nationkey"])
+    nat_supp = pa.array(sorted(
+        k for k, v in zip(supp["s_suppkey"].to_pylist(),
+                          supp["s_nationkey"].to_pylist())
+        if v == nation_key), pa.int64())
+    cust = _pq.read_table(f"{sf_dir}/customer.parquet",
+                          columns=["c_custkey", "c_nationkey"])
+    reg_cust = pa.array(sorted(
+        k for k, v in zip(cust["c_custkey"].to_pylist(),
+                          cust["c_nationkey"].to_pylist())
+        if v in region_nations), pa.int64())
+    dref = ray.put((pkeys, nat_supp, reg_cust))
+
+    def line_side(batch: pa.Table, _d=dref) -> pa.Table:
+        pk, ns, _ = ray.get(_d)
+        keep = pc.is_in(batch["l_partkey"].combine_chunks()
+                        .cast(pa.int64()), value_set=pk)
+        b = batch.filter(keep)
+        is_nat = pc.is_in(b["l_suppkey"].combine_chunks()
+                          .cast(pa.int64()), value_set=ns) \
+                   .to_numpy(zero_copy_only=False)
+        ext_c = _cents(b["l_extendedprice"]).to_numpy(zero_copy_only=False)
+        disc_c = _cents(b["l_discount"]).to_numpy(zero_copy_only=False)
+        rev = ext_c * (100 - disc_c)
+        return pa.table({
+            "l_orderkey": b["l_orderkey"],
+            "rev_units": pa.array(rev, pa.int64()),
+            "nat_units": pa.array(np.where(is_nat, rev, 0), pa.int64()),
+        })
+
+    line = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_partkey", "l_suppkey",
+                 "l_extendedprice", "l_discount"]) \
+        .map_batches(line_side, batch_format="pyarrow")
+
+    def orders_side(batch: pa.Table, _d=dref) -> pa.Table:
+        _, _, rc = ray.get(_d)
+        od = pc.cast(batch["o_orderdate"], pa.int64())
+        b = batch.filter(pc.and_(pc.greater_equal(od, lo),
+                                 pc.less(od, hi)))
+        b = b.filter(pc.is_in(b["o_custkey"].combine_chunks()
+                              .cast(pa.int64()), value_set=rc))
+        return pa.table({
+            "o_orderkey": b["o_orderkey"],
+            "o_year": pc.year(b["o_orderdate"].combine_chunks())
+                        .cast(pa.int64()),
+        })
+
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_orderdate"]) \
+        .map_batches(orders_side, batch_format="pyarrow")
+
+    joined = hash_equijoin(orders, line, left_on="o_orderkey",
+                           right_on="l_orderkey")
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = pa.table({"o_year": batch["o_year"],
+                      "rev": batch["rev_units"],
+                      "nat": batch["nat_units"]})
+        agg = t.group_by(["o_year"]).aggregate([("rev", "sum"),
+                                                ("nat", "sum")])
+        return pa.table({"o_year": agg["o_year"], "rev": agg["rev_sum"],
+                         "nat": agg["nat_sum"]})
+
+    def finish(batch: pa.Table) -> pa.Table:
+        tot = batch["sum(rev)"].to_numpy(zero_copy_only=False)
+        nat = batch["sum(nat)"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "o_year": batch["o_year"].combine_chunks().cast(pa.int64()),
+            "nation_units": pa.array(nat, pa.int64()),
+            "total_units": pa.array(tot, pa.int64()),
+            "mkt_share_ppm": pa.array(
+                nat * 1_000_000 // np.maximum(tot, 1), pa.int64()),
+        })
+
+    return (joined.map_batches(partial, batch_format="pyarrow")
+            .groupby("o_year").aggregate(Sum("rev"), Sum("nat"))
+            .map_batches(finish, batch_format="pyarrow"))
+
+
+def running_revenue(sf_dir: str, *, date_lo: str = "1996-01-01",
+                    date_hi: str = "1996-07-01"):
+    """Per-customer RUNNING revenue over their orders by date — the
+    cumulative-window shape (SQL ``sum() OVER (PARTITION BY custkey
+    ORDER BY date, key)``) Ray Data has no native operator for.
+
+    Scale shape: one narrow groupby(custkey) shuffle of
+    (custkey, orderkey, date, cents) rows; each group lexsorts by
+    (date, orderkey) and emits the numpy cumsum — per-customer order
+    counts are bounded, so groups are tiny.  Output: (o_custkey,
+    o_orderkey, total_cents, running_cents)."""
+    lo = np.datetime64(date_lo).astype("datetime64[us]").astype("int64")
+    hi = np.datetime64(date_hi).astype("datetime64[us]").astype("int64")
+
+    def project(batch: pa.Table) -> pa.Table:
+        od = pc.cast(batch["o_orderdate"], pa.int64())
+        b = batch.filter(pc.and_(pc.greater_equal(od, lo),
+                                 pc.less(od, hi)))
+        return pa.table({
+            "o_custkey": b["o_custkey"],
+            "o_orderkey": b["o_orderkey"],
+            "od": pc.cast(b["o_orderdate"], pa.int64()),
+            "total_cents": _cents(b["o_totalprice"]),
+        })
+
+    def per_cust(group: pa.Table) -> pa.Table:
+        ok = group["o_orderkey"].to_numpy(zero_copy_only=False)
+        od = group["od"].to_numpy(zero_copy_only=False)
+        c = group["total_cents"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((ok, od))
+        return pa.table({
+            "o_custkey": pa.array(
+                np.full(len(ok), group["o_custkey"][0].as_py()),
+                pa.int64()),
+            "o_orderkey": pa.array(ok[order], pa.int64()),
+            "total_cents": pa.array(c[order], pa.int64()),
+            "running_cents": pa.array(np.cumsum(c[order]), pa.int64()),
+        })
+
+    return rd.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_custkey", "o_orderkey", "o_orderdate",
+                 "o_totalprice"]) \
+        .map_batches(project, batch_format="pyarrow") \
+        .groupby("o_custkey").map_groups(per_cust, batch_format="pyarrow")

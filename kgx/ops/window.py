@@ -300,3 +300,46 @@ def zscore_flags(events_ds, *, value_col: str = "value",
         })
 
     return events_ds.map_batches(verdict, batch_format="pyarrow")
+
+
+def lag_deltas(events_ds, *, key: str = "user_id", ts_col: str = "ts"):
+    """Per-key LAG(): each event paired with its key's previous event
+    (ordered by (ts, event_id)) and the gap in whole seconds — the
+    sessionization primitive as a standalone window function (SQL:
+    ``lag() OVER (PARTITION BY key ORDER BY ts, event_id)``).
+
+    Scale shape: one narrow groupby(key) shuffle of (key, event_id, ts)
+    rows; each group is one lexsort + two array shifts (no per-row
+    Python).  First events carry null prev/gap.  Output: (event_id,
+    user_id, prev_event_id, gap_s)."""
+    import numpy as np
+
+    def project(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            key: batch[key],
+            "event_id": batch["event_id"],
+            "t": pc.cast(batch[ts_col], pa.int64()),
+        })
+
+    def per_key(group: pa.Table) -> pa.Table:
+        ids = group["event_id"].to_numpy(zero_copy_only=False)
+        ts = group["t"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((ids, ts))
+        ids_s, ts_s = ids[order], ts[order]
+        prev = np.empty(len(ids_s), dtype=object)
+        gap = np.empty(len(ids_s), dtype=object)
+        prev[0] = None
+        gap[0] = None
+        if len(ids_s) > 1:
+            prev[1:] = ids_s[:-1]
+            gap[1:] = (ts_s[1:] - ts_s[:-1]) // US
+        return pa.table({
+            "event_id": pa.array(ids_s, pa.int64()),
+            key: pa.array(
+                np.full(len(ids_s), group[key][0].as_py()), pa.int64()),
+            "prev_event_id": pa.array(prev.tolist(), pa.int64()),
+            "gap_s": pa.array(gap.tolist(), pa.int64()),
+        })
+
+    return events_ds.map_batches(project, batch_format="pyarrow") \
+        .groupby(key).map_groups(per_key, batch_format="pyarrow")
