@@ -1316,6 +1316,64 @@ _EXACT_TOPK_SQL = """
 """
 
 
+def _hll_oracle(table: str, col: str, *, key: str | None = None,
+                p: int = 12) -> str:
+    """EXACT SQL twin of the HyperLogLog sketch (kgx/ops/sketch.py):
+    md5-low64 value hashes, register index = top-p bits, rank =
+    64-p-bit leading zeros + 1 via DuckDB ``bin()`` string length
+    (exact integer logic, no float log), max per register, the standard
+    alpha*m^2 / sum(2^-reg) estimator with the linear-counting
+    small-range correction.  HLL merges are order-free maxes, so the
+    distributed per-block fold equals this single-pass recomputation
+    bit for bit; only the final float estimate could differ in ulps
+    (summation order), far below the round() boundary."""
+    m = 1 << p
+    alpha = 0.7213 / (1 + 1.079 / m)
+    kproj = f"{key}, " if key else ""
+    kgroup = f"GROUP BY {key}" if key else ""
+    kout = f"{key}, " if key else f"'{col}' AS \"column\", "
+    return f"""
+        WITH h AS (
+          SELECT {kproj}
+                 CAST('0x' || substr(md5(CAST({col} AS VARCHAR)), 1, 16)
+                      AS UBIGINT) AS hv
+          FROM {table}),
+        r AS (
+          SELECT {kproj}
+                 CAST(hv >> {64 - p} AS BIGINT) AS idx,
+                 CAST((CAST(hv AS HUGEINT) * CAST({1 << p} AS HUGEINT))
+                      % 18446744073709551616 AS UBIGINT) AS rest
+          FROM h),
+        rk AS (
+          SELECT {kproj} idx,
+                 CASE WHEN rest = 0 THEN {64 - p + 1}
+                      ELSE least(64 - length(bin(rest)) + 1,
+                                 {64 - p + 1}) END AS rank
+          FROM r),
+        regs AS (
+          SELECT {kproj} idx, max(rank) AS reg
+          FROM rk GROUP BY {kproj} idx),
+        agg AS (
+          SELECT {kproj}
+                 sum(pow(2.0, -reg)) + ({m} - count(*)) AS denom,
+                 {m} - count(*) AS zeros
+          FROM regs {kgroup}),
+        est AS (
+          SELECT {kproj}
+                 CASE WHEN CAST({alpha!r} AS DOUBLE) * {m} * {m} / denom
+                             <= 2.5 * {m}
+                           AND zeros > 0
+                      THEN {m} * ln({m} / zeros)
+                      ELSE CAST({alpha!r} AS DOUBLE) * {m} * {m} / denom
+                      END AS e
+          FROM agg)
+        SELECT {kout}
+               CAST(round(e) AS BIGINT) AS approx_distinct,
+               CAST({p} AS INT) AS precision_p
+        FROM est
+    """
+
+
 def _recall_lsh_oracle() -> str:
     """Recall-vs-exact report with BOTH sides recomputed in SQL: the
     multi-probe LSH result (``_lsh_oracle``) joined against the exact
@@ -2388,6 +2446,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_span_dup": _q_text_span_dup,
         "rel_returns": _q_rel_returns,
         "sketch_distinct_by_type": _q_sketch_distinct_by_type,
+        "sketch_distinct": _q_sketch_distinct,   # rows-only -> exact r4
         "embed_negatives": _q_embed_negatives,
         "embed_triplets": _q_embed_triplets,
         "kg_ppr": _q_kg_ppr,
@@ -2434,7 +2493,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_window": _q_events_window,
         "events_sliding": _q_events_sliding,
         "events_session": _q_events_session,
-        "sketch_distinct": _q_sketch_distinct,
         "sketch_heavy": _q_sketch_heavy,
         "sketch_quantile": _q_sketch_quantile,
         "rel_pricing": _q_rel_pricing,
@@ -3583,6 +3641,9 @@ def oracle_sql() -> dict[str, str]:
               AND o.o_orderdate <  TIMESTAMP '1997-01-01'
             GROUP BY n.n_name
         """,
+        "sketch_distinct": _hll_oracle("events", "user_id"),
+        "sketch_distinct_by_type": _hll_oracle("events", "user_id",
+                                               key="event_type"),
         "rel_volume": """
             WITH s AS (
               SELECT s_suppkey, n_name AS supp_nation

@@ -27,9 +27,12 @@ import pyarrow as pa
 # ----------------------------------------------------------------------
 
 def _hash64(values: list) -> np.ndarray:
+    """uint64 value hashes — md5 low-64 so the DuckDB oracle can mirror
+    the full register construction exactly
+    (``CAST('0x' || substr(md5(CAST(v AS VARCHAR)), 1, 16) AS UBIGINT)``;
+    ``str(v)`` of an int matches the VARCHAR cast)."""
     return np.asarray(
-        [int.from_bytes(hashlib.blake2b(str(v).encode(),
-                                        digest_size=8).digest(), "big")
+        [int.from_bytes(hashlib.md5(str(v).encode()).digest()[:8], "big")
          for v in values], dtype=np.uint64)
 
 
