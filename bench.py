@@ -242,6 +242,9 @@ def _operator_queries(sf_dir: str) -> dict:
                                                         train_mod=4),
         "simsearch_pq": lambda: pq.pq_topk(
             emb(), query_ids=list(range(8)), k=10),
+        # round-4 addition: the Q7 two-nation fact-fact co-shuffle
+        # (suite grew 24 -> 25; see BASELINE.md composition note)
+        "rel_volume": lambda: relational.volume_shipping(sf_dir),
     }
 
 
