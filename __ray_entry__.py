@@ -216,6 +216,26 @@ def _q_events_lag(sf_dir: str):
     return lag_deltas(ev)
 
 
+def _q_rel_custdist(sf_dir: str):
+    """TPC-H Q13 customer distribution — LEFT co-shuffle join so
+    zero-order customers survive into the histogram."""
+    from kgx.ops.relational import customer_distribution
+    return customer_distribution(sf_dir)
+
+
+def _q_rel_top_supplier(sf_dir: str):
+    """TPC-H Q15 top supplier(s) by windowed revenue (view + max)."""
+    from kgx.ops.relational import top_supplier
+    return top_supplier(sf_dir)
+
+
+def _q_rel_small_orders(sf_dir: str):
+    """TPC-H Q17 small-order revenue — per-part aggregate threshold
+    applied in the same co-located group visit, exact integer test."""
+    from kgx.ops.relational import small_order_revenue
+    return small_order_revenue(sf_dir)
+
+
 def _q_recall_lsh(sf_dir: str):
     """Multi-probe LSH recall vs the exact cosine top-k as ONE exact
     driver row (VERDICT r3 item 5): both sides run distributed, the
@@ -2435,6 +2455,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rel_volume": _q_rel_volume,
         "rel_market_share": _q_rel_market_share,
         "rel_running": _q_rel_running,
+        "rel_custdist": _q_rel_custdist,
+        "rel_top_supplier": _q_rel_top_supplier,
+        "rel_small_orders": _q_rel_small_orders,
         "events_lag": _q_events_lag,
         "dedup_minhash": _q_dedup_minhash,       # rows-only -> exact r4
         "dedup_simhash": _q_dedup_simhash,       # rows-only -> exact r4
@@ -3701,6 +3724,52 @@ def oracle_sql() -> dict[str, str]:
                      AS mkt_share_ppm
             FROM l JOIN o ON l.l_orderkey = o.o_orderkey
             GROUP BY o.o_year
+        """,
+        "rel_custdist": """
+            WITH c_orders AS (
+              SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+              FROM customer c
+              LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+              GROUP BY c.c_custkey)
+            SELECT CAST(c_count AS BIGINT) AS c_count,
+                   count(*) AS custdist
+            FROM c_orders GROUP BY c_count
+        """,
+        "rel_top_supplier": """
+            WITH rev AS (
+              SELECT l_suppkey AS s,
+                     CAST(sum(
+                       CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+                       * (100 - CAST(floor(l_discount * 100 + 0.5)
+                                     AS BIGINT))) AS BIGINT) AS r
+              FROM lineitem
+              WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+                AND l_shipdate <  TIMESTAMP '1996-04-01'
+              GROUP BY l_suppkey)
+            SELECT s.s_suppkey, s.s_name,
+                   rev.r AS total_revenue_units
+            FROM rev JOIN supplier s ON s.s_suppkey = rev.s
+            WHERE rev.r = (SELECT max(r) FROM rev)
+        """,
+        "rel_small_orders": """
+            WITH l AS (
+              SELECT l_partkey,
+                     CAST(floor(l_quantity * 100 + 0.5) AS BIGINT)
+                       AS qty_c,
+                     CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+                       AS ext_c
+              FROM lineitem
+              WHERE l_partkey IN (SELECT p_partkey FROM part
+                                  WHERE p_type = 'SMALL')),
+            st AS (
+              SELECT l_partkey, CAST(sum(qty_c) AS BIGINT) AS sq,
+                     count(*) AS n
+              FROM l GROUP BY l_partkey)
+            SELECT CAST(count(*) AS BIGINT) AS n_small_lineitems,
+                   CAST(coalesce(sum(l.ext_c), 0) AS BIGINT)
+                     AS revenue_cents
+            FROM l JOIN st USING (l_partkey)
+            WHERE 5 * l.qty_c * st.n < st.sq
         """,
         "rel_running": """
             SELECT o_custkey, o_orderkey,

@@ -1193,3 +1193,178 @@ def running_revenue(sf_dir: str, *, date_lo: str = "1996-01-01",
                  "o_totalprice"]) \
         .map_batches(project, batch_format="pyarrow") \
         .groupby("o_custkey").map_groups(per_cust, batch_format="pyarrow")
+
+
+def customer_distribution(sf_dir: str):
+    """TPC-H Q13-shaped customer distribution: histogram of per-customer
+    order counts INCLUDING zero-order customers.
+
+    Shape: orders pre-aggregate map-side to (custkey, partial count);
+    one narrow groupby(custkey) sums them; the customer table LEFT-joins
+    the counts through the general co-shuffle join (exercising its
+    null-emitting outer path at scale — no broadcast of the customer
+    side), nulls fill to 0, and a second tiny groupby builds the
+    histogram.  Output: (c_count, custdist)."""
+    from kgx.ops.joins import hash_equijoin
+    from ray.data.aggregate import Sum
+
+    def o_partial(batch: pa.Table) -> pa.Table:
+        t = pa.table({"k": batch["o_custkey"],
+                      "one": pa.array(
+                          np.ones(batch.num_rows, dtype=np.int64))})
+        agg = t.group_by(["k"]).aggregate([("one", "sum")])
+        return pa.table({"k": agg["k"], "n_part": agg["one_sum"]})
+
+    counts = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                             columns=["o_custkey"]) \
+        .map_batches(o_partial, batch_format="pyarrow") \
+        .groupby("k").aggregate(Sum("n_part"))
+    counts = counts.map_batches(
+        lambda b: pa.table({
+            "k": b["k"].combine_chunks().cast(pa.int64()),
+            "n_orders": b["sum(n_part)"].combine_chunks()
+                         .cast(pa.int64())}),
+        batch_format="pyarrow")
+
+    cust = rd.read_parquet(f"{sf_dir}/customer.parquet",
+                           columns=["c_custkey"])
+    joined = hash_equijoin(cust, counts, left_on="c_custkey",
+                           right_on="k", how="left")
+
+    def hist_partial(batch: pa.Table) -> pa.Table:
+        n = batch["n_orders"].to_numpy(zero_copy_only=False)
+        n = np.where(np.isnan(n.astype(np.float64)), 0,
+                     n.astype(np.float64)).astype(np.int64)
+        t = pa.table({"c_count": pa.array(n, pa.int64()),
+                      "one": pa.array(
+                          np.ones(len(n), dtype=np.int64))})
+        agg = t.group_by(["c_count"]).aggregate([("one", "sum")])
+        return pa.table({"c_count": agg["c_count"],
+                         "d": agg["one_sum"]})
+
+    def finish(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "c_count": batch["c_count"].combine_chunks().cast(pa.int64()),
+            "custdist": batch["sum(d)"].combine_chunks().cast(pa.int64()),
+        })
+
+    return (joined.map_batches(hist_partial, batch_format="pyarrow")
+            .groupby("c_count").aggregate(Sum("d"))
+            .map_batches(finish, batch_format="pyarrow"))
+
+
+def top_supplier(sf_dir: str, *, date_lo: str = "1996-01-01",
+                 date_hi: str = "1996-04-01"):
+    """TPC-H Q15-shaped top supplier: the supplier(s) with MAXIMUM
+    lineitem revenue in the ship window (ties all emitted, like the
+    view+max formulation).
+
+    Shape: map-side per-supplier partials -> one narrow groupby ->
+    the scalar max reduces over the (tiny, one row per supplier)
+    aggregate, broadcasts back implicitly via a driver constant, and a
+    filter + broadcast name attach finishes.  Output: (s_suppkey,
+    s_name, total_revenue_units)."""
+    import pyarrow.parquet as _pq
+
+    from ray.data.aggregate import Sum
+
+    lo = np.datetime64(date_lo).astype("datetime64[us]").astype("int64")
+    hi = np.datetime64(date_hi).astype("datetime64[us]").astype("int64")
+
+    def partial(batch: pa.Table) -> pa.Table:
+        sd = pc.cast(batch["l_shipdate"], pa.int64())
+        b = batch.filter(pc.and_(pc.greater_equal(sd, lo),
+                                 pc.less(sd, hi)))
+        ext_c = _cents(b["l_extendedprice"]).to_numpy(zero_copy_only=False)
+        disc_c = _cents(b["l_discount"]).to_numpy(zero_copy_only=False)
+        t = pa.table({"s": b["l_suppkey"],
+                      "rev": pa.array(ext_c * (100 - disc_c), pa.int64())})
+        agg = t.group_by(["s"]).aggregate([("rev", "sum")])
+        return pa.table({"s": agg["s"], "rev": agg["rev_sum"]})
+
+    per_supp = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_suppkey", "l_shipdate", "l_extendedprice",
+                 "l_discount"]) \
+        .map_batches(partial, batch_format="pyarrow") \
+        .groupby("s").aggregate(Sum("rev")).materialize()
+
+    best = per_supp.max("sum(rev)")
+
+    supp = _pq.read_table(f"{sf_dir}/supplier.parquet",
+                          columns=["s_suppkey", "s_name"])
+    sref = ray.put(supp.combine_chunks())
+
+    def winners(batch: pa.Table, _s=sref) -> pa.Table:
+        b = batch.filter(pc.equal(batch["sum(rev)"].combine_chunks()
+                                  .cast(pa.int64()), best))
+        st = ray.get(_s)
+        keys = b["s"].combine_chunks().cast(pa.int64())
+        idx = pc.index_in(keys, value_set=st["s_suppkey"]
+                          .combine_chunks().cast(pa.int64()))
+        return pa.table({
+            "s_suppkey": keys,
+            "s_name": pc.take(st["s_name"].combine_chunks(), idx),
+            "total_revenue_units": b["sum(rev)"].combine_chunks()
+                                       .cast(pa.int64()),
+        })
+
+    return per_supp.map_batches(winners, batch_format="pyarrow")
+
+
+def small_order_revenue(sf_dir: str, *, p_type: str = "SMALL"):
+    """TPC-H Q17-shaped small-order revenue: lineitems of ``p_type``
+    parts whose quantity is below 20% of that PART's average quantity —
+    a filter against a per-group aggregate.
+
+    Shape: the part-type key set broadcasts; ONE groupby(partkey)
+    co-locates each part's lineitems, and the group pass computes the
+    per-part stats AND applies the threshold in the same vectorized
+    visit (detail and aggregate co-located — no second scan, no
+    aggregate re-broadcast).  The 20% test is exact integer arithmetic:
+    qty < 0.2 * (sum_qty / n)  <=>  5 * qty_c * n < sum_qty_c.
+    Output: one row (n_small_lineitems, revenue_cents)."""
+    import pyarrow.parquet as _pq
+
+    part = _pq.read_table(f"{sf_dir}/part.parquet",
+                          columns=["p_partkey", "p_type"])
+    pk = pa.array(sorted(
+        k for k, t in zip(part["p_partkey"].to_pylist(),
+                          part["p_type"].to_pylist()) if t == p_type),
+        pa.int64())
+    pref = ray.put(pk)
+
+    def project(batch: pa.Table, _p=pref) -> pa.Table:
+        keep = pc.is_in(batch["l_partkey"].combine_chunks()
+                        .cast(pa.int64()), value_set=ray.get(_p))
+        b = batch.filter(keep)
+        return pa.table({
+            "l_partkey": b["l_partkey"],
+            "qty_c": _cents(b["l_quantity"]),
+            "ext_c": _cents(b["l_extendedprice"]),
+        })
+
+    def per_part(group: pa.Table) -> pa.Table:
+        q = group["qty_c"].to_numpy(zero_copy_only=False)
+        e = group["ext_c"].to_numpy(zero_copy_only=False)
+        small = 5 * q * len(q) < q.sum()
+        return pa.table({
+            "n": pa.array([int(small.sum())], pa.int64()),
+            "rev": pa.array([int(e[small].sum())], pa.int64()),
+        })
+
+    def finish(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "n_small_lineitems": pa.array(
+                [sum(batch["n"].to_pylist())], pa.int64()),
+            "revenue_cents": pa.array(
+                [sum(batch["rev"].to_pylist())], pa.int64()),
+        })
+
+    return rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_partkey", "l_quantity", "l_extendedprice"]) \
+        .map_batches(project, batch_format="pyarrow") \
+        .groupby("l_partkey").map_groups(per_part, batch_format="pyarrow") \
+        .repartition(1) \
+        .map_batches(finish, batch_format="pyarrow", batch_size=None)
