@@ -31,6 +31,7 @@ import json
 import zlib
 
 import pyarrow as pa
+import pyarrow.compute as pc
 
 from kgx.functions.normalize import entity_id
 
@@ -90,31 +91,78 @@ def combine_mentions_batch(batch: pa.Table, *,
                            cap: int = DEFAULT_INSTANCE_CAP) -> pa.Table:
     """In-batch combiner: mentions batch -> one (norm, salt, state) row/key.
 
-    Instances/aliases accumulate raw per batch (bounded by the batch row
-    count) and are deduped/sorted/capped ONCE per key at emit — per-row
-    ``sorted(set(...))`` maintenance is quadratic on hot keys.
+    Vectorized: the per-row work runs as Arrow ``group_by`` counts over
+    (norm, mention) / (norm, type) / distinct (norm, desc) / distinct
+    (norm, url, chunk) — Python touches only DISTINCT combinations (and
+    one crc32 per key for the salt of the key's FIRST row, the single
+    order-dependent field).  Every fold is order-free — counts, the
+    longest-ties-lex-min description max, distinct-sorted-capped
+    instances — so the output is byte-identical to the old per-row loop
+    (pinned by the oracle/e2e parity tests).
     """
+    import numpy as np
+
+    norm_arr = batch["norm_mention"].combine_chunks()
+    ok = pc.fill_null(
+        pc.and_(pc.is_valid(norm_arr), pc.not_equal(norm_arr, "")), False)
+    b = batch.filter(ok)
+    nrows = b.num_rows
+    if nrows == 0:
+        return pa.table({
+            "norm_mention": pa.array([], pa.string()),
+            "salt": pa.array([], pa.int32()),
+            "state": pa.array([], pa.string()),
+        })
     states: dict[str, dict] = {}
-    salts: dict[str, int] = {}
-    for url, chunk_id, mention, norm, etype, desc in zip(
-            batch["url"].to_pylist(), batch["chunk_id"].to_pylist(),
-            batch["mention"].to_pylist(), batch["norm_mention"].to_pylist(),
-            batch["type"].to_pylist(), batch["description"].to_pylist()):
-        if not norm:
-            continue
-        st = states.get(norm)
-        if st is None:
-            st = states[norm] = _new_state()
-            salts[norm] = zlib.crc32(url.encode()) % n_salts
-        st["nc"][mention] = st["nc"].get(mention, 0) + 1
-        st["tc"][etype] = st["tc"].get(etype, 0) + 1
-        st["d"] = _better_desc(st["d"], desc or "")
-        st["n"] += 1
-        st["inst"].append((url, chunk_id))
+
+    def st_of(norm: str) -> dict:
+        s = states.get(norm)
+        if s is None:
+            s = states[norm] = _new_state()
+        return s
+
+    norm_col = b["norm_mention"].combine_chunks()
+    # nc: counts per (norm, raw mention); n: row count per norm
+    nc = pa.table({"k": norm_col, "m": b["mention"].combine_chunks()}) \
+        .group_by(["k", "m"]).aggregate([("m", "count")])
+    for k, m, c in zip(nc["k"].to_pylist(), nc["m"].to_pylist(),
+                       nc["m_count"].to_pylist()):
+        s = st_of(k)
+        s["nc"][m] = c
+        s["n"] += c
+    # tc: counts per (norm, type)
+    tc = pa.table({"k": norm_col, "t": b["type"].combine_chunks()}) \
+        .group_by(["k", "t"]).aggregate([("t", "count")])
+    for k, t, c in zip(tc["k"].to_pylist(), tc["t"].to_pylist(),
+                       tc["t_count"].to_pylist()):
+        st_of(k)["tc"][t] = c
+    # d: fold _better_desc over the DISTINCT descs of each norm
+    # (order-free: longest wins, ties to the lexicographic minimum)
+    dd = pa.table({"k": norm_col, "d": b["description"].combine_chunks()}) \
+        .group_by(["k", "d"]).aggregate([])
+    for k, d in zip(dd["k"].to_pylist(), dd["d"].to_pylist()):
+        s = st_of(k)
+        s["d"] = _better_desc(s["d"], d or "")
+    # inst: distinct (url, chunk_id) per norm, sorted + capped at emit
+    ii = pa.table({"k": norm_col, "u": b["url"].combine_chunks(),
+                   "c": b["chunk_id"].combine_chunks()}) \
+        .group_by(["k", "u", "c"]).aggregate([])
+    for k, u, c in zip(ii["k"].to_pylist(), ii["u"].to_pylist(),
+                       ii["c"].to_pylist()):
+        st_of(k)["inst"].append((u, c))
+    # salt: crc32 of the url on each norm's FIRST row in the batch
+    enc = pc.dictionary_encode(norm_col)
+    codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    norms_first = enc.dictionary.to_pylist()
+    first = np.full(len(norms_first), nrows, dtype=np.int64)
+    np.minimum.at(first, codes, np.arange(nrows, dtype=np.int64))
+    url_col = b["url"].combine_chunks()
+    salts = {norm: zlib.crc32(url_col[int(i)].as_py().encode()) % n_salts
+             for norm, i in zip(norms_first, first)}
     keys = sorted(states)
     for k in keys:
         st = states[k]
-        st["inst"] = _cap_instances(st["inst"], cap)
+        st["inst"] = sorted(st["inst"])[:cap]   # already distinct tuples
         st["al"] = sorted(st["nc"])
     return pa.table({
         "norm_mention": pa.array(keys, pa.string()),
