@@ -264,26 +264,68 @@ def _combine_triples_unresolved(batch: pa.Table, *, min_strength: float,
     """Pre-combine raw triples per batch on the RAW (subj, pred, obj) key
     so the co-shuffle moves one state row per key per batch; the state
     carries the multiplicity (sum, n, instances), so no per-row uid is
-    needed to preserve duplicate triples across the two join shuffles."""
+    needed to preserve duplicate triples across the two join shuffles.
+
+    Vectorized: one STABLE Arrow sort on the key columns co-locates each
+    key's rows in original order and segment boundaries come from
+    shifted vectorized string compares; strengths fold with a
+    per-segment SEQUENTIAL left fold so the float sums are bit-identical
+    to the old per-row ``+=`` loop (pairwise reducers are not).  Stable
+    sort preserves within-key row order, and UTF-8 bytewise sort order
+    equals Python's code-point tuple sort, so the emitted key order
+    matches the old ``sorted(states)``."""
+    import numpy as np
+    mask = pc.fill_null(
+        pc.greater_equal(batch["strength"], min_strength), False)
+    b = batch.filter(mask)
+    nrows = b.num_rows
     states: dict[tuple, dict] = {}
-    for url, chunk_id, subj, pred, obj, strength in zip(
-            batch["url"].to_pylist(), batch["chunk_id"].to_pylist(),
-            batch["subj"].to_pylist(), batch["pred"].to_pylist(),
-            batch["obj"].to_pylist(), batch["strength"].to_pylist()):
-        if strength is None or strength < min_strength:
-            continue
-        key = (subj, pred, obj)
-        st = states.get(key)
-        if st is None:
-            st = states[key] = {"s": subj, "p": pred, "o": obj,
-                                "no": normalize(obj), "sum": 0.0, "n": 0,
-                                "inst": []}
-        st["sum"] += float(strength)
-        st["n"] += 1
-        st["inst"].append((url, chunk_id))
-    keys = sorted(states)
-    for k in keys:
-        states[k]["inst"] = _cap_instances(states[k]["inst"], cap)
+    keys: list = []
+    if nrows:
+        b = pa.table({
+            "subj": b["subj"], "pred": b["pred"], "obj": b["obj"],
+            "url": b["url"], "chunk_id": b["chunk_id"],
+            "strength": b["strength"],
+        }).sort_by([("subj", "ascending"), ("pred", "ascending"),
+                    ("obj", "ascending")])
+        new = np.zeros(nrows, dtype=bool)
+        new[0] = True
+        for col in ("subj", "pred", "obj"):
+            a = b[col].combine_chunks()
+            new[1:] |= pc.not_equal(a.slice(1), a.slice(0, nrows - 1)) \
+                .to_numpy(zero_copy_only=False)
+        starts = np.flatnonzero(new)
+        counts = np.diff(np.r_[starts, nrows])
+        # per-segment SEQUENTIAL float fold: np.add.reduceat sums
+        # pairwise, which is not bit-identical to the old per-row +=
+        # (measured: 4.140000000000001 vs 4.14) — a plain left fold is
+        vals = b["strength"].to_numpy(zero_copy_only=False) \
+            .astype(np.float64).tolist()
+
+        def seg_sum(s0: int, cnt: int) -> float:
+            tot = 0.0
+            for v in vals[s0:s0 + cnt]:
+                tot += v
+            return tot
+
+        sums = [seg_sum(int(s0), int(c))
+                for s0, c in zip(starts, counts)]
+        subj_l = b["subj"].to_pylist()
+        pred_l = b["pred"].to_pylist()
+        obj_l = b["obj"].to_pylist()
+        urls = b["url"].to_pylist()
+        chunks = b["chunk_id"].to_pylist()
+        for s0, cnt, tot in zip(starts.tolist(), counts.tolist(), sums):
+            s_, p_, o_ = subj_l[s0], pred_l[s0], obj_l[s0]
+            key = (s_, p_, o_)
+            keys.append(key)
+            states[key] = {
+                "s": s_, "p": p_, "o": o_, "no": normalize(o_),
+                "sum": float(tot), "n": int(cnt),
+                "inst": _cap_instances(
+                    list(zip(urls[s0:s0 + cnt], chunks[s0:s0 + cnt])),
+                    cap),
+            }
     n = len(keys)
     # "no"/"p" ride along as COLUMNS (duplicating two json fields) so the
     # broadcast resolver can rewrite keys fully vectorized (index_in)
