@@ -236,6 +236,23 @@ def _q_rel_small_orders(sf_dir: str):
     return small_order_revenue(sf_dir)
 
 
+def _q_rel_late_lines(sf_dir: str):
+    """TPC-H Q12-shaped shipping-delay priority histogram — the one
+    fact-fact join whose payload is a single int8 flag; co-shuffled
+    through the bucketed hash_equijoin, then map-side conditional
+    counts."""
+    from kgx.ops.relational import late_priority_lines
+    return late_priority_lines(sf_dir)
+
+
+def _q_rel_brand_rev(sf_dir: str):
+    """TPC-H Q19-shaped disjunctive-predicate revenue — clause-pruned
+    part broadcast + per-batch numpy mask disjunction, exact integer
+    revenue units."""
+    from kgx.ops.relational import brand_discount_revenue
+    return brand_discount_revenue(sf_dir)
+
+
 def _q_recall_lsh(sf_dir: str):
     """Multi-probe LSH recall vs the exact cosine top-k as ONE exact
     driver row (VERDICT r3 item 5): both sides run distributed, the
@@ -1394,6 +1411,55 @@ def _hll_oracle(table: str, col: str, *, key: str | None = None,
     """
 
 
+_CMS_QUERY_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+def _cms_oracle(table: str, col: str, query_values: list[str], *,
+                d: int = 4, w: int = 2048) -> str:
+    """EXACT SQL twin of the count-min sketch (kgx/ops/sketch.py:
+    cms_estimates): md5-low64 value hashes, row r's bucket is
+    (h*(A+r) + r*B) mod 2^64 mod w with the SAME mixing constants, and
+    the point estimate is min over rows of the bucket's TOTAL row count
+    (CMS counters sum every colliding value, so recomputing the bucket
+    histogram over the raw table equals the merged sketch exactly —
+    integer adds are order-free).  The wrapping uint64 multiply is
+    emulated with a 32-bit split (hi*(A+r) mod 2^32 << 32 + lo*(A+r));
+    a direct HUGEINT product would overflow 2^127 since A > 2^63."""
+    A, B = 0x9E3779B97F4A7C15, 0xC2B2AE3D27D4EB4F
+    vals = ", ".join(f"('{v}')" for v in query_values)
+
+    def pos(hv: str) -> str:
+        return (f"CAST((( (CAST({hv} >> 32 AS HUGEINT)"
+                f" * ({A}::HUGEINT + r) % 4294967296) * 4294967296"
+                f" + CAST({hv} & 4294967295 AS HUGEINT)"
+                f" * ({A}::HUGEINT + r)"
+                f" + CAST(r AS HUGEINT) * {B}::HUGEINT)"
+                f" % 18446744073709551616::HUGEINT) % {w} AS BIGINT)")
+
+    return f"""
+        WITH q(value) AS (VALUES {vals}),
+        rs(r) AS (SELECT unnest(generate_series(0, {d - 1}))),
+        eh AS (
+          SELECT CAST('0x' || substr(md5(CAST({col} AS VARCHAR)), 1, 16)
+                      AS UBIGINT) AS hv
+          FROM {table}),
+        counts AS (
+          SELECT r, {pos('hv')} AS pos, count(*) AS c
+          FROM eh CROSS JOIN rs GROUP BY 1, 2),
+        qp AS (
+          SELECT value, r,
+                 {pos("CAST('0x' || substr(md5(value), 1, 16) AS UBIGINT)")}
+                   AS pos
+          FROM q CROSS JOIN rs),
+        est AS (
+          SELECT value, CAST(min(coalesce(c, 0)) AS BIGINT) AS est_count
+          FROM qp LEFT JOIN counts USING (r, pos) GROUP BY value)
+        SELECT value, est_count, CAST({d} AS INT) AS depth,
+               CAST({w} AS INT) AS width
+        FROM est
+    """
+
+
 def _recall_lsh_oracle() -> str:
     """Recall-vs-exact report with BOTH sides recomputed in SQL: the
     multi-probe LSH result (``_lsh_oracle``) joined against the exact
@@ -1613,14 +1679,16 @@ def _q_sketch_cms(sf_dir: str):
     """Count-min point-frequency estimates for the five event types
     (kgx/ops/sketch.py:cms_estimates): per-batch 64 KB count tables
     merged by exact addition — the mergeable upper-bound complement of
-    Misra-Gries.  Approximate by design, rows-only; the one-sided error
-    bound is pinned in tests/test_sketch.py."""
+    Misra-Gries.  EXACT oracle (r4 hash twinning): counter adds are
+    order-free integers and the hash family is md5-low64 + literal
+    mixing constants, so DuckDB recomputes the bucket histogram and the
+    min-over-rows estimate bit for bit (``_cms_oracle``); the one-sided
+    error bound stays pinned in tests/test_sketch.py."""
     import ray.data as rd
     from kgx.ops.sketch import cms_estimates
     ev = rd.read_parquet(f"{sf_dir}/events.parquet",
                          columns=["event_type"])
-    types = ["click", "error", "purchase", "signup", "view"]
-    return cms_estimates(ev, "event_type", types)
+    return cms_estimates(ev, "event_type", _CMS_QUERY_TYPES)
 
 
 def _q_sketch_distinct_by_type(sf_dir: str):
@@ -2458,6 +2526,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rel_custdist": _q_rel_custdist,
         "rel_top_supplier": _q_rel_top_supplier,
         "rel_small_orders": _q_rel_small_orders,
+        "rel_late_lines": _q_rel_late_lines,
+        "rel_brand_rev": _q_rel_brand_rev,
         "events_lag": _q_events_lag,
         "dedup_minhash": _q_dedup_minhash,       # rows-only -> exact r4
         "dedup_simhash": _q_dedup_simhash,       # rows-only -> exact r4
@@ -3667,6 +3737,8 @@ def oracle_sql() -> dict[str, str]:
         "sketch_distinct": _hll_oracle("events", "user_id"),
         "sketch_distinct_by_type": _hll_oracle("events", "user_id",
                                                key="event_type"),
+        "sketch_cms": _cms_oracle("events", "event_type",
+                                  _CMS_QUERY_TYPES),
         "rel_volume": """
             WITH s AS (
               SELECT s_suppkey, n_name AS supp_nation
@@ -3770,6 +3842,43 @@ def oracle_sql() -> dict[str, str]:
                      AS revenue_cents
             FROM l JOIN st USING (l_partkey)
             WHERE 5 * l.qty_c * st.n < st.sq
+        """,
+        "rel_late_lines": """
+            SELECT CAST(year(l.l_shipdate) AS BIGINT) AS ship_year,
+                   CAST(sum(CASE WHEN o.o_orderpriority IN
+                                      ('1-URGENT', '2-HIGH')
+                                 THEN 1 ELSE 0 END) AS BIGINT)
+                     AS high_line_count,
+                   CAST(sum(CASE WHEN o.o_orderpriority IN
+                                      ('1-URGENT', '2-HIGH')
+                                 THEN 0 ELSE 1 END) AS BIGINT)
+                     AS low_line_count
+            FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+            WHERE epoch_us(l.l_shipdate) - epoch_us(o.o_orderdate)
+                  >= 60 * 86400000000
+            GROUP BY 1
+        """,
+        "rel_brand_rev": """
+            WITH j AS (
+              SELECT l.l_quantity AS qty,
+                     CAST(floor(l.l_extendedprice * 100 + 0.5) AS BIGINT)
+                       AS ext_c,
+                     CAST(floor(l.l_discount * 100 + 0.5) AS BIGINT)
+                       AS disc_c,
+                     p.p_brand, p.p_size
+              FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey),
+            m AS (
+              SELECT ext_c, disc_c FROM j
+              WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
+                     AND qty BETWEEN 1.0 AND 20.0)
+                 OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 25
+                     AND qty BETWEEN 10.0 AND 30.0)
+                 OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 35
+                     AND qty BETWEEN 20.0 AND 40.0))
+            SELECT CAST(coalesce(sum(ext_c * (100 - disc_c)), 0)
+                        AS BIGINT) AS revenue_units,
+                   CAST(count(*) AS BIGINT) AS n_lines
+            FROM m
         """,
         "rel_running": """
             SELECT o_custkey, o_orderkey,

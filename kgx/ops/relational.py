@@ -1368,3 +1368,150 @@ def small_order_revenue(sf_dir: str, *, p_type: str = "SMALL"):
         .groupby("l_partkey").map_groups(per_part, batch_format="pyarrow") \
         .repartition(1) \
         .map_batches(finish, batch_format="pyarrow", batch_size=None)
+
+
+def late_priority_lines(sf_dir: str, *, min_delay_days: int = 60):
+    """TPC-H Q12-shaped shipping-delay priority report (the testdata has
+    no l_shipmode/commitdate/receiptdate, so "late" is a ship date >=
+    ``min_delay_days`` after the order date and the grouping key is the
+    ship year — same plan, reference semantics per SURVEY §2.6).
+
+    Plan for the 100 TB shape: both sides are FACT tables, so they
+    co-shuffle through the general bucketed hash equi-join on the order
+    key (kgx/ops/joins.py:hash_equijoin) — orders projected to
+    (o_orderkey, o_orderdate, is_high int8), lineitem to (l_orderkey,
+    l_shipdate) — then the delay filter and the per-year high/low
+    conditional counts fold map-side; the final groupby moves one row
+    per (year, block).  Output: (ship_year, high_line_count,
+    low_line_count).
+    """
+    from ray.data.aggregate import Sum
+
+    from kgx.ops.joins import hash_equijoin
+
+    delay_us = int(min_delay_days) * 86_400_000_000
+
+    def orders_side(batch: pa.Table) -> pa.Table:
+        hi = pc.is_in(batch["o_orderpriority"],
+                      value_set=pa.array(["1-URGENT", "2-HIGH"]))
+        return pa.table({
+            "o_orderkey": batch["o_orderkey"],
+            "o_date_us": pc.cast(batch["o_orderdate"], pa.int64()),
+            "is_high": pc.cast(hi, pa.int64()),
+        })
+
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_orderdate", "o_orderpriority"]) \
+        .map_batches(orders_side, batch_format="pyarrow")
+
+    line = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                           columns=["l_orderkey", "l_shipdate"])
+
+    joined = hash_equijoin(orders, line, left_on="o_orderkey",
+                           right_on="l_orderkey")
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ship_us = pc.cast(batch["l_shipdate"], pa.int64())
+        late = pc.greater_equal(pc.subtract(ship_us, batch["o_date_us"]
+                                            .combine_chunks()
+                                            .cast(pa.int64())),
+                                delay_us)
+        b = batch.filter(late)
+        year = pc.cast(pc.year(b["l_shipdate"]), pa.int64())
+        hi = b["is_high"].combine_chunks().cast(pa.int64())
+        t = pa.table({
+            "ship_year": year,
+            "hi": hi,
+            "lo": pc.subtract(pa.scalar(1, pa.int64()), hi),
+        })
+        return t.group_by(["ship_year"]).aggregate(
+            [("hi", "sum"), ("lo", "sum")])
+
+    def finish(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "ship_year": batch["ship_year"].combine_chunks(),
+            "high_line_count": batch["sum(hi_sum)"].combine_chunks()
+                                    .cast(pa.int64()),
+            "low_line_count": batch["sum(lo_sum)"].combine_chunks()
+                                   .cast(pa.int64()),
+        })
+
+    return (joined.map_batches(partial, batch_format="pyarrow")
+            .groupby("ship_year").aggregate(Sum("hi_sum"), Sum("lo_sum"))
+            .map_batches(finish, batch_format="pyarrow"))
+
+
+_Q19_CLAUSES = (("Brand#1", 1, 15, 1.0, 20.0),
+                ("Brand#2", 1, 25, 10.0, 30.0),
+                ("Brand#3", 1, 35, 20.0, 40.0))
+
+
+def brand_discount_revenue(sf_dir: str, *, clauses=_Q19_CLAUSES):
+    """TPC-H Q19-shaped disjunctive-predicate revenue: total discounted
+    revenue from lineitems matching ANY of the (brand, size range,
+    quantity range) clauses (the testdata has no p_container /
+    l_shipmode, so the clause legs are brand+size+quantity).
+
+    Plan: the part dimension is PRUNED AT BROADCAST TIME to the union
+    of clause brands (a few % of the table), shipped once via
+    ``ray.put`` as parallel (partkey, brand ordinal, size) arrays; each
+    lineitem batch resolves its parts with one vectorized ``index_in``
+    and evaluates the whole disjunction as numpy masks — rows that
+    cannot match any clause never leave the map task, and the "shuffle"
+    is the kilobyte single-row partial stream.  Revenue in exact
+    integer units: sum(ext_cents * (100 - disc_cents)).
+    Output: one row (revenue_units, n_lines).
+    """
+    import pyarrow.parquet as _pq
+
+    brands = [c[0] for c in clauses]
+    part = _pq.read_table(f"{sf_dir}/part.parquet",
+                          columns=["p_partkey", "p_brand", "p_size"])
+    keep = pc.is_in(part["p_brand"], value_set=pa.array(brands))
+    part = part.filter(keep).combine_chunks()
+    bcode = pc.index_in(part["p_brand"],
+                        value_set=pa.array(brands)) \
+        .to_numpy(zero_copy_only=False).astype(np.int64)
+    pref = ray.put((part["p_partkey"].combine_chunks().cast(pa.int64()),
+                    bcode,
+                    part["p_size"].to_numpy(zero_copy_only=False)
+                        .astype(np.int64)))
+
+    def partial(batch: pa.Table, _pref=pref) -> pa.Table:
+        pk, bc, sz = ray.get(_pref)
+        idx = pc.index_in(batch["l_partkey"].combine_chunks()
+                          .cast(pa.int64()), value_set=pk) \
+            .to_numpy(zero_copy_only=False).astype(np.float64)
+        ok = ~np.isnan(idx)
+        ii = idx[ok].astype(np.int64)
+        qty = batch["l_quantity"].to_numpy(zero_copy_only=False)[ok]
+        hit = np.zeros(len(ii), dtype=bool)
+        for ci, (_, slo, shi, qlo, qhi) in enumerate(clauses):
+            hit |= ((bc[ii] == ci) & (sz[ii] >= slo) & (sz[ii] <= shi)
+                    & (qty >= qlo) & (qty <= qhi))
+        sel = np.flatnonzero(ok)[hit]
+        b = batch.take(pa.array(sel, pa.int64()))
+        ext_c = _cents(b["l_extendedprice"]).to_numpy(zero_copy_only=False)
+        disc_c = _cents(b["l_discount"]).to_numpy(zero_copy_only=False)
+        return pa.table({
+            "rev": pa.array([int((ext_c * (100 - disc_c)).sum())],
+                            pa.int64()),
+            "n": pa.array([b.num_rows], pa.int64()),
+        })
+
+    def finish(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "revenue_units": pa.array(
+                [sum(batch["rev"].to_pylist())], pa.int64()),
+            "n_lines": pa.array(
+                [sum(batch["n"].to_pylist())], pa.int64()),
+        })
+
+    return rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_partkey", "l_quantity", "l_extendedprice",
+                 "l_discount"]) \
+        .map_batches(partial, batch_format="pyarrow") \
+        .repartition(1) \
+        .map_batches(finish, batch_format="pyarrow", batch_size=None)
