@@ -253,6 +253,25 @@ def _q_rel_brand_rev(sf_dir: str):
     return brand_discount_revenue(sf_dir)
 
 
+def _q_rel_global_sales(sf_dir: str):
+    """TPC-H Q22-shaped above-average-balance dormant customers per
+    nation — exact integer cross-multiply average test, broadcast
+    anti probe, zero wide shuffles over customer rows."""
+    from kgx.ops.relational import global_sales_opportunity
+    return global_sales_opportunity(sf_dir)
+
+
+def _q_events_rank(sf_dir: str):
+    """SQL ranking-window family (rank / dense_rank / percent_rank ppm
+    / NTILE) per user over event value desc — one narrow groupby."""
+    import ray.data as rd
+
+    from kgx.ops.sequence import rank_features
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_id", "user_id", "value"])
+    return rank_features(ev)
+
+
 def _q_recall_lsh(sf_dir: str):
     """Multi-probe LSH recall vs the exact cosine top-k as ONE exact
     driver row (VERDICT r3 item 5): both sides run distributed, the
@@ -1705,8 +1724,15 @@ def _q_sketch_distinct_by_type(sf_dir: str):
 
 
 def _q_sketch_heavy(sf_dir: str):
-    """Misra-Gries heavy hitters over event types — exact top set at this
-    skew, but counts are lower bounds; rows-only check."""
+    """Misra-Gries heavy hitters over event types.  EXACT oracle (r4):
+    Misra-Gries is provably exact whenever the distinct cardinality
+    never exceeds the counter capacity — no decrement ever fires, so
+    the merged counters ARE the frequencies (kgx/ops/sketch.py:mg_fold
+    evicts only at len == 4*k; events has 5 distinct types vs capacity
+    20).  The SQL twin is therefore the plain frequency top-k ordered
+    (count desc, value asc).  The approximate regime (distinct >
+    capacity, lower-bound counts) stays tolerance-tested in
+    tests/test_sketch.py."""
     import ray.data as rd
     from kgx.ops.sketch import heavy_hitters
     ev = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_type"])
@@ -2528,6 +2554,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rel_small_orders": _q_rel_small_orders,
         "rel_late_lines": _q_rel_late_lines,
         "rel_brand_rev": _q_rel_brand_rev,
+        "rel_global_sales": _q_rel_global_sales,
+        "events_rank": _q_events_rank,
         "events_lag": _q_events_lag,
         "dedup_minhash": _q_dedup_minhash,       # rows-only -> exact r4
         "dedup_simhash": _q_dedup_simhash,       # rows-only -> exact r4
@@ -3739,6 +3767,14 @@ def oracle_sql() -> dict[str, str]:
                                                key="event_type"),
         "sketch_cms": _cms_oracle("events", "event_type",
                                   _CMS_QUERY_TYPES),
+        "sketch_heavy": """
+            SELECT CAST(event_type AS VARCHAR) AS value,
+                   CAST(count(*) AS BIGINT) AS min_count
+            FROM events
+            GROUP BY event_type
+            ORDER BY min_count DESC, value ASC
+            LIMIT 5
+        """,
         "rel_volume": """
             WITH s AS (
               SELECT s_suppkey, n_name AS supp_nation
@@ -3879,6 +3915,54 @@ def oracle_sql() -> dict[str, str]:
                         AS BIGINT) AS revenue_units,
                    CAST(count(*) AS BIGINT) AS n_lines
             FROM m
+        """,
+        "rel_global_sales": """
+            WITH bal AS (
+              SELECT c_custkey, c_nationkey,
+                     CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT)
+                       AS bal_c
+              FROM customer),
+            a AS (
+              SELECT CAST(coalesce(sum(CASE WHEN bal_c > 0
+                                            THEN bal_c END), 0)
+                          AS BIGINT) AS s,
+                     greatest(count(CASE WHEN bal_c > 0 THEN 1 END), 1)
+                       AS n
+              FROM bal),
+            sel AS (
+              SELECT b.c_nationkey, b.bal_c
+              FROM bal b, a
+              WHERE b.bal_c * a.n > a.s
+                AND NOT EXISTS (SELECT 1 FROM orders o
+                                WHERE o.o_custkey = b.c_custkey
+                                  AND o.o_orderdate >=
+                                      TIMESTAMP '1999-01-01'))
+            SELECT nn.n_name AS cntry,
+                   CAST(count(*) AS BIGINT) AS numcust,
+                   CAST(sum(sel.bal_c) AS BIGINT) AS totacctbal_cents
+            FROM sel JOIN nation nn
+              ON sel.c_nationkey = nn.n_nationkey
+            GROUP BY 1
+        """,
+        "events_rank": """
+            WITH e AS (
+              SELECT user_id, event_id,
+                     CAST(floor(value * 100 + 0.5) AS BIGINT)
+                       AS value_cents
+              FROM events)
+            SELECT user_id, event_id, value_cents,
+                   CAST(rank() OVER w AS BIGINT) AS rnk,
+                   CAST(dense_rank() OVER w AS BIGINT) AS dense_rnk,
+                   CAST(floor((rank() OVER w - 1) * 1000000.0
+                        / greatest(count(*) OVER
+                            (PARTITION BY user_id) - 1, 1))
+                        AS BIGINT) AS prank_ppm,
+                   CAST(ntile(4) OVER w2 AS BIGINT) AS tile
+            FROM e
+            WINDOW w AS (PARTITION BY user_id
+                         ORDER BY value_cents DESC),
+                   w2 AS (PARTITION BY user_id
+                          ORDER BY value_cents DESC, event_id)
         """,
         "rel_running": """
             SELECT o_custkey, o_orderkey,

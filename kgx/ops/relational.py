@@ -1515,3 +1515,108 @@ def brand_discount_revenue(sf_dir: str, *, clauses=_Q19_CLAUSES):
         .map_batches(partial, batch_format="pyarrow") \
         .repartition(1) \
         .map_batches(finish, batch_format="pyarrow", batch_size=None)
+
+
+def global_sales_opportunity(sf_dir: str, *, since: str = "1999-01-01"):
+    """TPC-H Q22-shaped report: customers with an above-average positive
+    account balance and no order since ``since``, counted per nation
+    (the testdata has no c_phone, so the country-code grouping key is
+    the nation name; every customer has SOME order in this synthetic
+    data, so the anti-join windows the orders side by date — same plan,
+    reference semantics per SURVEY §2.6).
+
+    Plan for the 100 TB shape, three broadcast-sized artifacts and zero
+    wide shuffles over customer rows:
+      * the positive-balance average reduces map-side to ONE
+        (sum_cents, n_pos) row; the selection test is the exact integer
+        cross-multiplication ``bal_c * n_pos > sum_c`` — no float
+        average ever exists on either side;
+      * orders' DISTINCT custkey set is bounded by the customer count,
+        reduces map-side (per-batch ``pc.unique``), and broadcasts once
+        via ``ray.put`` for a vectorized ``is_in`` anti probe (the
+        unbounded-domain fallback is hash_equijoin(how='left') + null
+        filter, see customers_without_orders);
+      * nation (25 rows) broadcasts as parallel arrays; the final
+        groupby moves one partial row per (nation, block).
+    Output: (cntry, numcust, totacctbal_cents).
+    """
+    import pyarrow.parquet as _pq
+    from ray.data.aggregate import Sum
+
+    from kgx.functions.collect import collect_arrow
+
+    cust_cols = ["c_custkey", "c_nationkey", "c_acctbal"]
+
+    def avg_partial(batch: pa.Table) -> pa.Table:
+        bal_c = _cents(batch["c_acctbal"])
+        pos = pc.greater(bal_c, 0)
+        return pa.table({
+            "s": pa.array([pc.sum(pc.if_else(pos, bal_c, 0)).as_py() or 0],
+                          pa.int64()),
+            "n": pa.array([pc.sum(pc.cast(pos, pa.int64())).as_py() or 0],
+                          pa.int64()),
+        })
+
+    cust_path = f"{sf_dir}/customer.parquet"
+    avg_tbl = collect_arrow(
+        rd.read_parquet(cust_path, columns=["c_acctbal"])
+          .map_batches(avg_partial, batch_format="pyarrow"))
+    sum_c = sum(avg_tbl["s"].to_pylist())
+    n_pos = max(sum(avg_tbl["n"].to_pylist()), 1)
+
+    since_us = np.datetime64(since).astype("datetime64[us]") \
+        .astype("int64")
+
+    def okeys_partial(batch: pa.Table) -> pa.Table:
+        keep = batch.filter(pc.greater_equal(
+            pc.cast(batch["o_orderdate"], pa.int64()), since_us))
+        return pa.table({"k": pc.unique(keep["o_custkey"]
+                                        .combine_chunks())})
+
+    keys_tbl = collect_arrow(
+        rd.read_parquet(f"{sf_dir}/orders.parquet",
+                        columns=["o_custkey", "o_orderdate"])
+          .map_batches(okeys_partial, batch_format="pyarrow")
+          .groupby("k").count())
+    have = pc.unique(keys_tbl["k"].combine_chunks()) \
+        if keys_tbl.num_rows else pa.array([], pa.int64())
+    kref = ray.put(have)
+
+    nat = _pq.read_table(f"{sf_dir}/nation.parquet",
+                         columns=["n_nationkey", "n_name"])
+    nref = ray.put((nat["n_nationkey"].combine_chunks().cast(pa.int64()),
+                    nat["n_name"].combine_chunks()))
+
+    def partial(batch: pa.Table) -> pa.Table:
+        bal_c = _cents(batch["c_acctbal"])
+        sel = pc.and_(
+            pc.greater(pc.multiply(pc.cast(bal_c, pa.int64()),
+                                   pa.scalar(n_pos, pa.int64())),
+                       pa.scalar(sum_c, pa.int64())),
+            pc.invert(pc.is_in(batch["c_custkey"].combine_chunks(),
+                               value_set=ray.get(kref))))
+        b = batch.filter(sel)
+        nk, nn = ray.get(nref)
+        idx = pc.index_in(b["c_nationkey"].combine_chunks()
+                          .cast(pa.int64()), value_set=nk)
+        t = pa.table({
+            "cntry": nn.take(idx),
+            "bal": _cents(b["c_acctbal"]),
+            "one": pa.array(np.ones(b.num_rows, np.int64)),
+        })
+        return t.group_by(["cntry"]).aggregate(
+            [("one", "sum"), ("bal", "sum")])
+
+    def finish(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "cntry": batch["cntry"].combine_chunks(),
+            "numcust": batch["sum(one_sum)"].combine_chunks()
+                            .cast(pa.int64()),
+            "totacctbal_cents": batch["sum(bal_sum)"].combine_chunks()
+                                     .cast(pa.int64()),
+        })
+
+    return (rd.read_parquet(cust_path, columns=cust_cols)
+            .map_batches(partial, batch_format="pyarrow")
+            .groupby("cntry").aggregate(Sum("one_sum"), Sum("bal_sum"))
+            .map_batches(finish, batch_format="pyarrow"))

@@ -235,3 +235,51 @@ def json_field_stats(events_ds, *, props_col: str = "props",
 
     return (events_ds.map_batches(partial, batch_format="pyarrow")
             .groupby("key").map_groups(finalize, batch_format="pyarrow"))
+
+
+def rank_features(events_ds, *, key: str = "user_id",
+                  id_col: str = "event_id", value_col: str = "value",
+                  tiles: int = 4):
+    """Per-key SQL ranking-window family over ``value_col`` descending:
+    tie-aware rank -> percent_rank in integer ppm
+    (floor((rank-1) * 1e6 / max(n-1, 1)) — identical IEEE double ops on
+    both sides), dense_rank, and NTILE(tiles) over the id-tiebroken
+    total order (first n % tiles tiles get the extra row, SQL
+    semantics).
+
+    Scale shape: ONE narrow groupby(key) shuffle of (key, id,
+    value-cents) rows; each group's ranks are a single lexsort +
+    run-length arithmetic (no Python row loop).  Per-key groups are
+    bounded by events-per-user — the same fits-a-worker assumption
+    every ordered-window op here documents.
+    Output: (key, id, value_cents, rnk, dense_rnk, prank_ppm, tile).
+    """
+    def win(group: pa.Table) -> pa.Table:
+        ids = np.asarray(group[id_col].to_pylist(), dtype=np.int64)
+        cents = _cents(group[value_col])
+        order = np.lexsort((ids, -cents))          # value desc, id asc
+        ids_s, cents_s = ids[order], cents[order]
+        n = len(ids_s)
+        new = np.r_[True, cents_s[1:] != cents_s[:-1]]
+        firsts = np.flatnonzero(new)
+        sizes = np.diff(np.r_[firsts, n])
+        rnk = np.repeat(firsts + 1, sizes)
+        dense = np.cumsum(new)
+        prank = np.floor((rnk - 1) * 1000000.0
+                         / max(n - 1, 1)).astype(np.int64)
+        base, rem = divmod(n, tiles)
+        i = np.arange(n)
+        cut = rem * (base + 1)
+        tile = np.where(i < cut, i // (base + 1),
+                        rem + (i - cut) // max(base, 1)) + 1
+        return pa.table({
+            key: group[key].take(pa.array(order, pa.int64())),
+            id_col: pa.array(ids_s, pa.int64()),
+            "value_cents": pa.array(cents_s, pa.int64()),
+            "rnk": pa.array(rnk, pa.int64()),
+            "dense_rnk": pa.array(dense, pa.int64()),
+            "prank_ppm": pa.array(prank, pa.int64()),
+            "tile": pa.array(tile, pa.int64()),
+        })
+
+    return events_ds.groupby(key).map_groups(win, batch_format="pyarrow")

@@ -84,3 +84,46 @@ def test_topn_and_window_match_duckdb_on_random_tables(ray_session):
         b = [tuple(str(x) for x in r)
              for r in want_w[cols].itertuples(index=False)]
         assert sorted(a) == sorted(b)
+
+
+def test_rank_features_matches_duckdb_with_ties(ray_session):
+    """rank/dense_rank/percent_rank/NTILE vs DuckDB on adversarial
+    shapes: heavy value ties and keys with fewer rows than tiles."""
+    from kgx.ops.sequence import rank_features
+    rng = np.random.default_rng(11)
+    n = 120
+    t = pa.table({
+        "user_id": pa.array(rng.integers(0, 10, n), pa.int64()),
+        "event_id": pa.array(rng.permutation(n), pa.int64()),
+        # values drawn from 4 levels -> many exact ties per key
+        "value": pa.array(rng.choice([1.25, 2.5, 2.5, 7.75], n),
+                          pa.float64()),
+    })
+    # one key with a single row, one with 2 (< tiles=4)
+    t = pa.concat_tables([t, pa.table({
+        "user_id": pa.array([97, 98, 98], pa.int64()),
+        "event_id": pa.array([9001, 9002, 9003], pa.int64()),
+        "value": pa.array([3.0, 4.0, 4.0], pa.float64()),
+    })])
+    got = rank_features(rd.from_arrow(t)).to_pandas() \
+        .sort_values(["user_id", "event_id"]).reset_index(drop=True)
+    con = duckdb.connect()
+    con.register("events", t)
+    want = con.sql("""
+        WITH e AS (SELECT user_id, event_id,
+                     CAST(floor(value*100+0.5) AS BIGINT) AS value_cents
+                   FROM events)
+        SELECT user_id, event_id, value_cents,
+               CAST(rank() OVER w AS BIGINT) AS rnk,
+               CAST(dense_rank() OVER w AS BIGINT) AS dense_rnk,
+               CAST(floor((rank() OVER w - 1) * 1000000.0
+                    / greatest(count(*) OVER (PARTITION BY user_id) - 1,
+                               1)) AS BIGINT) AS prank_ppm,
+               CAST(ntile(4) OVER w2 AS BIGINT) AS tile
+        FROM e
+        WINDOW w AS (PARTITION BY user_id ORDER BY value_cents DESC),
+               w2 AS (PARTITION BY user_id
+                      ORDER BY value_cents DESC, event_id)
+        ORDER BY user_id, event_id
+    """).df().reset_index(drop=True)
+    assert got.astype("int64").equals(want.astype("int64"))
