@@ -272,6 +272,25 @@ def _q_events_rank(sf_dir: str):
     return rank_features(ev)
 
 
+def _q_rel_cube(sf_dir: str):
+    """GROUP BY CUBE(l_returnflag, l_linestatus): one wide shuffle for
+    the finest level, three re-aggregations of the tiny output."""
+    from kgx.ops.relational import pricing_cube
+    return pricing_cube(sf_dir)
+
+
+def _q_events_corr(sf_dir: str):
+    """Per-type Pearson correlation (hour-of-day vs value) from exact
+    int64 moment sums — one deterministic double expression at the end,
+    integer ppm both sides."""
+    import ray.data as rd
+
+    from kgx.ops.window import corr_by_key
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_type", "value", "ts"])
+    return corr_by_key(ev)
+
+
 def _q_recall_lsh(sf_dir: str):
     """Multi-probe LSH recall vs the exact cosine top-k as ONE exact
     driver row (VERDICT r3 item 5): both sides run distributed, the
@@ -2555,7 +2574,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rel_late_lines": _q_rel_late_lines,
         "rel_brand_rev": _q_rel_brand_rev,
         "rel_global_sales": _q_rel_global_sales,
+        "rel_cube": _q_rel_cube,
         "events_rank": _q_events_rank,
+        "events_corr": _q_events_corr,
         "events_lag": _q_events_lag,
         "dedup_minhash": _q_dedup_minhash,       # rows-only -> exact r4
         "dedup_simhash": _q_dedup_simhash,       # rows-only -> exact r4
@@ -3914,6 +3935,47 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST(coalesce(sum(ext_c * (100 - disc_c)), 0)
                         AS BIGINT) AS revenue_units,
                    CAST(count(*) AS BIGINT) AS n_lines
+            FROM m
+        """,
+        "rel_cube": """
+            SELECT l_returnflag, l_linestatus,
+                   CAST(sum(CAST(floor(l_quantity * 100 + 0.5)
+                                 AS BIGINT)) AS BIGINT) AS sum_qty_cents,
+                   CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5)
+                                 AS BIGINT)) AS BIGINT)
+                     AS sum_price_cents,
+                   CAST(count(*) AS BIGINT) AS n_rows
+            FROM lineitem
+            GROUP BY CUBE (l_returnflag, l_linestatus)
+        """,
+        "events_corr": """
+            WITH m AS (
+              SELECT event_type,
+                     CAST(count(*) AS BIGINT) AS n,
+                     CAST(sum((epoch_us(ts) // 3600000000) % 24)
+                          AS BIGINT) AS sx,
+                     CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT))
+                          AS BIGINT) AS sy,
+                     CAST(sum(((epoch_us(ts) // 3600000000) % 24)
+                              * CAST(floor(value * 100 + 0.5) AS BIGINT))
+                          AS BIGINT) AS sxy,
+                     CAST(sum(((epoch_us(ts) // 3600000000) % 24)
+                              * ((epoch_us(ts) // 3600000000) % 24))
+                          AS BIGINT) AS sx2,
+                     CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)
+                              * CAST(floor(value * 100 + 0.5) AS BIGINT))
+                          AS BIGINT) AS sy2
+              FROM events GROUP BY event_type)
+            SELECT event_type, n, sx AS sum_x, sy AS sum_y,
+                   sxy AS sum_xy,
+                   CASE WHEN (n * sx2 - sx * sx) > 0
+                             AND (n * sy2 - sy * sy) > 0
+                        THEN CAST(floor(
+                          CAST(n * sxy - sx * sy AS DOUBLE) * 1000000.0
+                          / sqrt(CAST(n * sx2 - sx * sx AS DOUBLE)
+                                 * CAST(n * sy2 - sy * sy AS DOUBLE)))
+                          AS BIGINT)
+                        ELSE 0 END AS corr_ppm
             FROM m
         """,
         "rel_global_sales": """

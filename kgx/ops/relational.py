@@ -1620,3 +1620,82 @@ def global_sales_opportunity(sf_dir: str, *, since: str = "1999-01-01"):
             .map_batches(partial, batch_format="pyarrow")
             .groupby("cntry").aggregate(Sum("one_sum"), Sum("bal_sum"))
             .map_batches(finish, batch_format="pyarrow"))
+
+
+def pricing_cube(sf_dir: str):
+    """GROUP BY CUBE(l_returnflag, l_linestatus) over lineitem — the
+    full grouping-set lattice {(rf,ls), (rf), (ls), ()}.
+
+    Scale shape, same as pricing_rollup plus one extra set: the raw
+    table is scanned and shuffled exactly ONCE for the finest level;
+    every other grouping set re-aggregates that already-tiny (one row
+    per key combination) output, so CUBE costs one wide shuffle plus
+    three shuffles over pre-aggregated rows.  SQL-convention NULLs mark
+    the rolled-up key positions.
+    Output: (l_returnflag, l_linestatus, sum_qty_cents,
+    sum_price_cents, n_rows).
+    """
+    ds = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_returnflag", "l_linestatus", "l_quantity",
+                 "l_extendedprice"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = pa.table({
+            "l_returnflag": batch["l_returnflag"],
+            "l_linestatus": batch["l_linestatus"],
+            "qty_c": _cents(batch["l_quantity"]),
+            "ext_c": _cents(batch["l_extendedprice"]),
+            "one": pa.array(np.ones(batch.num_rows, dtype=np.int64)),
+        })
+        return (t.group_by(["l_returnflag", "l_linestatus"])
+                 .aggregate([("qty_c", "sum"), ("ext_c", "sum"),
+                             ("one", "sum")]))
+
+    def merge(group: pa.Table, keys: list[str]) -> pa.Table:
+        cols = {k: group[k].slice(0, 1) for k in keys}
+        for m in ("qty_c_sum", "ext_c_sum", "one_sum"):
+            cols[m] = pa.array([sum(group[m].to_pylist())], pa.int64())
+        return pa.table(cols)
+
+    base = (ds.map_batches(partial, batch_format="pyarrow")
+              .groupby(["l_returnflag", "l_linestatus"])
+              .map_groups(
+                  lambda g: merge(g, ["l_returnflag", "l_linestatus"]),
+                  batch_format="pyarrow"))
+
+    by_rf = base.groupby("l_returnflag").map_groups(
+        lambda g: merge(g, ["l_returnflag"]), batch_format="pyarrow")
+    by_ls = base.groupby("l_linestatus").map_groups(
+        lambda g: merge(g, ["l_linestatus"]), batch_format="pyarrow")
+
+    def grand_total(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            m: pa.array([sum(batch[m].to_pylist())], pa.int64())
+            for m in ("qty_c_sum", "ext_c_sum", "one_sum")})
+
+    total = by_rf.repartition(1).map_batches(
+        grand_total, batch_format="pyarrow", batch_size=None)
+
+    def shape(with_rf: bool, with_ls: bool):
+        def fn(batch: pa.Table) -> pa.Table:
+            n = batch.num_rows
+            null_s = pa.nulls(n, pa.string())
+            return pa.table({
+                "l_returnflag": batch["l_returnflag"] if with_rf
+                                else null_s,
+                "l_linestatus": batch["l_linestatus"] if with_ls
+                                else null_s,
+                "sum_qty_cents": batch["qty_c_sum"],
+                "sum_price_cents": batch["ext_c_sum"],
+                "n_rows": batch["one_sum"],
+            })
+        return fn
+
+    return (base.map_batches(shape(True, True), batch_format="pyarrow")
+            .union(by_rf.map_batches(shape(True, False),
+                                     batch_format="pyarrow"))
+            .union(by_ls.map_batches(shape(False, True),
+                                     batch_format="pyarrow"))
+            .union(total.map_batches(shape(False, False),
+                                     batch_format="pyarrow")))

@@ -15,6 +15,7 @@ bound state by watermarking window keys (documented, not implemented).
 
 from __future__ import annotations
 
+import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
@@ -343,3 +344,69 @@ def lag_deltas(events_ds, *, key: str = "user_id", ts_col: str = "ts"):
 
     return events_ds.map_batches(project, batch_format="pyarrow") \
         .groupby(key).map_groups(per_key, batch_format="pyarrow")
+
+
+def corr_by_key(events_ds, *, key: str = "event_type",
+                value_col: str = "value", ts_col: str = "ts"):
+    """Per-key Pearson correlation between hour-of-day and value, from
+    EXACT integer moment sums.
+
+    All five moments (Σx, Σy, Σxy, Σx², Σy² with x = hour-of-day,
+    y = value in integer cents) accumulate as int64 — order-free, so
+    the map-side in-batch fold + one narrow groupby(key) is exact; the
+    correlation itself is then ONE deterministic double expression over
+    those exact integers (floor(1e6·num/√(d₁·d₂)) — identical IEEE ops
+    in numpy and the SQL twin), emitted in integer ppm.  The shuffle
+    moves one 7-int row per (key, block).
+    Output: (key, n, sum_x, sum_y, sum_xy, corr_ppm).
+    """
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        us = pc.cast(batch[ts_col], pa.int64()).to_numpy(
+            zero_copy_only=False)
+        x = (us // 3_600_000_000) % 24
+        y = np.floor(np.asarray(batch[value_col].to_pylist(),
+                                dtype=np.float64) * 100.0
+                     + 0.5).astype(np.int64)
+        t = pa.table({
+            key: batch[key],
+            "n": pa.array(np.ones(len(x), np.int64)),
+            "sx": pa.array(x, pa.int64()),
+            "sy": pa.array(y, pa.int64()),
+            "sxy": pa.array(x * y, pa.int64()),
+            "sx2": pa.array(x * x, pa.int64()),
+            "sy2": pa.array(y * y, pa.int64()),
+        })
+        return t.group_by([key]).aggregate(
+            [(c, "sum") for c in ("n", "sx", "sy", "sxy", "sx2", "sy2")])
+
+    def finish(batch: pa.Table) -> pa.Table:
+        n = batch["sum(n_sum)"].to_numpy(zero_copy_only=False)
+        sx = batch["sum(sx_sum)"].to_numpy(zero_copy_only=False)
+        sy = batch["sum(sy_sum)"].to_numpy(zero_copy_only=False)
+        sxy = batch["sum(sxy_sum)"].to_numpy(zero_copy_only=False)
+        sx2 = batch["sum(sx2_sum)"].to_numpy(zero_copy_only=False)
+        sy2 = batch["sum(sy2_sum)"].to_numpy(zero_copy_only=False)
+        num = n * sxy - sx * sy                      # exact int64
+        d1 = n * sx2 - sx * sx
+        d2 = n * sy2 - sy * sy
+        denom = np.sqrt(d1.astype(np.float64) * d2.astype(np.float64))
+        safe = np.where(denom > 0.0, denom, 1.0)
+        corr = np.where(denom > 0.0,
+                        np.floor(num.astype(np.float64) * 1e6 / safe),
+                        0.0).astype(np.int64)
+        return pa.table({
+            key: batch[key].combine_chunks(),
+            "n": pa.array(n, pa.int64()),
+            "sum_x": pa.array(sx, pa.int64()),
+            "sum_y": pa.array(sy, pa.int64()),
+            "sum_xy": pa.array(sxy, pa.int64()),
+            "corr_ppm": pa.array(corr, pa.int64()),
+        })
+
+    return (events_ds.map_batches(partial, batch_format="pyarrow")
+            .groupby(key)
+            .aggregate(*[Sum(f"{c}_sum")
+                         for c in ("n", "sx", "sy", "sxy", "sx2", "sy2")])
+            .map_batches(finish, batch_format="pyarrow"))
