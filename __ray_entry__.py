@@ -272,6 +272,18 @@ def _q_events_rank(sf_dir: str):
     return rank_features(ev)
 
 
+def _q_dedup_fuzzy(sf_dir: str):
+    """Fuzzy-string near-dup pairs (prefix Hamming <= 2) with EXACT
+    pigeonhole chunk blocking — every qualifying pair found, no recall
+    caveat; oracle brute-forces the O(n^2) hamming join."""
+    import ray.data as rd
+
+    from kgx.ops.dedup import prefix_hamming_pairs
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text"])
+    return prefix_hamming_pairs(docs)
+
+
 def _q_rel_cube(sf_dir: str):
     """GROUP BY CUBE(l_returnflag, l_linestatus): one wide shuffle for
     the finest level, three re-aggregations of the tiny output."""
@@ -2575,6 +2587,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rel_brand_rev": _q_rel_brand_rev,
         "rel_global_sales": _q_rel_global_sales,
         "rel_cube": _q_rel_cube,
+        "dedup_fuzzy": _q_dedup_fuzzy,
         "events_rank": _q_events_rank,
         "events_corr": _q_events_corr,
         "events_lag": _q_events_lag,
@@ -3936,6 +3949,16 @@ def oracle_sql() -> dict[str, str]:
                         AS BIGINT) AS revenue_units,
                    CAST(count(*) AS BIGINT) AS n_lines
             FROM m
+        """,
+        "dedup_fuzzy": """
+            WITH p AS (
+              SELECT doc_id,
+                     rpad(substr(text, 1, 24), 24, chr(1)) AS pre
+              FROM documents)
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   CAST(hamming(a.pre, b.pre) AS BIGINT) AS dist
+            FROM p a JOIN p b ON a.doc_id < b.doc_id
+            WHERE hamming(a.pre, b.pre) <= 2
         """,
         "rel_cube": """
             SELECT l_returnflag, l_linestatus,

@@ -921,3 +921,111 @@ def _embedding_dup_pairs_bucketed(emb_ds, *, threshold: float,
     rep = emb_ds.map_batches(replicate, batch_format="pyarrow")
     return rep.groupby("gid").map_groups(group_pairs,
                                          batch_format="pyarrow")
+
+
+def prefix_hamming_pairs(docs_ds, *, prefix_chars: int = 24,
+                         max_dist: int = 2, n_buckets: int = 256,
+                         max_pairs: int = DEFAULT_MAX_BUCKET_PAIRS):
+    """Fuzzy-string near-dup pairs: documents whose first
+    ``prefix_chars`` characters (padded with chr(1)) differ in at most
+    ``max_dist`` positions — the Hamming cousin of edit-distance
+    blocking, catching title/boilerplate variants exact dedup misses.
+
+    EXACT candidate generation by pigeonhole: the prefix splits into
+    ``max_dist + 1`` aligned chunks, and any pair within ``max_dist``
+    substitutions must agree on at least one whole chunk, so emitting
+    one (chunk_idx, chunk_value) row per document per chunk and
+    grouping on it finds EVERY qualifying pair — no recall caveat
+    (unlike MinHash banding).  Ownership: each in-group segment holds
+    both full prefixes, so a pair is emitted only from its FIRST
+    matching chunk index — no dedup shuffle downstream.
+
+    Scale shape: (max_dist+1) narrow (bucket-hash, chunk, prefix, id)
+    rows per document ride ONE groupby; in-group work is a lexsort +
+    per-segment vectorized char-matrix compare (one Python call per
+    256-way bucket, minhash-style).  A boilerplate-degenerate chunk
+    value goes quadratic in its members, so emission caps at
+    ``max_pairs`` with the drop logged.  Output: (doc_a, doc_b, dist),
+    each unordered pair exactly once.
+    """
+    import hashlib as _hl
+
+    n_chunks = max_dist + 1
+    width = prefix_chars // n_chunks
+    assert prefix_chars % n_chunks == 0, "prefix_chars % (max_dist+1) != 0"
+    pad = "\x01"
+
+    def chunk_rows(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_pylist()
+        texts = batch["text"].to_pylist()
+        pres = [(t or "")[:prefix_chars].ljust(prefix_chars, pad)
+                for t in texts]
+        out_b, out_c, out_id, out_p = [], [], [], []
+        for did, pre in zip(ids, pres):
+            for ci in range(n_chunks):
+                val = pre[ci * width:(ci + 1) * width]
+                h = int.from_bytes(
+                    _hl.md5(f"{ci}|{val}".encode()).digest()[:8], "big")
+                out_b.append(h % n_buckets)
+                out_c.append(ci)
+                out_id.append(did)
+                out_p.append(pre)
+        return pa.table({
+            "bkey": pa.array(out_b, pa.int64()),
+            "ci": pa.array(out_c, pa.int64()),
+            "doc_id": pa.array(out_id, pa.int64()),
+            "pre": pa.array(out_p, pa.string()),
+        })
+
+    def bucket_pairs(group: pa.Table) -> pa.Table:
+        ids = np.asarray(group["doc_id"].to_pylist(), dtype=np.int64)
+        cis = np.asarray(group["ci"].to_pylist(), dtype=np.int64)
+        pres = group["pre"].to_pylist()
+        P = np.array(pres, dtype=f"U{prefix_chars}") \
+            .view("U1").reshape(len(pres), prefix_chars)
+        chunk_vals = np.array([p[ci * width:(ci + 1) * width]
+                               for p, ci in zip(pres, cis)],
+                              dtype=f"U{width}")
+        order = np.lexsort((ids, chunk_vals, cis))
+        c_s, v_s = cis[order], chunk_vals[order]
+        starts = np.flatnonzero(np.r_[True, (c_s[1:] != c_s[:-1]) |
+                                      (v_s[1:] != v_s[:-1])])
+        ends = np.r_[starts[1:], len(order)]
+        a_c, b_c, d_c = [], [], []
+        for s, e in zip(starts, ends):
+            if e - s < 2:
+                continue
+            seg = order[s:e]
+            ci = int(c_s[s])
+            sid, sP = ids[seg], P[seg]
+            iu, ju = np.triu_indices(e - s, k=1)
+            eq = sP[iu] == sP[ju]                      # (pairs, P) bool
+            dist = prefix_chars - eq.sum(axis=1)
+            chunk_eq = eq.reshape(len(iu), n_chunks, width).all(axis=2)
+            first = chunk_eq.argmax(axis=1)
+            keep = np.flatnonzero((dist <= max_dist) & (first == ci)
+                                  & (sid[iu] != sid[ju]))
+            if len(keep) > max_pairs:
+                _log_bucket_drop("prefix_hamming_pairs", e - s, max_pairs,
+                                 len(keep) - max_pairs)
+                keep = keep[:max_pairs]
+            if len(keep):
+                lo = np.minimum(sid[iu[keep]], sid[ju[keep]])
+                hi = np.maximum(sid[iu[keep]], sid[ju[keep]])
+                a_c.append(lo)
+                b_c.append(hi)
+                d_c.append(dist[keep])
+        if not a_c:
+            return pa.table({"doc_a": pa.array([], pa.int64()),
+                             "doc_b": pa.array([], pa.int64()),
+                             "dist": pa.array([], pa.int64())})
+        return pa.table({
+            "doc_a": pa.array(np.concatenate(a_c), pa.int64()),
+            "doc_b": pa.array(np.concatenate(b_c), pa.int64()),
+            "dist": pa.array(np.concatenate(d_c).astype(np.int64),
+                             pa.int64()),
+        })
+
+    return (docs_ds.map_batches(chunk_rows, batch_format="pyarrow")
+            .groupby("bkey")
+            .map_groups(bucket_pairs, batch_format="pyarrow"))

@@ -137,3 +137,61 @@ class TestNearDup:
         t = pq.read_table(p2["nodes"])
         assert t.schema.equals(NODES_SCHEMA)
         assert 0 < t.num_rows <= n_before
+
+
+class TestPrefixHammingPairs:
+    """Pigeonhole-blocked fuzzy prefix dedup vs a brute-force reference."""
+
+    def _brute(self, ids, texts, P=24, k=2):
+        pres = [(t or "")[:P].ljust(P, "\x01") for t in texts]
+        out = set()
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                d = sum(a != b for a, b in zip(pres[i], pres[j]))
+                if d <= k:
+                    out.add((min(ids[i], ids[j]),
+                             max(ids[i], ids[j]), d))
+        return out
+
+    def test_matches_bruteforce_on_mutated_corpus(self, ray_session):
+        import numpy as np
+        import pyarrow as pa
+        import ray.data as rd
+
+        from kgx.ops.dedup import prefix_hamming_pairs
+        rng = np.random.default_rng(3)
+        base = ["the quick brown fox jumps over the lazy dog",
+                "pack my box with five dozen liquor jugs",
+                "short", ""]
+        texts, ids = [], []
+        n = 0
+        for b in base:
+            for _ in range(12):                 # mutated variants
+                s = list(b)
+                for _ in range(int(rng.integers(0, 4))):
+                    if s:
+                        s[int(rng.integers(0, len(s)))] = chr(
+                            97 + int(rng.integers(0, 26)))
+                texts.append("".join(s))
+                ids.append(n)
+                n += 1
+        t = pa.table({"doc_id": pa.array(ids, pa.int64()),
+                      "text": pa.array(texts, pa.string())})
+        got = prefix_hamming_pairs(rd.from_arrow(t)).to_pandas()
+        got_set = set(zip(got.doc_a, got.doc_b, got.dist))
+        assert got_set == self._brute(ids, texts)
+
+    def test_each_pair_emitted_once(self, ray_session):
+        import pyarrow as pa
+        import ray.data as rd
+
+        from kgx.ops.dedup import prefix_hamming_pairs
+        # identical prefixes -> all three chunks match; ownership must
+        # still emit the pair exactly once
+        t = pa.table({"doc_id": pa.array([1, 2, 3], pa.int64()),
+                      "text": pa.array(["same exact prefix here!!"] * 3,
+                                       pa.string())})
+        got = prefix_hamming_pairs(rd.from_arrow(t)).to_pandas()
+        assert sorted(zip(got.doc_a, got.doc_b)) == [(1, 2), (1, 3),
+                                                     (2, 3)]
+        assert (got.dist == 0).all()
