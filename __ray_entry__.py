@@ -206,6 +206,17 @@ def _q_rel_running(sf_dir: str):
     return running_revenue(sf_dir)
 
 
+def _q_events_dcount(sf_dir: str):
+    """Exact COUNT(DISTINCT user) per (tumbling hour, event_type) —
+    map-side triple dedupe, shuffle bounded by distinct triples."""
+    import ray.data as rd
+
+    from kgx.ops.window import window_distinct_users
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["ts", "event_type", "user_id"])
+    return window_distinct_users(ev)
+
+
 def _q_events_lag(sf_dir: str):
     """Per-user LAG() window: previous event id + gap seconds."""
     import ray.data as rd
@@ -2590,6 +2601,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_fuzzy": _q_dedup_fuzzy,
         "events_rank": _q_events_rank,
         "events_corr": _q_events_corr,
+        "events_dcount": _q_events_dcount,
         "events_lag": _q_events_lag,
         "dedup_minhash": _q_dedup_minhash,       # rows-only -> exact r4
         "dedup_simhash": _q_dedup_simhash,       # rows-only -> exact r4
@@ -3970,6 +3982,14 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(*) AS BIGINT) AS n_rows
             FROM lineitem
             GROUP BY CUBE (l_returnflag, l_linestatus)
+        """,
+        "events_dcount": """
+            SELECT make_timestamp((epoch_us(ts) // 3600000000)
+                                  * 3600000000) AS window_start,
+                   event_type,
+                   CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+            FROM events
+            GROUP BY 1, 2
         """,
         "events_corr": """
             WITH m AS (

@@ -338,6 +338,24 @@ def run_scaling(sf_dir: str, repeats: int = 3,
                 100.0 * (s_after - s_before) / max(1, t_after - t_before), 3)
             samples[ncpu].append(h)
 
+    # Engine-independent hardware ceiling, measured in the SAME window:
+    # the identical kernel chain under pure multiprocessing (no Ray) at
+    # 8 and 32 processes.  Per-core speed on this co-tenant VM degrades
+    # with occupancy (shared bandwidth/LLC — invisible to steal), so the
+    # probe's own 8->32 per-core ratio bounds what ANY engine can read
+    # here; an efficiency at-or-above it means the pipeline adds no
+    # scaling loss of its own.  See tools/bandwidth_probe.py.
+    hw_ceiling = None
+    try:
+        from tools.bandwidth_probe import probe as _hw_probe
+        n_pages = max(200, int(_sf_of(sf_dir) * PAGES_PER_SF)) or 1000
+        pages_dir = _pages_corpus(n_pages)
+        pages_file = os.path.join(pages_dir,
+                                  sorted(os.listdir(pages_dir))[0])
+        hw_ceiling = _hw_probe(pages_file, levels=(8, 32))
+    except Exception as exc:                     # pragma: no cover
+        sys.stderr.write(f"bandwidth probe failed: {exc}\n")
+
     min_calib = min(h["calib_ms_per_page"]
                     for hs in samples.values() for h in hs)
 
@@ -381,6 +399,7 @@ def run_scaling(sf_dir: str, repeats: int = 3,
                                      "32": stat[32]["pages_per_sec"]},
         "efficiency_unfiltered_median": round(
             (med_all[32] / med_all[8]) / 4.0, 4),
+        "hw_ceiling": hw_ceiling,
         "samples": {
             str(n): [{"pages_per_sec": h["pages_per_sec"],
                       "wall_sec": h["wall_sec"],

@@ -410,3 +410,39 @@ def corr_by_key(events_ds, *, key: str = "event_type",
             .aggregate(*[Sum(f"{c}_sum")
                          for c in ("n", "sx", "sy", "sxy", "sx2", "sy2")])
             .map_batches(finish, batch_format="pyarrow"))
+
+
+def window_distinct_users(events_ds, *, width_s: int = 3600,
+                          key: str = "event_type",
+                          user_col: str = "user_id"):
+    """Exact distinct-user counts per (tumbling window, key) — COUNT
+    (DISTINCT u) is not a mergeable fold, so it runs as TWO narrow
+    stages: (1) per-batch dedupe of (window, key, user) triples (the
+    map-side combiner — repeat visits within a batch collapse before
+    the shuffle), one groupby over the triples to finish global
+    dedup, then (2) an in-group size count.  The all-to-all carries one
+    row per DISTINCT (window, key, user) — bounded by active users ×
+    windows, not events.  The sketch alternative at unbounded key
+    cardinality is the grouped HLL (kgx/ops/sketch.py).
+    Output: (window_start, key, n_users).
+    """
+    def triples(batch: pa.Table) -> pa.Table:
+        b = assign_tumbling(batch, width_s=width_s)
+        t = pa.table({
+            "window_start": b["window_start"],
+            key: b[key],
+            user_col: b[user_col],
+        })
+        return t.group_by(["window_start", key, user_col]).aggregate([])
+
+    def finish(group: pa.Table) -> pa.Table:
+        users = group[user_col].combine_chunks()
+        return pa.table({
+            "window_start": group["window_start"].slice(0, 1),
+            key: group[key].slice(0, 1),
+            "n_users": pa.array([len(pc.unique(users))], pa.int64()),
+        })
+
+    return (events_ds.map_batches(triples, batch_format="pyarrow")
+            .groupby(["window_start", key])
+            .map_groups(finish, batch_format="pyarrow"))
