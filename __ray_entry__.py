@@ -295,6 +295,13 @@ def _q_dedup_fuzzy(sf_dir: str):
     return prefix_hamming_pairs(docs)
 
 
+def _q_multimodal_dedup(sf_dir: str):
+    """Exact payload-identity groups over the media-shaped table —
+    payloads reduce to md5 digests map-side; binary never shuffles."""
+    from kgx.ops.multimodal import docs_as_media, media_dedup_groups
+    return media_dedup_groups(docs_as_media(sf_dir))
+
+
 def _q_rel_cube(sf_dir: str):
     """GROUP BY CUBE(l_returnflag, l_linestatus): one wide shuffle for
     the finest level, three re-aggregations of the tiny output."""
@@ -2599,6 +2606,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rel_global_sales": _q_rel_global_sales,
         "rel_cube": _q_rel_cube,
         "dedup_fuzzy": _q_dedup_fuzzy,
+        "multimodal_dedup": _q_multimodal_dedup,
         "events_rank": _q_events_rank,
         "events_corr": _q_events_corr,
         "events_dcount": _q_events_dcount,
@@ -3961,6 +3969,15 @@ def oracle_sql() -> dict[str, str]:
                         AS BIGINT) AS revenue_units,
                    CAST(count(*) AS BIGINT) AS n_lines
             FROM m
+        """,
+        "multimodal_dedup": """
+            WITH t AS (
+              SELECT 'doc-' || CAST(doc_id AS VARCHAR) AS media_id,
+                     md5(text) AS checksum
+              FROM documents)
+            SELECT checksum, CAST(count(*) AS BIGINT) AS n_copies,
+                   min(media_id) AS keep_id
+            FROM t GROUP BY checksum
         """,
         "dedup_fuzzy": """
             WITH p AS (

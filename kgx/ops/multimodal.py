@@ -207,3 +207,45 @@ class FrameSampleStage:
             "frame_ts_ms": pa.array(tss, pa.int64()),
             "frame_digest": pa.array(digs, pa.binary()),
         })
+
+
+def media_dedup_groups(media_ds, *, n_buckets: int = 256):
+    """Exact payload-identity groups over the media shape: one row per
+    distinct checksum with its copy count and the keeper (smallest
+    media_id) — singletons keep ``n_copies = 1``, the same all-groups
+    convention as :func:`kgx.ops.dedup.exact_dup_groups`.
+
+    Scale shape — the PAYLOAD never rides the shuffle: each batch
+    reduces map-side to narrow (checksum, media_id) rows (binary
+    columns are the wide side of a media table; moving 16-byte digests
+    instead is the whole point), then one groupby over a 256-way
+    digest-bucket key folds every checksum group in a vectorized
+    lexsort + run-length pass (the same bucketed-fold idiom as
+    kgx/ops/dedup.py).  Output: (checksum, n_copies, keep_id).
+    """
+    def tag(batch: pa.Table) -> pa.Table:
+        sums = [hashlib.md5(p).hexdigest()
+                for p in batch["payload"].to_pylist()]
+        return pa.table({
+            "bkey": pa.array([int(s[:4], 16) % n_buckets for s in sums],
+                             pa.int64()),
+            "checksum": pa.array(sums, pa.string()),
+            "media_id": batch["media_id"].combine_chunks(),
+        })
+
+    def fold(group: pa.Table) -> pa.Table:
+        sums = np.asarray(group["checksum"].to_pylist())
+        ids = np.asarray(group["media_id"].to_pylist())
+        order = np.lexsort((ids, sums))
+        s_s, i_s = sums[order], ids[order]
+        starts = np.flatnonzero(np.r_[True, s_s[1:] != s_s[:-1]])
+        sizes = np.diff(np.r_[starts, len(s_s)])
+        return pa.table({
+            "checksum": pa.array(s_s[starts], pa.string()),
+            "n_copies": pa.array(sizes.astype(np.int64), pa.int64()),
+            "keep_id": pa.array(i_s[starts], pa.string()),
+        })
+
+    return (media_ds.map_batches(tag, batch_format="pyarrow")
+            .groupby("bkey")
+            .map_groups(fold, batch_format="pyarrow"))

@@ -268,6 +268,25 @@ class TestMultimodalStages:
         assert list(per["frame_index"]) == [0, 1, 2]
         assert per["frame_ts_ms"].is_monotonic_increasing
 
+    def test_media_dedup_groups(self, ray_session):
+        import pyarrow as pa
+        import ray.data as rd
+        from kgx.ops.multimodal import media_dedup_groups
+        media = rd.from_arrow(pa.table({
+            "media_id": pa.array(["m3", "m0", "m1", "m2"], pa.string()),
+            "media_type": pa.array(["image/png"] * 4, pa.string()),
+            "payload": pa.array([b"dup", b"dup", b"uniq", b"dup"],
+                                pa.binary()),
+        }))
+        out = media_dedup_groups(media).to_pandas()
+        assert len(out) == 2
+        by = out.set_index("checksum")
+        import hashlib
+        dup = hashlib.md5(b"dup").hexdigest()
+        assert by.loc[dup, "n_copies"] == 3
+        assert by.loc[dup, "keep_id"] == "m0"
+        assert by.loc[hashlib.md5(b"uniq").hexdigest(), "n_copies"] == 1
+
     def test_real_paths_require_libs(self):
         import pytest as pt
         from kgx.ops.multimodal import FrameSampleStage, ResizeStage
