@@ -309,6 +309,13 @@ def _q_rel_cube(sf_dir: str):
     return pricing_cube(sf_dir)
 
 
+def _q_rel_waiting(sf_dir: str):
+    """TPC-H Q21 shape: exists/anti-exists self-join on lineitem,
+    folded per order inside a bucketed map_groups."""
+    from kgx.ops.relational import waiting_suppliers
+    return waiting_suppliers(sf_dir)
+
+
 def _q_events_corr(sf_dir: str):
     """Per-type Pearson correlation (hour-of-day vs value) from exact
     int64 moment sums — one deterministic double expression at the end,
@@ -2605,6 +2612,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rel_brand_rev": _q_rel_brand_rev,
         "rel_global_sales": _q_rel_global_sales,
         "rel_cube": _q_rel_cube,
+        "rel_waiting": _q_rel_waiting,
         "dedup_fuzzy": _q_dedup_fuzzy,
         "multimodal_dedup": _q_multimodal_dedup,
         "events_rank": _q_events_rank,
@@ -3999,6 +4007,29 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(*) AS BIGINT) AS n_rows
             FROM lineitem
             GROUP BY CUBE (l_returnflag, l_linestatus)
+        """,
+        "rel_waiting": """
+            WITH l AS (
+              SELECT l_orderkey, l_suppkey,
+                     (epoch_us(l_shipdate) - epoch_us(o_orderdate)
+                      > 90 * 86400000000) AS late
+              FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+              WHERE o_orderstatus = 'F')
+            SELECT n_name, s_name, CAST(count(*) AS BIGINT) AS numwait
+            FROM l l1
+            JOIN supplier ON s_suppkey = l1.l_suppkey
+            JOIN nation ON n_nationkey = s_nationkey
+            WHERE l1.late
+              AND EXISTS (SELECT 1 FROM l l2
+                          WHERE l2.l_orderkey = l1.l_orderkey
+                            AND l2.l_suppkey <> l1.l_suppkey)
+              AND NOT EXISTS (SELECT 1 FROM l l3
+                              WHERE l3.l_orderkey = l1.l_orderkey
+                                AND l3.l_suppkey <> l1.l_suppkey
+                                AND l3.late)
+            GROUP BY 1, 2
+            ORDER BY numwait DESC, s_name
+            LIMIT 100
         """,
         "events_dcount": """
             SELECT make_timestamp((epoch_us(ts) // 3600000000)

@@ -1699,3 +1699,130 @@ def pricing_cube(sf_dir: str):
                                      batch_format="pyarrow"))
             .union(total.map_batches(shape(False, False),
                                      batch_format="pyarrow")))
+
+
+def waiting_suppliers(sf_dir: str, *, delay_days: int = 90,
+                      n: int = 100, n_buckets: int = 256):
+    """TPC-H Q21-shaped waiting-suppliers report: for finalized orders
+    ('F'), count per supplier the late lineitems where at least one
+    OTHER supplier contributed to the order (EXISTS) but no other
+    supplier was late (NOT EXISTS) — the classic exists/anti-exists
+    self-join on lineitem.  The testdata has no commit/receipt dates,
+    so "late" is a ship date more than ``delay_days`` after the order
+    date (the same Q12 adaptation, SURVEY §2.6); the single-nation
+    filter is widened to a per-nation column so the report is
+    data-robust at every sf.
+
+    Plan for the 100 TB shape: orders filter map-side to status 'F'
+    and project (o_orderkey, o_date_us); lineitem projects
+    (l_orderkey, l_suppkey, l_shipdate); ONE fact-fact co-shuffle on
+    the order key (kgx/ops/joins.py:hash_equijoin), then the
+    exists/anti-exists logic folds per ORDER inside a 256-way
+    bucketed ``map_groups`` — lexsort by (order, supplier), segment
+    boundaries via flatnonzero, per-(order, supplier) late counts via
+    ``np.add.reduceat``, per-order distinct/late-supplier counts via a
+    second reduceat over the segment array — one vectorized pass per
+    bucket, no per-order Python.  Each bucket emits pre-aggregated
+    (suppkey, numwait) partials; the final groupby moves one row per
+    (supplier, bucket).  Supplier name + nation resolve from a
+    broadcast dim map on the tiny aggregated output before the global
+    sort + limit.  Output: (n_name, s_name, numwait).
+    """
+    import pyarrow.parquet as _pq
+
+    from ray.data.aggregate import Sum
+
+    from kgx.ops.joins import hash_equijoin
+
+    delay_us = int(delay_days) * 86_400_000_000
+
+    def orders_side(batch: pa.Table) -> pa.Table:
+        b = batch.filter(pc.equal(batch["o_orderstatus"], "F"))
+        return pa.table({
+            "o_orderkey": b["o_orderkey"],
+            "o_date_us": pc.cast(b["o_orderdate"], pa.int64()),
+        })
+
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_orderstatus", "o_orderdate"]) \
+        .map_batches(orders_side, batch_format="pyarrow")
+
+    line = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_suppkey", "l_shipdate"])
+
+    joined = hash_equijoin(orders, line, left_on="o_orderkey",
+                           right_on="l_orderkey")
+
+    def bucketize(batch: pa.Table) -> pa.Table:
+        okey = batch["o_orderkey"].combine_chunks().cast(pa.int64())
+        late = pc.greater(
+            pc.subtract(pc.cast(batch["l_shipdate"], pa.int64()),
+                        batch["o_date_us"].combine_chunks()
+                             .cast(pa.int64())),
+            pa.scalar(delay_us, pa.int64()))
+        return pa.table({
+            "bkey": pc.bit_wise_and(okey, pa.scalar(n_buckets - 1,
+                                                    pa.int64())),
+            "okey": okey,
+            "skey": batch["l_suppkey"].combine_chunks().cast(pa.int64()),
+            "late": pc.cast(late, pa.int64()),
+        })
+
+    def fold(group: pa.Table) -> pa.Table:
+        o = group["okey"].to_numpy(zero_copy_only=False)
+        s = group["skey"].to_numpy(zero_copy_only=False)
+        l = group["late"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((s, o))
+        o_s, s_s, l_s = o[order], s[order], l[order]
+        # (order, supplier) segments
+        seg = np.flatnonzero(np.r_[True, (o_s[1:] != o_s[:-1])
+                                   | (s_s[1:] != s_s[:-1])])
+        seg_o, seg_s = o_s[seg], s_s[seg]
+        late_cnt = np.add.reduceat(l_s, seg)
+        # order segments over the (order, supplier) segment array
+        ost = np.flatnonzero(np.r_[True, seg_o[1:] != seg_o[:-1]])
+        n_supp = np.diff(np.r_[ost, len(seg_o)])
+        has_late = (late_cnt > 0).astype(np.int64)
+        n_late_supp = np.add.reduceat(has_late, ost)
+        qualifies = (n_supp >= 2) & (n_late_supp == 1)
+        oidx = np.cumsum(np.r_[0, (seg_o[1:] != seg_o[:-1])
+                               .astype(np.int64)])
+        mask = (late_cnt > 0) & qualifies[oidx]
+        if not mask.any():
+            return pa.table({"skey": pa.array([], pa.int64()),
+                             "numwait_part": pa.array([], pa.int64())})
+        t = pa.table({"skey": pa.array(seg_s[mask], pa.int64()),
+                      "numwait_part": pa.array(late_cnt[mask],
+                                               pa.int64())})
+        return t.group_by(["skey"]).aggregate([("numwait_part", "sum")]) \
+                .rename_columns(["skey", "numwait_part"])
+
+    supp = _pq.read_table(f"{sf_dir}/supplier.parquet",
+                          columns=["s_suppkey", "s_name", "s_nationkey"])
+    nat = _pq.read_table(f"{sf_dir}/nation.parquet",
+                         columns=["n_nationkey", "n_name"])
+    sref = ray.put((supp["s_suppkey"].combine_chunks().cast(pa.int64()),
+                    supp["s_name"].combine_chunks(),
+                    supp["s_nationkey"].combine_chunks().cast(pa.int64()),
+                    nat["n_nationkey"].combine_chunks().cast(pa.int64()),
+                    nat["n_name"].combine_chunks()))
+
+    def attach(batch: pa.Table, _d=sref) -> pa.Table:
+        sk, sname, snat, nk, nn = ray.get(_d)
+        si = pc.index_in(batch["skey"].combine_chunks(), value_set=sk)
+        ni = pc.index_in(snat.take(si), value_set=nk)
+        return pa.table({
+            "n_name": nn.take(ni),
+            "s_name": sname.take(si),
+            "numwait": batch["sum(numwait_part)"].combine_chunks()
+                            .cast(pa.int64()),
+        })
+
+    return (joined.map_batches(bucketize, batch_format="pyarrow")
+            .groupby("bkey").map_groups(fold, batch_format="pyarrow")
+            .groupby("skey").aggregate(Sum("numwait_part"))
+            .map_batches(attach, batch_format="pyarrow")
+            .sort(["numwait", "s_name"], descending=[True, False])
+            .limit(n))

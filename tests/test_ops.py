@@ -296,6 +296,53 @@ class TestMultimodalStages:
             FrameSampleStage(fake=False)
 
 
+def test_waiting_suppliers_semantics(ray_session, tmp_path):
+    """Q21 corner cases: an order where TWO suppliers are late counts
+    for neither; a single-supplier order never counts (no other
+    supplier exists); multiple late lines of the one late supplier
+    each count."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from kgx.ops.relational import waiting_suppliers
+
+    d0 = pa.scalar("1996-01-01", pa.string()).cast(pa.timestamp("us"))
+    on_time = pa.scalar("1996-02-01", pa.string()) \
+        .cast(pa.timestamp("us"))
+    late = pa.scalar("1996-06-01", pa.string()).cast(pa.timestamp("us"))
+    # o1: s1 late twice, s2 on time -> s1 numwait 2
+    # o2: s1 late, s2 late -> nobody
+    # o3: s3 late, sole supplier -> nobody
+    # o4: status 'O' (not finalized) -> ignored entirely
+    pq.write_table(pa.table({
+        "o_orderkey": pa.array([1, 2, 3, 4], pa.int64()),
+        "o_orderstatus": pa.array(["F", "F", "F", "O"], pa.string()),
+        "o_orderdate": pa.array([d0.as_py()] * 4, pa.timestamp("us")),
+    }), tmp_path / "orders.parquet")
+    pq.write_table(pa.table({
+        "l_orderkey": pa.array([1, 1, 1, 2, 2, 3, 4, 4], pa.int64()),
+        "l_suppkey": pa.array([1, 1, 2, 1, 2, 3, 1, 2], pa.int64()),
+        "l_shipdate": pa.array(
+            [late.as_py(), late.as_py(), on_time.as_py(), late.as_py(),
+             late.as_py(), late.as_py(), late.as_py(), on_time.as_py()],
+            pa.timestamp("us")),
+    }), tmp_path / "lineitem.parquet")
+    pq.write_table(pa.table({
+        "s_suppkey": pa.array([1, 2, 3], pa.int64()),
+        "s_name": pa.array(["S1", "S2", "S3"], pa.string()),
+        "s_nationkey": pa.array([0, 0, 1], pa.int64()),
+    }), tmp_path / "supplier.parquet")
+    pq.write_table(pa.table({
+        "n_nationkey": pa.array([0, 1], pa.int64()),
+        "n_name": pa.array(["N0", "N1"], pa.string()),
+    }), tmp_path / "nation.parquet")
+
+    out = waiting_suppliers(str(tmp_path)).to_pandas()
+    assert len(out) == 1
+    assert out.iloc[0]["s_name"] == "S1"
+    assert out.iloc[0]["n_name"] == "N0"
+    assert out.iloc[0]["numwait"] == 2
+
+
 def test_filter_quality(ray_session):
     import pyarrow as pa
     import ray.data as rd
