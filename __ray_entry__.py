@@ -316,6 +316,42 @@ def _q_rel_waiting(sf_dir: str):
     return waiting_suppliers(sf_dir)
 
 
+def _q_rel_profit(sf_dir: str):
+    """TPC-H Q9 shape: part-filter broadcast + supplier->nation
+    broadcast resolve + ONE fact-fact co-shuffle on the order key."""
+    from kgx.ops.relational import nation_profit
+    return nation_profit(sf_dir)
+
+
+def _q_rel_important(sf_dir: str):
+    """TPC-H Q11 shape: HAVING against a global scalar — per-part
+    narrow groupby, threshold reduced over the AGGREGATED output,
+    exact integer cross-multiplication test."""
+    from kgx.ops.relational import important_parts
+    return important_parts(sf_dir)
+
+
+def _q_rel_mincost(sf_dir: str):
+    """TPC-H Q2 shape: correlated-min join-back — per-part argmin rows
+    resolved in one bucketed vectorized fold, all ties kept."""
+    from kgx.ops.relational import min_cost_supplier
+    return min_cost_supplier(sf_dir)
+
+
+def _q_rel_suppcnt(sf_dir: str):
+    """TPC-H Q16 shape: COUNT(DISTINCT supplier) per part-attr triple
+    with a broadcast NOT-IN exclusion; map-side per-batch distinct."""
+    from kgx.ops.relational import supplier_part_counts
+    return supplier_part_counts(sf_dir)
+
+
+def _q_rel_dominant(sf_dir: str):
+    """TPC-H Q20 shape: per-(part,supplier) share vs per-part total in
+    one bucketed fold; EXISTS reduced to a distinct survivor keyset."""
+    from kgx.ops.relational import dominant_suppliers
+    return dominant_suppliers(sf_dir)
+
+
 def _q_events_corr(sf_dir: str):
     """Per-type Pearson correlation (hour-of-day vs value) from exact
     int64 moment sums — one deterministic double expression at the end,
@@ -2613,6 +2649,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rel_global_sales": _q_rel_global_sales,
         "rel_cube": _q_rel_cube,
         "rel_waiting": _q_rel_waiting,
+        "rel_profit": _q_rel_profit,
+        "rel_important": _q_rel_important,
+        "rel_mincost": _q_rel_mincost,
+        "rel_suppcnt": _q_rel_suppcnt,
+        "rel_dominant": _q_rel_dominant,
         "dedup_fuzzy": _q_dedup_fuzzy,
         "multimodal_dedup": _q_multimodal_dedup,
         "events_rank": _q_events_rank,
@@ -4030,6 +4071,93 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY 1, 2
             ORDER BY numwait DESC, s_name
             LIMIT 100
+        """,
+        "rel_profit": """
+            SELECT n_name AS nation,
+                   CAST(year(o_orderdate) AS BIGINT) AS o_year,
+                   CAST(sum(
+                     CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+                     * (100 - CAST(floor(l_discount * 100 + 0.5)
+                                   AS BIGINT))) AS BIGINT) AS profit_units
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN nation ON s_nationkey = n_nationkey
+            WHERE l_partkey IN (SELECT p_partkey FROM part
+                                WHERE p_name LIKE '%red%')
+            GROUP BY 1, 2
+        """,
+        "rel_important": """
+            WITH v AS (
+              SELECT l_partkey,
+                     CAST(sum(
+                       CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+                       * (100 - CAST(floor(l_discount * 100 + 0.5)
+                                     AS BIGINT))) AS BIGINT) AS value_units
+              FROM lineitem
+              WHERE l_suppkey IN (SELECT s_suppkey FROM supplier
+                                  JOIN nation ON s_nationkey = n_nationkey
+                                  WHERE n_name = 'NATION_3')
+              GROUP BY 1)
+            SELECT l_partkey, value_units FROM v
+            WHERE value_units * 1000000
+                  > (SELECT sum(value_units) FROM v) * 1000
+        """,
+        "rel_mincost": """
+            WITH f AS (
+              SELECT DISTINCT l.l_partkey AS p_partkey, l.l_suppkey,
+                     CAST(floor(l.l_extendedprice * 100 + 0.5)
+                          AS BIGINT) AS cost_cents
+              FROM lineitem l
+              JOIN part p ON l.l_partkey = p.p_partkey
+              WHERE p.p_size = 25
+                AND CAST(floor(l.l_extendedprice * 100 + 0.5) AS BIGINT)
+                    = (SELECT min(CAST(floor(l2.l_extendedprice * 100
+                                             + 0.5) AS BIGINT))
+                       FROM lineitem l2
+                       WHERE l2.l_partkey = l.l_partkey))
+            SELECT CAST(floor(s.s_acctbal * 100 + 0.5) AS BIGINT)
+                     AS s_acctbal_cents,
+                   s.s_name, n.n_name, f.p_partkey, f.cost_cents
+            FROM f
+            JOIN supplier s ON f.l_suppkey = s.s_suppkey
+            JOIN nation n ON s.s_nationkey = n.n_nationkey
+            ORDER BY s_acctbal_cents DESC, n.n_name, s.s_name,
+                     f.p_partkey
+            LIMIT 100
+        """,
+        "rel_suppcnt": """
+            SELECT p_brand, p_type, CAST(p_size AS BIGINT) AS p_size,
+                   CAST(count(DISTINCT l_suppkey) AS BIGINT)
+                     AS supplier_cnt
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            WHERE p_brand <> 'Brand#1'
+              AND p_size IN (5, 11, 20, 28, 37, 42, 49, 3)
+              AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier
+                                    WHERE s_acctbal < 0)
+            GROUP BY 1, 2, 3
+        """,
+        "rel_dominant": """
+            WITH q AS (
+              SELECT l_partkey, l_suppkey,
+                     CAST(sum(CAST(floor(l_quantity * 100 + 0.5)
+                                   AS BIGINT)) AS BIGINT) AS sq
+              FROM lineitem
+              WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+                AND l_shipdate <  TIMESTAMP '1998-01-01'
+                AND l_partkey IN (SELECT p_partkey FROM part
+                                  WHERE p_name LIKE '%bolt%')
+              GROUP BY 1, 2),
+            t AS (SELECT l_partkey, sum(sq) AS tq FROM q GROUP BY 1)
+            SELECT s.s_name,
+                   CAST(floor(s.s_acctbal * 100 + 0.5) AS BIGINT)
+                     AS s_acctbal_cents
+            FROM supplier s
+            WHERE s.s_suppkey IN (
+              SELECT q.l_suppkey FROM q
+              JOIN t ON q.l_partkey = t.l_partkey
+              WHERE q.sq * 100 > t.tq * 20)
+            ORDER BY s.s_name
         """,
         "events_dcount": """
             SELECT make_timestamp((epoch_us(ts) // 3600000000)

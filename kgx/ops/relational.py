@@ -1826,3 +1826,426 @@ def waiting_suppliers(sf_dir: str, *, delay_days: int = 90,
             .map_batches(attach, batch_format="pyarrow")
             .sort(["numwait", "s_name"], descending=[True, False])
             .limit(n))
+
+
+def nation_profit(sf_dir: str, *, name_frag: str = "red"):
+    """TPC-H Q9-shaped profit report: revenue from lineitems whose part
+    name contains ``name_frag``, grouped by the SUPPLIER's nation and
+    the order year.  (The testdata has no partsupp, so profit is plain
+    ``extprice*(1-disc)`` in exact integer units — the supplycost term
+    of Q9 has no source column; the JOIN SHAPE is the point: two
+    broadcast dimension resolutions on the fact side, one fact-fact
+    co-shuffle.  Reference analog: SURVEY §2.4-§2.5 multi-dim rollup.)
+
+    100 TB plan: the part-name filter reduces to a broadcast int64
+    partkey SET (part is ~2 % of lineitem's bytes; at cluster scale
+    swap to a Bloom filter + hash_equijoin co-shuffle — same bound as
+    rel_promo); supplier->nation resolves map-side from broadcast
+    parallel arrays (KB-scale); orders contributes only
+    (o_orderkey, year) through ONE fact-fact co-shuffle on the order
+    key; per-(nation, year) partials fold map-side so the final groupby
+    moves one row per (nation, year, block).
+    Output: (nation, o_year, profit_units)."""
+    import pyarrow.parquet as _pq
+
+    from kgx.ops.joins import hash_equijoin
+    from ray.data.aggregate import Sum
+
+    part = _pq.read_table(f"{sf_dir}/part.parquet",
+                          columns=["p_partkey", "p_name"])
+    keep = pc.match_substring(part["p_name"], name_frag)
+    pset = ray.put(part.filter(keep)["p_partkey"].combine_chunks()
+                   .cast(pa.int64()))
+
+    supp = _pq.read_table(f"{sf_dir}/supplier.parquet",
+                          columns=["s_suppkey", "s_nationkey"])
+    nat = _pq.read_table(f"{sf_dir}/nation.parquet",
+                         columns=["n_nationkey", "n_name"])
+    sref = ray.put((supp["s_suppkey"].combine_chunks().cast(pa.int64()),
+                    supp["s_nationkey"].combine_chunks().cast(pa.int64()),
+                    nat["n_nationkey"].combine_chunks().cast(pa.int64()),
+                    nat["n_name"].combine_chunks()))
+
+    def line_side(batch: pa.Table, _p=pset, _s=sref) -> pa.Table:
+        b = batch.filter(pc.is_in(batch["l_partkey"].combine_chunks()
+                                  .cast(pa.int64()),
+                                  value_set=ray.get(_p)))
+        sk, sn, nk, _ = ray.get(_s)
+        si = pc.index_in(b["l_suppkey"].combine_chunks().cast(pa.int64()),
+                         value_set=sk)
+        ni = pc.index_in(sn.take(si), value_set=nk)
+        ext_c = _cents(b["l_extendedprice"]).to_numpy(zero_copy_only=False)
+        disc_c = _cents(b["l_discount"]).to_numpy(zero_copy_only=False)
+        return pa.table({
+            "l_orderkey": b["l_orderkey"],
+            "nidx": pc.cast(ni, pa.int64()),
+            "profit_part": pa.array(ext_c * (100 - disc_c), pa.int64()),
+        })
+
+    line = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_partkey", "l_suppkey",
+                 "l_extendedprice", "l_discount"]) \
+        .map_batches(line_side, batch_format="pyarrow")
+
+    def order_side(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "o_orderkey": batch["o_orderkey"],
+            "o_year": pc.cast(pc.year(batch["o_orderdate"]
+                                      .combine_chunks()), pa.int64()),
+        })
+
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_orderdate"]) \
+        .map_batches(order_side, batch_format="pyarrow")
+
+    joined = hash_equijoin(orders, line, left_on="o_orderkey",
+                           right_on="l_orderkey")
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = pa.table({"nidx": batch["nidx"], "o_year": batch["o_year"],
+                      "p": batch["profit_part"]})
+        agg = t.group_by(["nidx", "o_year"]).aggregate([("p", "sum")])
+        return pa.table({"nidx": agg["nidx"], "o_year": agg["o_year"],
+                         "p": agg["p_sum"]})
+
+    def finish(batch: pa.Table, _s=sref) -> pa.Table:
+        _, _, _, nn = ray.get(_s)
+        return pa.table({
+            "nation": nn.take(batch["nidx"].combine_chunks()
+                              .cast(pa.int64())),
+            "o_year": batch["o_year"].combine_chunks().cast(pa.int64()),
+            "profit_units": batch["sum(p)"].combine_chunks()
+                                 .cast(pa.int64()),
+        })
+
+    return (joined.map_batches(partial, batch_format="pyarrow")
+            .groupby(["nidx", "o_year"]).aggregate(Sum("p"))
+            .map_batches(finish, batch_format="pyarrow"))
+
+
+def important_parts(sf_dir: str, *, nation: str = "NATION_3",
+                    fraction_ppm: int = 1000):
+    """TPC-H Q11-shaped "important stock" report: per-part revenue from
+    the suppliers of ONE nation, keeping parts whose value exceeds
+    ``fraction_ppm`` parts-per-million of the nation's total (Q11's
+    HAVING-against-a-scalar-subquery shape; supplycost*availqty has no
+    source columns here so value is exact integer revenue units).
+
+    100 TB plan: the nation's suppkey set broadcasts (KB); per-partkey
+    partials fold map-side so ONE narrow (partkey) groupby runs; the
+    global threshold is computed by a second map-side reduction OVER
+    THE AGGREGATED per-part output (rows = distinct parts, already
+    ~lineitem/30 and shrinking with scale) — the fact table is read
+    once.  The HAVING test is the exact integer cross-multiplication
+    ``value * 1_000_000 > total * fraction_ppm`` — no float ratio
+    exists on either side.  Output: (l_partkey, value_units)."""
+    import pyarrow.parquet as _pq
+
+    from kgx.functions.collect import collect_arrow
+    from ray.data.aggregate import Sum
+
+    supp = _pq.read_table(f"{sf_dir}/supplier.parquet",
+                          columns=["s_suppkey", "s_nationkey"])
+    nat = _pq.read_table(f"{sf_dir}/nation.parquet",
+                         columns=["n_nationkey", "n_name"])
+    nk = {r["n_name"]: r["n_nationkey"] for r in nat.to_pylist()}[nation]
+    sset = ray.put(supp.filter(
+        pc.equal(supp["s_nationkey"], nk))["s_suppkey"]
+        .combine_chunks().cast(pa.int64()))
+
+    def partial(batch: pa.Table, _s=sset) -> pa.Table:
+        b = batch.filter(pc.is_in(batch["l_suppkey"].combine_chunks()
+                                  .cast(pa.int64()),
+                                  value_set=ray.get(_s)))
+        ext_c = _cents(b["l_extendedprice"]).to_numpy(zero_copy_only=False)
+        disc_c = _cents(b["l_discount"]).to_numpy(zero_copy_only=False)
+        t = pa.table({
+            "l_partkey": pc.cast(b["l_partkey"].combine_chunks(),
+                                 pa.int64()),
+            "v": pa.array(ext_c * (100 - disc_c), pa.int64()),
+        })
+        agg = t.group_by(["l_partkey"]).aggregate([("v", "sum")])
+        return pa.table({"l_partkey": agg["l_partkey"],
+                         "v": agg["v_sum"]})
+
+    per_part = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_partkey", "l_suppkey", "l_extendedprice",
+                 "l_discount"]) \
+        .map_batches(partial, batch_format="pyarrow") \
+        .groupby("l_partkey").aggregate(Sum("v")) \
+        .materialize()
+
+    total_tbl = collect_arrow(per_part.map_batches(
+        lambda b: pa.table({"t": pa.array(
+            [pc.sum(b["sum(v)"]).as_py() or 0], pa.int64())}),
+        batch_format="pyarrow"))
+    total = sum(total_tbl["t"].to_pylist())
+
+    def having(batch: pa.Table) -> pa.Table:
+        v = batch["sum(v)"].combine_chunks().cast(pa.int64())
+        keep = pc.greater(
+            pc.multiply(v, pa.scalar(1_000_000, pa.int64())),
+            pa.scalar(total * fraction_ppm, pa.int64()))
+        b = batch.filter(keep)
+        return pa.table({
+            "l_partkey": b["l_partkey"].combine_chunks().cast(pa.int64()),
+            "value_units": b["sum(v)"].combine_chunks().cast(pa.int64()),
+        })
+
+    return per_part.map_batches(having, batch_format="pyarrow")
+
+
+def min_cost_supplier(sf_dir: str, *, size: int = 25,
+                      type_name: str | None = None, n: int = 100):
+    """TPC-H Q2-shaped minimum-cost supplier: for each part of the
+    given size and type, the supplier(s) whose lineitem unit price hits
+    the part's MINIMUM — the correlated-min-subquery join-back shape
+    (``WHERE cost = (SELECT min(cost) ... same part)``).  The testdata
+    has no partsupp, so "cost" is the lineitem extended price in exact
+    integer cents.
+
+    100 TB plan: the (size, type) part filter reduces to a broadcast
+    int64 partkey set (selectivity ~1/300 here — at cluster scale swap
+    to Bloom + co-shuffle, same note as rel_profit); surviving
+    (partkey, suppkey, cost) rows take ONE narrow shuffle grouped on
+    partkey%256 BUCKETS, and each bucket fold resolves every part's
+    min and its argmin rows in one vectorized lexsort pass (Python cost
+    per bucket, not per part); ties emit every minimal (part, supplier)
+    pair exactly once (DISTINCT), matching Q2's all-ties semantics.
+    Supplier/nation attach from broadcast arrays on the tiny survivor
+    set; global sort + limit last.
+    Output: (s_acctbal_cents, s_name, n_name, p_partkey, cost_cents)."""
+    import pyarrow.parquet as _pq
+
+    part = _pq.read_table(f"{sf_dir}/part.parquet",
+                          columns=["p_partkey", "p_size", "p_type"])
+    keep = pc.equal(part["p_size"], size)
+    if type_name is not None:
+        keep = pc.and_(keep, pc.equal(part["p_type"], type_name))
+    pset = ray.put(part.filter(keep)["p_partkey"].combine_chunks()
+                   .cast(pa.int64()))
+
+    def line_side(batch: pa.Table, _p=pset) -> pa.Table:
+        pk = batch["l_partkey"].combine_chunks().cast(pa.int64())
+        b = batch.filter(pc.is_in(pk, value_set=ray.get(_p)))
+        pk = b["l_partkey"].combine_chunks().cast(pa.int64())
+        return pa.table({
+            "pkey": pk,
+            "bkey": pc.bit_wise_and(pk, 255),
+            "skey": pc.cast(b["l_suppkey"].combine_chunks(), pa.int64()),
+            "cost": _cents(b["l_extendedprice"]),
+        })
+
+    def fold(group: pa.Table) -> pa.Table:
+        pk = group["pkey"].to_numpy(zero_copy_only=False)
+        sk = group["skey"].to_numpy(zero_copy_only=False)
+        c = group["cost"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((sk, c, pk))
+        pk, sk, c = pk[order], sk[order], c[order]
+        starts = np.flatnonzero(np.r_[True, pk[1:] != pk[:-1]])
+        gmin = np.repeat(c[starts], np.diff(np.r_[starts, pk.size]))
+        at_min = c == gmin
+        pk, sk, c = pk[at_min], sk[at_min], c[at_min]
+        uniq = np.r_[True, (pk[1:] != pk[:-1]) | (sk[1:] != sk[:-1])]
+        return pa.table({
+            "pkey": pa.array(pk[uniq], pa.int64()),
+            "skey": pa.array(sk[uniq], pa.int64()),
+            "cost_cents": pa.array(c[uniq], pa.int64()),
+        })
+
+    supp = _pq.read_table(f"{sf_dir}/supplier.parquet",
+                          columns=["s_suppkey", "s_name", "s_acctbal",
+                                   "s_nationkey"])
+    nat = _pq.read_table(f"{sf_dir}/nation.parquet",
+                         columns=["n_nationkey", "n_name"])
+    sref = ray.put((supp["s_suppkey"].combine_chunks().cast(pa.int64()),
+                    supp["s_name"].combine_chunks(),
+                    _cents(supp["s_acctbal"].combine_chunks()),
+                    supp["s_nationkey"].combine_chunks().cast(pa.int64()),
+                    nat["n_nationkey"].combine_chunks().cast(pa.int64()),
+                    nat["n_name"].combine_chunks()))
+
+    def attach(batch: pa.Table, _d=sref) -> pa.Table:
+        sk, sname, sbal, snat, nk, nn = ray.get(_d)
+        si = pc.index_in(batch["skey"].combine_chunks(), value_set=sk)
+        ni = pc.index_in(snat.take(si), value_set=nk)
+        return pa.table({
+            "s_acctbal_cents": sbal.take(si),
+            "s_name": sname.take(si),
+            "n_name": nn.take(ni),
+            "p_partkey": batch["pkey"].combine_chunks(),
+            "cost_cents": batch["cost_cents"].combine_chunks(),
+        })
+
+    return (rd.read_parquet(
+                f"{sf_dir}/lineitem.parquet",
+                columns=["l_partkey", "l_suppkey", "l_extendedprice"])
+            .map_batches(line_side, batch_format="pyarrow")
+            .groupby("bkey").map_groups(fold, batch_format="pyarrow")
+            .map_batches(attach, batch_format="pyarrow")
+            .sort(["s_acctbal_cents", "n_name", "s_name", "p_partkey"],
+                  descending=[True, False, False, False])
+            .limit(n))
+
+
+def supplier_part_counts(sf_dir: str, *, brand_excl: str = "Brand#1",
+                         sizes=(5, 11, 20, 28, 37, 42, 49, 3)):
+    """TPC-H Q16-shaped parts/supplier relationship: how many DISTINCT
+    suppliers shipped parts of each surviving (brand, type, size)
+    combination, excluding one brand, restricting to eight sizes, and
+    excluding "complaint" suppliers (stand-in predicate: negative
+    account balance — the testdata has no supplier comments).
+
+    100 TB plan: both exclusion artifacts broadcast (the matching
+    part attr arrays — partkey-aligned — and the bad-supplier keyset);
+    the fact scan projects to DISTINCT (brand, type, size, suppkey)
+    per batch map-side (per-batch Arrow group_by — the pair domain is
+    bounded by #groups x #suppliers, NOT by lineitem rows), then one
+    narrow groupby on the attr triple counts uniques per group in a
+    single np.unique pass.  Output: (p_brand, p_type, p_size,
+    supplier_cnt)."""
+    import pyarrow.parquet as _pq
+
+    part = _pq.read_table(f"{sf_dir}/part.parquet",
+                          columns=["p_partkey", "p_brand", "p_type",
+                                   "p_size"])
+    keep = pc.and_(pc.invert(pc.equal(part["p_brand"], brand_excl)),
+                   pc.is_in(part["p_size"],
+                            value_set=pa.array(list(sizes), pa.int32())))
+    part = part.filter(keep)
+    pref = ray.put((part["p_partkey"].combine_chunks().cast(pa.int64()),
+                    part["p_brand"].combine_chunks(),
+                    part["p_type"].combine_chunks(),
+                    part["p_size"].combine_chunks().cast(pa.int64())))
+
+    supp = _pq.read_table(f"{sf_dir}/supplier.parquet",
+                          columns=["s_suppkey", "s_acctbal"])
+    bad = ray.put(supp.filter(pc.less(supp["s_acctbal"], 0))["s_suppkey"]
+                  .combine_chunks().cast(pa.int64()))
+
+    def pairs(batch: pa.Table, _p=pref, _b=bad) -> pa.Table:
+        pk, brand, ptype, psize = ray.get(_p)
+        sk = batch["l_suppkey"].combine_chunks().cast(pa.int64())
+        pi = pc.index_in(batch["l_partkey"].combine_chunks()
+                         .cast(pa.int64()), value_set=pk)
+        ok = pc.and_(pc.is_valid(pi),
+                     pc.invert(pc.is_in(sk, value_set=ray.get(_b))))
+        pi, sk = pi.filter(ok), sk.filter(ok)
+        t = pa.table({
+            "p_brand": brand.take(pi),
+            "p_type": ptype.take(pi),
+            "p_size": psize.take(pi),
+            "skey": sk,
+        })
+        return (t.group_by(["p_brand", "p_type", "p_size", "skey"])
+                 .aggregate([]))
+
+    def count_unique(group: pa.Table) -> pa.Table:
+        sk = group["skey"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "p_brand": group["p_brand"].slice(0, 1),
+            "p_type": group["p_type"].slice(0, 1),
+            "p_size": group["p_size"].slice(0, 1),
+            "supplier_cnt": pa.array([np.unique(sk).size], pa.int64()),
+        })
+
+    return (rd.read_parquet(
+                f"{sf_dir}/lineitem.parquet",
+                columns=["l_partkey", "l_suppkey"])
+            .map_batches(pairs, batch_format="pyarrow")
+            .groupby(["p_brand", "p_type", "p_size"])
+            .map_groups(count_unique, batch_format="pyarrow"))
+
+
+def dominant_suppliers(sf_dir: str, *, name_frag: str = "bolt",
+                       date_lo: str = "1997-01-01",
+                       date_hi: str = "1998-01-01",
+                       share_pct: int = 20):
+    """TPC-H Q20-shaped "dominant supplier" selection: suppliers who,
+    for SOME part whose name contains ``name_frag``, shipped more than
+    ``share_pct`` percent of that part's total quantity inside the date
+    window (Q20's availqty > 1/2 * sum(l_quantity) EXISTS shape,
+    re-based on shipped share since partsupp has no source table).
+
+    100 TB plan: the part-name filter broadcasts as an int64 keyset;
+    surviving (partkey, suppkey, qty) rows fold map-side per pair, take
+    ONE narrow shuffle on partkey%256 buckets, and each bucket fold
+    computes every part's total and its per-supplier sums in one
+    vectorized pass, emitting suppkeys passing the exact integer test
+    ``supp_qty * 100 > total_qty * share_pct``; the tiny survivor
+    keyset dedups and attaches supplier name/balance from broadcast
+    arrays.  Output: (s_name, s_acctbal_cents) sorted by name."""
+    import pyarrow.parquet as _pq
+
+    lo = np.datetime64(date_lo).astype("datetime64[us]").astype("int64")
+    hi = np.datetime64(date_hi).astype("datetime64[us]").astype("int64")
+
+    part = _pq.read_table(f"{sf_dir}/part.parquet",
+                          columns=["p_partkey", "p_name"])
+    pset = ray.put(part.filter(
+        pc.match_substring(part["p_name"], name_frag))["p_partkey"]
+        .combine_chunks().cast(pa.int64()))
+
+    def line_side(batch: pa.Table, _p=pset) -> pa.Table:
+        sd = pc.cast(batch["l_shipdate"], pa.int64())
+        b = batch.filter(pc.and_(
+            pc.and_(pc.greater_equal(sd, lo), pc.less(sd, hi)),
+            pc.is_in(batch["l_partkey"].combine_chunks().cast(pa.int64()),
+                     value_set=ray.get(_p))))
+        pk = b["l_partkey"].combine_chunks().cast(pa.int64())
+        t = pa.table({
+            "pkey": pk,
+            "bkey": pc.bit_wise_and(pk, 255),
+            "skey": pc.cast(b["l_suppkey"].combine_chunks(), pa.int64()),
+            "qty": _cents(b["l_quantity"]),
+        })
+        agg = t.group_by(["bkey", "pkey", "skey"]).aggregate(
+            [("qty", "sum")])
+        return pa.table({"bkey": agg["bkey"], "pkey": agg["pkey"],
+                         "skey": agg["skey"], "qty": agg["qty_sum"]})
+
+    def fold(group: pa.Table) -> pa.Table:
+        pk = group["pkey"].to_numpy(zero_copy_only=False)
+        sk = group["skey"].to_numpy(zero_copy_only=False)
+        q = group["qty"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((sk, pk))
+        pk, sk, q = pk[order], sk[order], q[order]
+        pstarts = np.flatnonzero(np.r_[True, pk[1:] != pk[:-1]])
+        seg = np.zeros(pk.size, np.int64)
+        seg[pstarts] = 1
+        gid = np.cumsum(seg) - 1
+        totals = np.zeros(pstarts.size, np.int64)
+        np.add.at(totals, gid, q)
+        ps = np.r_[True, (pk[1:] != pk[:-1]) | (sk[1:] != sk[:-1])]
+        pgid = np.cumsum(ps) - 1
+        ssum = np.zeros(int(pgid[-1]) + 1 if pk.size else 0, np.int64)
+        np.add.at(ssum, pgid, q)
+        pair_first = np.flatnonzero(ps)
+        pair_total = totals[gid[pair_first]]
+        win = ssum * 100 > pair_total * share_pct
+        return pa.table({"skey": pa.array(
+            np.unique(sk[pair_first][win]), pa.int64())})
+
+    supp = _pq.read_table(f"{sf_dir}/supplier.parquet",
+                          columns=["s_suppkey", "s_name", "s_acctbal"])
+    sref = ray.put((supp["s_suppkey"].combine_chunks().cast(pa.int64()),
+                    supp["s_name"].combine_chunks(),
+                    _cents(supp["s_acctbal"].combine_chunks())))
+
+    def attach(group: pa.Table, _d=sref) -> pa.Table:
+        sk, sname, sbal = ray.get(_d)
+        si = pc.index_in(group["skey"].slice(0, 1), value_set=sk)
+        return pa.table({"s_name": sname.take(si),
+                         "s_acctbal_cents": sbal.take(si)})
+
+    return (rd.read_parquet(
+                f"{sf_dir}/lineitem.parquet",
+                columns=["l_partkey", "l_suppkey", "l_quantity",
+                         "l_shipdate"])
+            .map_batches(line_side, batch_format="pyarrow")
+            .groupby("bkey").map_groups(fold, batch_format="pyarrow")
+            .groupby("skey").map_groups(attach, batch_format="pyarrow")
+            .sort("s_name"))

@@ -793,3 +793,115 @@ def test_lsh_topk_recall_vs_exact_knn(ray_session):
         if want:
             r1.append(len(want & got) / len(want))
     assert sum(r1) / len(r1) >= 0.1, r1
+
+
+def test_min_cost_supplier_ties(ray_session, tmp_path):
+    """Q2 corner cases: ALL suppliers tied at the per-part minimum are
+    kept (one row each, deduped across repeat lineitems); non-minimal
+    suppliers drop; the part filter restricts which parts report."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from kgx.ops.relational import min_cost_supplier
+
+    pq.write_table(pa.table({
+        "p_partkey": pa.array([1, 2, 3], pa.int64()),
+        "p_size": pa.array([25, 25, 9], pa.int32()),
+        "p_type": pa.array(["SMALL"] * 3, pa.string()),
+    }), tmp_path / "part.parquet")
+    # part 1: s1 and s2 tie at 5.00 (s1 twice), s3 at 7.00
+    # part 2: s3 alone at 1.00
+    # part 3: filtered out by size
+    pq.write_table(pa.table({
+        "l_partkey": pa.array([1, 1, 1, 1, 2, 3], pa.int64()),
+        "l_suppkey": pa.array([1, 1, 2, 3, 3, 1], pa.int64()),
+        "l_extendedprice": pa.array(
+            [5.0, 5.0, 5.0, 7.0, 1.0, 0.5], pa.float64()),
+    }), tmp_path / "lineitem.parquet")
+    pq.write_table(pa.table({
+        "s_suppkey": pa.array([1, 2, 3], pa.int64()),
+        "s_name": pa.array(["S1", "S2", "S3"], pa.string()),
+        "s_acctbal": pa.array([10.0, 20.0, 30.0], pa.float64()),
+        "s_nationkey": pa.array([0, 0, 1], pa.int64()),
+    }), tmp_path / "supplier.parquet")
+    pq.write_table(pa.table({
+        "n_nationkey": pa.array([0, 1], pa.int64()),
+        "n_name": pa.array(["N0", "N1"], pa.string()),
+    }), tmp_path / "nation.parquet")
+
+    out = min_cost_supplier(str(tmp_path)).to_pandas()
+    got = set(map(tuple, out[["p_partkey", "s_name",
+                              "cost_cents"]].values.tolist()))
+    assert got == {(1, "S1", 500), (1, "S2", 500), (2, "S3", 100)}
+    # sorted by acctbal desc: S3 (30) first
+    assert out.iloc[0]["s_name"] == "S3"
+
+
+def test_dominant_suppliers_share(ray_session, tmp_path):
+    """Q20 corner cases: the share test is strict (> share_pct%), sums
+    accumulate across lineitems of the same (part, supplier), a
+    supplier dominant for ANY matching part qualifies once, and parts
+    outside the name filter or date window never count."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from kgx.ops.relational import dominant_suppliers
+
+    pq.write_table(pa.table({
+        "p_partkey": pa.array([1, 2], pa.int64()),
+        "p_name": pa.array(["green bolt", "red widget"], pa.string()),
+    }), tmp_path / "part.parquet")
+    ts = pa.scalar("1997-06-01", pa.string()).cast(pa.timestamp("us"))
+    out_ts = pa.scalar("1995-06-01", pa.string()) \
+        .cast(pa.timestamp("us"))
+    # part 1 total 100: s1 ships 10+15=25 (25% > 20% -> in),
+    # s2 ships 20 exactly... make s2 ship 20 of 100 = 20% (NOT > 20).
+    # s3 ships 55. part 2 matches no name. out-of-window row ignored.
+    pq.write_table(pa.table({
+        "l_partkey": pa.array([1, 1, 1, 1, 2, 1], pa.int64()),
+        "l_suppkey": pa.array([1, 1, 2, 3, 2, 2], pa.int64()),
+        "l_quantity": pa.array([10.0, 15.0, 20.0, 55.0, 99.0, 99.0],
+                               pa.float64()),
+        "l_shipdate": pa.array(
+            [ts.as_py()] * 5 + [out_ts.as_py()], pa.timestamp("us")),
+    }), tmp_path / "lineitem.parquet")
+    pq.write_table(pa.table({
+        "s_suppkey": pa.array([1, 2, 3], pa.int64()),
+        "s_name": pa.array(["S1", "S2", "S3"], pa.string()),
+        "s_acctbal": pa.array([1.0, 2.0, 3.0], pa.float64()),
+    }), tmp_path / "supplier.parquet")
+
+    out = dominant_suppliers(str(tmp_path)).to_pandas()
+    assert out["s_name"].tolist() == ["S1", "S3"]
+    assert out["s_acctbal_cents"].tolist() == [100, 300]
+
+
+def test_important_parts_threshold(ray_session, tmp_path):
+    """Q11 corner cases: the HAVING threshold is a strict global
+    fraction over the SAME nation-filtered value; other nations'
+    suppliers contribute nothing to either side."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from kgx.ops.relational import important_parts
+
+    pq.write_table(pa.table({
+        "s_suppkey": pa.array([1, 2], pa.int64()),
+        "s_nationkey": pa.array([0, 1], pa.int64()),
+    }), tmp_path / "supplier.parquet")
+    pq.write_table(pa.table({
+        "n_nationkey": pa.array([0, 1], pa.int64()),
+        "n_name": pa.array(["NATION_3", "N1"], pa.string()),
+    }), tmp_path / "nation.parquet")
+    # nation-3 value: part 1 -> 100.00 * 100 units, part 2 -> tiny.
+    # supplier 2's huge row is another nation: excluded everywhere.
+    pq.write_table(pa.table({
+        "l_partkey": pa.array([1, 2, 2], pa.int64()),
+        "l_suppkey": pa.array([1, 1, 2], pa.int64()),
+        "l_extendedprice": pa.array([100.0, 0.01, 9999.0], pa.float64()),
+        "l_discount": pa.array([0.0, 0.0, 0.0], pa.float64()),
+    }), tmp_path / "lineitem.parquet")
+
+    out = important_parts(str(tmp_path), fraction_ppm=500_000) \
+        .to_pandas()
+    # total = 100.00 + 0.01 -> only part 1 exceeds 50%
+    assert out["l_partkey"].tolist() == [1]
+    assert out["value_units"].tolist() == [10000 * 100]
