@@ -352,6 +352,47 @@ def _q_rel_dominant(sf_dir: str):
     return dominant_suppliers(sf_dir)
 
 
+def _q_events_moving(sf_dir: str):
+    """Per-user ROWS-frame moving sum/count (3 PRECEDING..CURRENT) in
+    exact integer cents — cumulative-sum difference per group."""
+    import ray.data as rd
+
+    from kgx.ops.window import moving_frame_agg
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_id", "user_id", "ts", "value"])
+    return moving_frame_agg(ev)
+
+
+def _q_events_streaks(sf_dir: str):
+    """Gaps-and-islands: distinct active days + longest consecutive-day
+    run per user; map-side day dedup bounds the shuffle."""
+    import ray.data as rd
+
+    from kgx.ops.window import activity_streaks
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["user_id", "ts"])
+    return activity_streaks(ev)
+
+
+def _q_events_mode(sf_dir: str):
+    """Per-type MODE with explicit deterministic ties (count desc,
+    value asc) — map-side distinct-value counting."""
+    import ray.data as rd
+
+    from kgx.ops.window import mode_by_key
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_type", "value"])
+    return mode_by_key(ev)
+
+
+def _q_kg_assortativity(sf_dir: str):
+    """Degree assortativity of the co-occurrence KG in exact integer
+    ppm — the events_corr moment-sum recipe over directed edge rows."""
+    from kgx.ops.graph import degree_assortativity
+    from kgx.pipelines.docs_kg import kg_tables
+    return degree_assortativity(kg_tables(sf_dir)["edges"])
+
+
 def _q_events_corr(sf_dir: str):
     """Per-type Pearson correlation (hour-of-day vs value) from exact
     int64 moment sums — one deterministic double expression at the end,
@@ -2657,6 +2698,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_fuzzy": _q_dedup_fuzzy,
         "multimodal_dedup": _q_multimodal_dedup,
         "events_rank": _q_events_rank,
+        "events_moving": _q_events_moving,
+        "events_streaks": _q_events_streaks,
+        "events_mode": _q_events_mode,
+        "kg_assortativity": _q_kg_assortativity,
         "events_corr": _q_events_corr,
         "events_dcount": _q_events_dcount,
         "events_lag": _q_events_lag,
@@ -4166,6 +4211,81 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
             FROM events
             GROUP BY 1, 2
+        """,
+        "events_moving": """
+            SELECT user_id, event_id,
+                   CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT))
+                        OVER w AS BIGINT) AS mov_sum_cents,
+                   CAST(count(*) OVER w AS BIGINT) AS mov_n
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
+        """,
+        "events_streaks": """
+            WITH d AS (
+              SELECT DISTINCT user_id,
+                     epoch_us(ts) // 86400000000 AS day
+              FROM events),
+            g AS (
+              SELECT user_id, day,
+                     day - row_number() OVER (PARTITION BY user_id
+                                              ORDER BY day) AS grp
+              FROM d),
+            r AS (SELECT user_id, grp, count(*) AS len
+                  FROM g GROUP BY 1, 2)
+            SELECT user_id, CAST(sum(len) AS BIGINT) AS n_days,
+                   CAST(max(len) AS BIGINT) AS longest_streak
+            FROM r GROUP BY 1
+        """,
+        "events_mode": """
+            WITH c AS (
+              SELECT event_type,
+                     CAST(floor(value * 100 + 0.5) AS BIGINT) AS v,
+                     count(*) AS n
+              FROM events
+              WHERE value IS NOT NULL AND NOT isnan(value)
+              GROUP BY 1, 2),
+            m AS (SELECT event_type, max(n) AS mx FROM c GROUP BY 1)
+            SELECT c.event_type,
+                   CAST(min(c.v) AS BIGINT) AS mode_cents,
+                   CAST(m.mx AS BIGINT) AS n_mode
+            FROM c JOIN m ON c.event_type = m.event_type
+                         AND c.n = m.mx
+            GROUP BY c.event_type, m.mx
+        """,
+        "kg_assortativity": f"""
+            WITH dt AS (
+              SELECT doc_id,
+                     unnest(list_distinct(regexp_extract_all(
+                       text, '{_TERM_RE}'))) AS term
+              FROM documents),
+            p AS (
+              SELECT a.term AS s, b.term AS t
+              FROM dt a JOIN dt b
+                ON a.doc_id = b.doc_id AND a.term < b.term
+              GROUP BY 1, 2),
+            ed AS (SELECT s, t FROM p UNION ALL SELECT t AS s, s AS t FROM p),
+            deg AS (SELECT s AS v, count(*) AS d FROM ed GROUP BY s),
+            xy AS (SELECT da.d AS x, db.d AS y
+                   FROM ed JOIN deg da ON da.v = ed.s
+                           JOIN deg db ON db.v = ed.t),
+            m AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                         CAST(sum(x) AS BIGINT) AS sx,
+                         CAST(sum(y) AS BIGINT) AS sy,
+                         CAST(sum(x * y) AS BIGINT) AS sxy,
+                         CAST(sum(x * x) AS BIGINT) AS sx2,
+                         CAST(sum(y * y) AS BIGINT) AS sy2
+                  FROM xy)
+            SELECT n AS n_directed,
+                   CASE WHEN (n * sx2 - sx * sx) > 0
+                             AND (n * sy2 - sy * sy) > 0
+                        THEN CAST(floor(
+                          CAST(n * sxy - sx * sy AS DOUBLE) * 1000000.0
+                          / sqrt(CAST(n * sx2 - sx * sx AS DOUBLE)
+                                 * CAST(n * sy2 - sy * sy AS DOUBLE)))
+                          AS BIGINT)
+                        ELSE CAST(0 AS BIGINT) END AS corr_ppm
+            FROM m
         """,
         "events_corr": """
             WITH m AS (

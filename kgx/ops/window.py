@@ -446,3 +446,115 @@ def window_distinct_users(events_ds, *, width_s: int = 3600,
     return (events_ds.map_batches(triples, batch_format="pyarrow")
             .groupby(["window_start", key])
             .map_groups(finish, batch_format="pyarrow"))
+
+
+def moving_frame_agg(events_ds, *, key: str = "user_id",
+                     ts_col: str = "ts", id_col: str = "event_id",
+                     value_col: str = "value", preceding: int = 3):
+    """SQL row-frame moving aggregate — ``sum/count OVER (PARTITION BY
+    key ORDER BY ts, id ROWS BETWEEN preceding PRECEDING AND CURRENT
+    ROW)`` — in exact integer cents.
+
+    Scale shape: ONE narrow groupby(key) shuffle of (key, id, ts,
+    value-cents) rows; each group's frame sums come from a single
+    lexsort + cumulative-sum difference (``cs[i] - cs[i-k-1]``), no
+    Python row loop.  Per-key groups are bounded by events-per-user —
+    the same fits-a-worker assumption every ordered-window op here
+    documents.  Output: (key, id, mov_sum_cents, mov_n).
+    """
+    def win(group: pa.Table) -> pa.Table:
+        ids = np.asarray(group[id_col].to_pylist(), dtype=np.int64)
+        us = pc.cast(group[ts_col], pa.int64()).to_numpy(
+            zero_copy_only=False)
+        v = np.floor(np.asarray(group[value_col].to_pylist(),
+                                dtype=np.float64) * 100.0
+                     + 0.5).astype(np.int64)
+        order = np.lexsort((ids, us))
+        ids_s, v_s = ids[order], v[order]
+        cs = np.cumsum(v_s)
+        n = len(v_s)
+        i = np.arange(n)
+        lo = np.maximum(i - preceding, 0)
+        mov = cs - np.where(lo > 0, cs[lo - 1], 0)
+        return pa.table({
+            key: group[key].take(pa.array(order, pa.int64())),
+            id_col: pa.array(ids_s, pa.int64()),
+            "mov_sum_cents": pa.array(mov, pa.int64()),
+            "mov_n": pa.array(i - lo + 1, pa.int64()),
+        })
+
+    return events_ds.groupby(key).map_groups(win, batch_format="pyarrow")
+
+
+def activity_streaks(events_ds, *, key: str = "user_id",
+                     ts_col: str = "ts"):
+    """Gaps-and-islands: per key, the number of DISTINCT active days
+    and the longest run of CONSECUTIVE active days (the SQL
+    ``day - row_number() OVER (...)`` grouping trick).
+
+    Scale shape: activity projects map-side to per-batch DISTINCT
+    (key, epoch-day) pairs — the pair domain is bounded by
+    users x days, not event rows — then ONE narrow groupby(key)
+    resolves each key's runs in a single np.unique + diff pass.
+    Output: (key, n_days, longest_streak).
+    """
+    def days(batch: pa.Table) -> pa.Table:
+        day = pc.divide(pc.cast(batch[ts_col], pa.int64()),
+                        86_400_000_000)
+        t = pa.table({key: batch[key], "day": day})
+        return t.group_by([key, "day"]).aggregate([])
+
+    def fold(group: pa.Table) -> pa.Table:
+        d = np.unique(group["day"].to_numpy(zero_copy_only=False))
+        breaks = np.flatnonzero(np.r_[True, np.diff(d) != 1])
+        runs = np.diff(np.r_[breaks, d.size])
+        return pa.table({
+            key: group[key].slice(0, 1),
+            "n_days": pa.array([d.size], pa.int64()),
+            "longest_streak": pa.array([int(runs.max())], pa.int64()),
+        })
+
+    return (events_ds.map_batches(days, batch_format="pyarrow")
+            .groupby(key).map_groups(fold, batch_format="pyarrow"))
+
+
+def mode_by_key(events_ds, *, key: str = "event_type",
+                value_col: str = "value"):
+    """Per-key MODE over the value in integer cents: the most frequent
+    value, ties broken toward the SMALLEST value (SQL's ``mode()`` has
+    engine-defined ties, so both sides spell the deterministic argmax
+    explicitly).  Null/NaN values are ignored.
+
+    Scale shape: map-side per-batch (key, cents) counting bounds the
+    shuffle by the DISTINCT value domain per key, not event rows; one
+    narrow groupby(key) folds each key's counts in a single lexsort
+    pass (count desc, value asc).  Output: (key, mode_cents, n_mode).
+    """
+    def partial(batch: pa.Table) -> pa.Table:
+        v = np.asarray(batch[value_col].to_pylist(), dtype=np.float64)
+        ok = ~np.isnan(v)
+        t = pa.table({
+            key: batch[key].filter(pa.array(ok)),
+            "v": pa.array(np.floor(v[ok] * 100.0 + 0.5)
+                          .astype(np.int64), pa.int64()),
+        })
+        agg = t.group_by([key, "v"]).aggregate([([], "count_all")])
+        return pa.table({key: agg[key], "v": agg["v"],
+                         "n": agg["count_all"]})
+
+    def fold(group: pa.Table) -> pa.Table:
+        v = group["v"].to_numpy(zero_copy_only=False)
+        n = group["n"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((n, v))          # value asc within count
+        v, n = v[order], n[order]
+        starts = np.flatnonzero(np.r_[True, v[1:] != v[:-1]])
+        tot = np.add.reduceat(n, starts)
+        best = np.lexsort((v[starts], -tot))[0]
+        return pa.table({
+            key: group[key].slice(0, 1),
+            "mode_cents": pa.array([int(v[starts][best])], pa.int64()),
+            "n_mode": pa.array([int(tot[best])], pa.int64()),
+        })
+
+    return (events_ds.map_batches(partial, batch_format="pyarrow")
+            .groupby(key).map_groups(fold, batch_format="pyarrow"))

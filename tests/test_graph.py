@@ -296,3 +296,27 @@ def test_personalized_pagerank_concentrates_on_seed(ray_session):
     again = personalized_pagerank(edges, iters=10).to_pandas()
     assert out.sort_values("name").reset_index(drop=True).equals(
         again.sort_values("name").reset_index(drop=True))
+
+
+def test_degree_assortativity_known_graphs(ray_session):
+    """A star graph is perfectly disassortative (corr -> -1e6 ppm); a
+    cycle's endpoint degrees are constant (zero variance -> 0)."""
+    import pyarrow as pa
+    import ray.data as rd
+    from kgx.ops.graph import degree_assortativity
+
+    star = rd.from_arrow(pa.table({
+        "subj_name": pa.array(["hub"] * 4, pa.string()),
+        "obj_name": pa.array(["a", "b", "c", "d"], pa.string()),
+    }))
+    out = degree_assortativity(star).to_pandas()
+    assert out["n_directed"].tolist() == [8]
+    assert out["corr_ppm"].tolist() == [-1_000_000]
+
+    cycle = rd.from_arrow(pa.table({
+        "subj_name": pa.array(["a", "b", "c"], pa.string()),
+        "obj_name": pa.array(["b", "c", "a"], pa.string()),
+    }))
+    out = degree_assortativity(cycle).to_pandas()
+    assert out["n_directed"].tolist() == [6]
+    assert out["corr_ppm"].tolist() == [0]

@@ -477,3 +477,66 @@ def test_hash_equijoin_null_keys_vs_duckdb(ray_session):
                 .reset_index(drop=True)
             assert g.astype("float64").equals(w.astype("float64")), \
                 (trial, how, len(g), len(w))
+
+
+def test_moving_frame_agg_ties_and_frame(ray_session):
+    """Row-frame semantics: the frame is ROWS (not RANGE) with the
+    id-tiebroken order, truncated at the partition start."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+    from kgx.ops.window import moving_frame_agg
+
+    ts = pa.array([1_000_000] * 3 + [2_000_000, 3_000_000],
+                  pa.timestamp("us"))
+    ev = rd.from_arrow(pa.table({
+        "user_id": pa.array([7] * 5, pa.int64()),
+        "event_id": pa.array([3, 1, 2, 4, 5], pa.int64()),
+        "ts": ts,
+        "value": pa.array([0.30, 0.10, 0.20, 0.40, 0.50], pa.float64()),
+    }))
+    out = moving_frame_agg(ev, preceding=2).to_pandas() \
+        .sort_values("event_id")
+    # order by (ts, id): ids 1,2,3 share ts -> id order; cents 10,20,30
+    assert out["mov_sum_cents"].tolist() == [10, 30, 60, 90, 120]
+    assert out["mov_n"].tolist() == [1, 2, 3, 3, 3]
+
+
+def test_activity_streaks_gaps(ray_session):
+    """Consecutive-day runs split on any gap; duplicate events inside a
+    day collapse; day boundaries are UTC epoch days."""
+    import pyarrow as pa
+    import ray.data as rd
+    from kgx.ops.window import activity_streaks
+
+    day = 86_400_000_000
+    us = [0, 10, day, 2 * day, 4 * day,          # u1: d0,d0,d1,d2 | d4
+          7 * day, 9 * day]                      # u2: d7 | d9
+    ev = rd.from_arrow(pa.table({
+        "user_id": pa.array([1, 1, 1, 1, 1, 2, 2], pa.int64()),
+        "ts": pa.array(us, pa.timestamp("us")),
+    }))
+    out = activity_streaks(ev).to_pandas().set_index("user_id")
+    assert out.loc[1, "n_days"] == 4
+    assert out.loc[1, "longest_streak"] == 3
+    assert out.loc[2, "n_days"] == 2
+    assert out.loc[2, "longest_streak"] == 1
+
+
+def test_mode_by_key_tiebreak(ray_session):
+    """Equal counts resolve to the SMALLEST value; NaN rows are
+    ignored; counts accumulate across batches."""
+    import pyarrow as pa
+    import ray.data as rd
+    from kgx.ops.window import mode_by_key
+
+    ev = rd.from_arrow(pa.table({
+        "event_type": pa.array(["a"] * 5 + ["b"] * 3, pa.string()),
+        "value": pa.array([2.0, 2.0, 1.0, 1.0, float("nan"),
+                           5.0, 5.0, 4.0], pa.float64()),
+    })).repartition(4)
+    out = mode_by_key(ev).to_pandas().set_index("event_type")
+    assert out.loc["a", "mode_cents"] == 100      # tie 2x100 vs 2x200
+    assert out.loc["a", "n_mode"] == 2
+    assert out.loc["b", "mode_cents"] == 500
+    assert out.loc["b", "n_mode"] == 2
