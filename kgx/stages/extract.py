@@ -167,6 +167,15 @@ class GazetteerExtractor:
         # stays bounded by the gazetteer size and skips re-normalizing the
         # same surface millions of times across a shard.
         self._surface_memo: dict[str, tuple | None] = {}
+        # Per-actor SENTENCE-screen memo: sentence -> "does it contain any
+        # trigger word" (the exact word-findall ∩ trigger-set decision).
+        # Web text is boilerplate-heavy — the same nav/footer/filler
+        # sentences recur across millions of pages — so the screen becomes
+        # one dict hit instead of a lower()+findall scan.  Bounded: inserts
+        # stop at the cap (boilerplate recurs early), so diverse corpora
+        # degrade gracefully to the scan + one lookup.
+        self._screen_memo: dict[str, bool] = {}
+        self._screen_cap = 65536
 
     def _mention_of(self, surface: str) -> tuple | None:
         hit = self._surface_memo.get(surface)
@@ -187,30 +196,32 @@ class GazetteerExtractor:
         urls = batch["url"].to_pylist()
         chunk_ids = batch["chunk_id"].to_pylist()
         texts = batch["text"].to_pylist()
+        screen_memo = self._screen_memo
+        screen_cap = self._screen_cap
+        trigger = self._trigger
         for url, chunk_id, text in zip(urls, chunk_ids, texts):
             if not text:
                 continue
-            # Two-level trigger screen.  Chunk level: ONE word scan over
-            # the whole chunk; the trigger-word intersection is usually
-            # tiny (the few entity words actually present), and a chunk
-            # with none skips the sentence pass entirely.  Sentence
-            # level: plain substring checks against that tiny hit set — a
-            # superset of the word-boundary screen (mention_re verifies
-            # with \b), so no sentence the old per-sentence word scan
-            # passed is ever missed, at a fraction of the allocations.
-            hit_words = self._trigger.intersection(
-                _WORD_RE.findall(text.lower()))
-            if not hit_words:
-                continue
-            hit_words = sorted(hit_words)
-            # One sentence pass: mentions, then relations/claims only on
-            # sentences that can possibly hold them (>=2 mentions and the
-            # pattern's literal middle text present) — filler sentences
-            # never pay the big-alternation relation regexes.
+            # Memoized sentence-level trigger screen: a sentence can only
+            # contain a mention if one of its word tokens is a trigger
+            # word (mention_re verifies with \b, so word-hit is a strict
+            # superset of mention-hit — no sentence with a mention is ever
+            # screened out).  The decision is cached per DISTINCT sentence:
+            # boilerplate (nav/footer/filler) recurs across the corpus, so
+            # the common case is one dict lookup, not a lower()+findall
+            # scan; relations/claims still only run on sentences with >=2
+            # mentions and the pattern's literal middle text present.
             for sent in _SENT_SPLIT.split(text):
-                low_sent = sent.lower()
-                if not any(w in low_sent for w in hit_words):
+                passed = screen_memo.get(sent)
+                if passed is None:
+                    low_sent = sent.lower()
+                    passed = not trigger.isdisjoint(
+                        _WORD_RE.findall(low_sent))
+                    if len(screen_memo) < screen_cap:
+                        screen_memo[sent] = passed
+                if not passed:
                     continue
+                low_sent = sent.lower()
                 ments = []
                 for m in self.mention_re.finditer(sent):
                     hit = self._mention_of(m.group(0))

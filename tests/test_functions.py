@@ -150,3 +150,97 @@ def test_latest_crawl_per_url(ray_session):
     got = sorted((r["url"], int(r["warc_ts"].timestamp()))
                  for _, r in out.iterrows())
     assert got == [("u1", 300), ("u2", 50), ("u3", 70), ("u3", 70)]
+
+
+class TestFastHtmlPathEquivalence:
+    """The regex fast path must be byte-identical to the stdlib parser
+    wherever it claims validity (it may fall back freely — correctness
+    is stdlib's; speed is the fast path's)."""
+
+    def _check(self, s: str):
+        from kgx.functions.html_text import (_extract_stdlib, _fast_parts,
+                                             _finish)
+        parts = _fast_parts(s)
+        if parts is not None:
+            assert _finish(parts) == _extract_stdlib(s), repr(s)
+
+    def test_handled_constructs(self):
+        for s in [
+            "<p>a</p>", "<P>a</P>", "<br/>", "<br />", "<hr/>x<p>y",
+            "<script>if(a<b){x='</scri'+'pt>'}</script><p>ok</p>",
+            "<style>a{color:red}</style><p>t</p>",
+            "<SCRIPT>var x=1;</SCRIPT>visible",
+            "<script>no close tag at all",
+            "<script></scriptx></script><p>z</p>",
+            "<a href='/x'>l</a><p>m&amp;n &lt;3</p>",
+            "<div class=\"a b\"><ul><li>i</li></ul></div>",
+            "<nav><a href='/'>Home</a></nav><article>body</article>",
+            "<p>café — naïve</p>",
+            "<p>a &nbsp; b</p>", "<td>1</td><th>2</th>",
+            "text only, no tags at all",
+            "<footer>© 2026 Example &amp; Co.</footer>",
+            "<x-unknown attr=1>kept</x-unknown>",
+            "<p>trailing text",
+        ]:
+            self._check(s)
+
+    def test_fallback_constructs_still_correct(self):
+        # these must produce stdlib output (fast path declines or not —
+        # either way extract_text equals the stdlib extraction)
+        from kgx.functions.html_text import _extract_stdlib, extract_text
+        for s in [
+            "<!-- comment --><p>a</p>", "<!DOCTYPE html><p>a</p>",
+            "<?php echo 1 ?><p>a</p>", "<p>a < b</p>",
+            "<a title=\"x>y\">z</a>", "<input disabled/>",
+            "<a href=x/>", "<p>a</p junk>", "</ p>", "<>",
+            "<p\x00bad>t</p>",
+        ]:
+            assert extract_text(s.encode("utf-8")) == _extract_stdlib(s), \
+                repr(s)
+
+    def test_property_random_markup(self):
+        from hypothesis import given, settings, strategies as st
+
+        tags = st.sampled_from(
+            ["p", "div", "P", "script", "style", "nav", "br", "em",
+             "x-y", "li", "footer"])
+        frag = st.one_of(
+            st.text(
+                alphabet="ab <>&;/\"'=!-é\n\t",
+                max_size=12),
+            st.sampled_from(["&amp;", "&lt;", "&#65;", "&bogus;",
+                             "<!--c-->", "]]>", "<? ?>", "a<b"]),
+            tags.map(lambda t: f"<{t}>"),
+            tags.map(lambda t: f"</{t}>"),
+            tags.map(lambda t: f"<{t}/>"),
+            tags.map(lambda t: f"<{t} a='v'>"),
+            tags.map(lambda t: f"<{t} a=\"v\" b>"),
+        )
+        check = self._check
+
+        @given(st.lists(frag, max_size=24).map("".join))
+        @settings(max_examples=400, deadline=None)
+        def run(s):
+            check(s)
+
+        run()
+
+    def test_corpus_sample_equivalence(self):
+        # every synthetic page shape (null / empty / truncated / entity /
+        # boilerplate) through BOTH paths
+        from kgx.functions.html_text import _extract_stdlib
+        from kgx.synth import generate_rows
+        t, _ = generate_rows(0, 400, seed=7)
+        n_fast = 0
+        from kgx.functions.html_text import _fast_parts, _finish
+        for v in t["html"].to_pylist():
+            if not v:
+                continue
+            s = bytes(v).decode("utf-8", errors="replace")
+            if s.startswith("﻿"):
+                s = s[1:]
+            parts = _fast_parts(s)
+            if parts is not None:
+                n_fast += 1
+                assert _finish(parts) == _extract_stdlib(s)
+        assert n_fast > 300      # the fast path carries the corpus
