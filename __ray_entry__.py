@@ -393,6 +393,24 @@ def _q_kg_assortativity(sf_dir: str):
     return degree_assortativity(kg_tables(sf_dir)["edges"])
 
 
+def _q_events_firstlast(sf_dir: str):
+    """Per-user FIRST_VALUE/LAST_VALUE over (ts, id) order + row count;
+    map-side fold keeps at most one candidate row per key per batch."""
+    import ray.data as rd
+
+    from kgx.ops.window import first_last_by_key
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_id", "user_id", "ts", "value"])
+    return first_last_by_key(ev)
+
+
+def _q_rel_intersect(sf_dir: str):
+    """SQL INTERSECT: customers ordering in both years — distinct
+    (custkey, year-flag) pairs map-side, one narrow OR-fold groupby."""
+    from kgx.ops.relational import active_both_years
+    return active_both_years(sf_dir)
+
+
 def _q_events_corr(sf_dir: str):
     """Per-type Pearson correlation (hour-of-day vs value) from exact
     int64 moment sums — one deterministic double expression at the end,
@@ -2701,6 +2719,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_moving": _q_events_moving,
         "events_streaks": _q_events_streaks,
         "events_mode": _q_events_mode,
+        "events_firstlast": _q_events_firstlast,
+        "rel_intersect": _q_rel_intersect,
         "kg_assortativity": _q_kg_assortativity,
         "events_corr": _q_events_corr,
         "events_dcount": _q_events_dcount,
@@ -4252,6 +4272,34 @@ def oracle_sql() -> dict[str, str]:
             FROM c JOIN m ON c.event_type = m.event_type
                          AND c.n = m.mx
             GROUP BY c.event_type, m.mx
+        """,
+        "events_firstlast": """
+            WITH o AS (
+              SELECT user_id, event_id,
+                     CAST(floor(value * 100 + 0.5) AS BIGINT) AS c,
+                     row_number() OVER (PARTITION BY user_id
+                                        ORDER BY ts, event_id) AS rn_a,
+                     row_number() OVER (PARTITION BY user_id
+                                        ORDER BY ts DESC,
+                                                 event_id DESC) AS rn_d,
+                     count(*) OVER (PARTITION BY user_id) AS n
+              FROM events)
+            SELECT a.user_id, CAST(a.n AS BIGINT) AS n_events,
+                   a.event_id AS first_id,
+                   a.c AS first_value_cents,
+                   d.event_id AS last_id,
+                   d.c AS last_value_cents
+            FROM o a JOIN o d ON a.user_id = d.user_id
+            WHERE a.rn_a = 1 AND d.rn_d = 1
+        """,
+        "rel_intersect": """
+            SELECT c_custkey, c_name FROM customer
+            WHERE c_custkey IN (
+              SELECT o_custkey FROM orders
+              WHERE year(o_orderdate) = 1996
+              INTERSECT
+              SELECT o_custkey FROM orders
+              WHERE year(o_orderdate) = 1997)
         """,
         "kg_assortativity": f"""
             WITH dt AS (

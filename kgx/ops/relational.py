@@ -2249,3 +2249,49 @@ def dominant_suppliers(sf_dir: str, *, name_frag: str = "bolt",
             .groupby("bkey").map_groups(fold, batch_format="pyarrow")
             .groupby("skey").map_groups(attach, batch_format="pyarrow")
             .sort("s_name"))
+
+
+def active_both_years(sf_dir: str, *, year_a: int = 1996,
+                      year_b: int = 1997):
+    """SQL INTERSECT shape: customers who placed orders in BOTH given
+    calendar years (SURVEY §2.7 set ops, the explicit relational form).
+
+    100 TB plan: orders project map-side to per-batch DISTINCT
+    (custkey, year-flag) pairs for the two years only — the pair domain
+    is bounded by 2 x customers, not order rows; ONE narrow
+    groupby(custkey) folds each key's flags with a bitwise OR and keeps
+    keys seeing both; names attach from a broadcast array on the
+    survivor set.  Output: (c_custkey, c_name)."""
+    import pyarrow.parquet as _pq
+
+    def pairs(batch: pa.Table) -> pa.Table:
+        yr = pc.year(batch["o_orderdate"].combine_chunks()) \
+               .to_numpy(zero_copy_only=False)
+        ck = batch["o_custkey"].combine_chunks().cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        flag = np.where(yr == year_a, 1, np.where(yr == year_b, 2, 0))
+        keep = flag > 0
+        t = pa.table({"k": pa.array(ck[keep], pa.int64()),
+                      "f": pa.array(flag[keep], pa.int64())})
+        agg = t.group_by(["k", "f"]).aggregate([])
+        return agg
+
+    cust = _pq.read_table(f"{sf_dir}/customer.parquet",
+                          columns=["c_custkey", "c_name"])
+    cref = ray.put((cust["c_custkey"].combine_chunks().cast(pa.int64()),
+                    cust["c_name"].combine_chunks()))
+
+    def fold(group: pa.Table, _c=cref) -> pa.Table:
+        f = group["f"].to_numpy(zero_copy_only=False)
+        if int(np.bitwise_or.reduce(f)) != 3:
+            return pa.table({"c_custkey": pa.array([], pa.int64()),
+                             "c_name": pa.array([], pa.string())})
+        ck, cn = ray.get(_c)
+        ci = pc.index_in(group["k"].slice(0, 1), value_set=ck)
+        return pa.table({"c_custkey": group["k"].slice(0, 1),
+                         "c_name": cn.take(ci)})
+
+    return (rd.read_parquet(f"{sf_dir}/orders.parquet",
+                            columns=["o_custkey", "o_orderdate"])
+            .map_batches(pairs, batch_format="pyarrow")
+            .groupby("k").map_groups(fold, batch_format="pyarrow"))

@@ -558,3 +558,70 @@ def mode_by_key(events_ds, *, key: str = "event_type",
 
     return (events_ds.map_batches(partial, batch_format="pyarrow")
             .groupby(key).map_groups(fold, batch_format="pyarrow"))
+
+
+def first_last_by_key(events_ds, *, key: str = "user_id",
+                      ts_col: str = "ts", id_col: str = "event_id",
+                      value_col: str = "value"):
+    """Per-key FIRST_VALUE / LAST_VALUE over the (ts, id)-tiebroken
+    total order, in exact integer cents, plus the key's row count.
+
+    Scale shape: each batch folds map-side to AT MOST ONE row per key
+    (that batch's first and last candidate + count) via one lexsort +
+    group-boundary pick — order rows never shuffle; the final narrow
+    groupby(key) re-applies the identical fold to the per-batch
+    candidates (min/max over (ts, id) is associative).
+    Output: (key, n_events, first_id, first_value_cents, last_id,
+    last_value_cents)."""
+    def batch_fold(batch: pa.Table, final: bool) -> pa.Table:
+        if final:
+            ids_f = batch["first_id"].to_numpy(zero_copy_only=False)
+            ts_f = batch["first_ts"].to_numpy(zero_copy_only=False)
+            c_f = batch["first_value_cents"].to_numpy(
+                zero_copy_only=False)
+            ids_l = batch["last_id"].to_numpy(zero_copy_only=False)
+            ts_l = batch["last_ts"].to_numpy(zero_copy_only=False)
+            c_l = batch["last_value_cents"].to_numpy(
+                zero_copy_only=False)
+            cnt = batch["n_events"].to_numpy(zero_copy_only=False)
+        else:
+            ids_f = ids_l = np.asarray(batch[id_col].to_pylist(),
+                                       dtype=np.int64)
+            ts_f = ts_l = pc.cast(batch[ts_col], pa.int64()).to_numpy(
+                zero_copy_only=False)
+            c_f = c_l = np.floor(np.asarray(
+                batch[value_col].to_pylist(), dtype=np.float64) * 100.0
+                + 0.5).astype(np.int64)
+            cnt = np.ones(len(ids_f), np.int64)
+        keys = batch[key].combine_chunks().cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        o_f = np.lexsort((ids_f, ts_f, keys))
+        sk = keys[o_f]
+        starts = np.flatnonzero(np.r_[True, sk[1:] != sk[:-1]])
+        gid_sizes = np.diff(np.r_[starts, len(sk)])
+        f_idx = o_f[starts]
+        o_l = np.lexsort((ids_l, ts_l, keys))
+        l_idx = o_l[np.r_[starts[1:], len(sk)] - 1]
+        gid = np.repeat(np.arange(starts.size), gid_sizes)
+        tot = np.zeros(starts.size, np.int64)
+        np.add.at(tot, gid, cnt[o_f])
+        return pa.table({
+            key: pa.array(keys[f_idx], pa.int64()),
+            "n_events": pa.array(tot, pa.int64()),
+            "first_ts": pa.array(ts_f[f_idx], pa.int64()),
+            "first_id": pa.array(ids_f[f_idx], pa.int64()),
+            "first_value_cents": pa.array(c_f[f_idx], pa.int64()),
+            "last_ts": pa.array(ts_l[l_idx], pa.int64()),
+            "last_id": pa.array(ids_l[l_idx], pa.int64()),
+            "last_value_cents": pa.array(c_l[l_idx], pa.int64()),
+        })
+
+    def partial(batch: pa.Table) -> pa.Table:
+        return batch_fold(batch, final=False)
+
+    def final_fold(group: pa.Table) -> pa.Table:
+        out = batch_fold(group, final=True)
+        return out.drop_columns(["first_ts", "last_ts"])
+
+    return (events_ds.map_batches(partial, batch_format="pyarrow")
+            .groupby(key).map_groups(final_fold, batch_format="pyarrow"))

@@ -540,3 +540,26 @@ def test_mode_by_key_tiebreak(ray_session):
     assert out.loc["a", "n_mode"] == 2
     assert out.loc["b", "mode_cents"] == 500
     assert out.loc["b", "n_mode"] == 2
+
+
+def test_first_last_by_key_cross_batch(ray_session):
+    """First/last resolve over the (ts, id) total order across many
+    partitions; ties on ts break by id; counts accumulate."""
+    import pyarrow as pa
+    import ray.data as rd
+    from kgx.ops.window import first_last_by_key
+
+    ev = rd.from_arrow(pa.table({
+        "user_id": pa.array([1, 1, 1, 2, 2], pa.int64()),
+        "event_id": pa.array([5, 2, 9, 1, 3], pa.int64()),
+        "ts": pa.array([100, 100, 50, 7, 7], pa.timestamp("us")),
+        "value": pa.array([0.5, 0.2, 0.9, 0.1, 0.3], pa.float64()),
+    })).repartition(5)
+    out = first_last_by_key(ev).to_pandas().set_index("user_id")
+    # u1 order: (50,9), (100,2), (100,5) -> first id 9, last id 5
+    assert out.loc[1, "first_id"] == 9
+    assert out.loc[1, "first_value_cents"] == 90
+    assert out.loc[1, "last_id"] == 5
+    assert out.loc[1, "last_value_cents"] == 50
+    assert out.loc[1, "n_events"] == 3
+    assert out.loc[2, "first_id"] == 1 and out.loc[2, "last_id"] == 3
