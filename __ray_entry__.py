@@ -2725,8 +2725,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_corr": _q_events_corr,
         "events_dcount": _q_events_dcount,
         "events_lag": _q_events_lag,
-        "dedup_minhash": _q_dedup_minhash,       # rows-only -> exact r4
-        "dedup_simhash": _q_dedup_simhash,       # rows-only -> exact r4
+        "kg_ppr": _q_kg_ppr,                    # never driver-gated yet
+        "sketch_cms": _q_sketch_cms,             # never driver-gated yet
         "simsearch_lsh": _q_simsearch_lsh,       # rows-only -> exact r4
         # (c) round-3 queries never driver-sampled
         "events_stream_sharded": _q_events_stream_sharded,
@@ -2738,8 +2738,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sketch_distinct": _q_sketch_distinct,   # rows-only -> exact r4
         "embed_negatives": _q_embed_negatives,
         "embed_triplets": _q_embed_triplets,
-        "kg_ppr": _q_kg_ppr,
-        "sketch_cms": _q_sketch_cms,
+        "dedup_minhash": _q_dedup_minhash,       # rows-only -> exact r4
+        "dedup_simhash": _q_dedup_simhash,       # rows-only -> exact r4
         # (d) implementations reshaped in round 4 — re-gate
         "events_asof": _q_events_asof,
         "events_interval": _q_events_interval,
