@@ -404,6 +404,13 @@ def _q_events_firstlast(sf_dir: str):
     return first_last_by_key(ev)
 
 
+def _q_rel_unpivot(sf_dir: str):
+    """SQL UNPIVOT: the Q1 summary's three sum measures melted
+    wide -> long; pure map over the aggregated output."""
+    from kgx.ops.relational import unpivot_pricing
+    return unpivot_pricing(sf_dir)
+
+
 def _q_rel_intersect(sf_dir: str):
     """SQL INTERSECT: customers ordering in both years — distinct
     (custkey, year-flag) pairs map-side, one narrow OR-fold groupby."""
@@ -449,6 +456,76 @@ def _q_recall_lsh(sf_dir: str):
     hits = len(a_set & e_set)
     return pa.table({
         "op": pa.array(["lsh"], pa.string()),
+        "n_queries": pa.array([len(qids)], pa.int64()),
+        "k": pa.array([10], pa.int64()),
+        "n_exact": pa.array([len(e_set)], pa.int64()),
+        "hits": pa.array([hits], pa.int64()),
+        "recall_ppm": pa.array([hits * 1_000_000 // len(e_set)],
+                               pa.int64()),
+    })
+
+
+def _q_recall_ivf(sf_dir: str):
+    """IVF recall vs the exact cosine top-k as ONE driver row.
+    Rows-only by design: the IVF cells are k-means state, so unlike
+    recall_lsh the approx side has no SQL twin — but the recall number
+    itself (pytest floor 0.6 at the test's probe setting; ~0.49 at this
+    query's sf0.01 shape) is now driver-visible per round."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from kgx.functions.collect import collect_arrow
+    from kgx.ops.simsearch import cosine_topk, ivf_topk
+
+    def emb():
+        return rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                               columns=["vec_id", "embedding"])
+
+    qids = list(range(8))
+    a = collect_arrow(ivf_topk(emb(), qids, k=10))
+    e = collect_arrow(cosine_topk(emb(), qids, k=10))
+    a_set = set(zip(a["query_id"].to_pylist(),
+                    a["neighbor_id"].to_pylist()))
+    e_set = set(zip(e["query_id"].to_pylist(),
+                    e["neighbor_id"].to_pylist()))
+    hits = len(a_set & e_set)
+    return pa.table({
+        "op": pa.array(["ivf"], pa.string()),
+        "n_queries": pa.array([len(qids)], pa.int64()),
+        "k": pa.array([10], pa.int64()),
+        "n_exact": pa.array([len(e_set)], pa.int64()),
+        "hits": pa.array([hits], pa.int64()),
+        "recall_ppm": pa.array([hits * 1_000_000 // len(e_set)],
+                               pa.int64()),
+    })
+
+
+def _q_recall_pq(sf_dir: str):
+    """PQ (IVFADC+R) recall vs the exact cosine top-k as ONE driver
+    row.  Rows-only by design (k-means codebooks have no SQL twin);
+    the exact re-rank raises recall above raw-ADC — pytest floor 0.45,
+    reads ~0.62 at sf0.01."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from kgx.functions.collect import collect_arrow
+    from kgx.ops.pq import pq_topk
+    from kgx.ops.simsearch import cosine_topk
+
+    def emb():
+        return rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                               columns=["vec_id", "embedding"])
+
+    qids = list(range(8))
+    a = collect_arrow(pq_topk(emb(), qids, k=10))
+    e = collect_arrow(cosine_topk(emb(), qids, k=10))
+    a_set = set(zip(a["query_id"].to_pylist(),
+                    a["neighbor_id"].to_pylist()))
+    e_set = set(zip(e["query_id"].to_pylist(),
+                    e["neighbor_id"].to_pylist()))
+    hits = len(a_set & e_set)
+    return pa.table({
+        "op": pa.array(["pq"], pa.string()),
         "n_queries": pa.array([len(qids)], pa.int64()),
         "k": pa.array([10], pa.int64()),
         "n_exact": pa.array([len(e_set)], pa.int64()),
@@ -2740,6 +2817,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embed_triplets": _q_embed_triplets,
         "dedup_minhash": _q_dedup_minhash,       # rows-only -> exact r4
         "dedup_simhash": _q_dedup_simhash,       # rows-only -> exact r4
+        # rows-only recall reports (k-means state has no SQL twin, so
+        # these gain nothing from head placement; transcript-gated)
+        "recall_ivf": _q_recall_ivf,
+        "recall_pq": _q_recall_pq,
+        # exact but a trivial melt of the already-gated Q1 summary —
+        # yields its head slot to never-gated substantive queries
+        "rel_unpivot": _q_rel_unpivot,
         # (d) implementations reshaped in round 4 — re-gate
         "events_asof": _q_events_asof,
         "events_interval": _q_events_interval,
@@ -4291,6 +4375,31 @@ def oracle_sql() -> dict[str, str]:
                    d.c AS last_value_cents
             FROM o a JOIN o d ON a.user_id = d.user_id
             WHERE a.rn_a = 1 AND d.rn_d = 1
+        """,
+        "rel_unpivot": """
+            WITH q1 AS (
+              SELECT l_returnflag, l_linestatus,
+                     CAST(sum(CAST(floor(l_quantity * 100 + 0.5)
+                                   AS BIGINT)) AS BIGINT)
+                       AS sum_qty_cents,
+                     CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5)
+                                   AS BIGINT)) AS BIGINT)
+                       AS sum_price_cents,
+                     CAST(sum(CAST(floor(l_discount * 100 + 0.5)
+                                   AS BIGINT)) AS BIGINT)
+                       AS sum_disc_cents
+              FROM lineitem
+              WHERE l_shipdate <= TIMESTAMP '1998-09-01'
+              GROUP BY 1, 2)
+            SELECT l_returnflag, l_linestatus,
+                   'sum_qty_cents' AS measure,
+                   sum_qty_cents AS value_cents FROM q1
+            UNION ALL
+            SELECT l_returnflag, l_linestatus, 'sum_price_cents',
+                   sum_price_cents FROM q1
+            UNION ALL
+            SELECT l_returnflag, l_linestatus, 'sum_disc_cents',
+                   sum_disc_cents FROM q1
         """,
         "rel_intersect": """
             SELECT c_custkey, c_name FROM customer

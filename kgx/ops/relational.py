@@ -2295,3 +2295,32 @@ def active_both_years(sf_dir: str, *, year_a: int = 1996,
                             columns=["o_custkey", "o_orderdate"])
             .map_batches(pairs, batch_format="pyarrow")
             .groupby("k").map_groups(fold, batch_format="pyarrow"))
+
+
+def unpivot_pricing(sf_dir: str, *, cutoff: str = "1998-09-01"):
+    """SQL UNPIVOT (wide -> long melt): the Q1 pricing summary's three
+    sum measures re-shaped to one (group, measure, value) row each —
+    the inverse of rel_pivot's long -> wide.
+
+    Scale shape: the melt is a pure map over the ALREADY-AGGREGATED
+    summary (one row per (returnflag, linestatus) regardless of corpus
+    size), so it adds zero shuffle beyond pricing_summary's own plan.
+    Output: (l_returnflag, l_linestatus, measure, value_cents)."""
+    measures = ("sum_qty_cents", "sum_price_cents", "sum_disc_cents")
+
+    def melt(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        rf = batch["l_returnflag"].combine_chunks()
+        ls = batch["l_linestatus"].combine_chunks()
+        return pa.table({
+            "l_returnflag": pa.concat_arrays([rf] * len(measures)),
+            "l_linestatus": pa.concat_arrays([ls] * len(measures)),
+            "measure": pa.array(
+                [m for m in measures for _ in range(n)], pa.string()),
+            "value_cents": pa.concat_arrays(
+                [batch[m].combine_chunks().cast(pa.int64())
+                 for m in measures]),
+        })
+
+    return pricing_summary(sf_dir, cutoff=cutoff) \
+        .map_batches(melt, batch_format="pyarrow")
