@@ -404,6 +404,15 @@ def _q_events_firstlast(sf_dir: str):
     return first_last_by_key(ev)
 
 
+def _q_export_jsonl(sf_dir: str):
+    """Training-data export sink: curated corpus packed and written as
+    sharded JSONL with a resume manifest (kgx/sinks.py).  Rows-only by
+    design: a filesystem side effect has no SQL twin; shard counts and
+    the skip-on-rerun contract are pytest-gated."""
+    from kgx.sinks import export_manifest_table
+    return export_manifest_table(sf_dir)
+
+
 def _q_rel_unpivot(sf_dir: str):
     """SQL UNPIVOT: the Q1 summary's three sum measures melted
     wide -> long; pure map over the aggregated output."""
@@ -2824,6 +2833,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # exact but a trivial melt of the already-gated Q1 summary —
         # yields its head slot to never-gated substantive queries
         "rel_unpivot": _q_rel_unpivot,
+        "export_jsonl": _q_export_jsonl,         # rows-only: fs sink
         # (d) implementations reshaped in round 4 — re-gate
         "events_asof": _q_events_asof,
         "events_interval": _q_events_interval,

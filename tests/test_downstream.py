@@ -255,3 +255,37 @@ class TestLocalSearch:
                          graph_tables["nodes"], graph_tables["edges"],
                          graph_tables["claims"])
         assert a == b
+
+
+class TestJsonlExportSink:
+    def test_export_counts_and_resume(self, ray_session, tmp_path):
+        import json
+        import os
+        from kgx.sinks import export_curated_jsonl
+        from kgx.pipelines.curate import curate_corpus
+        from kgx.functions.collect import collect_arrow
+
+        sf = "/root/testdata/sf0.001"
+        out = str(tmp_path / "export")
+        m1 = export_curated_jsonl(sf, out, seq_len=256)
+        want = collect_arrow(curate_corpus(sf, seq_len=256)).num_rows
+        assert m1["n_rows"] == want > 0
+        assert m1["n_files"] >= 1
+        files = sorted(f for f in os.listdir(out)
+                       if f.endswith(".json") and not f.startswith("_"))
+        assert files == m1["files"]
+        # every line is a JSON object with the packing columns
+        with open(os.path.join(out, files[0])) as f:
+            row = json.loads(f.readline())
+        for col in ("doc_id", "n_tokens", "begin_token", "seq_id"):
+            assert col in row
+        # resume: same input fingerprint -> skip (manifest mtime stable)
+        mpath = os.path.join(out, "_MANIFEST.json")
+        mt = os.path.getmtime(mpath)
+        m2 = export_curated_jsonl(sf, out, seq_len=256)
+        assert m2 == m1
+        assert os.path.getmtime(mpath) == mt
+        # config change -> rewrite
+        m3 = export_curated_jsonl(sf, out, seq_len=128)
+        assert m3["n_rows"] == want
+        assert m3["config"]["seq_len"] == 128
