@@ -308,17 +308,26 @@ def lsh_topk(emb_ds, query_ids: list[int], *, k: int = 10, n_bits: int = 4,
         M = emb_matrix(group["embedding"])
         M = M / np.linalg.norm(M, axis=1, keepdims=True)
         S = Q_[sel] @ M.T
-        q_col, n_col, s_col = [], [], []
-        for row, qi in enumerate(sel):
-            keep = np.flatnonzero(ids != qids_[qi])
-            order = keep[np.lexsort((ids[keep], -S[row][keep]))][:k]
-            q_col.extend([qids_[qi]] * len(order))
-            n_col.extend(ids[order].tolist())
-            s_col.extend(S[row][order].tolist())
+        # one flattened lexsort resolves every selected query's top-k at
+        # once (the _merge_topk_all idiom): sort (query, -score, id),
+        # keep rank < k per query group, self-pairs masked out first.
+        qarr = np.asarray([qids_[qi] for qi in sel], dtype=np.int64)
+        n_sel, n_rows = S.shape
+        qq = np.repeat(np.arange(n_sel), n_rows)
+        ii = np.tile(ids, n_sel)
+        ss = S.ravel()
+        mask = ii != qarr[qq]
+        qq, ii, ss = qq[mask], ii[mask], ss[mask]
+        order = np.lexsort((ii, -ss, qq))
+        qs = qq[order]
+        starts = np.flatnonzero(np.r_[True, qs[1:] != qs[:-1]])
+        sizes = np.diff(np.r_[starts, qs.size])
+        rank = np.arange(qs.size) - np.repeat(starts, sizes)
+        keep = order[rank < k]
         return pa.table({
-            "query_id": pa.array(q_col, pa.int64()),
-            "neighbor_id": pa.array(n_col, pa.int64()),
-            "score": pa.array(s_col, pa.float64()),
+            "query_id": pa.array(qarr[qq[keep]], pa.int64()),
+            "neighbor_id": pa.array(ii[keep], pa.int64()),
+            "score": pa.array(ss[keep], pa.float64()),
         })
 
     tagged = emb_ds.map_batches(tag_buckets, batch_format="pyarrow")
