@@ -289,3 +289,23 @@ class TestJsonlExportSink:
         m3 = export_curated_jsonl(sf, out, seq_len=128)
         assert m3["n_rows"] == want
         assert m3["config"]["seq_len"] == 128
+
+
+def test_jsonl_gzip_ingest(ray_session, tmp_path):
+    """Compressed JSONL (.jsonl.gz — the shape web-text dumps actually
+    ship as) reads through the same tolerant field mapping; arrow's
+    codec inference handles the compression per file, distributed."""
+    import gzip
+    import json
+    from kgx.sources.pages import read_jsonl_pages
+
+    p = tmp_path / "dump.jsonl.gz"
+    rows = [{"url": f"https://x/{i}", "text": f"doc {i} text",
+             "lang": "en"} for i in range(20)]
+    with gzip.open(p, "wt") as f:
+        for r in rows:
+            f.write(json.dumps(r) + "\n")
+    out = read_jsonl_pages(str(p)).to_pandas().sort_values("url")
+    assert len(out) == 20
+    assert out.iloc[0]["text"] == "doc 0 text"
+    assert set(out.columns) == {"url", "warc_ts", "html", "text", "lang"}
