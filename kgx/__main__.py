@@ -6,6 +6,7 @@
     python -m kgx export --out DIR --graph-json DIR
     python -m kgx synth  --out DIR --pages N [--seed S] [--filler-scale F]
     python -m kgx curate --sf-dir DIR --out DIR [--lang L] [--seq-len N]
+    python -m kgx export-jsonl --sf-dir DIR --out DIR [--seq-len N]
     python -m kgx eval   --out DIR --question Q [--question Q2 ...] [--csv F]
     python -m kgx lineage --out DIR
 
@@ -206,6 +207,19 @@ def cmd_curate(args) -> int:
     return 0
 
 
+def cmd_export_jsonl(args) -> int:
+    """Curate + pack + write sharded JSONL with the resume manifest
+    (kgx/sinks.py) — the training-data export path."""
+    import ray
+    from kgx.sinks import export_curated_jsonl
+    _init_ray(args.num_cpus)
+    m = export_curated_jsonl(args.sf_dir, args.out, seq_len=args.seq_len)
+    print(json.dumps({"out": args.out, "n_rows": m["n_rows"],
+                      "n_files": m["n_files"]}))
+    ray.shutdown()
+    return 0
+
+
 def main(argv=None) -> int:
     p = argparse.ArgumentParser(prog="kgx")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -281,6 +295,14 @@ def main(argv=None) -> int:
                           "exceeds this (off by default)")
     pc_.add_argument("--num-cpus", type=int, default=None)
     pc_.set_defaults(fn=cmd_curate)
+
+    px = sub.add_parser("export-jsonl")
+    px.add_argument("--sf-dir", required=True,
+                    help="dir holding documents.parquet")
+    px.add_argument("--out", required=True)
+    px.add_argument("--seq-len", type=int, default=2048)
+    px.add_argument("--num-cpus", type=int, default=None)
+    px.set_defaults(fn=cmd_export_jsonl)
 
     args = p.parse_args(argv)
     return args.fn(args)
