@@ -151,6 +151,53 @@ def interval_join_events(events_ds, *, left_type: str, right_type: str,
         in_bucket, batch_format="pyarrow")
 
 
+def detect_hot_keys(ds, key_col: str, *, frac: int = 16,
+                    top_per_batch: int = 64) -> list:
+    """Best-effort heavy-key detection for hash_equijoin auto-salting.
+
+    One extra column-pruned pass over the LEFT key column: each batch
+    emits its top ``top_per_batch`` exact in-batch counts (a C-speed
+    ``pc.value_counts``) plus one batch-size row, the driver sums them,
+    and a key is HOT when its summed lower-bound count exceeds
+    ``total_rows // frac`` — one key holding more than 1/frac of the
+    whole side is the regime where a single bucket group stops fitting
+    a worker.  Heuristic by design: a key hiding below every batch's
+    top counter is missed, which only costs performance — salting never
+    changes join output.  The same pass shape holds at cluster scale
+    (per-block partials, KB-scale driver merge).
+    """
+    import collections
+
+    import numpy as np
+
+    def partial(batch: pa.Table) -> pa.Table:
+        vc = pc.value_counts(batch[key_col].combine_chunks())
+        vals = vc.field("values")
+        cnts = vc.field("counts").to_numpy(zero_copy_only=False)
+        if len(cnts) > top_per_batch:
+            keep = np.argpartition(-cnts, top_per_batch)[:top_per_batch]
+            vals = vals.take(pa.array(keep, pa.int64()))
+            cnts = cnts[keep]
+        t = pa.table({"v": vals, "c": pa.array(cnts, pa.int64())})
+        size_row = pa.table({"v": pa.nulls(1, t.schema.field("v").type),
+                             "c": pa.array([-batch.num_rows], pa.int64())})
+        return pa.concat_tables([t, size_row])
+
+    totals: collections.Counter = collections.Counter()
+    n_total = 0
+    for b in ds.map_batches(partial, batch_format="pyarrow") \
+               .iter_batches(batch_format="pyarrow"):
+        for v, c in zip(b["v"].to_pylist(), b["c"].to_pylist()):
+            if v is None and c < 0:
+                n_total += -c
+            elif v is not None:
+                totals[v] += c
+    if not totals or n_total == 0:
+        return []
+    cut = max(1, n_total // frac)
+    return sorted(v for v, c in totals.items() if c > cut)
+
+
 def hash_equijoin(left_ds, right_ds, *, left_on: str, right_on: str,
                   how: str = "inner", hot_keys=None, n_salts: int = 8,
                   n_buckets: int = 1024):
@@ -197,6 +244,14 @@ def hash_equijoin(left_ds, right_ds, *, left_on: str, right_on: str,
             f"how must be 'inner', 'left' or 'outer', got {how!r}")
     if hot_keys is not None and how != "inner":
         raise ValueError("hot_keys salting requires how='inner'")
+    if isinstance(hot_keys, str):
+        if hot_keys != "auto":
+            raise ValueError(f"hot_keys must be a list or 'auto', "
+                             f"got {hot_keys!r}")
+        # one extra column-pruned pass over the left keys; empty
+        # detection falls back to the unsalted plan
+        hot_keys = detect_hot_keys(
+            left_ds.select_columns([left_on]), left_on)
     hot_set = pa.array(sorted(set(hot_keys))) if hot_keys else None
     l_fields = [(f.name, f.type) for f in left_ds.schema().base_schema
                 if f.name != left_on]

@@ -563,3 +563,42 @@ def test_first_last_by_key_cross_batch(ray_session):
     assert out.loc[1, "last_value_cents"] == 50
     assert out.loc[1, "n_events"] == 3
     assert out.loc[2, "first_id"] == 1 and out.loc[2, "last_id"] == 3
+
+
+def test_hash_equijoin_auto_hot_keys(ray_session):
+    """hot_keys='auto' detects a key holding >1/16 of the left rows,
+    and the salted output is identical to the unsalted join."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+    from kgx.ops.joins import detect_hot_keys, hash_equijoin
+
+    n = 4000
+    keys = np.where(np.arange(n) % 2 == 0, 7,
+                    np.arange(n) % 50 + 100).astype(np.int64)
+    left = rd.from_arrow(pa.table({
+        "k": pa.array(keys, pa.int64()),
+        "lv": pa.array(np.arange(n), pa.int64()),
+    })).repartition(8)
+    right = rd.from_arrow(pa.table({
+        "rk": pa.array([7, 100, 101, 999], pa.int64()),
+        "rv": pa.array([70, 1000, 1010, 9990], pa.int64()),
+    }))
+
+    hot = detect_hot_keys(left.select_columns(["k"]), "k")
+    assert hot == [7]
+
+    base = hash_equijoin(left, right, left_on="k", right_on="rk") \
+        .to_pandas().sort_values(["k", "lv"]).reset_index(drop=True)
+    auto = hash_equijoin(left, right, left_on="k", right_on="rk",
+                         hot_keys="auto") \
+        .to_pandas().sort_values(["k", "lv"]).reset_index(drop=True)
+    assert base.equals(auto)
+    assert (auto["k"] == 7).sum() == 2000      # hot key fully joined
+
+    # uniform keys -> nothing detected, plain plan
+    uni = rd.from_arrow(pa.table({
+        "k": pa.array(np.arange(n) % 100, pa.int64()),
+        "lv": pa.array(np.arange(n), pa.int64()),
+    }))
+    assert detect_hot_keys(uni.select_columns(["k"]), "k") == []
