@@ -1388,6 +1388,63 @@ def _q_text_tfidf(sf_dir: str):
     return tfidf_top_terms(docs, k=5)
 
 
+def _q_text_dsir(sf_dir: str):
+    """DSIR hashed-unigram importance weights vs the lang='en' target
+    slice (kgx/ops/dsir.py): one count pass folding a fixed 4096-bucket
+    model, one broadcast, one shuffle-free scoring pass."""
+    import ray.data as rd
+    from kgx.ops.dsir import dsir_weights
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text", "lang"])
+    return dsir_weights(docs, target_lang="en", n_buckets=4096)
+
+
+def _q_text_wordfreq(sf_dir: str):
+    """Corpus word-frequency top-100 (ngram_topk at n=1) — the exact
+    driver gate for the word-count fold that text_bpe trains on."""
+    import ray.data as rd
+    from kgx.ops.vocab import ngram_topk
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text"])
+    return ngram_topk(docs, n=1, k=100)
+
+
+def _q_text_bpe(sf_dir: str):
+    """BPE merge learning on the aggregated word-frequency table
+    (kgx/ops/vocab.py:bpe_merges).  The iterative merge loop has no SQL
+    twin (rows-only by design; pytest brute-force parity pins it); the
+    distributed corpus fold is exactly text_wordfreq's, driver-gated
+    there."""
+    import ray.data as rd
+    from kgx.ops.vocab import bpe_merges
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text"])
+    return bpe_merges(docs, n_merges=30, min_count=2)
+
+
+def _q_kg_modularity(sf_dir: str):
+    """Exact integer Newman modularity (kgx/ops/graph.py:
+    partition_modularity) of the co-occurrence KG under the
+    deterministic first-letter partition — the general (edges,
+    membership) scorer that grades Louvain/WCC output at scale."""
+    import pyarrow as pa
+    from kgx.ops.graph import partition_modularity
+    from kgx.pipelines.docs_kg import kg_tables
+    tabs = kg_tables(sf_dir)
+    nodes = tabs["nodes"]
+
+    def first_letter(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        return pa.table({
+            "name": t["name"],
+            "community": pc.utf8_slice_codeunits(
+                t["name"].combine_chunks().cast(pa.string()), 0, 1),
+        })
+
+    membership = nodes.map_batches(first_letter, batch_format="pyarrow")
+    return partition_modularity(tabs["edges"], membership)
+
+
 # BM25 driver queries: fixed keyword queries over the synthetic
 # documents vocabulary (kgx/synth.py word list), mirrored term-by-term
 # in the oracle SQL below.
@@ -2781,6 +2838,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_nodes_pipe": _q_kg_nodes_pipe,
         "kg_claims_pipe": _q_kg_claims_pipe,
         "kg_community_invariants": _q_kg_community_invariants,
+        # (b') new in round-4 session 4
+        "text_dsir": _q_text_dsir,
+        "text_wordfreq": _q_text_wordfreq,
+        "kg_modularity": _q_kg_modularity,
         "recall_lsh": _q_recall_lsh,
         "recall_minhash": _q_recall_minhash,
         "rel_volume": _q_rel_volume,
@@ -2804,8 +2865,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_rank": _q_events_rank,
         "events_moving": _q_events_moving,
         "events_streaks": _q_events_streaks,
-        "events_mode": _q_events_mode,
-        "events_firstlast": _q_events_firstlast,
         "rel_intersect": _q_rel_intersect,
         "kg_assortativity": _q_kg_assortativity,
         "events_corr": _q_events_corr,
@@ -2821,11 +2880,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_span_dup": _q_text_span_dup,
         "rel_returns": _q_rel_returns,
         "sketch_distinct_by_type": _q_sketch_distinct_by_type,
-        "sketch_distinct": _q_sketch_distinct,   # rows-only -> exact r4
         "embed_negatives": _q_embed_negatives,
         "embed_triplets": _q_embed_triplets,
         "dedup_minhash": _q_dedup_minhash,       # rows-only -> exact r4
         "dedup_simhash": _q_dedup_simhash,       # rows-only -> exact r4
+        # simple exact shapes demoted to transcript-only so the session-4
+        # ops fit the head-50 sample (all PASS tools/oracle_check.py)
+        "events_mode": _q_events_mode,
+        "events_firstlast": _q_events_firstlast,
+        "sketch_distinct": _q_sketch_distinct,   # rows-only -> exact r4
+        # BPE merge loop: rows-only by design (iterative; pytest twin),
+        # its corpus fold is driver-gated via text_wordfreq above
+        "text_bpe": _q_text_bpe,
         # rows-only recall reports (k-means state has no SQL twin, so
         # these gain nothing from head placement; transcript-gated)
         "recall_ivf": _q_recall_ivf,
@@ -3451,6 +3517,42 @@ def oracle_sql() -> dict[str, str]:
             FROM v LEFT JOIN reach r ON r.src = v.name
             GROUP BY v.name
         """,
+        # EXACT twin of kgx/ops/graph.py:partition_modularity under the
+        # first-letter partition: per edge, both endpoints' communities
+        # gain a degree unit and intra edges count once — then the
+        # integer form q_num = sum(4*m*e_c - d_c^2), q_den = 4*m^2.
+        "kg_modularity": f"""
+            WITH dt AS (
+              SELECT doc_id,
+                     unnest(list_distinct(regexp_extract_all(
+                       text, '{_TERM_RE}'))) AS term
+              FROM documents),
+            e0 AS (
+              SELECT a.term AS s, b.term AS t
+              FROM dt a JOIN dt b
+                ON a.doc_id = b.doc_id AND a.term < b.term
+              GROUP BY 1, 2),
+            lab AS (SELECT substr(s, 1, 1) AS cs,
+                           substr(t, 1, 1) AS ct FROM e0),
+            contrib AS (
+              SELECT cs AS comm, 1 AS d,
+                     CASE WHEN cs = ct THEN 1 ELSE 0 END AS e
+              FROM lab
+              UNION ALL
+              SELECT ct AS comm, 1 AS d, 0 AS e FROM lab),
+            pc AS (SELECT comm,
+                          CAST(sum(d) AS BIGINT) AS d_c,
+                          CAST(sum(e) AS BIGINT) AS e_c
+                   FROM contrib GROUP BY comm),
+            mm AS (SELECT CAST(sum(d_c) // 2 AS BIGINT) AS m FROM pc)
+            SELECT CAST(count(*) AS BIGINT) AS n_communities,
+                   mm.m AS n_edges,
+                   CAST(sum(4 * mm.m * e_c - d_c * d_c) AS BIGINT)
+                     AS q_num,
+                   CAST(4 * mm.m * mm.m AS BIGINT) AS q_den
+            FROM pc, mm
+            GROUP BY mm.m
+        """,
         "kg_kcore": _kcore_oracle(k=_KCORE_K, rounds=_KCORE_ROUNDS),
         # triangles counted once per vertex -> /3 for the triangle count
         "kg_stats": f"""
@@ -3622,6 +3724,49 @@ def oracle_sql() -> dict[str, str]:
             FROM g GROUP BY ngram
             ORDER BY n_occurrences DESC, ngram
             LIMIT 20
+        """,
+        "text_wordfreq": """
+            WITH toks AS (
+              SELECT unnest(string_split_regex(lower(trim(text)),
+                                               '\\s+')) AS ngram
+              FROM documents WHERE trim(text) <> '')
+            SELECT ngram, count(*) AS n_occurrences
+            FROM toks GROUP BY ngram
+            ORDER BY n_occurrences DESC, ngram
+            LIMIT 100
+        """,
+        # EXACT twin of kgx/ops/dsir.py:dsir_weights — same md5-high64
+        # bucketing, same single-ln-of-integer-quotient micro fixing.
+        "text_dsir": """
+            WITH toks AS (
+              SELECT doc_id, lang,
+                     unnest(regexp_extract_all(lower(trim(text)),
+                                               '\\S+')) AS tok
+              FROM documents WHERE trim(text) <> ''),
+            bt AS (
+              SELECT doc_id, lang,
+                     CAST('0x' || substr(md5(tok), 1, 16) AS UBIGINT)
+                       % 4096 AS b
+              FROM toks),
+            agg AS (
+              SELECT b,
+                     count(*) FILTER (WHERE lang = 'en') AS t_c,
+                     count(*) AS r_c
+              FROM bt GROUP BY b),
+            tot AS (SELECT CAST(sum(t_c) AS BIGINT) AS t_tot,
+                           CAST(sum(r_c) AS BIGINT) AS r_tot
+                    FROM agg),
+            lr AS (
+              SELECT b,
+                     CAST(floor(ln(((t_c + 1.0) * (r_tot + 4096))
+                                   / ((t_tot + 4096) * (r_c + 1.0)))
+                                * 1000000 + 0.5) AS BIGINT) AS w
+              FROM agg, tot)
+            SELECT bt.doc_id,
+                   CAST(count(*) AS BIGINT) AS n_tokens,
+                   CAST(sum(lr.w) AS BIGINT) AS dsir_score_micro
+            FROM bt JOIN lr ON bt.b = lr.b
+            GROUP BY bt.doc_id
         """,
         "text_tfidf": f"""
             WITH dt AS (

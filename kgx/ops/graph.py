@@ -344,6 +344,88 @@ def clustering_coefficients(edges_ds, *, src_col: str = "subj_name",
     }))
 
 
+def partition_modularity(edges_ds, membership_ds, *,
+                         src_col: str = "subj_name",
+                         dst_col: str = "obj_name",
+                         name_col: str = "name",
+                         community_col: str = "community"):
+    """Newman modularity of a vertex partition, in EXACT integer form ->
+    one row (n_communities, n_edges, q_num, q_den).
+
+    Q = sum_c [ e_c/m - (d_c/(2m))^2 ] where e_c is the number of
+    intra-community edges, d_c the summed degree of community c and m
+    the undirected edge count — the quality score for any community
+    assignment (reference analog: scoring
+    /root/reference/indexing/community_detection.py output; here it
+    grades Louvain/WCC/heuristic partitions alike).  Multiplying by
+    4m^2 keeps it exact: q_num = sum_c (4*m*e_c - d_c^2), q_den =
+    4*m^2 — integer arithmetic end to end, so the distributed fold
+    hash-matches the SQL oracle bit for bit (a float Q could not).
+
+    Scale shape: the distinct-pair edge table streams once through
+    ``map_batches``; each batch folds per-community partials ((community,
+    e_c, d_c) — rows bounded by batch-distinct communities), a narrow
+    ``groupby(community).sum`` merges them, and the per-community table
+    (O(#communities), KG-small) is collected driver-side for the final
+    one-row reduction.  The membership table is O(|V|) and broadcasts
+    once via ``ray.put`` — the same vertex-set-fits-in-heap assumption
+    as :func:`pagerank`; a >heap membership would co-shuffle the edge
+    endpoints against it instead.  RANGE ASSUMPTION: 4*m^2 must fit
+    int64 (m < ~1.5e9 edges); beyond that emit q_num/q_den as decimal
+    strings.
+
+    Every edge endpoint must appear in ``membership_ds`` — a missing
+    vertex raises KeyError loudly rather than skewing Q.
+    """
+    from ray.data.aggregate import Sum
+
+    memb = collect_arrow(membership_ds)
+    comm_of = dict(zip(memb[name_col].to_pylist(),
+                       memb[community_col].to_pylist()))
+    mref = ray.put(comm_of)
+
+    def partial(batch: pa.Table, _mref=mref) -> pa.Table:
+        cm = ray.get(_mref)
+        e_c: dict = {}
+        d_c: dict = {}
+        for s, t in zip(batch[src_col].to_pylist(),
+                        batch[dst_col].to_pylist()):
+            cs = cm[s]
+            ct = cm[t]
+            d_c[cs] = d_c.get(cs, 0) + 1
+            d_c[ct] = d_c.get(ct, 0) + 1
+            if cs == ct:
+                e_c[cs] = e_c.get(cs, 0) + 1
+        comms = sorted(d_c)
+        return pa.table({
+            "community": pa.array([str(c) for c in comms], pa.string()),
+            "e_c": pa.array([e_c.get(c, 0) for c in comms], pa.int64()),
+            "d_c": pa.array([d_c[c] for c in comms], pa.int64()),
+        })
+
+    per_comm = collect_arrow(
+        edges_ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("community").aggregate(Sum("e_c"), Sum("d_c")))
+    if per_comm.num_rows == 0:
+        return ray.data.from_arrow(pa.table({
+            "n_communities": pa.array([0], pa.int64()),
+            "n_edges": pa.array([0], pa.int64()),
+            "q_num": pa.array([0], pa.int64()),
+            "q_den": pa.array([0], pa.int64()),
+        }))
+    e_arr = per_comm["sum(e_c)"].to_numpy(zero_copy_only=False)
+    d_arr = per_comm["sum(d_c)"].to_numpy(zero_copy_only=False)
+    m = int(d_arr.sum()) // 2  # every edge adds 2 to the degree total
+    q_num = sum(4 * m * int(e) - int(d) * int(d)
+                for e, d in zip(e_arr, d_arr))
+    return ray.data.from_arrow(pa.table({
+        "n_communities": pa.array([per_comm.num_rows], pa.int64()),
+        "n_edges": pa.array([m], pa.int64()),
+        "q_num": pa.array([q_num], pa.int64()),
+        "q_den": pa.array([4 * m * m], pa.int64()),
+    }))
+
+
 def weakly_connected_components(edges_ds, *, src_col: str = "subj_name",
                                 dst_col: str = "obj_name",
                                 max_iters: int = 50):

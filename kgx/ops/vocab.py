@@ -320,6 +320,97 @@ def bigram_logprob(docs_ds, *, train_mod: int = 4):
     return docs_ds.map_batches(score, batch_format="pyarrow")
 
 
+def bpe_merges(docs_ds, *, n_merges: int = 50, min_count: int = 2):
+    """Learn the top-``n_merges`` byte-pair-encoding merges from corpus
+    word frequencies -> (rank, left, right, pair_count).
+
+    The standard scalable BPE trainer shape (Sennrich et al. 2016,
+    arXiv:1508.07909; what SentencePiece / HF tokenizers do): the
+    CORPUS-side work is one streaming pass folding per-batch word
+    counts ((word, count) partials — one row per batch-distinct word,
+    never per occurrence) merged by a narrow ``groupby(word).sum``;
+    the merge loop then runs driver-side over that aggregated
+    word-frequency table, which is vocabulary-sized (Heaps' law —
+    the same model-fits-in-heap assumption as
+    :func:`document_frequencies`), NOT corpus-sized.  100 TB of text
+    changes the counts, not the table's scale.
+
+    Determinism: words are the repo-wide ``\\S+`` tokens of
+    ``lower(trim(text))`` split into single-character symbols (no
+    end-of-word marker); each iteration merges the adjacent symbol
+    pair with the highest summed word count, ties broken on the
+    lexicographically smaller (left, right); training stops early when
+    the best pair's count drops below ``min_count``.  The merge loop is
+    inherently iterative (each step rewrites the symbol sequences), so
+    this operator is gated by the pytest brute-force twin rather than
+    a SQL oracle — the distributed piece (the word-count fold) is
+    driver-gated exactly via ``text_wordfreq``/:func:`ngram_topk`.
+    """
+    from collections import Counter
+
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        counts: Counter = Counter()
+        for text in batch["text"].to_pylist():
+            stripped = (text or "").strip()
+            if stripped:
+                counts.update(_WS.split(stripped.lower()))
+        return pa.table({
+            "word": pa.array(list(counts.keys()), pa.string()),
+            "c": pa.array(list(counts.values()), pa.int64()),
+        })
+
+    merged = collect_arrow(
+        docs_ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("word").aggregate(Sum("c")))
+    vocab: dict[tuple[str, ...], int] = {}
+    if merged.num_rows:
+        for w, c in zip(merged["word"].to_pylist(),
+                        merged["sum(c)"].to_numpy(zero_copy_only=False)):
+            vocab[tuple(w)] = vocab.get(tuple(w), 0) + int(c)
+
+    ranks, lefts, rights, cnts = [], [], [], []
+    for rank in range(1, n_merges + 1):
+        pair_c: Counter = Counter()
+        for sym, c in vocab.items():
+            for i in range(len(sym) - 1):
+                pair_c[(sym[i], sym[i + 1])] += c
+        if not pair_c:
+            break
+        best = min(pair_c.items(), key=lambda kv: (-kv[1], kv[0]))
+        (left, right), cnt = best
+        if cnt < min_count:
+            break
+        ranks.append(rank)
+        lefts.append(left)
+        rights.append(right)
+        cnts.append(cnt)
+        fused = left + right
+        new_vocab: dict[tuple[str, ...], int] = {}
+        for sym, c in vocab.items():
+            out = []
+            i = 0
+            while i < len(sym):
+                if (i + 1 < len(sym) and sym[i] == left
+                        and sym[i + 1] == right):
+                    out.append(fused)
+                    i += 2
+                else:
+                    out.append(sym[i])
+                    i += 1
+            key = tuple(out)
+            new_vocab[key] = new_vocab.get(key, 0) + c
+        vocab = new_vocab
+
+    return ray.data.from_arrow(pa.table({
+        "rank": pa.array(ranks, pa.int64()),
+        "left": pa.array(lefts, pa.string()),
+        "right": pa.array(rights, pa.string()),
+        "pair_count": pa.array(cnts, pa.int64()),
+    }))
+
+
 def cooccurrence_lift(docs_ds, *, min_units: int = 0):
     """Term-pair association strength by LIFT — the linear-space PMI:
     ``lift = P(a,b) / (P(a) P(b))`` over document co-occurrence, in

@@ -320,3 +320,73 @@ def test_degree_assortativity_known_graphs(ray_session):
     out = degree_assortativity(cycle).to_pandas()
     assert out["n_directed"].tolist() == [6]
     assert out["corr_ppm"].tolist() == [0]
+
+
+# ----------------------------------------------------------------------
+# partition_modularity
+# ----------------------------------------------------------------------
+
+def _membership(mapping):
+    return rd.from_arrow(pa.table({
+        "name": pa.array(list(mapping.keys()), pa.string()),
+        "community": pa.array(list(mapping.values()), pa.string()),
+    }))
+
+
+def test_modularity_single_community_is_zero(ray_session):
+    from kgx.ops.graph import partition_modularity
+    memb = {v: "all" for e in MIXED for v in e}
+    out = partition_modularity(_edges(MIXED), _membership(memb)) \
+        .to_pandas()
+    # one community holds every edge: e_c = m, d_c = 2m -> Q = 0
+    assert out["n_communities"].tolist() == [1]
+    assert out["q_num"].tolist() == [0]
+    assert out["n_edges"].tolist() == [len(MIXED)]
+
+
+def test_modularity_two_cliques_matches_closed_form(ray_session):
+    from kgx.ops.graph import partition_modularity
+    k4a = [(f"a{i}", f"a{j}") for i in range(4) for j in range(i + 1, 4)]
+    k4b = [(f"b{i}", f"b{j}") for i in range(4) for j in range(i + 1, 4)]
+    bridge = [("a0", "b0")]
+    edges = k4a + k4b + bridge
+    memb = {v: v[0] for e in edges for v in e}
+    out = partition_modularity(_edges(edges), _membership(memb)) \
+        .to_pandas()
+    # m=13, e_a=e_b=6, d_a=d_b=13: q_num = 2*(4*13*6 - 169) = 286
+    assert out["n_communities"].tolist() == [2]
+    assert out["n_edges"].tolist() == [13]
+    assert out["q_num"].tolist() == [2 * (4 * 13 * 6 - 13 * 13)]
+    assert out["q_den"].tolist() == [4 * 13 * 13]
+
+
+def test_modularity_matches_float_newman_formula(ray_session):
+    from kgx.ops.graph import partition_modularity
+    edges = MIXED
+    memb = {v: ("left" if v[0] in "hl" else "right")
+            for e in edges for v in e}
+    out = partition_modularity(_edges(edges), _membership(memb)) \
+        .to_pandas()
+    # float reference: Q = sum_c e_c/m - (d_c/2m)^2
+    from collections import Counter
+    e_c, d_c = Counter(), Counter()
+    for s, t in edges:
+        d_c[memb[s]] += 1
+        d_c[memb[t]] += 1
+        if memb[s] == memb[t]:
+            e_c[memb[s]] += 1
+    m = len(edges)
+    q = sum(e_c[c] / m - (d_c[c] / (2 * m)) ** 2 for c in d_c)
+    got = out["q_num"][0] / out["q_den"][0]
+    assert abs(got - q) < 1e-12
+
+
+def test_modularity_partition_invariant(ray_session):
+    from kgx.ops.graph import partition_modularity
+    edges = [(f"v{i}", f"v{(i * 7 + 1) % 30}") for i in range(60)
+             if f"v{i}" < f"v{(i * 7 + 1) % 30}"]
+    memb = {v: str(hash(v) % 2) for e in edges for v in e}
+    a = partition_modularity(_edges(edges), _membership(memb)).to_pandas()
+    b = partition_modularity(_edges(edges).repartition(5),
+                             _membership(memb)).to_pandas()
+    assert a.equals(b)

@@ -143,3 +143,67 @@ def test_bigram_logprob_matches_handrolled_model(ray_session):
         (lp_ab * 2 + lp_ba) / 3)
     assert out.loc[1, "mean_logprob_micro"] == math.floor(
         (lp_ab + lp_bc) / 2)
+
+
+# ----------------------------------------------------------------------
+# bpe_merges
+# ----------------------------------------------------------------------
+
+def _brute_bpe(texts, n_merges, min_count=2):
+    """Independent naive BPE twin: whole-corpus token list, no
+    word-count aggregation — pins the distributed fold + merge loop."""
+    import re
+    from collections import Counter
+    toks = []
+    for t in texts:
+        s = (t or "").strip()
+        if s:
+            toks.extend(re.split(r"\s+", s.lower()))
+    seqs = [list(w) for w in toks]
+    merges = []
+    for _ in range(n_merges):
+        pairs = Counter()
+        for s in seqs:
+            pairs.update(zip(s, s[1:]))
+        if not pairs:
+            break
+        (l, r), c = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))
+        if c < min_count:
+            break
+        merges.append((l, r, c))
+        for s in seqs:
+            i = 0
+            while i < len(s) - 1:
+                if s[i] == l and s[i + 1] == r:
+                    s[i:i + 2] = [l + r]
+                else:
+                    i += 1
+    return merges
+
+
+def test_bpe_merges_matches_bruteforce(ray_session):
+    from kgx.ops.vocab import bpe_merges
+    texts = ["the theater heats the heather",
+             "heat the theater", "", "  ",
+             "aaaa aaaa bbbb", "ababab the"]
+    out = bpe_merges(_docs(texts), n_merges=12, min_count=2).to_pandas()
+    ref = _brute_bpe(texts, 12, 2)
+    got = list(zip(out["left"], out["right"], out["pair_count"]))
+    assert got == ref
+    assert out["rank"].tolist() == list(range(1, len(ref) + 1))
+
+
+def test_bpe_merges_partition_invariant(ray_session):
+    from kgx.ops.vocab import bpe_merges
+    texts = [f"w{i % 7}x y{i % 3}z shared shared" for i in range(50)]
+    a = bpe_merges(_docs(texts), n_merges=8).to_pandas()
+    b = bpe_merges(_docs(texts).repartition(9), n_merges=8).to_pandas()
+    assert a.equals(b)
+
+
+def test_bpe_merges_min_count_stops_early(ray_session):
+    from kgx.ops.vocab import bpe_merges
+    # every adjacent pair occurs once -> no merge clears min_count=2
+    out = bpe_merges(_docs(["abc def"]), n_merges=5,
+                     min_count=2).to_pandas()
+    assert len(out) == 0
