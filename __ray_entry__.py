@@ -2818,7 +2818,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # 50 entries in dict order, so the head is curated per round —
     # (a) a small always-on sentinel set for the core KG path,
     # (b) queries NEW in round 4 (incl. the three ops converted from
-    #     rows-only to exact oracles this round),
+    #     rows-only to exact oracles this round, and the session-4
+    #     additions text_dsir / text_wordfreq / kg_modularity),
     # (c) the 10 round-3 queries no driver gate has ever sampled
     #     (they sat at position 51+ last round; all pass the local
     #     tools/oracle_check.py gate — this rotation makes that

@@ -193,8 +193,8 @@ def _operator_queries(sf_dir: str) -> dict:
         return rd.read_parquet(f"{sf_dir}/embeddings.parquet",
                                columns=["vec_id", "embedding"])
 
-    from kgx.ops import (bm25, cluster, dedup, graph, linededup, pii, pq,
-                         relational, simsearch, text, vocab, window)
+    from kgx.ops import (bm25, cluster, dedup, dsir, graph, linededup, pii,
+                         pq, relational, simsearch, text, vocab, window)
     from kgx.pipelines.curate import curate_corpus
     from kgx.pipelines.docs_kg import kg_tables
 
@@ -247,6 +247,11 @@ def _operator_queries(sf_dir: str) -> dict:
         # round-4 addition: the Q7 two-nation fact-fact co-shuffle
         # (suite grew 24 -> 25; see BASELINE.md composition note)
         "rel_volume": lambda: relational.volume_shipping(sf_dir),
+        # round-4 session-4 addition: DSIR two-pass broadcast scoring
+        # (suite grew 25 -> 26; see BASELINE.md composition note)
+        "text_dsir": lambda: dsir.dsir_weights(
+            rd.read_parquet(f"{sf_dir}/documents.parquet",
+                            columns=["doc_id", "text", "lang"])),
     }
 
 
