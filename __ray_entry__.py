@@ -283,6 +283,18 @@ def _q_events_rank(sf_dir: str):
     return rank_features(ev)
 
 
+def _q_events_throttle(sf_dir: str):
+    """Rate-limit dedup (kgx/ops/window.py:throttle_dedup): per user,
+    keep events >= 1 week after the last KEPT one — searchsorted jump
+    walk per group; exact recursive next-survivor CTE oracle."""
+    import ray.data as rd
+
+    from kgx.ops.window import throttle_dedup
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_id", "user_id", "ts"])
+    return throttle_dedup(ev, gap_s=604_800)
+
+
 def _q_dedup_fuzzy(sf_dir: str):
     """Fuzzy-string near-dup pairs (prefix Hamming <= 2) with EXACT
     pigeonhole chunk blocking — every qualifying pair found, no recall
@@ -2869,7 +2881,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rel_intersect": _q_rel_intersect,
         "kg_assortativity": _q_kg_assortativity,
         "events_corr": _q_events_corr,
-        "events_dcount": _q_events_dcount,
+        "events_throttle": _q_events_throttle,
         "events_lag": _q_events_lag,
         "kg_ppr": _q_kg_ppr,                    # never driver-gated yet
         "sketch_cms": _q_sketch_cms,             # never driver-gated yet
@@ -2889,6 +2901,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # ops fit the head-50 sample (all PASS tools/oracle_check.py)
         "events_mode": _q_events_mode,
         "events_firstlast": _q_events_firstlast,
+        "events_dcount": _q_events_dcount,
         "sketch_distinct": _q_sketch_distinct,   # rows-only -> exact r4
         # BPE merge loop: rows-only by design (iterative; pytest twin),
         # its corpus fold is driver-gated via text_wordfreq above
@@ -4657,6 +4670,28 @@ def oracle_sql() -> dict[str, str]:
             FROM sel JOIN nation nn
               ON sel.c_nationkey = nn.n_nationkey
             GROUP BY 1
+        """,
+        # EXACT twin of kgx/ops/window.py:throttle_dedup: the recursive
+        # CTE emits, per key, each survivor's NEXT survivor (first rn by
+        # (ts, event_id) whose ts clears last_kept + gap) — the same
+        # jump walk the Ray group scan does with searchsorted.
+        "events_throttle": """
+            WITH RECURSIVE ord AS (
+              SELECT user_id, event_id, ts,
+                     row_number() OVER (PARTITION BY user_id
+                                        ORDER BY ts, event_id) AS rn
+              FROM events),
+            kept AS (
+              SELECT user_id, event_id, ts, rn FROM ord WHERE rn = 1
+              UNION ALL
+              SELECT o.user_id, o.event_id, o.ts, o.rn
+              FROM kept k JOIN ord o ON o.user_id = k.user_id
+              WHERE o.rn = (SELECT min(rn) FROM ord o2
+                            WHERE o2.user_id = k.user_id
+                              AND o2.ts >= k.ts
+                                  + INTERVAL 604800 SECOND)
+            )
+            SELECT user_id, event_id, ts FROM kept
         """,
         "events_rank": """
             WITH e AS (

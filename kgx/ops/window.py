@@ -346,6 +346,59 @@ def lag_deltas(events_ds, *, key: str = "user_id", ts_col: str = "ts"):
         .groupby(key).map_groups(per_key, batch_format="pyarrow")
 
 
+def throttle_dedup(events_ds, *, gap_s: int = 604_800,
+                   key: str = "user_id", ts_col: str = "ts"):
+    """Rate-limit (throttle) dedup: per key, keep an event iff its ts is
+    at least ``gap_s`` after the LAST KEPT event; the key's first event
+    is always kept.  This is the alerting/notification dedup semantics —
+    distinct from gap-SESSIONS (`session_window_agg` keeps one row per
+    burst measured from the previous EVENT; throttling measures from the
+    previous SURVIVOR, so a slow drizzle of sub-gap events collapses to
+    periodic keeps instead of one endless session).
+
+    Scale shape: one narrow groupby(key) shuffle of (key, event_id, ts)
+    rows (same per-key-fits-a-group assumption as sessionization); each
+    group is a lexsort plus a SEARCHSORTED JUMP WALK — one
+    ``np.searchsorted`` per KEPT row, O(kept · log n), never a per-event
+    Python loop.  Determinism: order (and tie-break among equal ts) is
+    (ts, event_id), the keep test compares ts only — mirrored by the
+    SQL oracle's recursive next-survivor CTE.  Output: (user_id,
+    event_id, ts) of kept events.
+    """
+    import numpy as np
+
+    gap_us = gap_s * US
+
+    def project(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            key: batch[key],
+            "event_id": batch["event_id"],
+            "t": pc.cast(batch[ts_col], pa.int64()),
+        })
+
+    def per_key(group: pa.Table) -> pa.Table:
+        ids = group["event_id"].to_numpy(zero_copy_only=False)
+        ts = group["t"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((ids, ts))
+        ids_s, ts_s = ids[order], ts[order]
+        kept = []
+        i, n = 0, len(ts_s)
+        while i < n:
+            kept.append(i)
+            i = int(np.searchsorted(ts_s, ts_s[i] + gap_us, side="left"))
+        kept_idx = np.asarray(kept, dtype=np.int64)
+        return pa.table({
+            key: pa.array(np.full(len(kept_idx),
+                                  group[key][0].as_py()), pa.int64()),
+            "event_id": pa.array(ids_s[kept_idx], pa.int64()),
+            "ts": pc.cast(pa.array(ts_s[kept_idx], pa.int64()),
+                          pa.timestamp("us")),
+        })
+
+    return events_ds.map_batches(project, batch_format="pyarrow") \
+        .groupby(key).map_groups(per_key, batch_format="pyarrow")
+
+
 def corr_by_key(events_ds, *, key: str = "event_type",
                 value_col: str = "value", ts_col: str = "ts"):
     """Per-key Pearson correlation between hour-of-day and value, from

@@ -602,3 +602,44 @@ def test_hash_equijoin_auto_hot_keys(ray_session):
         "lv": pa.array(np.arange(n), pa.int64()),
     }))
     assert detect_hot_keys(uni.select_columns(["k"]), "k") == []
+
+
+class TestThrottle:
+    def test_survivor_chain_not_session_chain(self, ray_session):
+        from kgx.ops.window import throttle_dedup
+        # drizzle every 5s with gap 6: sessions would keep only t=0;
+        # throttle keeps t=0,10,20 (measured from the last SURVIVOR)
+        rows = [(i, 5 * i, 1, "view", 1.0) for i in range(5)]
+        out = _collect(throttle_dedup(_events(rows), gap_s=6)).to_pydict()
+        assert out["event_id"] == [0, 2, 4]
+
+    def test_first_kept_and_tie_breaks_on_event_id(self, ray_session):
+        from kgx.ops.window import throttle_dedup
+        # two events share ts=0: lower event_id survives; ts=7 clears gap
+        rows = [(9, 0, 1, "a", 1.0), (3, 0, 1, "a", 1.0),
+                (5, 7, 1, "a", 1.0), (6, 9, 1, "a", 1.0)]
+        out = _collect(throttle_dedup(_events(rows), gap_s=7)).to_pydict()
+        assert out["event_id"] == [3, 5]
+
+    def test_per_key_independent_and_partition_invariant(self,
+                                                         ray_session):
+        from kgx.ops.window import throttle_dedup
+        rows = ([(i, 3 * i, 1, "a", 1.0) for i in range(20)]
+                + [(100 + i, 17 * i, 2, "b", 1.0) for i in range(20)])
+        a = _collect(throttle_dedup(_events(rows), gap_s=10)) \
+            .sort_by([("user_id", "ascending"), ("ts", "ascending")])
+        b = _collect(throttle_dedup(_events(rows).repartition(7),
+                                    gap_s=10)) \
+            .sort_by([("user_id", "ascending"), ("ts", "ascending")])
+        assert a.equals(b)
+        # brute per-key reference
+        for uid in (1, 2):
+            evs = sorted((r[1], r[0]) for r in rows if r[2] == uid)
+            kept, last = [], None
+            for t, eid in evs:
+                if last is None or t >= last + 10:
+                    kept.append(eid)
+                    last = t
+            got = [e for u, e in zip(a["user_id"].to_pylist(),
+                                     a["event_id"].to_pylist()) if u == uid]
+            assert got == kept
