@@ -283,6 +283,58 @@ def _q_events_rank(sf_dir: str):
     return rank_features(ev)
 
 
+_LPA_ROUNDS = 4
+
+
+def _q_kg_lpa(sf_dir: str):
+    """Synchronous label-propagation communities over the co-occurrence
+    KG (kgx/ops/graph.py:label_propagation) — the community detector
+    WITH an exact gate: fixed rounds unroll into SQL count/argmax
+    rounds, unlike Louvain's greedy sweep."""
+    from kgx.ops.graph import label_propagation
+    from kgx.pipelines.docs_kg import kg_tables
+    return label_propagation(kg_tables(sf_dir)["edges"],
+                             rounds=_LPA_ROUNDS)
+
+
+def _lpa_oracle(*, rounds: int) -> str:
+    """Unrolled synchronous label propagation over the co-occurrence
+    edges (mirrors kgx/ops/graph.py:label_propagation): per round, each
+    vertex adopts the most frequent neighbor label, ties to the
+    lexicographically smallest."""
+    parts = []
+    for r in range(1, rounds + 1):
+        parts.append(f"""
+            c{r} AS MATERIALIZED (
+              SELECT e0.t AS v, l{r - 1}.lab AS lab, count(*) AS c
+              FROM e0 JOIN l{r - 1} ON e0.s = l{r - 1}.v
+              GROUP BY 1, 2),
+            l{r} AS MATERIALIZED (
+              SELECT v, lab FROM (
+                SELECT v, lab,
+                       row_number() OVER (PARTITION BY v
+                                          ORDER BY c DESC, lab) AS rn
+                FROM c{r}) WHERE rn = 1)""")
+    return f"""
+            WITH dt AS (
+              SELECT doc_id,
+                     unnest(list_distinct(regexp_extract_all(
+                       text, '{_TERM_RE}'))) AS term
+              FROM documents),
+            p AS (
+              SELECT a.term AS s, b.term AS t
+              FROM dt a JOIN dt b
+                ON a.doc_id = b.doc_id AND a.term < b.term
+              GROUP BY 1, 2),
+            e0 AS MATERIALIZED (
+              SELECT s, t FROM p UNION ALL SELECT t AS s, s AS t FROM p),
+            l0 AS MATERIALIZED (
+              SELECT DISTINCT s AS v, s AS lab FROM e0),
+            {",".join(parts)}
+            SELECT v AS name, lab AS community FROM l{rounds}
+    """
+
+
 def _q_events_throttle(sf_dir: str):
     """Rate-limit dedup (kgx/ops/window.py:throttle_dedup): per user,
     keep events >= 1 week after the last KEPT one — searchsorted jump
@@ -2882,7 +2934,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_assortativity": _q_kg_assortativity,
         "events_corr": _q_events_corr,
         "events_throttle": _q_events_throttle,
-        "events_lag": _q_events_lag,
+        "kg_lpa": _q_kg_lpa,
         "kg_ppr": _q_kg_ppr,                    # never driver-gated yet
         "sketch_cms": _q_sketch_cms,             # never driver-gated yet
         "simsearch_lsh": _q_simsearch_lsh,       # rows-only -> exact r4
@@ -2902,6 +2954,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_mode": _q_events_mode,
         "events_firstlast": _q_events_firstlast,
         "events_dcount": _q_events_dcount,
+        "events_lag": _q_events_lag,
         "sketch_distinct": _q_sketch_distinct,   # rows-only -> exact r4
         # BPE merge loop: rows-only by design (iterative; pytest twin),
         # its corpus fold is driver-gated via text_wordfreq above
@@ -3567,6 +3620,7 @@ def oracle_sql() -> dict[str, str]:
             FROM pc, mm
             GROUP BY mm.m
         """,
+        "kg_lpa": _lpa_oracle(rounds=_LPA_ROUNDS),
         "kg_kcore": _kcore_oracle(k=_KCORE_K, rounds=_KCORE_ROUNDS),
         # triangles counted once per vertex -> /3 for the triangle count
         "kg_stats": f"""

@@ -344,6 +344,89 @@ def clustering_coefficients(edges_ds, *, src_col: str = "subj_name",
     }))
 
 
+def label_propagation(edges_ds, *, rounds: int = 4,
+                      src_col: str = "subj_name",
+                      dst_col: str = "obj_name"):
+    """Synchronous label-propagation community detection ->
+    (name, community) after a FIXED ``rounds`` rounds.
+
+    Each vertex starts labeled with its own name; every round it adopts
+    the label most frequent among its neighbors' CURRENT labels, ties
+    broken on the lexicographically smallest label.  Fixed synchronous
+    rounds (no convergence test) keep the operator SQL-unrollable — the
+    DuckDB oracle (driver query ``kg_lpa``) replays the identical
+    count/argmax rounds, making this the community DETECTOR with an
+    exact gate (Louvain's greedy sweep has none; reference analog
+    /root/reference/indexing/community_detection.py).  Labels are dense
+    vertex RANKS of the sorted name array, so min-rank tie-breaks equal
+    min-name tie-breaks.
+
+    Scale shape (per round): the edge list streams once — each batch
+    folds (dst, neighbor_label) into batch-distinct count rows via one
+    ``np.unique`` on a packed int64 key (RANGE ASSUMPTION: |V|^2 fits
+    int64, i.e. |V| < ~3e9); a narrow ``groupby(v, lab).sum`` merges,
+    and a ``groupby(v).map_groups`` argmax picks each vertex's new
+    label.  The O(|V|) label array broadcasts once per round via
+    ``ray.put`` — the same vertex-set-fits-heap assumption as
+    :func:`pagerank`.  The corpus-sized edge list never leaves the
+    stream.
+    """
+    from ray.data.aggregate import Sum
+
+    ed = undirected_edges(edges_ds, src_col=src_col,
+                          dst_col=dst_col).materialize()
+    verts, _ = _vertex_arrays(ed)
+    n = len(verts)
+    if n == 0:
+        return ray.data.from_arrow(pa.table({
+            "name": pa.array([], pa.string()),
+            "community": pa.array([], pa.string()),
+        }))
+    vref = ray.put(verts)
+    labels = np.arange(n, dtype=np.int64)
+
+    def pick(group: pa.Table) -> pa.Table:
+        c = group["sum(c)"].to_numpy(zero_copy_only=False)
+        lab = group["lab"].to_numpy(zero_copy_only=False)
+        best = np.lexsort((lab, -c))[0]
+        return pa.table({
+            "v": pa.array([group["v"][0].as_py()], pa.int64()),
+            "lab": pa.array([int(lab[best])], pa.int64()),
+        })
+
+    for _ in range(rounds):
+        lref = ray.put(labels)
+
+        def partial(batch: pa.Table, _lref=lref, _vref=vref) -> pa.Table:
+            vs = ray.get(_vref)
+            lb = ray.get(_lref)
+            si = pc.index_in(batch["src"].combine_chunks(), value_set=vs) \
+                   .to_numpy(zero_copy_only=False).astype(np.int64)
+            di = pc.index_in(batch["dst"].combine_chunks(), value_set=vs) \
+                   .to_numpy(zero_copy_only=False).astype(np.int64)
+            key = di * len(vs) + lb[si]
+            uniq, cnt = np.unique(key, return_counts=True)
+            return pa.table({
+                "v": pa.array(uniq // len(vs), pa.int64()),
+                "lab": pa.array(uniq % len(vs), pa.int64()),
+                "c": pa.array(cnt, pa.int64()),
+            })
+
+        new = collect_arrow(
+            ed.map_batches(partial, batch_format="pyarrow")
+            .groupby(["v", "lab"]).aggregate(Sum("c"))
+            .groupby("v").map_groups(pick, batch_format="pyarrow"))
+        labels = labels.copy()
+        labels[new["v"].to_numpy(zero_copy_only=False)] = \
+            new["lab"].to_numpy(zero_copy_only=False)
+
+    idx = pa.array(labels, pa.int64())
+    return ray.data.from_arrow(pa.table({
+        "name": verts,
+        "community": pc.take(verts, idx),
+    }))
+
+
 def partition_modularity(edges_ds, membership_ds, *,
                          src_col: str = "subj_name",
                          dst_col: str = "obj_name",

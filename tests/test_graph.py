@@ -390,3 +390,55 @@ def test_modularity_partition_invariant(ray_session):
     b = partition_modularity(_edges(edges).repartition(5),
                              _membership(memb)).to_pandas()
     assert a.equals(b)
+
+
+# ----------------------------------------------------------------------
+# label_propagation
+# ----------------------------------------------------------------------
+
+def _lpa_reference(pairs, rounds):
+    """Sequential mirror of the synchronous min-tie-break LPA."""
+    from collections import Counter
+    adj: dict[str, list] = {}
+    for a, b in pairs:
+        adj.setdefault(a, []).append(b)
+        adj.setdefault(b, []).append(a)
+    lab = {v: v for v in adj}
+    for _ in range(rounds):
+        nxt = {}
+        for v in adj:
+            cnt = Counter(lab[u] for u in adj[v])
+            nxt[v] = min(cnt, key=lambda c: (-cnt[c], c))
+        lab = nxt
+    return lab
+
+
+def test_lpa_two_cliques_find_their_min_names(ray_session):
+    from kgx.ops.graph import label_propagation
+    k4a = [(f"a{i}", f"a{j}") for i in range(4) for j in range(i + 1, 4)]
+    k4b = [(f"b{i}", f"b{j}") for i in range(4) for j in range(i + 1, 4)]
+    out = label_propagation(_edges(k4a + k4b + [("a0", "b0")]),
+                            rounds=4).to_pandas()
+    comm = dict(zip(out["name"], out["community"]))
+    assert all(comm[f"a{i}"] == "a0" for i in range(4))
+    assert all(comm[f"b{i}"] == "b0" for i in range(1, 4))
+
+
+def test_lpa_matches_sequential_reference(ray_session):
+    from kgx.ops.graph import label_propagation
+    out = label_propagation(_edges(MIXED), rounds=3).to_pandas()
+    ref = _lpa_reference(MIXED, 3)
+    assert dict(zip(out["name"], out["community"])) == ref
+
+
+def test_lpa_partition_invariant(ray_session):
+    from kgx.ops.graph import label_propagation
+    edges = [(f"v{i:02d}", f"v{(i * 7 + 1) % 30:02d}") for i in range(60)
+             if f"v{i:02d}" != f"v{(i * 7 + 1) % 30:02d}"]
+    edges = sorted({(min(a, b), max(a, b)) for a, b in edges})
+    a = label_propagation(_edges(edges), rounds=4).to_pandas()
+    b = label_propagation(_edges(edges).repartition(6),
+                          rounds=4).to_pandas()
+    assert a.equals(b)
+    assert dict(zip(a["name"], a["community"])) == \
+        _lpa_reference(edges, 4)
