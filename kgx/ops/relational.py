@@ -18,6 +18,8 @@ import pyarrow.compute as pc
 import ray
 import ray.data as rd
 
+from kgx.functions.collect import collect_arrow
+
 
 def _cents(col) -> pa.Array:
     """floor(x*100 + 0.5) as int64 — SQL: cast(floor(x*100 + 0.5) as bigint)."""
@@ -47,28 +49,43 @@ def pricing_summary(sf_dir: str, *, cutoff: str = "1998-09-01"):
                  .aggregate([("qty_c", "sum"), ("ext_c", "sum"),
                              ("disc_c", "sum"), ("qty_c", "count")]))
 
-    def final(group: pa.Table) -> pa.Table:
-        qty = sum(group["qty_c_sum"].to_pylist())
-        ext = sum(group["ext_c_sum"].to_pylist())
-        disc = sum(group["disc_c_sum"].to_pylist())
-        n = sum(group["qty_c_count"].to_pylist())
-        return pa.table({
-            "l_returnflag": group["l_returnflag"].slice(0, 1),
-            "l_linestatus": group["l_linestatus"].slice(0, 1),
-            "sum_qty_cents": pa.array([qty], pa.int64()),
-            "sum_price_cents": pa.array([ext], pa.int64()),
-            "sum_disc_cents": pa.array([disc], pa.int64()),
-            "avg_qty_micro": pa.array([(qty * 10000) // n], pa.int64()),
-            "count_order": pa.array([n], pa.int64()),
-        })
-
     ds = rd.read_parquet(
         f"{sf_dir}/lineitem.parquet",
         columns=["l_returnflag", "l_linestatus", "l_quantity",
                  "l_extendedprice", "l_discount", "l_shipdate"])
     partial_ds = ds.map_batches(partial, batch_format="pyarrow")
-    return partial_ds.groupby(["l_returnflag", "l_linestatus"]).map_groups(
-        final, batch_format="pyarrow")
+    # The partial table is (distinct flag/status groups x blocks) rows —
+    # bounded by ~6 groups at ANY corpus size, so the final merge is a
+    # driver-side integer fold (the sketch/corr pattern), not a sort
+    # shuffle: a Ray groupby here costs ~2 s of pure task overhead on
+    # 384 KB-scale rows.  Exact-integer sums keep it order-independent.
+    parts = collect_arrow(partial_ds)
+    groups: dict[tuple[str, str], list[int]] = {}
+    for rf, ls, q, e, d, n in zip(parts["l_returnflag"].to_pylist(),
+                                  parts["l_linestatus"].to_pylist(),
+                                  parts["qty_c_sum"].to_pylist(),
+                                  parts["ext_c_sum"].to_pylist(),
+                                  parts["disc_c_sum"].to_pylist(),
+                                  parts["qty_c_count"].to_pylist()):
+        acc = groups.setdefault((rf, ls), [0, 0, 0, 0])
+        acc[0] += q
+        acc[1] += e
+        acc[2] += d
+        acc[3] += n
+    keys = sorted(groups)
+    return rd.from_arrow(pa.table({
+        "l_returnflag": pa.array([k[0] for k in keys], pa.string()),
+        "l_linestatus": pa.array([k[1] for k in keys], pa.string()),
+        "sum_qty_cents": pa.array([groups[k][0] for k in keys], pa.int64()),
+        "sum_price_cents": pa.array([groups[k][1] for k in keys],
+                                    pa.int64()),
+        "sum_disc_cents": pa.array([groups[k][2] for k in keys],
+                                   pa.int64()),
+        "avg_qty_micro": pa.array(
+            [(groups[k][0] * 10000) // groups[k][3] for k in keys],
+            pa.int64()),
+        "count_order": pa.array([groups[k][3] for k in keys], pa.int64()),
+    }))
 
 
 def top_customers(sf_dir: str, *, n: int = 10):
@@ -594,7 +611,6 @@ def regional_revenue(sf_dir: str, *, region: str = "ASIA",
 
     from kgx.functions.collect import collect_arrow
     from kgx.ops.joins import hash_equijoin
-    from ray.data.aggregate import Sum
 
     lo = np.datetime64(date_lo).astype("datetime64[us]").astype("int64")
     hi = np.datetime64(date_hi).astype("datetime64[us]").astype("int64")
@@ -681,16 +697,21 @@ def regional_revenue(sf_dir: str, *, region: str = "ASIA",
         return pa.table({"n_name": agg["n_name"],
                          "rev": agg["rev_sum"]})
 
-    def finish(batch: pa.Table) -> pa.Table:
-        return pa.table({
-            "n_name": batch["n_name"].combine_chunks(),
-            "revenue_units": batch["sum(rev)"].combine_chunks()
-                                  .cast(pa.int64()),
-        })
-
-    return (joined.map_batches(resolve_partial, batch_format="pyarrow")
-            .groupby("n_name").aggregate(Sum("rev"))
-            .map_batches(finish, batch_format="pyarrow"))
+    # Driver-side integer fold for the final merge: the partial table is
+    # (region's nations x blocks) rows, bounded at any corpus size — a
+    # Ray groupby here pays ~2 s of task overhead for nothing (same
+    # pattern as pricing_summary / volume_shipping).
+    parts = collect_arrow(
+        joined.map_batches(resolve_partial, batch_format="pyarrow"))
+    acc: dict[str, int] = {}
+    for nname, r in zip(parts["n_name"].to_pylist(),
+                        parts["rev"].to_pylist()):
+        acc[nname] = acc.get(nname, 0) + r
+    keys = sorted(acc)
+    return rd.from_arrow(pa.table({
+        "n_name": pa.array(keys, pa.string()),
+        "revenue_units": pa.array([acc[k] for k in keys], pa.int64()),
+    }))
 
 
 def returned_revenue(sf_dir: str, *, date_lo: str = "1996-01-01",
@@ -923,7 +944,6 @@ def volume_shipping(sf_dir: str, *, nation_a: str = "NATION_11",
     import pyarrow.parquet as _pq
 
     from kgx.ops.joins import hash_equijoin
-    from ray.data.aggregate import Sum
 
     lo = np.datetime64(date_lo).astype("datetime64[us]").astype("int64")
     hi = np.datetime64(date_hi).astype("datetime64[us]").astype("int64")
@@ -1008,23 +1028,27 @@ def volume_shipping(sf_dir: str, *, nation_a: str = "NATION_11",
         return pa.table({"snat": agg["snat"], "cnat": agg["cnat"],
                          "l_year": agg["l_year"], "rev": agg["rev_sum"]})
 
-    def finish(batch: pa.Table, _d=dref) -> pa.Table:
-        _, _, _, _, names = ray.get(_d)
-        return pa.table({
-            "supp_nation": pa.array(
-                [names[k] for k in batch["snat"].to_pylist()],
-                pa.string()),
-            "cust_nation": pa.array(
-                [names[k] for k in batch["cnat"].to_pylist()],
-                pa.string()),
-            "l_year": batch["l_year"].combine_chunks().cast(pa.int64()),
-            "revenue_units": batch["sum(rev)"].combine_chunks()
-                                  .cast(pa.int64()),
-        })
-
-    return (joined.map_batches(partial, batch_format="pyarrow")
-            .groupby(["snat", "cnat", "l_year"]).aggregate(Sum("rev"))
-            .map_batches(finish, batch_format="pyarrow"))
+    # Final merge is a driver-side integer fold: the partial table is
+    # (2 directed pairs x years x blocks) rows — bounded at any corpus
+    # size — and a Ray groupby on it costs ~2 s of pure task overhead
+    # (same reasoning as pricing_summary above).
+    parts = collect_arrow(
+        joined.map_batches(partial, batch_format="pyarrow"))
+    acc: dict[tuple[int, int, int], int] = {}
+    for s, c, y, r in zip(parts["snat"].to_pylist(),
+                          parts["cnat"].to_pylist(),
+                          parts["l_year"].to_pylist(),
+                          parts["rev"].to_pylist()):
+        acc[(s, c, y)] = acc.get((s, c, y), 0) + r
+    keys = sorted(acc)
+    return rd.from_arrow(pa.table({
+        "supp_nation": pa.array([name_of[k[0]] for k in keys],
+                                pa.string()),
+        "cust_nation": pa.array([name_of[k[1]] for k in keys],
+                                pa.string()),
+        "l_year": pa.array([k[2] for k in keys], pa.int64()),
+        "revenue_units": pa.array([acc[k] for k in keys], pa.int64()),
+    }))
 
 
 def market_share(sf_dir: str, *, region: str = "ASIA",

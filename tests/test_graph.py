@@ -442,3 +442,18 @@ def test_lpa_partition_invariant(ray_session):
     assert a.equals(b)
     assert dict(zip(a["name"], a["community"])) == \
         _lpa_reference(edges, 4)
+
+
+def test_lpa_communities_score_with_modularity(ray_session):
+    """Composition: the detector's output feeds the scorer — two cliques
+    joined by one bridge get near-maximal modularity under LPA labels."""
+    from kgx.ops.graph import label_propagation, partition_modularity
+    k4a = [(f"a{i}", f"a{j}") for i in range(4) for j in range(i + 1, 4)]
+    k4b = [(f"b{i}", f"b{j}") for i in range(4) for j in range(i + 1, 4)]
+    edges = k4a + k4b + [("a0", "b0")]
+    memb = label_propagation(_edges(edges), rounds=4) \
+        .map_batches(lambda t: t, batch_format="pyarrow")
+    out = partition_modularity(_edges(edges), memb).to_pandas()
+    q = out["q_num"][0] / out["q_den"][0]
+    assert out["n_communities"][0] == 2
+    assert q == 2 * (4 * 13 * 6 - 13 * 13) / (4 * 13 * 13)
