@@ -283,6 +283,57 @@ def _q_events_rank(sf_dir: str):
     return rank_features(ev)
 
 
+def _q_kg_pagerank_weighted(sf_dir: str):
+    """Edge-weighted PageRank (kgx/ops/graph.py:weighted_pagerank) over
+    the co-occurrence KG, weight = n_instances (documents witnessing
+    the pair) — heavily-witnessed associations carry more mass."""
+    from kgx.ops.graph import weighted_pagerank
+    from kgx.pipelines.docs_kg import kg_tables
+    return weighted_pagerank(kg_tables(sf_dir)["edges"])
+
+
+def _wpagerank_oracle(*, iters=10, damping_pct=85, scale=10**12) -> str:
+    """DuckDB mirror of kgx.ops.graph.weighted_pagerank: same unrolled
+    BIGINT recurrence as _pagerank_oracle with per-edge weights —
+    r_k = base + (d * sum((r_{k-1} * w) // W_u)) // 100, w = the pair's
+    co-occurring-document count (the kg_edges n_instances)."""
+    base = (f"(({100 - damping_pct} * ({scale} // (SELECT nv FROM nn)))"
+            " // 100)")
+    its = []
+    for k in range(1, iters + 1):
+        its.append(f"""
+            r{k} AS (
+              SELECT ed.t AS v,
+                     CAST({base} + ({damping_pct}
+                          * sum((p.r * ed.w) // wd.ws))
+                          // 100 AS BIGINT) AS r
+              FROM ed JOIN r{k - 1} p ON ed.s = p.v
+                      JOIN wd ON ed.s = wd.v
+              GROUP BY ed.t)""")
+    return f"""
+            WITH dt AS (
+              SELECT doc_id,
+                     unnest(list_distinct(regexp_extract_all(
+                       text, '{_TERM_RE}'))) AS term
+              FROM documents),
+            e0 AS (
+              SELECT a.term AS s, b.term AS t, count(*) AS w
+              FROM dt a JOIN dt b
+                ON a.doc_id = b.doc_id AND a.term < b.term
+              GROUP BY 1, 2),
+            ed AS (SELECT s, t, w FROM e0
+                   UNION ALL SELECT t AS s, s AS t, w FROM e0),
+            wd AS (SELECT s AS v, CAST(sum(w) AS BIGINT) AS ws
+                   FROM ed GROUP BY s),
+            nn AS (SELECT count(*) AS nv FROM wd),
+            r0 AS (SELECT v, {scale} // (SELECT nv FROM nn) AS r
+                   FROM wd),{",".join(its)}
+            SELECT w.v AS name, w.ws AS wdegree,
+                   CAST(rr.r AS BIGINT) AS wpr_units
+            FROM wd w JOIN r{iters} rr ON w.v = rr.v
+    """
+
+
 _LPA_ROUNDS = 4
 
 
@@ -2930,11 +2981,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_rank": _q_events_rank,
         "events_moving": _q_events_moving,
         "events_streaks": _q_events_streaks,
-        "rel_intersect": _q_rel_intersect,
         "kg_assortativity": _q_kg_assortativity,
         "events_corr": _q_events_corr,
         "events_throttle": _q_events_throttle,
         "kg_lpa": _q_kg_lpa,
+        "kg_pagerank_weighted": _q_kg_pagerank_weighted,
         "kg_ppr": _q_kg_ppr,                    # never driver-gated yet
         "sketch_cms": _q_sketch_cms,             # never driver-gated yet
         "simsearch_lsh": _q_simsearch_lsh,       # rows-only -> exact r4
@@ -2955,6 +3006,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_firstlast": _q_events_firstlast,
         "events_dcount": _q_events_dcount,
         "events_lag": _q_events_lag,
+        "rel_intersect": _q_rel_intersect,
         "sketch_distinct": _q_sketch_distinct,   # rows-only -> exact r4
         # BPE merge loop: rows-only by design (iterative; pytest twin),
         # its corpus fold is driver-gated via text_wordfreq above
@@ -3621,6 +3673,7 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY mm.m
         """,
         "kg_lpa": _lpa_oracle(rounds=_LPA_ROUNDS),
+        "kg_pagerank_weighted": _wpagerank_oracle(iters=10),
         "kg_kcore": _kcore_oracle(k=_KCORE_K, rounds=_KCORE_ROUNDS),
         # triangles counted once per vertex -> /3 for the triangle count
         "kg_stats": f"""

@@ -133,6 +133,94 @@ def pagerank(edges_ds, *, src_col: str = "subj_name",
     }))
 
 
+def weighted_pagerank(edges_ds, *, src_col: str = "subj_name",
+                      dst_col: str = "obj_name",
+                      weight_col: str = "n_instances",
+                      iters: int = 10, damping_pct: int = 85):
+    """(name, wdegree, wpr_units): PageRank with integer EDGE WEIGHTS —
+    u spreads its rank proportionally to w_uv instead of uniformly::
+
+        r_k(v) = base + (d * sum_{u~v} (r_{k-1}(u) * w_uv) // W_u) // 100
+
+    with ``W_u = sum_t w_ut`` the vertex's total weight (wdegree).  For
+    the co-occurrence KG the natural weight is ``n_instances`` (how many
+    documents witness the pair), so heavily-witnessed associations carry
+    more centrality mass than one-off co-mentions — the ranking KG
+    applications actually want.  Per-edge division BEFORE the sum keeps
+    every step order-independent integer arithmetic; the SQL oracle
+    (driver query ``kg_pagerank_weighted``) unrolls the identical
+    recurrence in BIGINT.
+
+    Scale shape: identical to :func:`pagerank` (edge stream per
+    iteration, batch-distinct contribution partials, O(|V|) rank/weight
+    broadcast).  RANGE ASSUMPTION: ``r * w`` must fit int64 — per-edge
+    weight below ~9e6 even under full mass concentration; clip or
+    rescale weights beyond that.
+    """
+    def both(batch: pa.Table) -> pa.Table:
+        s = batch[src_col].combine_chunks().cast(pa.string())
+        t = batch[dst_col].combine_chunks().cast(pa.string())
+        w = batch[weight_col].combine_chunks().cast(pa.int64())
+        return pa.table({
+            "src": pa.concat_arrays([s, t]),
+            "dst": pa.concat_arrays([t, s]),
+            "w": pa.concat_arrays([w, w]),
+        })
+
+    from ray.data.aggregate import Sum
+
+    ed = edges_ds.map_batches(both, batch_format="pyarrow").materialize()
+    wd = collect_arrow(ed.groupby("src").aggregate(Sum("w")))
+    n = wd.num_rows
+    if n == 0:
+        return ray.data.from_arrow(pa.table({
+            "name": pa.array([], pa.string()),
+            "wdegree": pa.array([], pa.int64()),
+            "wpr_units": pa.array([], pa.int64()),
+        }))
+    order = pc.sort_indices(wd["src"].combine_chunks())
+    verts = pc.take(wd["src"].combine_chunks(), order)
+    wsum = pc.take(wd["sum(w)"].combine_chunks(), order) \
+             .to_numpy(zero_copy_only=False).astype(np.int64)
+
+    base = ((100 - damping_pct) * (SCALE // n)) // 100
+    ranks = np.full(n, SCALE // n, dtype=np.int64)
+
+    for _ in range(iters):
+        bref = ray.put((verts, ranks, wsum))
+
+        def partial(batch: pa.Table, _bref=bref) -> pa.Table:
+            vs, rk, ws = ray.get(_bref)
+            si = pc.index_in(batch["src"].combine_chunks(), value_set=vs) \
+                   .to_numpy(zero_copy_only=False)
+            di = pc.index_in(batch["dst"].combine_chunks(), value_set=vs) \
+                   .to_numpy(zero_copy_only=False)
+            w = batch["w"].to_numpy(zero_copy_only=False)
+            contrib = (rk[si] * w) // ws[si]
+            acc = np.zeros(len(vs), dtype=np.int64)
+            np.add.at(acc, di, contrib)
+            nz = np.flatnonzero(acc)
+            return pa.table({
+                "vi": pa.array(nz, pa.int64()),
+                "c": pa.array(acc[nz], pa.int64()),
+            })
+
+        parts = collect_arrow(
+            ed.map_batches(partial, batch_format="pyarrow"))
+        total = np.zeros(n, dtype=np.int64)
+        if parts.num_rows:
+            np.add.at(total,
+                      parts["vi"].to_numpy(zero_copy_only=False),
+                      parts["c"].to_numpy(zero_copy_only=False))
+        ranks = base + (damping_pct * total) // 100
+
+    return ray.data.from_arrow(pa.table({
+        "name": verts,
+        "wdegree": pa.array(wsum, pa.int64()),
+        "wpr_units": pa.array(ranks, pa.int64()),
+    }))
+
+
 def personalized_pagerank(edges_ds, *, src_col: str = "subj_name",
                           dst_col: str = "obj_name", iters: int = 10,
                           damping_pct: int = 85):

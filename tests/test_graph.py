@@ -457,3 +457,77 @@ def test_lpa_communities_score_with_modularity(ray_session):
     q = out["q_num"][0] / out["q_den"][0]
     assert out["n_communities"][0] == 2
     assert q == 2 * (4 * 13 * 6 - 13 * 13) / (4 * 13 * 13)
+
+
+# ----------------------------------------------------------------------
+# weighted_pagerank
+# ----------------------------------------------------------------------
+
+def _wedges(triples):
+    s, t, w = zip(*triples) if triples else ((), (), ())
+    return rd.from_arrow(pa.table({
+        "subj_name": pa.array(list(s), pa.string()),
+        "obj_name": pa.array(list(t), pa.string()),
+        "n_instances": pa.array(list(w), pa.int64()),
+    }))
+
+
+def _wpagerank_reference(triples, iters=10, damping_pct=85):
+    adj: dict[str, dict] = {}
+    for a, b, w in triples:
+        adj.setdefault(a, {})[b] = w
+        adj.setdefault(b, {})[a] = w
+    n = len(adj)
+    ws = {v: sum(adj[v].values()) for v in adj}
+    base = ((100 - damping_pct) * (SCALE // n)) // 100
+    r = {v: SCALE // n for v in adj}
+    for _ in range(iters):
+        r = {v: base + (damping_pct
+                        * sum((r[u] * adj[u][v]) // ws[u]
+                              for u in adj[v])) // 100
+             for v in adj}
+    return {v: (ws[v], r[v]) for v in adj}
+
+
+def test_weighted_pagerank_matches_sequential_reference(ray_session):
+    from kgx.ops.graph import weighted_pagerank
+    triples = [("a", "b", 5), ("b", "c", 1), ("a", "c", 2),
+               ("c", "d", 7), ("d", "a", 1)]
+    out = weighted_pagerank(_wedges(triples)).to_pandas()
+    ref = _wpagerank_reference(triples)
+    got = {r["name"]: (r["wdegree"], r["wpr_units"])
+           for _, r in out.iterrows()}
+    assert got == ref
+
+
+def test_weighted_pagerank_heavy_edge_attracts_mass(ray_session):
+    from kgx.ops.graph import pagerank, weighted_pagerank
+    # star: hub h with leaves x, y; edge h-x is 10x heavier than h-y.
+    triples = [("h", "x", 10), ("h", "y", 1)]
+    w = weighted_pagerank(_wedges(triples)).to_pandas() \
+        .set_index("name")["wpr_units"]
+    assert w["x"] > w["y"]
+    # uniform weights must reproduce the unweighted op exactly
+    uni = [("h", "x", 1), ("h", "y", 1)]
+    wu = weighted_pagerank(_wedges(uni)).to_pandas() \
+        .set_index("name")["wpr_units"]
+    pu = pagerank(_edges([("h", "x"), ("h", "y")])).to_pandas() \
+        .set_index("name")["pr_units"]
+    assert dict(wu) == dict(pu)
+
+
+def test_weighted_pagerank_partition_invariant(ray_session):
+    from kgx.ops.graph import weighted_pagerank
+    triples = [(f"v{i}", f"v{(i * 3 + 1) % 20}", (i % 5) + 1)
+               for i in range(40) if f"v{i}" != f"v{(i * 3 + 1) % 20}"]
+    seen = {}
+    for a, b, w in triples:
+        seen.setdefault((min(a, b), max(a, b)), w)
+    triples = [(a, b, w) for (a, b), w in sorted(seen.items())]
+    a = weighted_pagerank(_wedges(triples)).to_pandas()
+    b = weighted_pagerank(_wedges(triples).repartition(6)).to_pandas()
+    assert a.equals(b)
+    ref = _wpagerank_reference(triples)
+    got = {r["name"]: (r["wdegree"], r["wpr_units"])
+           for _, r in a.iterrows()}
+    assert got == ref
