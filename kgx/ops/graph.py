@@ -45,8 +45,10 @@ SCALE = 10**12
 
 
 def undirected_edges(edges_ds, *, src_col: str = "subj_name",
-                     dst_col: str = "obj_name"):
-    """Distinct (src, dst) pairs emitted in both directions.
+                     dst_col: str = "obj_name",
+                     weight_col: str | None = None):
+    """Distinct (src, dst) pairs emitted in both directions; with
+    ``weight_col`` the weight rides along as an int64 ``w`` column.
 
     Input pairs are assumed already distinct (the canonical edges table
     is grouped); each undirected edge becomes two directed rows.
@@ -54,10 +56,14 @@ def undirected_edges(edges_ds, *, src_col: str = "subj_name",
     def both(batch: pa.Table) -> pa.Table:
         s = batch[src_col].combine_chunks().cast(pa.string())
         t = batch[dst_col].combine_chunks().cast(pa.string())
-        return pa.table({
+        cols = {
             "src": pa.concat_arrays([s, t]),
             "dst": pa.concat_arrays([t, s]),
-        })
+        }
+        if weight_col is not None:
+            w = batch[weight_col].combine_chunks().cast(pa.int64())
+            cols["w"] = pa.concat_arrays([w, w])
+        return pa.table(cols)
 
     return edges_ds.map_batches(both, batch_format="pyarrow")
 
@@ -157,19 +163,10 @@ def weighted_pagerank(edges_ds, *, src_col: str = "subj_name",
     weight below ~9e6 even under full mass concentration; clip or
     rescale weights beyond that.
     """
-    def both(batch: pa.Table) -> pa.Table:
-        s = batch[src_col].combine_chunks().cast(pa.string())
-        t = batch[dst_col].combine_chunks().cast(pa.string())
-        w = batch[weight_col].combine_chunks().cast(pa.int64())
-        return pa.table({
-            "src": pa.concat_arrays([s, t]),
-            "dst": pa.concat_arrays([t, s]),
-            "w": pa.concat_arrays([w, w]),
-        })
-
     from ray.data.aggregate import Sum
 
-    ed = edges_ds.map_batches(both, batch_format="pyarrow").materialize()
+    ed = undirected_edges(edges_ds, src_col=src_col, dst_col=dst_col,
+                          weight_col=weight_col).materialize()
     wd = collect_arrow(ed.groupby("src").aggregate(Sum("w")))
     n = wd.num_rows
     if n == 0:
@@ -551,38 +548,53 @@ def partition_modularity(edges_ds, membership_ds, *,
     from ray.data.aggregate import Sum
 
     memb = collect_arrow(membership_ds)
-    comm_of = dict(zip(memb[name_col].to_pylist(),
-                       memb[community_col].to_pylist()))
-    mref = ray.put(comm_of)
+    name_order = pc.sort_indices(memb[name_col].combine_chunks())
+    names = pc.take(memb[name_col].combine_chunks(), name_order)
+    comm_str = pc.take(memb[community_col].combine_chunks(),
+                       name_order).cast(pa.string())
+    # dense community codes so the streamed fold is pure integer numpy
+    comms_uniq = pc.unique(comm_str)
+    comms_sorted = pc.take(comms_uniq, pc.sort_indices(comms_uniq))
+    codes = pc.index_in(comm_str, value_set=comms_sorted) \
+              .to_numpy(zero_copy_only=False).astype(np.int64)
+    mref = ray.put((names, codes, comms_sorted))
 
     def partial(batch: pa.Table, _mref=mref) -> pa.Table:
-        cm = ray.get(_mref)
-        e_c: dict = {}
-        d_c: dict = {}
-        for s, t in zip(batch[src_col].to_pylist(),
-                        batch[dst_col].to_pylist()):
-            cs = cm[s]
-            ct = cm[t]
-            d_c[cs] = d_c.get(cs, 0) + 1
-            d_c[ct] = d_c.get(ct, 0) + 1
-            if cs == ct:
-                e_c[cs] = e_c.get(cs, 0) + 1
-        comms = sorted(d_c)
+        nm, cd, cs_names = ray.get(_mref)
+        si = pc.index_in(batch[src_col].combine_chunks().cast(pa.string()),
+                         value_set=nm).to_numpy(zero_copy_only=False)
+        di = pc.index_in(batch[dst_col].combine_chunks().cast(pa.string()),
+                         value_set=nm).to_numpy(zero_copy_only=False)
+        if np.isnan(si.astype(np.float64)).any() \
+                or np.isnan(di.astype(np.float64)).any():
+            raise KeyError("partition_modularity: edge endpoint missing "
+                           "from membership_ds")
+        cs = cd[si.astype(np.int64)]
+        ct = cd[di.astype(np.int64)]
+        d_acc = np.zeros(len(cs_names), dtype=np.int64)
+        np.add.at(d_acc, cs, 1)
+        np.add.at(d_acc, ct, 1)
+        e_acc = np.zeros(len(cs_names), dtype=np.int64)
+        intra = cs[cs == ct]
+        np.add.at(e_acc, intra, 1)
+        nz = np.flatnonzero(d_acc)
         return pa.table({
-            "community": pa.array([str(c) for c in comms], pa.string()),
-            "e_c": pa.array([e_c.get(c, 0) for c in comms], pa.int64()),
-            "d_c": pa.array([d_c[c] for c in comms], pa.int64()),
+            "community": pc.take(cs_names, pa.array(nz, pa.int64())),
+            "e_c": pa.array(e_acc[nz], pa.int64()),
+            "d_c": pa.array(d_acc[nz], pa.int64()),
         })
 
     per_comm = collect_arrow(
         edges_ds.map_batches(partial, batch_format="pyarrow")
         .groupby("community").aggregate(Sum("e_c"), Sum("d_c")))
     if per_comm.num_rows == 0:
+        # empty edge set -> empty report, matching the SQL oracle's
+        # zero-row aggregate and the sibling graph ops' empty outputs
         return ray.data.from_arrow(pa.table({
-            "n_communities": pa.array([0], pa.int64()),
-            "n_edges": pa.array([0], pa.int64()),
-            "q_num": pa.array([0], pa.int64()),
-            "q_den": pa.array([0], pa.int64()),
+            "n_communities": pa.array([], pa.int64()),
+            "n_edges": pa.array([], pa.int64()),
+            "q_num": pa.array([], pa.int64()),
+            "q_den": pa.array([], pa.int64()),
         }))
     e_arr = per_comm["sum(e_c)"].to_numpy(zero_copy_only=False)
     d_arr = per_comm["sum(d_c)"].to_numpy(zero_copy_only=False)

@@ -387,9 +387,13 @@ def throttle_dedup(events_ds, *, gap_s: int = 604_800,
             kept.append(i)
             i = int(np.searchsorted(ts_s, ts_s[i] + gap_us, side="left"))
         kept_idx = np.asarray(kept, dtype=np.int64)
+        # replicate the group's key value with its ORIGINAL type (the
+        # key may be a string column like event_type, not just int64)
+        key_rep = pc.take(group[key].combine_chunks(),
+                          pa.array(np.zeros(len(kept_idx), dtype=np.int64),
+                                   pa.int64()))
         return pa.table({
-            key: pa.array(np.full(len(kept_idx),
-                                  group[key][0].as_py()), pa.int64()),
+            key: key_rep,
             "event_id": pa.array(ids_s[kept_idx], pa.int64()),
             "ts": pc.cast(pa.array(ts_s[kept_idx], pa.int64()),
                           pa.timestamp("us")),

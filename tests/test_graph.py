@@ -531,3 +531,17 @@ def test_weighted_pagerank_partition_invariant(ray_session):
     got = {r["name"]: (r["wdegree"], r["wpr_units"])
            for _, r in a.iterrows()}
     assert got == ref
+
+
+def test_modularity_empty_edges_emits_no_rows(ray_session):
+    from kgx.ops.graph import partition_modularity
+    out = partition_modularity(_edges([]), _membership({})).to_pandas()
+    assert len(out) == 0
+
+
+def test_modularity_missing_member_raises(ray_session):
+    import pytest
+    from kgx.ops.graph import partition_modularity
+    with pytest.raises(Exception):
+        partition_modularity(
+            _edges([("a", "b")]), _membership({"a": "x"})).to_pandas()

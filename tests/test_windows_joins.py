@@ -643,3 +643,14 @@ class TestThrottle:
             got = [e for u, e in zip(a["user_id"].to_pylist(),
                                      a["event_id"].to_pylist()) if u == uid]
             assert got == kept
+
+    def test_string_key_column(self, ray_session):
+        from kgx.ops.window import throttle_dedup
+        rows = [(1, 0, 1, "a", 1.0), (2, 3, 1, "a", 1.0),
+                (3, 0, 1, "b", 1.0), (4, 9, 1, "b", 1.0)]
+        out = _collect(throttle_dedup(_events(rows), gap_s=5,
+                                      key="event_type")) \
+            .sort_by([("event_type", "ascending"), ("ts", "ascending")]) \
+            .to_pydict()
+        assert out["event_type"] == ["a", "b", "b"]
+        assert out["event_id"] == [1, 3, 4]
