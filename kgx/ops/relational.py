@@ -1897,6 +1897,10 @@ def nation_profit(sf_dir: str, *, name_frag: str = "red"):
         sk, sn, nk, _ = ray.get(_s)
         si = pc.index_in(b["l_suppkey"].combine_chunks().cast(pa.int64()),
                          value_set=sk)
+        # inner-join semantics: a suppkey absent from supplier must DROP
+        # the row (as the oracle's JOIN does), not flow a null nation
+        b = b.filter(pc.is_valid(si))
+        si = si.filter(pc.is_valid(si))
         ni = pc.index_in(sn.take(si), value_set=nk)
         ext_c = _cents(b["l_extendedprice"]).to_numpy(zero_copy_only=False)
         disc_c = _cents(b["l_discount"]).to_numpy(zero_copy_only=False)

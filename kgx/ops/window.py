@@ -22,6 +22,25 @@ import pyarrow.compute as pc
 US = 1_000_000
 
 
+def _value_cents(col, op: str) -> np.ndarray:
+    """Convert a value column to exact int64 cents, REJECTING nulls.
+
+    Frame/order aggregates (``moving_frame_agg``, ``first_last_by_key``)
+    cannot silently drop null values the way ``mode_by_key`` does — a
+    dropped row would shift the frame / change which row is first — and
+    letting NaN flow through ``astype(int64)`` yields INT64_MIN garbage
+    that silently diverges from the SQL oracle.  So these ops document a
+    non-null value precondition and enforce it here with a clear error.
+    """
+    v = np.asarray(col.to_pylist(), dtype=np.float64)
+    if np.isnan(v).any():
+        raise ValueError(
+            f"{op}: null/NaN in value column — frame/order aggregates "
+            "require non-null values (filter upstream or use an op with "
+            "SQL null-skipping semantics like mode_by_key)")
+    return np.floor(v * 100.0 + 0.5).astype(np.int64)
+
+
 def assign_tumbling(batch: pa.Table, *, width_s: int, ts_col: str = "ts"
                     ) -> pa.Table:
     """Add ``window_start`` (timestamp us, floor of ts to the window)."""
@@ -517,15 +536,15 @@ def moving_frame_agg(events_ds, *, key: str = "user_id",
     lexsort + cumulative-sum difference (``cs[i] - cs[i-k-1]``), no
     Python row loop.  Per-key groups are bounded by events-per-user —
     the same fits-a-worker assumption every ordered-window op here
-    documents.  Output: (key, id, mov_sum_cents, mov_n).
+    documents.  Values must be NON-NULL (enforced — a null would shift
+    the frame if dropped, or corrupt the cents cast if kept).
+    Output: (key, id, mov_sum_cents, mov_n).
     """
     def win(group: pa.Table) -> pa.Table:
         ids = np.asarray(group[id_col].to_pylist(), dtype=np.int64)
         us = pc.cast(group[ts_col], pa.int64()).to_numpy(
             zero_copy_only=False)
-        v = np.floor(np.asarray(group[value_col].to_pylist(),
-                                dtype=np.float64) * 100.0
-                     + 0.5).astype(np.int64)
+        v = _value_cents(group[value_col], "moving_frame_agg")
         order = np.lexsort((ids, us))
         ids_s, v_s = ids[order], v[order]
         cs = np.cumsum(v_s)
@@ -627,7 +646,11 @@ def first_last_by_key(events_ds, *, key: str = "user_id",
     (that batch's first and last candidate + count) via one lexsort +
     group-boundary pick — order rows never shuffle; the final narrow
     groupby(key) re-applies the identical fold to the per-batch
-    candidates (min/max over (ts, id) is associative).
+    candidates (min/max over (ts, id) is associative).  Values must be
+    NON-NULL (enforced — SQL FIRST/LAST_VALUE would surface the null,
+    but the cents cast would corrupt it, so we fail loudly instead).
+    The key keeps its ORIGINAL type (string keys like event_type work;
+    grouping sorts on dictionary codes, output takes the real values).
     Output: (key, n_events, first_id, first_value_cents, last_id,
     last_value_cents)."""
     def batch_fold(batch: pa.Table, final: bool) -> pa.Table:
@@ -646,12 +669,14 @@ def first_last_by_key(events_ds, *, key: str = "user_id",
                                        dtype=np.int64)
             ts_f = ts_l = pc.cast(batch[ts_col], pa.int64()).to_numpy(
                 zero_copy_only=False)
-            c_f = c_l = np.floor(np.asarray(
-                batch[value_col].to_pylist(), dtype=np.float64) * 100.0
-                + 0.5).astype(np.int64)
+            c_f = c_l = _value_cents(batch[value_col],
+                                     "first_last_by_key")
             cnt = np.ones(len(ids_f), np.int64)
-        keys = batch[key].combine_chunks().cast(pa.int64()) \
-            .to_numpy(zero_copy_only=False)
+        key_arr = batch[key].combine_chunks()
+        # group on dictionary codes so any key type (string, int) sorts;
+        # the emitted key column takes the ORIGINAL values back out
+        keys = pc.dictionary_encode(key_arr).indices \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
         o_f = np.lexsort((ids_f, ts_f, keys))
         sk = keys[o_f]
         starts = np.flatnonzero(np.r_[True, sk[1:] != sk[:-1]])
@@ -663,7 +688,7 @@ def first_last_by_key(events_ds, *, key: str = "user_id",
         tot = np.zeros(starts.size, np.int64)
         np.add.at(tot, gid, cnt[o_f])
         return pa.table({
-            key: pa.array(keys[f_idx], pa.int64()),
+            key: pc.take(key_arr, pa.array(f_idx, pa.int64())),
             "n_events": pa.array(tot, pa.int64()),
             "first_ts": pa.array(ts_f[f_idx], pa.int64()),
             "first_id": pa.array(ids_f[f_idx], pa.int64()),

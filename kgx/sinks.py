@@ -41,7 +41,13 @@ def write_jsonl_shards(ds, out_dir: str, *, input_fp: str,
     if os.path.exists(mpath):
         with open(mpath) as f:
             m = json.load(f)
-        if m.get("input_fp") == input_fp and m.get("config") == cfg:
+        if m.get("input_fp") == input_fp and m.get("config") == cfg \
+                and all(os.path.exists(os.path.join(out_dir, f))
+                        for f in m.get("files", [])):
+            # every listed shard is still on disk — safe to skip; a
+            # partially deleted dir with an intact manifest falls
+            # through to a full rewrite instead of returning stale
+            # counts
             return m
     os.makedirs(out_dir, exist_ok=True)
     for f in os.listdir(out_dir):               # stale partial output
