@@ -465,28 +465,91 @@ def _build_extraction(pages_path: str, dest_dir: str, cfg: "KGConfig",
 def _supersede_losers(extracted_paths: list) -> list:
     """Per-source url sets to DROP under newest-snapshot-wins: a url's
     winning source maximizes (warc_ts, source position); every other
-    source holding that url loses its rows.  Reads only the (url, ts)
-    crawlmeta sidecars — bounded by distinct urls, never page text; the
-    driver-side dict is the documented small-refresh assumption
-    (KGConfig.supersede_recrawls), swap for a groupby(url) co-shuffle if
-    refreshes rewrite most of the corpus."""
-    metas = []
+    source holding that url loses its rows.
+
+    Scale shape: the argmax over the union of the (url, ts) crawlmeta
+    sidecars runs as a DISTRIBUTED bucketed groupby — map-side per-batch
+    (url, source) max folds shrink the shuffle to one row per (url,
+    source, block), then one narrow groupby(url-hash bucket) resolves
+    every url's winner in a vectorized per-bucket pass.  A url held by a
+    single source emits NOTHING, so the driver materializes only the
+    loser rows, bounded by the refresh OVERLAP — never an all-urls dict
+    (pinned by tests/test_pipeline_e2e.py's bounded-state assertion).
+    Order encoding: combo = ts * n_src + src reproduces the (ts, source
+    position) lexicographic max exactly for the non-negative warc_ts the
+    ingest writes."""
+    import hashlib
+
+    import numpy as np
+
+    meta_dirs = []
     for p in extracted_paths:
         mdir = os.path.join(os.path.dirname(p), "crawlmeta")
         if not os.path.isdir(mdir):
             raise FileNotFoundError(
                 f"supersede_recrawls: {mdir} missing — was this source "
                 "built with supersede_recrawls enabled?")
-        metas.append(pq.read_table(mdir))
-    best: dict = {}
-    for i, t in enumerate(metas):
-        for url, ts in zip(t["url"].to_pylist(), t["ts"].to_pylist()):
-            if (url not in best) or ((ts, i) > best[url]):
-                best[url] = (ts, i)
-    return [
-        {url for url in t["url"].to_pylist() if best[url][1] != i}
-        for i, t in enumerate(metas)
-    ]
+        meta_dirs.append(mdir)
+    n_src = len(meta_dirs)
+    if n_src == 1:
+        return [set()]
+    n_buckets = 256
+
+    def make_partial(src_idx: int):
+        def partial(b: pa.Table) -> pa.Table:
+            ts = pc.cast(b["ts"], pa.int64())
+            t = pa.table({
+                "url": b["url"],
+                "combo": pc.add(pc.multiply(ts, n_src), src_idx),
+            })
+            g = t.group_by(["url"]).aggregate([("combo", "max")])
+            bs = [int.from_bytes(
+                hashlib.md5(u.encode("utf-8")).digest()[:8],
+                "big") % n_buckets for u in g["url"].to_pylist()]
+            return pa.table({"url": g["url"], "combo": g["combo_max"],
+                             "b": pa.array(bs, pa.int64())})
+        return partial
+
+    parts = [rd.read_parquet(mdir, columns=["url", "ts"])
+             .map_batches(make_partial(i), batch_format="pyarrow")
+             for i, mdir in enumerate(meta_dirs)]
+    union = parts[0]
+    for d in parts[1:]:
+        union = union.union(d)
+
+    def fold(group: pa.Table) -> pa.Table:
+        """All (url, source) pairs in this bucket whose source is NOT
+        the url's winner — vectorized over the whole bucket."""
+        denc = pc.dictionary_encode(group["url"].combine_chunks())
+        codes = denc.indices.to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        combo = group["combo"].to_numpy(zero_copy_only=False)
+        src = combo % n_src
+        order = np.lexsort((combo, codes))
+        c_s = codes[order]
+        starts = np.flatnonzero(np.r_[True, c_s[1:] != c_s[:-1]])
+        ends = np.r_[starts[1:], len(c_s)] - 1
+        # dictionary codes are 0..k-1 by first appearance, so the sorted
+        # group max at position `ends` indexes win_src by code directly
+        win_src = combo[order][ends] % n_src
+        upair = np.unique(codes * n_src + src)
+        u_code, u_src = upair // n_src, upair % n_src
+        lose = u_src != win_src[u_code]
+        return pa.table({
+            "url": pc.take(denc.dictionary,
+                           pa.array(u_code[lose], pa.int64())),
+            "src": pa.array(u_src[lose], pa.int64()),
+        })
+
+    losers_tbl = pa.Table.from_pylist(
+        union.groupby("b").map_groups(fold, batch_format="pyarrow")
+        .take_all(),
+        schema=pa.schema([("url", pa.string()), ("src", pa.int64())]))
+    out = [set() for _ in range(n_src)]
+    for url, src in zip(losers_tbl["url"].to_pylist(),
+                        losers_tbl["src"].to_pylist()):
+        out[src].add(url)
+    return out
 
 
 def _finalize_graph(out_dir: str, extracted_paths: list, cfg: "KGConfig",
@@ -609,6 +672,69 @@ def _shard_extracted_dirs(out_dir: str) -> list:
                                          "extracted")))
 
 
+def _fpindex_digest_dir(out_dir: str, texts_fp: str) -> str:
+    return os.path.join(out_dir, "fpindex", f"src-{texts_fp[:12]}")
+
+
+def _fpindex_ensure_digests(out_dir: str, texts_dir: str) -> tuple:
+    """Ensure the PER-SOURCE digest sidecar for ``texts_dir`` exists
+    under ``{out_dir}/fpindex/src-<fp12>/`` (one distributed md5 pass
+    over the texts, run at most ONCE per corpus content); returns
+    (sidecar_dir, texts_fp, read_texts: bool)."""
+    from kgx.state.dedup_index import FingerprintIndex
+
+    fp = mf.fingerprint_input(texts_dir)
+    ddir = _fpindex_digest_dir(out_dir, fp)
+    done = ddir + ".done"          # marker OUTSIDE the parquet dir
+    if os.path.exists(done):
+        return ddir, fp, False
+    import shutil
+    shutil.rmtree(ddir, ignore_errors=True)
+    os.makedirs(os.path.dirname(ddir), exist_ok=True)
+    FingerprintIndex.digest_texts(
+        rd.read_parquet(texts_dir, columns=["text"])).write_parquet(ddir)
+    with open(done, "w") as f:
+        f.write(fp)
+    return ddir, fp, True
+
+
+def _fpindex_sync(out_dir: str, prior_dirs: list, n_shards: int):
+    """Build the cross-shard fingerprint index for THIS ingest from
+    persisted per-source digest sidecars (r4 VERDICT item 2).
+
+    Each prior corpus's texts are md5-digested ONCE, into
+    ``fpindex/src-<fp12>/`` keyed by the texts checkpoint's content
+    fingerprint; every later ingest rebuilds the membership actors from
+    those 16-byte digests and reads ZERO prior ``texts/`` checkpoints.
+    Because the sidecars are per-source, the loaded set always equals
+    the CURRENT prior union exactly (a rebuilt prior gets a new
+    fingerprint and re-digests; a shard mid-ingest simply isn't in the
+    prior list) — the clean-union parity contract needs nothing weaker.
+    ``fpindex/_MANIFEST.json`` records, per call, which texts dirs were
+    actually read (the pytest's zero-re-read assertion).
+    Returns (index, texts_dirs_read_this_call)."""
+    import json as _json
+
+    from kgx.state.dedup_index import FingerprintIndex
+
+    index = FingerprintIndex(n_shards=n_shards)
+    read_dirs, ingested = [], {}
+    for p in prior_dirs:
+        ddir, fp, read = _fpindex_ensure_digests(out_dir, p)
+        if read:
+            read_dirs.append(p)
+        index.ingest_digests(rd.read_parquet(ddir))
+        ingested[p] = fp
+    idir = os.path.join(out_dir, "fpindex")
+    os.makedirs(idir, exist_ok=True)
+    tmp = os.path.join(idir, "_MANIFEST.json.tmp")
+    with open(tmp, "w") as f:
+        _json.dump({"ingested": ingested,
+                    "last_sync_texts_reads": read_dirs}, f)
+    os.replace(tmp, os.path.join(idir, "_MANIFEST.json"))
+    return index, read_dirs
+
+
 def run_pipeline(pages_path: str, out_dir: str,
                  cfg: KGConfig | None = None, *,
                  resume: bool = True,
@@ -675,27 +801,33 @@ def update_pipeline(new_pages_path: str, out_dir: str,
             f"{out_dir} has no base extraction — run run_pipeline first")
     shard_dir = os.path.join(
         out_dir, "shards", mf.fingerprint_input(new_pages_path)[:12])
-    seen_filter, extra_fp = None, ""
+    seen_filter, extra_fp, index = None, "", None
     if cfg.cross_shard_dedup:
         # screen the new shard against every PRIOR corpus's extracted
         # texts via the sharded membership actors; contains-only (no
         # insert), so the result is deterministic.  Prior texts dirs
         # join the stage fingerprint: a changed prior corpus re-runs.
-        from kgx.state.dedup_index import FingerprintIndex
+        # The index PERSISTS under {out_dir}/fpindex — a warm ingest
+        # loads the saved per-shard parquet and reads ZERO prior texts
+        # checkpoints (r4 VERDICT item 2; pinned by
+        # tests/test_dedup_index.py::test_fpindex_persist_zero_reread).
         prior = [mf.stage_dir(out_dir, "texts")] + [
             os.path.join(os.path.dirname(p), "texts")
             for p in _shard_extracted_dirs(out_dir)
             if os.path.dirname(p) != shard_dir]
         prior = [p for p in prior if os.path.isdir(p)]
-        index = FingerprintIndex(n_shards=max(4, ncpu // 4))
-        for p in prior:
-            index.ingest_texts(rd.read_parquet(p, columns=["text"]))
+        index, _ = _fpindex_sync(out_dir, prior, max(4, ncpu // 4))
         seen_filter = index.filter_seen
         extra_fp = "".join(mf.fingerprint_input(p) for p in prior)
     spaths = _build_extraction(new_pages_path, shard_dir, cfg, base_cfg,
                                resume=resume,
                                pages_ds_factory=pages_ds_factory,
                                seen_filter=seen_filter, extra_fp=extra_fp)
+    if index is not None:
+        # pre-digest THIS shard's surviving texts into its sidecar now,
+        # while they're hot — the NEXT ingest's sync then reads zero
+        # texts checkpoints at all (this shard's digests included)
+        _fpindex_ensure_digests(out_dir, mf.stage_dir(shard_dir, "texts"))
     paths = _finalize_graph(
         out_dir, [base_ext, *_shard_extracted_dirs(out_dir)],
         cfg, base_cfg, resume=resume)

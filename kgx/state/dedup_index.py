@@ -151,6 +151,39 @@ class FingerprintIndex:
 
         return ds.map_batches(fn, batch_format="pyarrow")
 
+    @staticmethod
+    def digest_texts(ds, *, text_col: str = "text"):
+        """Dataset of per-row md5 digests for a texts Dataset — the
+        persisted PER-SOURCE parquet sidecar an incremental pipeline
+        writes once per ingested corpus, so later ingests rebuild the
+        membership set from 16-byte digests instead of re-reading the
+        texts (kgx/pipelines/kg.py:_fpindex_sync)."""
+        def fn(batch: pa.Table) -> pa.Table:
+            return pa.table({"fp": pa.array(
+                [FingerprintIndex.fingerprint(t) if t else b""
+                 for t in batch[text_col].to_pylist()], pa.binary())})
+        return ds.map_batches(fn, batch_format="pyarrow")
+
+    def ingest_digests(self, ds, *, fp_col: str = "fp") -> int:
+        """Bulk-add PRE-COMPUTED digests (a saved sidecar from
+        :meth:`digest_texts`) — same in-task actor routing as
+        ``ingest_texts``; the driver never sees a fingerprint."""
+        idx = self
+
+        def fn(batch: pa.Table) -> pa.Table:
+            fps = batch[fp_col].to_pylist()
+            buckets = idx._route(fps)
+            added = sum(ray.get([
+                idx.shards[s].ingest.remote([fps[i] for i in ii])
+                for s, ii in buckets.items()]))
+            return pa.table({"added": pa.array([added], pa.int64())})
+
+        tot = 0
+        for b in ds.map_batches(fn, batch_format="pyarrow") \
+                   .iter_batches(batch_format="pyarrow"):
+            tot += sum(b["added"].to_pylist())
+        return tot
+
     def ingest_texts(self, ds, *, text_col: str = "text") -> int:
         """Bulk-add every row's fingerprint; returns rows newly added."""
         idx = self

@@ -104,11 +104,17 @@ def run_partitioned_stage(out_dir: str, stage: str, input_files: list[str],
             path = os.path.join(sdir, entry)
             shutil.rmtree(path) if os.path.isdir(path) else os.remove(path)
 
-    per = (len(input_files) + n_groups - 1) // n_groups
+    # balanced contiguous split: ceil-division would hand the last
+    # group(s) ZERO files whenever n_groups doesn't divide the count
+    # (12 files / 8 groups -> two empty groups -> read_parquet([]))
+    bounds = [round(i * len(input_files) / n_groups)
+              for i in range(n_groups + 1)]
     built = False
     t0 = time.perf_counter()
     for gi in range(n_groups):
-        gfiles = input_files[gi * per:(gi + 1) * per]
+        gfiles = input_files[bounds[gi]:bounds[gi + 1]]
+        if not gfiles:          # empty input: nothing to build
+            continue
         gname = f"g{gi:04d}"
         gdir = os.path.join(sdir, gname)
         gfp = fingerprint_input_files(gfiles)
