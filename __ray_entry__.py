@@ -386,6 +386,75 @@ def _lpa_oracle(*, rounds: int) -> str:
     """
 
 
+def _bpe_oracle(*, n_merges: int, min_count: int) -> str:
+    """Unrolled BPE merge learning (mirrors kgx/ops/vocab.py:bpe_merges,
+    the LPA-style fixed-rounds unroll): per round, (a) adjacent-pair
+    counts over the word->symbol-list vocab, (b) argmax with (count
+    DESC, left, right) tie-break and the >= min_count stop (an empty
+    best round leaves the vocab unchanged, so early stop is monotone),
+    (c) greedy left-to-right non-overlapping rewrite — matches split
+    into gaps-and-islands runs; EVEN offsets within a run are taken
+    (same-symbol runs like 'wwww' merge exactly as the Python single
+    pass does), the symbol after a taken position is dropped."""
+    parts = []
+    for r in range(1, n_merges + 1):
+        parts.append(f"""
+            u{r} AS MATERIALIZED (
+              SELECT w, cnt, generate_subscripts(syms, 1) AS pos,
+                     unnest(syms) AS sym
+              FROM v{r - 1}),
+            best{r} AS MATERIALIZED (
+              SELECT a.sym AS l, b.sym AS r, sum(a.cnt) AS c
+              FROM u{r} a JOIN u{r} b ON a.w = b.w AND b.pos = a.pos + 1
+              GROUP BY 1, 2 HAVING sum(a.cnt) >= {min_count}
+              ORDER BY c DESC, l, r LIMIT 1),
+            mm{r} AS (
+              SELECT a.w, a.cnt, a.pos, a.sym,
+                     CASE WHEN b.l IS NOT NULL AND a.sym = b.l
+                               AND lead(a.sym) OVER (
+                                 PARTITION BY a.w ORDER BY a.pos) = b.r
+                          THEN 1 ELSE 0 END AS m
+              FROM u{r} a LEFT JOIN best{r} b ON TRUE),
+            isl{r} AS (
+              SELECT *, pos - row_number() OVER (
+                          PARTITION BY w, m ORDER BY pos) AS grp
+              FROM mm{r}),
+            tk{r} AS (
+              SELECT w, cnt, pos, sym,
+                     CASE WHEN m = 1 AND (pos - min(pos) OVER (
+                            PARTITION BY w, m, grp)) % 2 = 0
+                          THEN 1 ELSE 0 END AS taken
+              FROM isl{r}),
+            v{r} AS MATERIALIZED (
+              SELECT w, cnt, list(out ORDER BY pos) AS syms FROM (
+                SELECT w, cnt, pos,
+                       CASE WHEN taken = 1
+                            THEN sym || lead(sym) OVER (
+                              PARTITION BY w ORDER BY pos)
+                            WHEN coalesce(lag(taken) OVER (
+                              PARTITION BY w ORDER BY pos), 0) = 1
+                            THEN NULL ELSE sym END AS out
+                FROM tk{r})
+              WHERE out IS NOT NULL GROUP BY w, cnt)""")
+    finals = "\n              UNION ALL ".join(
+        f"SELECT CAST({r} AS BIGINT) AS \"rank\", l AS \"left\", "
+        f"r AS \"right\", CAST(c AS BIGINT) AS pair_count FROM best{r}"
+        for r in range(1, n_merges + 1))
+    return f"""
+            WITH words AS (
+              SELECT unnest(string_split_regex(lower(trim(text)),
+                                               '\\s+')) AS word
+              FROM documents WHERE trim(text) <> ''),
+            wc AS (SELECT word, count(*) AS cnt FROM words GROUP BY 1),
+            v0 AS MATERIALIZED (
+              SELECT word AS w, cnt,
+                     regexp_extract_all(word, '.') AS syms
+              FROM wc),
+            {",".join(parts)}
+            SELECT * FROM ({finals}) ORDER BY "rank"
+    """
+
+
 def _q_events_throttle(sf_dir: str):
     """Rate-limit dedup (kgx/ops/window.py:throttle_dedup): per user,
     keep events >= 1 week after the last KEPT one — searchsorted jump
@@ -1524,17 +1593,20 @@ def _q_text_wordfreq(sf_dir: str):
     return ngram_topk(docs, n=1, k=100)
 
 
+_BPE_MERGES, _BPE_MIN_COUNT = 30, 2
+
+
 def _q_text_bpe(sf_dir: str):
     """BPE merge learning on the aggregated word-frequency table
-    (kgx/ops/vocab.py:bpe_merges).  The iterative merge loop has no SQL
-    twin (rows-only by design; pytest brute-force parity pins it); the
-    distributed corpus fold is exactly text_wordfreq's, driver-gated
-    there."""
+    (kgx/ops/vocab.py:bpe_merges).  EXACT since r5: fixed n_merges
+    unrolls into SQL argmax + greedy-rewrite rounds (_bpe_oracle), the
+    same treatment kg_lpa's rounds got; the distributed corpus fold is
+    additionally driver-gated via text_wordfreq."""
     import ray.data as rd
     from kgx.ops.vocab import bpe_merges
     docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
                            columns=["doc_id", "text"])
-    return bpe_merges(docs, n_merges=30, min_count=2)
+    return bpe_merges(docs, n_merges=_BPE_MERGES, min_count=_BPE_MIN_COUNT)
 
 
 def _q_kg_modularity(sf_dir: str):
@@ -3856,6 +3928,10 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY n_occurrences DESC, ngram
             LIMIT 100
         """,
+        # rows-only -> exact r5: the fixed-rounds merge loop unrolled
+        # into per-round argmax + greedy-rewrite CTEs (see _bpe_oracle)
+        "text_bpe": _bpe_oracle(n_merges=_BPE_MERGES,
+                                min_count=_BPE_MIN_COUNT),
         # EXACT twin of kgx/ops/dsir.py:dsir_weights — same md5-high64
         # bucketing, same single-ln-of-integer-quotient micro fixing.
         "text_dsir": """

@@ -207,3 +207,42 @@ def test_bpe_merges_min_count_stops_early(ray_session):
     out = bpe_merges(_docs(["abc def"]), n_merges=5,
                      min_count=2).to_pandas()
     assert len(out) == 0
+
+
+def test_bpe_sql_oracle_same_symbol_runs(ray_session, tmp_path):
+    """r5: the unrolled _bpe_oracle's greedy-rewrite rounds must match
+    bpe_merges on ADVERSARIAL words the corpus may never exercise —
+    same-symbol runs of length 3/4/5 ('www', 'aaaa', 'bbbbb'), an
+    alternating chain ('ababab'), and merged-token re-pairing — where
+    string-replace-style oracles diverge."""
+    import duckdb
+    import pyarrow.parquet as pq
+    import __ray_entry__ as e
+    from kgx.ops.vocab import bpe_merges
+
+    texts = [
+        "www aaaa bbbbb ababab",
+        "www www aaaa xy xy xy",
+        "aa aa aaa aaaa abab ab",
+        "zzz zz z ababab ababab",
+    ]
+    f = str(tmp_path / "documents.parquet")
+    pq.write_table(pa.table({
+        "doc_id": pa.array(range(len(texts)), pa.int64()),
+        "text": pa.array(texts, pa.string()),
+    }), f)
+
+    got = bpe_merges(
+        rd.from_arrow(pa.table({"text": pa.array(texts)})),
+        n_merges=12, min_count=2).to_pandas()
+
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW documents AS SELECT * FROM '{f}'")
+    want = con.sql(e._bpe_oracle(n_merges=12, min_count=2)).df()
+    got = got.sort_values("rank").reset_index(drop=True)
+    want = want.sort_values("rank").reset_index(drop=True)
+    assert got["rank"].tolist() == want["rank"].tolist()
+    assert got["left"].tolist() == want["left"].tolist()
+    assert got["right"].tolist() == want["right"].tolist()
+    assert [int(x) for x in got["pair_count"]] == \
+        [int(x) for x in want["pair_count"]]
