@@ -2942,6 +2942,79 @@ def _q_kg_claims_llm(sf_dir: str):
     return claims.map_batches(project, batch_format="pyarrow")
 
 
+# Fault-injection knobs shared by the faulty queries AND their SQL
+# twins: the poison predicate is md5('{seed}:poison:' + chunk_text)
+# low-64 % 1e6 < poison_ppm, computable on both sides.
+_FAULT_SEED = 7
+_FAULT_POISON_PPM = 30_000
+_FAULT_KW = dict(seed=_FAULT_SEED, poison_ppm=_FAULT_POISON_PPM,
+                 transient_ppm=200_000, malformed_ppm=200_000,
+                 transient_fails=2)
+
+
+def _faulty_extracted(sf_dir: str):
+    """Tagged extraction Dataset through the PRODUCTION LLM path under
+    injected faults (kgx/functions/fake_llm.py:FaultInjectingTransport):
+    seeded transient timeouts (recovered by LLMClient backoff), seeded
+    malformed JSON (recovered by the temperature-0 parse retry), and
+    seeded permanently-poisoned chunks (quarantined as kind="error"
+    rows — never silently dropped)."""
+    import ray
+
+    from kgx.functions.fake_llm import FaultInjectingTransport
+    from kgx.pipelines.docs_kg import extract_documents
+    from kgx.stages.extract import LLMExtractor
+
+    ncpu = int(ray.cluster_resources().get("CPU", 4))
+    return extract_documents(
+        sf_dir, extractor=LLMExtractor,
+        extractor_kwargs={"transport": FaultInjectingTransport(**_FAULT_KW),
+                          "extract_claims": False,
+                          # injectable no-op sleep: the backoff LOGIC
+                          # runs, the test box doesn't wait 2^n seconds
+                          "client_kwargs": {"sleep": lambda _s: None}},
+        concurrency=(1, max(2, ncpu - 2)))
+
+
+def _q_kg_nodes_llm_faulty(sf_dir: str):
+    """kg_nodes through the LLM path under injected faults: transient
+    and malformed faults must recover to the fault-free tables exactly;
+    poisoned chunks drop out via quarantine, and the oracle excludes
+    exactly those chunks with the same md5 poison predicate."""
+    from kgx.stages.states import (make_combine_extracted_fn,
+                                   nodes_from_states)
+    import ray
+
+    ncpu = int(ray.cluster_resources().get("CPU", 4))
+    extracted = _faulty_extracted(sf_dir)
+    states = extracted.map_batches(
+        make_combine_extracted_fn(n_salts=16, cap=200, min_strength=0.5),
+        batch_format="pyarrow", batch_size=None)
+    states = states.repartition(max(8, ncpu // 2)).materialize()
+    return nodes_from_states(states, cap=200) \
+        .select_columns(["name", "type", "n_instances"])
+
+
+def _q_kg_llm_quarantine(sf_dir: str):
+    """The quarantine sidecar count under injected faults: one row
+    (n_quarantined) counting kind="error" rows — exactly the poisoned
+    chunks, gated by the SQL twin of the poison predicate."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    extracted = _faulty_extracted(sf_dir)
+
+    def count_errors(t: pa.Table) -> pa.Table:
+        n = t.filter(pc.equal(t["kind"], "error")).num_rows
+        return pa.table({"n": pa.array([n], pa.int64())})
+
+    from ray.data.aggregate import Sum
+    total = (extracted.map_batches(count_errors, batch_format="pyarrow")
+             .aggregate(Sum("n")))
+    return pa.table({"n_quarantined": pa.array(
+        [int(total["sum(n)"] or 0)], pa.int64())})
+
+
 def _q_kg_nodes_pipe(sf_dir: str):
     """Nodes via the LLM path in the reference's richer PIPE-record
     prompt format (M3 pipe family: pipe_entity_extraction ->
@@ -3020,6 +3093,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_nodes": _q_kg_nodes,
         "kg_edges": _q_kg_edges,
         "text_curate": _q_text_curate,
+        # (b0) new in round 5: the fault-injected LLM path
+        "kg_nodes_llm_faulty": _q_kg_nodes_llm_faulty,
+        "kg_llm_quarantine": _q_kg_llm_quarantine,
         # (b) new in round 4
         "kg_update_supersede": _q_kg_update_supersede,
         "kg_claims_llm": _q_kg_claims_llm,
@@ -3267,6 +3343,41 @@ def oracle_sql() -> dict[str, str]:
             FROM (SELECT unnest(regexp_extract_all(text, '{_TERM_RE}')) AS term
                   FROM documents)
             GROUP BY term
+        """,
+        # Fault-injected LLM path: transient/malformed faults RECOVER
+        # (same tables), poisoned chunks drop via quarantine — the
+        # oracle excludes exactly those chunks with the same seeded md5
+        # predicate the transport uses (chunk text = the whitespace-
+        # normalized document, oracle-pinned by kg_chunks).
+        "kg_nodes_llm_faulty": f"""
+            WITH t AS (
+              SELECT array_to_string(string_split_regex(trim(text),
+                                                        '\\s+'),
+                                     ' ') AS ctext
+              FROM documents WHERE trim(text) <> ''),
+            keep AS (
+              SELECT ctext FROM t
+              WHERE CAST('0x' || substr(
+                      md5('{_FAULT_SEED}:poison:' || ctext), 1, 16)
+                      AS UBIGINT) % 1000000 >= {_FAULT_POISON_PPM})
+            SELECT term AS name, 'TERM' AS type, count(*) AS n_instances
+            FROM (SELECT unnest(regexp_extract_all(ctext, '{_TERM_RE}'))
+                    AS term
+                  FROM keep)
+            GROUP BY term
+        """,
+        # The quarantine sidecar: n_quarantined == the poisoned chunks.
+        "kg_llm_quarantine": f"""
+            WITH t AS (
+              SELECT array_to_string(string_split_regex(trim(text),
+                                                        '\\s+'),
+                                     ' ') AS ctext
+              FROM documents WHERE trim(text) <> '')
+            SELECT CAST(count(*) AS BIGINT) AS n_quarantined
+            FROM t
+            WHERE CAST('0x' || substr(
+                    md5('{_FAULT_SEED}:poison:' || ctext), 1, 16)
+                    AS UBIGINT) % 1000000 < {_FAULT_POISON_PPM}
         """,
         # The pipe-record prompt family with the pipe term transport has
         # the same mention semantics — one entity record per term

@@ -141,3 +141,91 @@ class PipeTermTransport:
         recs = "**".join(f'("entity"|{t}|TERM|term {t})'
                          for t in self.term_re.findall(text))
         return recs + "\nEND_OF_EXTRACTION"
+
+
+# LLMClient.extract_json's temperature-0 retry prompt prefix
+# (kgx/functions/llm_client.py:extract_json) — the fault transport
+# answers the RETRY validly so the parse-retry path is exercised.
+RETRY_PREFIX = "Please return the following as a valid JSON object"
+
+
+class FaultInjectingTransport:
+    """Deterministic fault harness around a canned transport (r4 VERDICT
+    item 7; reference failure semantics utils/llm_client.py:38-43,
+    100-155 + simple_entity_extractor.py:87-90,114-117).
+
+    Faults are keyed on md5 of the prompt's TEXT segment (seeded), so
+    the SAME chunks fault on every run and the poison predicate has an
+    exact SQL twin (the text_dsir md5-prefix trick):
+
+    - ``poison``  (h < poison_ppm): EVERY call raises TransportError —
+      the chunk exhausts the retry budget and must land in the
+      extractor's kind="error" quarantine sidecar, never dropped.
+    - ``transient`` (next band): the first ``transient_fails`` calls
+      for that chunk raise, later ones succeed — recovered entirely
+      inside LLMClient.generate's backoff, so results are byte-equal
+      to the fault-free run.
+    - ``malformed`` (next band): the primary extract_json call returns
+      unparseable text; the temperature-0 RETRY prompt gets the valid
+      response — recovered by the parse-retry fallback, results again
+      byte-equal.
+
+    Thread-safe: the transient attempt counter is lock-guarded (the
+    extractor fans chunks over a thread pool).
+    """
+
+    def __init__(self, inner=None, *, seed: int = 7,
+                 poison_ppm: int = 30_000, transient_ppm: int = 200_000,
+                 malformed_ppm: int = 200_000, transient_fails: int = 2):
+        import threading
+        self.inner = inner or TermEmulatingTransport()
+        self.seed = seed
+        self.poison_ppm = poison_ppm
+        self.transient_ppm = transient_ppm
+        self.malformed_ppm = malformed_ppm
+        self.transient_fails = transient_fails
+        self._counts: dict[str, int] = {}
+        self._lock = threading.Lock()
+
+    # the lock (and its per-actor attempt counts) are runtime state, not
+    # config — recreate them after the ship-to-actor pickle
+    def __getstate__(self):
+        state = self.__dict__.copy()
+        state["_counts"], state["_lock"] = {}, None
+        return state
+
+    def __setstate__(self, state):
+        import threading
+        self.__dict__.update(state)
+        self._counts, self._lock = {}, threading.Lock()
+
+    def _band(self, text: str, kind: str) -> tuple[str, str]:
+        import hashlib
+        key = f"{self.seed}:{kind}:{text}"
+        h = int(hashlib.md5(key.encode("utf-8")).hexdigest()[:16], 16) \
+            % 1_000_000
+        if kind == "poison":
+            return ("poison" if h < self.poison_ppm else "", key)
+        if kind == "transient":
+            return ("transient" if h < self.transient_ppm else "", key)
+        return ("malformed" if h < self.malformed_ppm else "", key)
+
+    def __call__(self, prompt: str, temperature: float = 0.0) -> str:
+        from kgx.functions.llm_client import TransportError
+        if TEXT_MARKER not in prompt:
+            return self.inner(prompt, temperature)
+        text = _prompt_text(prompt)
+        band, _ = self._band(text, "poison")
+        if band == "poison":
+            raise TransportError("injected: permanently unreachable")
+        band, key = self._band(text, "transient")
+        if band == "transient":
+            with self._lock:
+                n = self._counts.get(key, 0)
+                if n < self.transient_fails:
+                    self._counts[key] = n + 1
+                    raise TransportError(f"injected: timeout #{n + 1}")
+        band, _ = self._band(text, "malformed")
+        if band == "malformed" and not prompt.startswith(RETRY_PREFIX):
+            return "SORRY -- no json here [truncated garbage"
+        return self.inner(prompt, temperature)

@@ -504,7 +504,8 @@ class LLMExtractor:
     def __init__(self, endpoint: str | None = None, model: str = "local",
                  temperature: float = 0.1, max_concurrency: int = 8,
                  transport=None, extract_claims: bool = True,
-                 prompt_format: str = "json"):
+                 prompt_format: str = "json", quarantine: bool = True,
+                 client_kwargs: dict | None = None):
         from kgx.functions.llm_client import LLMClient
         from kgx.functions.prompts import PromptTemplates
         if prompt_format not in ("json", "pipe"):
@@ -514,7 +515,15 @@ class LLMExtractor:
         self.max_concurrency = max(1, int(max_concurrency))
         self.extract_claims = extract_claims
         self.prompt_format = prompt_format
-        self.client = LLMClient(transport, temperature=temperature)
+        # quarantine: a chunk whose transport errors EXHAUST the retry
+        # budget lands as one kind="error" row (url, chunk_id, reason in
+        # description) instead of killing the task — never silently
+        # dropped, driver-countable (reference degrades per-chunk the
+        # same way, simple_entity_extractor.py:87-90,114-117).  Config
+        # errors (no transport at all) still raise.
+        self.quarantine = quarantine
+        self.client = LLMClient(transport, temperature=temperature,
+                                **(client_kwargs or {}))
         self.prompts = PromptTemplates()
         self._pool = None  # lazy per-actor thread pool
 
@@ -557,6 +566,23 @@ class LLMExtractor:
             return parse_fallback_claims(raw, url, chunk_id)
         return parse_claims(cp, url, chunk_id)
 
+    def _quarantine_row(self, url: str, chunk_id: str,
+                        exc: Exception) -> pa.Table:
+        return pa.Table.from_pylist([{
+            "kind": "error", "url": url, "chunk_id": chunk_id,
+            "description": f"{type(exc).__name__}: {exc}"[:200],
+        }], schema=EXTRACTED_SCHEMA)
+
+    def _chunk_tables_safe(self, url: str, chunk_id: str,
+                           text: str) -> list:
+        from kgx.functions.llm_client import TransportError
+        if not self.quarantine:
+            return self._chunk_tables(url, chunk_id, text)
+        try:
+            return self._chunk_tables(url, chunk_id, text)
+        except TransportError as exc:     # retries exhausted -> sidecar
+            return [self._quarantine_row(url, chunk_id, exc)]
+
     def __call__(self, batch: pa.Table) -> pa.Table:
         rows = [(url, chunk_id, text)
                 for url, chunk_id, text in zip(batch["url"].to_pylist(),
@@ -570,9 +596,9 @@ class LLMExtractor:
                     max_workers=self.max_concurrency)
             # executor.map preserves input order -> deterministic output
             per_chunk = list(self._pool.map(
-                lambda r: self._chunk_tables(*r), rows))
+                lambda r: self._chunk_tables_safe(*r), rows))
         else:
-            per_chunk = [self._chunk_tables(*r) for r in rows]
+            per_chunk = [self._chunk_tables_safe(*r) for r in rows]
         tables = [t for ts in per_chunk for t in ts]
         if not tables:
             return EXTRACTED_SCHEMA.empty_table()
