@@ -2907,7 +2907,8 @@ def _q_kg_nodes_llm(sf_dir: str):
     states = extracted.map_batches(
         make_combine_extracted_fn(n_salts=16, cap=200, min_strength=0.5),
         batch_format="pyarrow", batch_size=None)
-    states = states.repartition(max(8, ncpu // 2)).materialize()
+    states = states.materialize() \
+        .repartition(max(8, ncpu // 2)).materialize()
     return nodes_from_states(states, cap=200) \
         .select_columns(["name", "type", "n_instances"])
 
@@ -2990,7 +2991,8 @@ def _q_kg_nodes_llm_faulty(sf_dir: str):
     states = extracted.map_batches(
         make_combine_extracted_fn(n_salts=16, cap=200, min_strength=0.5),
         batch_format="pyarrow", batch_size=None)
-    states = states.repartition(max(8, ncpu // 2)).materialize()
+    states = states.materialize() \
+        .repartition(max(8, ncpu // 2)).materialize()
     return nodes_from_states(states, cap=200) \
         .select_columns(["name", "type", "n_instances"])
 
@@ -3039,7 +3041,8 @@ def _q_kg_nodes_pipe(sf_dir: str):
     states = extracted.map_batches(
         make_combine_extracted_fn(n_salts=16, cap=200, min_strength=0.5),
         batch_format="pyarrow", batch_size=None)
-    states = states.repartition(max(8, ncpu // 2)).materialize()
+    states = states.materialize() \
+        .repartition(max(8, ncpu // 2)).materialize()
     return nodes_from_states(states, cap=200) \
         .select_columns(["name", "type", "n_instances"])
 

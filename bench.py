@@ -67,12 +67,17 @@ def _consume(ds) -> int:
     return n
 
 
-def _pages_corpus(n_pages: int) -> str:
-    """Deterministic synthetic pages corpus, cached across runs."""
+def _pages_corpus(n_pages: int, hard: bool = False) -> str:
+    """Deterministic synthetic pages corpus, cached across runs.
+
+    ``hard=True`` = the adversarial variant (kgx/synth.py:generate_rows):
+    every page long (~10x chunk fanout), doubled fact density, 60%
+    head-entity skew — same truth-sidecar contract."""
     from kgx.synth import write_pages
-    out = f"/tmp/kgx_bench_pages_{n_pages}_s{BENCH_SEED}_f{FILLER_SCALE}"
+    tag = "_hard" if hard else ""
+    out = f"/tmp/kgx_bench_pages_{n_pages}_s{BENCH_SEED}_f{FILLER_SCALE}{tag}"
     return write_pages(out, n_pages, seed=BENCH_SEED,
-                       filler_scale=FILLER_SCALE)
+                       filler_scale=FILLER_SCALE, hard=hard)
 
 
 def _calibrate_single_core(pages_path: str, n_pages: int = 512) -> float:
@@ -112,7 +117,8 @@ def _calibrate_single_core(pages_path: str, n_pages: int = 512) -> float:
     return round(1000.0 * best / t.num_rows, 4)
 
 
-def run_headline(sf_dir: str, num_cpus: int, repeats: int = 2) -> dict:
+def run_headline(sf_dir: str, num_cpus: int, repeats: int = 2,
+                 corpus: str = "default") -> dict:
     """KG construction over the synthetic pages corpus (the north-star job):
     read -> html->text -> chunk -> extraction (with fused per-key
     combiners) -> salted canonicalization -> broadcast edge resolution +
@@ -131,7 +137,11 @@ def run_headline(sf_dir: str, num_cpus: int, repeats: int = 2) -> dict:
     from kgx.pipelines.kg import KGConfig, stream_kg
 
     n_pages = max(200, int(_sf_of(sf_dir) * PAGES_PER_SF)) or 1000
-    pages_path = _pages_corpus(n_pages)
+    if corpus == "hard":
+        # hard pages carry ~10x the tokens: page count drops 10x so the
+        # two corpora push a comparable token volume through the engine
+        n_pages = max(200, n_pages // 10)
+    pages_path = _pages_corpus(n_pages, hard=(corpus == "hard"))
 
     # Warm the worker pool (first execution in a fresh session pays worker
     # startup + import cost; that's cluster bring-up, not pipeline
@@ -162,13 +172,34 @@ def run_headline(sf_dir: str, num_cpus: int, repeats: int = 2) -> dict:
 
     calib = _calibrate_single_core(pages_path)
     walls, n_nodes, n_triples = [], 0, 0
-    for _ in range(max(1, repeats)):
+    nodes_tbl = edges_tbl = None
+    reps = max(1, repeats)
+    for it in range(reps):
         t0 = time.perf_counter()
         tables = stream_kg(pages_path, KGConfig())
-        n_nodes = _consume(tables["nodes"])
-        n_triples = _consume(tables["edges"])
+        if it == reps - 1:
+            # last repeat: keep the (tiny) result tables for the P/R gate
+            import pyarrow as pa
+            nodes_tbl = pa.Table.from_pandas(tables["nodes"].to_pandas())
+            edges_tbl = pa.Table.from_pandas(tables["edges"].to_pandas())
+            n_nodes, n_triples = nodes_tbl.num_rows, edges_tbl.num_rows
+        else:
+            n_nodes = _consume(tables["nodes"])
+            n_triples = _consume(tables["edges"])
         walls.append(time.perf_counter() - t0)
     wall = min(walls)
+    # precision/recall vs the corpus's planted-truth sidecar: the hard
+    # corpus especially must hold P/R = 1.0 (skew/ambiguity are not
+    # allowed to cost correctness)
+    pr = None
+    truth_path = os.path.join(os.path.dirname(pages_path),
+                              "truth_triples.parquet")
+    if edges_tbl is not None and os.path.exists(truth_path):
+        import pyarrow.parquet as pqt
+
+        from kgx.oracle import triple_pr
+        p, r = triple_pr(edges_tbl, nodes_tbl, pqt.read_table(truth_path))
+        pr = [round(p, 4), round(r, 4)]
     return {
         "wall_sec": round(wall, 3),
         "wall_samples_sec": [round(w, 3) for w in walls],
@@ -178,6 +209,8 @@ def run_headline(sf_dir: str, num_cpus: int, repeats: int = 2) -> dict:
         "pages_per_sec": round(n_pages / wall, 2),
         "triples_per_sec": round(n_triples / wall, 2),
         "calib_ms_per_page": calib,
+        "corpus": corpus,
+        "triple_pr": pr,
     }
 
 
@@ -255,23 +288,44 @@ def _operator_queries(sf_dir: str) -> dict:
     }
 
 
-def run_suite(sf_dir: str, num_cpus: int, headline_only: bool) -> dict:
+# The 5 slowest suite queries (BENCH_r04): single sf0.1 samples move
+# ±40% under co-tenant noise, so these report the MEDIAN of
+# GRAFT_BENCH_REPEATS runs (default 3; r4 VERDICT item 3).
+# kg_docs_edges is excluded: kg_tables memoizes per session, so its
+# repeat runs would time the cache, not the operator.
+SUITE_REPEAT_QUERIES = ("text_curate", "rel_volume", "dedup_embedding",
+                        "rel_regional", "dedup_minhash")
+
+
+def run_suite(sf_dir: str, num_cpus: int, headline_only: bool,
+              corpus: str = "default") -> dict:
+    import statistics
+
     import ray
     ray.init(address="local", num_cpus=num_cpus, include_dashboard=False,
              ignore_reinit_error=True, logging_level="ERROR")
     try:
         queries: dict[str, float] = {}
+        samples: dict[str, list] = {}
         head = run_headline(
             sf_dir, num_cpus,
-            repeats=int(os.environ.get("GRAFT_HEADLINE_REPEATS", "2")))
+            repeats=int(os.environ.get("GRAFT_HEADLINE_REPEATS", "2")),
+            corpus=corpus)
         queries["kg_pages"] = head["wall_sec"]
         if not headline_only:
+            n_rep = max(1, int(os.environ.get("GRAFT_BENCH_REPEATS", "3")))
             for name, thunk in _operator_queries(sf_dir).items():
-                t0 = time.perf_counter()
-                _consume(thunk())
-                queries[name] = round(time.perf_counter() - t0, 3)
+                reps = n_rep if name in SUITE_REPEAT_QUERIES else 1
+                walls = []
+                for _ in range(reps):
+                    t0 = time.perf_counter()
+                    _consume(thunk())
+                    walls.append(round(time.perf_counter() - t0, 3))
+                queries[name] = round(statistics.median(walls), 3)
+                if reps > 1:
+                    samples[name] = walls
         total = round(sum(queries.values()), 3)
-        return {
+        out = {
             "metric": "kgx_pipeline_suite_wall",
             "value": total,
             "unit": "sec",
@@ -280,6 +334,9 @@ def run_suite(sf_dir: str, num_cpus: int, headline_only: bool) -> dict:
             "num_cpus": num_cpus,
             "headline": head,
         }
+        if samples:
+            out["query_samples"] = samples
+        return out
     finally:
         ray.shutdown()
 
@@ -400,12 +457,21 @@ def run_scaling(sf_dir: str, repeats: int = 3,
             "wall_sec": statistics.median(h["wall_sec"] for h in used),
             "triples_per_sec": statistics.median(
                 h["triples_per_sec"] for h in used),
+            # fraction of the sample's OWN calibration-implied kernel
+            # ceiling (ncpu cores x 1000/calib_ms_per_page pages/s): the
+            # engine-attributable utilization, insensitive to the box
+            # being fast or slow during the window (r4 VERDICT item 4)
+            "kernel_fraction": statistics.median(
+                h["pages_per_sec"] * h["calib_ms_per_page"]
+                / (1000.0 * ncpu) for h in used),
             "n_clean": len(clean),
         }
 
     stat = {n: level_stat(n) for n in (lo, hi)}
     eff = round(
         (stat[hi]["pages_per_sec"] / stat[lo]["pages_per_sec"]) / 4.0, 4)
+    eff_calib = round(
+        stat[hi]["kernel_fraction"] / stat[lo]["kernel_fraction"], 4)
     med_all = {n: statistics.median(h["pages_per_sec"]
                                     for h in samples[n]) for n in (lo, hi)}
     return {
@@ -427,6 +493,11 @@ def run_scaling(sf_dir: str, repeats: int = 3,
                                      str(hi): stat[hi]["pages_per_sec"]},
         "efficiency_unfiltered_median": round(
             (med_all[hi] / med_all[lo]) / 4.0, 4),
+        # engine-attributable scaling: each leg normalized by its own
+        # calibration-implied kernel ceiling before taking the ratio
+        "efficiency_calib_normalized": eff_calib,
+        "kernel_fraction": {str(lo): round(stat[lo]["kernel_fraction"], 4),
+                            str(hi): round(stat[hi]["kernel_fraction"], 4)},
         "hw_ceiling": hw_ceiling,
         "samples": {
             str(n): [{"pages_per_sec": h["pages_per_sec"],
@@ -535,6 +606,11 @@ def main() -> None:
                    metavar=("N", "N4"),
                    help="the two CPU levels for --scaling (default 4 16; "
                         "see run_scaling docstring for why not 8 32)")
+    p.add_argument("--corpus", choices=("default", "hard"),
+                   default="default",
+                   help="headline corpus variant: 'hard' = adversarial "
+                        "(every page long, 2x fact density, 60% head-"
+                        "entity skew; kgx/synth.py)")
     args = p.parse_args()
 
     sf_dir = os.environ.get("GRAFT_SF_DIR", DEFAULT_SF_DIR)
@@ -547,18 +623,39 @@ def main() -> None:
         print(json.dumps(run_scaling(sf_dir, repeats=args.repeats,
                                      levels=tuple(args.levels))))
     else:
-        res = run_suite(sf_dir, num_cpus, args.headline_only)
+        res = run_suite(sf_dir, num_cpus, args.headline_only,
+                        corpus=args.corpus)
+        if not args.headline_only and args.corpus == "default" and \
+                not os.environ.get("GRAFT_SKIP_HARD"):
+            # second headline block on the adversarial corpus (r4
+            # VERDICT item 9) — same engine, same P/R gate, a corpus
+            # shape the kernels were never tuned on
+            import ray
+            ray.init(address="local", num_cpus=num_cpus,
+                     include_dashboard=False, ignore_reinit_error=True,
+                     logging_level="ERROR")
+            try:
+                res["headline_hard"] = run_headline(
+                    sf_dir, num_cpus, repeats=1, corpus="hard")
+            finally:
+                ray.shutdown()
         # The north-rule's one quantitative bar (N->4N CPU efficiency
         # >= 0.8, default pairing 4->16 — see run_scaling) ships INSIDE
         # the default artifact, measured in the same session as the
         # suite so box conditions are shared and every sample carries
         # its steal + calibration annotations.  Skippable for quick
-        # iteration via GRAFT_SKIP_SCALING=1.
+        # iteration via GRAFT_SKIP_SCALING=1.  The 8->32 reading ships
+        # alongside (r4 ADVICE: the 4->16 redefinition must stay
+        # visible next to the historical pairing + its hw ceiling).
         if not args.headline_only and \
                 not os.environ.get("GRAFT_SKIP_SCALING"):
             res["scaling"] = run_scaling(
                 sf_dir,
                 repeats=int(os.environ.get("GRAFT_SCALING_REPEATS", "2")))
+            res["scaling_8_32"] = run_scaling(
+                sf_dir, levels=(8, 32),
+                repeats=int(os.environ.get("GRAFT_SCALING_8_32_REPEATS",
+                                           "1")))
         print(json.dumps(res))
 
 

@@ -110,7 +110,11 @@ def kg_tables(sf_dir: str, *, chunk_size: int = 200, chunk_overlap: int = 50,
         make_combine_extracted_fn(n_salts=n_salts, cap=cap,
                                   min_strength=min_strength),
         batch_format="pyarrow", batch_size=None)
-    states = states.repartition(max(8, ncpu // 2)).materialize()
+    # materialize BEFORE repartition: fusing the extract chain into the
+    # repartition AllToAll re-executes its UDFs (kgx/pipelines/kg.py
+    # stream_kg has the measurement)
+    states = states.materialize() \
+        .repartition(max(8, ncpu // 2)).materialize()
 
     nodes = nodes_from_states(states, cap=cap).materialize()
 

@@ -127,7 +127,7 @@ def _pick_surface(rng: random.Random, canonical: str) -> str:
 
 
 def generate_rows(lo: int, hi: int, seed: int = 42,
-                  filler_scale: int = 1
+                  filler_scale: int = 1, hard: bool = False
                   ) -> tuple[pa.Table, dict[tuple[str, str, str], set[str]]]:
     """Build pages ``[lo, hi)`` and their truth partial.
 
@@ -136,6 +136,13 @@ def generate_rows(lo: int, hi: int, seed: int = 42,
     sharded — parallel generation produces byte-identical pages.
     ``filler_scale`` multiplies the filler-sentence count (1 = test-sized
     ~1.5 KB pages; 8 ≈ Common-Crawl-ish ~10 KB pages for benchmarks).
+
+    ``hard=True`` is the ADVERSARIAL variant (r4 VERDICT item 9): every
+    page is long (~10x the default's average chunk fanout), fact density
+    doubles (more mention ambiguity per chunk), and the head-entity skew
+    triples (~60% of pages) so the canonicalization shuffle sees a much
+    hotter key — same truth-sidecar contract, so the P/R gate must still
+    read 1.0.
     """
     by_type = _by_type()
 
@@ -153,7 +160,7 @@ def generate_rows(lo: int, hi: int, seed: int = 42,
         # nulled/empty/truncated html must not assert unreachable truth)
         candidates: list[tuple[tuple[str, str, str], str]] = []
 
-        n_facts = rng.randint(3, 8)
+        n_facts = rng.randint(8, 16) if hard else rng.randint(3, 8)
         for _ in range(n_facts):
             tmpl, pred, strength, st, ot = rng.choice(RELATION_PATTERNS)
             a = rng.choice(by_type[st])
@@ -166,7 +173,8 @@ def generate_rows(lo: int, hi: int, seed: int = 42,
                 candidates.append(((normalize(a), pred, normalize(b)), sent))
 
         # head-entity skew: ~20% of pages mention the head entity
-        if rng.random() < 0.2:
+        # (~60% in the hard variant — a genuinely hot canonicalization key)
+        if rng.random() < (0.6 if hard else 0.2):
             org = rng.choice(by_type["ORGANIZATION"])
             sent = "{a} is located in {b}.".format(
                 a=_pick_surface(rng, org), b=_pick_surface(rng, HEAD_ENTITY))
@@ -178,8 +186,13 @@ def generate_rows(lo: int, hi: int, seed: int = 42,
             a = rng.choice(by_type["ORGANIZATION"] + by_type["PERSON"])
             sentences.append(rng.choice(CLAIM_TEMPLATES).format(a=_pick_surface(rng, a)))
 
-        # filler; ~15% of pages become long (span several chunks)
-        n_filler = rng.randint(3, 6) if rng.random() > 0.15 else rng.randint(60, 120)
+        # filler; ~15% of pages become long (span several chunks) —
+        # in the hard variant EVERY page is long (~10x chunk fanout)
+        if hard:
+            n_filler = rng.randint(60, 120)
+        else:
+            n_filler = (rng.randint(3, 6) if rng.random() > 0.15
+                        else rng.randint(60, 120))
         n_filler *= filler_scale
         for _ in range(n_filler):
             sentences.append(rng.choice(_FILLER).strip().rstrip(".") + ".")
@@ -251,7 +264,8 @@ def generate_pages(n_pages: int, seed: int = 42,
 
 
 def write_pages(out_dir: str, n_pages: int, seed: int = 42,
-                n_shards: int = 8, filler_scale: int = 1) -> str:
+                n_shards: int = 8, filler_scale: int = 1,
+                hard: bool = False) -> str:
     """Write a sharded pages dataset + truth sidecar; idempotent.
 
     Layout: ``{out_dir}/pages/part-*.parquet`` (>=n_shards files so small
@@ -264,7 +278,8 @@ def write_pages(out_dir: str, n_pages: int, seed: int = 42,
 
     pages_dir = os.path.join(out_dir, "pages")
     done = os.path.join(out_dir, "_SYNTH_DONE")
-    marker = f"n={n_pages} seed={seed} shards={n_shards} v=5 fs={filler_scale}"
+    marker = (f"n={n_pages} seed={seed} shards={n_shards} v=5 "
+              f"fs={filler_scale} hard={int(hard)}")
     if os.path.exists(done):
         with open(done) as f:
             if f.read() == marker:
@@ -285,7 +300,7 @@ def write_pages(out_dir: str, n_pages: int, seed: int = 42,
               for s in range(n_shards) if s * per < n_pages]
 
     def shard_task(s: int, lo: int, hi: int):
-        tbl, truth = generate_rows(lo, hi, seed, filler_scale)
+        tbl, truth = generate_rows(lo, hi, seed, filler_scale, hard=hard)
         pq.write_table(tbl, os.path.join(pages_dir, f"part-{s:05d}.parquet"))
         return truth
 
