@@ -3080,106 +3080,54 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # ORDERING CONTRACT: the driver's correctness gate samples the FIRST
     # 50 entries in dict order, so the head is curated per round —
     # (a) a small always-on sentinel set for the core KG path,
-    # (b) queries NEW in round 4 (incl. the three ops converted from
-    #     rows-only to exact oracles this round, and the session-4
-    #     additions text_dsir / text_wordfreq / kg_modularity),
-    # (c) the 10 round-3 queries no driver gate has ever sampled
-    #     (they sat at position 51+ last round; all pass the local
-    #     tools/oracle_check.py gate — this rotation makes that
-    #     driver-visible), then
-    # (d) queries whose IMPLEMENTATIONS were reshaped in round 4
-    #     (vectorized temporal joins, null-key join handling, one-shot
-    #     state folds, Q10 attach order) — re-gated under the driver.
-    # Previously driver-checked, untouched entries follow position 50.
+    # (b) queries NEW in round 5 plus every entry that has NEVER had a
+    #     driver row (they sat at position 51+ in earlier rounds; all
+    #     PASS the local tools/oracle_check.py gate — this rotation
+    #     makes that driver-visible),
+    # (c) queries whose IMPLEMENTATIONS were reshaped in round 5 —
+    #     re-gated under the driver, then
+    # (d) the least-recently driver-gated entries (round-2 rows).
+    # Position 51+ holds previously driver-checked, untouched entries,
+    # ordered oldest-gate-first so the next rotation is mechanical.
     return {
         # (a) sentinels — always driver-checked
         "kg_nodes": _q_kg_nodes,
         "kg_edges": _q_kg_edges,
         "text_curate": _q_text_curate,
-        # (b0) new in round 5: the fault-injected LLM path
+        # (b) NEW in round 5: fault-injected LLM path + the
+        #     text_bpe rows-only->exact conversion, then every
+        #     query that has NEVER had a driver row (added late
+        #     in round 4, position 51+ last round; all PASS the
+        #     local tools/oracle_check.py gate)
         "kg_nodes_llm_faulty": _q_kg_nodes_llm_faulty,
         "kg_llm_quarantine": _q_kg_llm_quarantine,
-        # (b) new in round 4
-        "kg_update_supersede": _q_kg_update_supersede,
-        "kg_claims_llm": _q_kg_claims_llm,
-        "kg_nodes_pipe": _q_kg_nodes_pipe,
-        "kg_claims_pipe": _q_kg_claims_pipe,
-        "kg_community_invariants": _q_kg_community_invariants,
-        # (b') new in round-4 session 4
-        "text_dsir": _q_text_dsir,
-        "text_wordfreq": _q_text_wordfreq,
-        "kg_modularity": _q_kg_modularity,
-        "recall_lsh": _q_recall_lsh,
-        "recall_minhash": _q_recall_minhash,
-        "rel_volume": _q_rel_volume,
-        "rel_market_share": _q_rel_market_share,
-        "rel_running": _q_rel_running,
-        "rel_custdist": _q_rel_custdist,
-        "rel_top_supplier": _q_rel_top_supplier,
-        "rel_small_orders": _q_rel_small_orders,
-        "rel_late_lines": _q_rel_late_lines,
-        "rel_brand_rev": _q_rel_brand_rev,
-        "rel_global_sales": _q_rel_global_sales,
-        "rel_cube": _q_rel_cube,
-        "rel_waiting": _q_rel_waiting,
-        "rel_profit": _q_rel_profit,
-        "rel_important": _q_rel_important,
-        "rel_mincost": _q_rel_mincost,
-        "rel_suppcnt": _q_rel_suppcnt,
-        "rel_dominant": _q_rel_dominant,
-        "dedup_fuzzy": _q_dedup_fuzzy,
-        "multimodal_dedup": _q_multimodal_dedup,
-        "events_rank": _q_events_rank,
-        "events_moving": _q_events_moving,
-        "events_streaks": _q_events_streaks,
-        "kg_assortativity": _q_kg_assortativity,
-        "events_corr": _q_events_corr,
-        "events_throttle": _q_events_throttle,
-        "kg_lpa": _q_kg_lpa,
-        "kg_pagerank_weighted": _q_kg_pagerank_weighted,
-        "kg_ppr": _q_kg_ppr,                    # never driver-gated yet
-        "sketch_cms": _q_sketch_cms,             # never driver-gated yet
-        "simsearch_lsh": _q_simsearch_lsh,       # rows-only -> exact r4
-        # (c) round-3 queries never driver-sampled
-        "events_stream_sharded": _q_events_stream_sharded,
-        "simsearch_pq": _q_simsearch_pq,
-        "text_perplexity": _q_text_perplexity,
-        "text_span_dup": _q_text_span_dup,
-        "rel_returns": _q_rel_returns,
-        "sketch_distinct_by_type": _q_sketch_distinct_by_type,
-        "embed_negatives": _q_embed_negatives,
-        "embed_triplets": _q_embed_triplets,
-        "dedup_minhash": _q_dedup_minhash,       # rows-only -> exact r4
-        "dedup_simhash": _q_dedup_simhash,       # rows-only -> exact r4
-        # simple exact shapes demoted to transcript-only so the session-4
-        # ops fit the head-50 sample (all PASS tools/oracle_check.py)
+        "text_bpe": _q_text_bpe,
         "events_mode": _q_events_mode,
         "events_firstlast": _q_events_firstlast,
         "events_dcount": _q_events_dcount,
         "events_lag": _q_events_lag,
         "rel_intersect": _q_rel_intersect,
-        "sketch_distinct": _q_sketch_distinct,   # rows-only -> exact r4
-        # BPE merge loop: rows-only by design (iterative; pytest twin),
-        # its corpus fold is driver-gated via text_wordfreq above
-        "text_bpe": _q_text_bpe,
-        # rows-only recall reports (k-means state has no SQL twin, so
-        # these gain nothing from head placement; transcript-gated)
         "recall_ivf": _q_recall_ivf,
         "recall_pq": _q_recall_pq,
-        # exact but a trivial melt of the already-gated Q1 summary —
-        # yields its head slot to never-gated substantive queries
         "rel_unpivot": _q_rel_unpivot,
-        "export_jsonl": _q_export_jsonl,         # rows-only: fs sink
-        # (d) implementations reshaped in round 4 — re-gate
-        "events_asof": _q_events_asof,
-        "events_interval": _q_events_interval,
-        "rel_join": _q_rel_join,
-        "rel_outerjoin": _q_rel_outerjoin,
+        "export_jsonl": _q_export_jsonl,
+        # (c) implementations RESHAPED in round 5 — re-gated
+        #     under the driver (supersede co-shuffle, fpindex
+        #     persistence, LLM quarantine default, window null
+        #     guards + key-type fix, nation_profit inner-join)
+        "kg_update_supersede": _q_kg_update_supersede,
         "kg_update_parity": _q_kg_update_parity,
         "kg_nodes_llm": _q_kg_nodes_llm,
+        "events_moving": _q_events_moving,
+        "rel_profit": _q_rel_profit,
+        # (d) least-recently driver-gated: rotated-in round-2
+        #     rows (oldest 30 of 47; the rest follow position
+        #     50 and stay covered by the committed local
+        #     transcript)
+        "dedup_minhash": _q_dedup_minhash,
+        "dedup_simhash": _q_dedup_simhash,
         "kg_claims": _q_kg_claims,
         "dedup_jaccard": _q_dedup_jaccard,
-        # rest of the head: least-recently driver-gated (round-2 rows)
         "kg_chunks": _q_kg_chunks,
         "kg_chunks_win": _q_kg_chunks_win,
         "kg_mentions": _q_kg_mentions,
@@ -3201,68 +3149,119 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_embedding": _q_dedup_embedding,
         "dedup_components": _q_dedup_components,
         "dedup_lines": _q_dedup_lines,
-        # --- position 51+: previously driver-checked, untouched ---
-        "text_split": _q_text_split,
-        "text_weighted_sample": _q_text_weighted_sample,
-        "text_source_cap": _q_text_source_cap,
-        "simsearch_topk": _q_simsearch_topk,
-        "simsearch_ivf": _q_simsearch_ivf,
-        "vector_rag_topk": _q_vector_rag,
-        "bm25_topk": _q_bm25_topk,
-        "events_window": _q_events_window,
-        "events_sliding": _q_events_sliding,
-        "events_session": _q_events_session,
-        "sketch_heavy": _q_sketch_heavy,
-        "sketch_quantile": _q_sketch_quantile,
-        "rel_pricing": _q_rel_pricing,
-        "rel_top_customers": _q_rel_top_customers,
-        "rel_distinct": _q_rel_distinct,
-        "rel_order_counts": _q_rel_order_counts,
-        "rel_antijoin": _q_rel_antijoin,
-        "rel_topn": _q_rel_topn,
-        "rel_shipping": _q_rel_shipping,
-        "rel_semijoin": _q_rel_semijoin,
-        "rel_rollup": _q_rel_rollup,
-        "rel_forecast": _q_rel_forecast,
-        "rel_big_orders": _q_rel_big_orders,
-        "rel_regional": _q_rel_regional,
-        "rel_promo": _q_rel_promo,
-        "rel_exists": _q_rel_exists,
-        "rel_pivot": _q_rel_pivot,
-        "events_quantile": _q_events_quantile,
-        "events_quantile_by_type": _q_events_quantile_by_type,
-        "events_ordered": _q_events_ordered,
-        "events_funnel": _q_events_funnel,
-        "events_histogram": _q_events_histogram,
-        "events_retention": _q_events_retention,
-        "events_zscore": _q_events_zscore,
-        "events_stream": _q_events_stream,
-        "events_json": _q_events_json,
-        "multimodal_stats": _q_multimodal_stats,
-        "multimodal_decode": _q_multimodal_decode,
-        "multimodal_frames": _q_multimodal_frames,
         "text_tokens": _q_text_tokens,
         "text_quality": _q_text_quality,
         "text_lang": _q_text_lang,
         "text_fingerprint": _q_text_fingerprint,
         "text_winnow": _q_text_winnow,
-        "text_source_stats": _q_text_source_stats,
-        "text_filter": _q_text_filter,
-        "text_contaminate": _q_text_contaminate,
-        "text_pack": _q_text_pack,
-        "text_ngrams": _q_text_ngrams,
-        "text_tfidf": _q_text_tfidf,
-        "text_pii": _q_text_pii,
-        "text_repetition": _q_text_repetition,
-        "text_mix": _q_text_mix,
-        "text_logprob": _q_text_logprob,
-        "text_boilerplate": _q_text_boilerplate,
-        "text_quality_gate": _q_text_quality_gate,
-        "simsearch_knn": _q_simsearch_knn,
-        "embed_kmeans": _q_embed_kmeans,
+        # --- position 51+: previously driver-checked ---
+        # remaining round-2 rows, then round-3, then round-4
+        # (most recently gated last)
         "dedup_semantic": _q_dedup_semantic,
-        "embed_sample": _q_embed_sample,
+        "embed_kmeans": _q_embed_kmeans,
         "embed_labels": _q_embed_labels,
+        "embed_sample": _q_embed_sample,
+        "simsearch_knn": _q_simsearch_knn,
+        "text_boilerplate": _q_text_boilerplate,
+        "text_contaminate": _q_text_contaminate,
+        "text_filter": _q_text_filter,
+        "text_logprob": _q_text_logprob,
+        "text_mix": _q_text_mix,
+        "text_ngrams": _q_text_ngrams,
+        "text_pack": _q_text_pack,
+        "text_pii": _q_text_pii,
+        "text_quality_gate": _q_text_quality_gate,
+        "text_repetition": _q_text_repetition,
+        "text_source_stats": _q_text_source_stats,
+        "text_tfidf": _q_text_tfidf,
+        "bm25_topk": _q_bm25_topk,
+        "events_asof": _q_events_asof,
+        "events_funnel": _q_events_funnel,
+        "events_histogram": _q_events_histogram,
+        "events_interval": _q_events_interval,
+        "events_json": _q_events_json,
+        "events_ordered": _q_events_ordered,
+        "events_quantile": _q_events_quantile,
+        "events_quantile_by_type": _q_events_quantile_by_type,
+        "events_retention": _q_events_retention,
+        "events_session": _q_events_session,
+        "events_sliding": _q_events_sliding,
+        "events_stream": _q_events_stream,
+        "events_window": _q_events_window,
+        "events_zscore": _q_events_zscore,
+        "multimodal_decode": _q_multimodal_decode,
+        "multimodal_frames": _q_multimodal_frames,
+        "multimodal_stats": _q_multimodal_stats,
+        "rel_antijoin": _q_rel_antijoin,
+        "rel_big_orders": _q_rel_big_orders,
+        "rel_distinct": _q_rel_distinct,
+        "rel_exists": _q_rel_exists,
+        "rel_forecast": _q_rel_forecast,
+        "rel_join": _q_rel_join,
+        "rel_order_counts": _q_rel_order_counts,
+        "rel_outerjoin": _q_rel_outerjoin,
+        "rel_pivot": _q_rel_pivot,
+        "rel_pricing": _q_rel_pricing,
+        "rel_promo": _q_rel_promo,
+        "rel_regional": _q_rel_regional,
+        "rel_rollup": _q_rel_rollup,
+        "rel_semijoin": _q_rel_semijoin,
+        "rel_shipping": _q_rel_shipping,
+        "rel_top_customers": _q_rel_top_customers,
+        "rel_topn": _q_rel_topn,
+        "simsearch_ivf": _q_simsearch_ivf,
+        "simsearch_topk": _q_simsearch_topk,
+        "sketch_distinct": _q_sketch_distinct,
+        "sketch_heavy": _q_sketch_heavy,
+        "sketch_quantile": _q_sketch_quantile,
+        "text_source_cap": _q_text_source_cap,
+        "text_split": _q_text_split,
+        "text_weighted_sample": _q_text_weighted_sample,
+        "vector_rag_topk": _q_vector_rag,
+        "dedup_fuzzy": _q_dedup_fuzzy,
+        "embed_negatives": _q_embed_negatives,
+        "embed_triplets": _q_embed_triplets,
+        "events_corr": _q_events_corr,
+        "events_rank": _q_events_rank,
+        "events_streaks": _q_events_streaks,
+        "events_stream_sharded": _q_events_stream_sharded,
+        "events_throttle": _q_events_throttle,
+        "kg_assortativity": _q_kg_assortativity,
+        "kg_claims_llm": _q_kg_claims_llm,
+        "kg_claims_pipe": _q_kg_claims_pipe,
+        "kg_community_invariants": _q_kg_community_invariants,
+        "kg_lpa": _q_kg_lpa,
+        "kg_modularity": _q_kg_modularity,
+        "kg_nodes_pipe": _q_kg_nodes_pipe,
+        "kg_pagerank_weighted": _q_kg_pagerank_weighted,
+        "kg_ppr": _q_kg_ppr,
+        "multimodal_dedup": _q_multimodal_dedup,
+        "recall_lsh": _q_recall_lsh,
+        "recall_minhash": _q_recall_minhash,
+        "rel_brand_rev": _q_rel_brand_rev,
+        "rel_cube": _q_rel_cube,
+        "rel_custdist": _q_rel_custdist,
+        "rel_dominant": _q_rel_dominant,
+        "rel_global_sales": _q_rel_global_sales,
+        "rel_important": _q_rel_important,
+        "rel_late_lines": _q_rel_late_lines,
+        "rel_market_share": _q_rel_market_share,
+        "rel_mincost": _q_rel_mincost,
+        "rel_returns": _q_rel_returns,
+        "rel_running": _q_rel_running,
+        "rel_small_orders": _q_rel_small_orders,
+        "rel_suppcnt": _q_rel_suppcnt,
+        "rel_top_supplier": _q_rel_top_supplier,
+        "rel_volume": _q_rel_volume,
+        "rel_waiting": _q_rel_waiting,
+        "simsearch_lsh": _q_simsearch_lsh,
+        "simsearch_pq": _q_simsearch_pq,
+        "sketch_cms": _q_sketch_cms,
+        "sketch_distinct_by_type": _q_sketch_distinct_by_type,
+        "text_dsir": _q_text_dsir,
+        "text_perplexity": _q_text_perplexity,
+        "text_span_dup": _q_text_span_dup,
+        "text_wordfreq": _q_text_wordfreq,
     }
 
 

@@ -341,10 +341,12 @@ def bpe_merges(docs_ds, *, n_merges: int = 50, min_count: int = 2):
     pair with the highest summed word count, ties broken on the
     lexicographically smaller (left, right); training stops early when
     the best pair's count drops below ``min_count``.  The merge loop is
-    inherently iterative (each step rewrites the symbol sequences), so
-    this operator is gated by the pytest brute-force twin rather than
-    a SQL oracle — the distributed piece (the word-count fold) is
-    driver-gated exactly via ``text_wordfreq``/:func:`ngram_topk`.
+    iterative, but with FIXED ``n_merges`` it unrolls into per-round
+    argmax + greedy-rewrite SQL (``__ray_entry__._bpe_oracle`` — exact
+    driver gate since r5, the same treatment kg_lpa's rounds got); the
+    distributed piece (the word-count fold) is additionally driver-gated
+    via ``text_wordfreq``/:func:`ngram_topk`, and a pytest twin pins
+    same-symbol-run rewrites the corpus never exercises.
     """
     from collections import Counter
 
