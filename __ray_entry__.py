@@ -2884,6 +2884,25 @@ def _q_kg_update_supersede(sf_dir: str):
         shutil.rmtree(root, ignore_errors=True)
 
 
+def _nodes_from_extracted(extracted):
+    """kg_nodes tail shared by every LLM-path nodes query: per-key
+    combine -> materialize -> repartition (the blocks-already-shuffled
+    idiom) -> salted canonicalization -> oracle projection."""
+    import ray
+
+    from kgx.stages.states import (make_combine_extracted_fn,
+                                   nodes_from_states)
+
+    ncpu = int(ray.cluster_resources().get("CPU", 4))
+    states = extracted.map_batches(
+        make_combine_extracted_fn(n_salts=16, cap=200, min_strength=0.5),
+        batch_format="pyarrow", batch_size=None)
+    states = states.materialize() \
+        .repartition(max(8, ncpu // 2)).materialize()
+    return nodes_from_states(states, cap=200) \
+        .select_columns(["name", "type", "n_instances"])
+
+
 def _q_kg_nodes_llm(sf_dir: str):
     """Nodes via the PRODUCTION LLM extraction path (SURVEY §2.3 T1):
     actor-pool LLMExtractor, bounded thread fan-out, retry client and
@@ -2895,8 +2914,6 @@ def _q_kg_nodes_llm(sf_dir: str):
     from kgx.functions.fake_llm import TermEmulatingTransport
     from kgx.pipelines.docs_kg import extract_documents
     from kgx.stages.extract import LLMExtractor
-    from kgx.stages.states import (make_combine_extracted_fn,
-                                   nodes_from_states)
 
     ncpu = int(ray.cluster_resources().get("CPU", 4))
     extracted = extract_documents(
@@ -2904,13 +2921,7 @@ def _q_kg_nodes_llm(sf_dir: str):
         extractor_kwargs={"transport": TermEmulatingTransport(),
                           "extract_claims": False},
         concurrency=(1, max(2, ncpu - 2)))
-    states = extracted.map_batches(
-        make_combine_extracted_fn(n_salts=16, cap=200, min_strength=0.5),
-        batch_format="pyarrow", batch_size=None)
-    states = states.materialize() \
-        .repartition(max(8, ncpu // 2)).materialize()
-    return nodes_from_states(states, cap=200) \
-        .select_columns(["name", "type", "n_instances"])
+    return _nodes_from_extracted(extracted)
 
 
 def _q_kg_claims_llm(sf_dir: str):
@@ -2953,28 +2964,46 @@ _FAULT_KW = dict(seed=_FAULT_SEED, poison_ppm=_FAULT_POISON_PPM,
                  transient_fails=2)
 
 
+_FAULTY_EXTRACTED_CACHE: dict[tuple, object] = {}
+
+
 def _faulty_extracted(sf_dir: str):
     """Tagged extraction Dataset through the PRODUCTION LLM path under
     injected faults (kgx/functions/fake_llm.py:FaultInjectingTransport):
     seeded transient timeouts (recovered by LLMClient backoff), seeded
     malformed JSON (recovered by the temperature-0 parse retry), and
     seeded permanently-poisoned chunks (quarantined as kind="error"
-    rows — never silently dropped)."""
+    rows — never silently dropped).
+
+    Memoized per (Ray session, sf_dir) like docs_kg._KG_TABLES_CACHE:
+    kg_nodes_llm_faulty and kg_llm_quarantine share one extraction run
+    (the most expensive gate stage — every poisoned chunk costs 5
+    transport attempts) instead of re-running it each."""
     import ray
 
     from kgx.functions.fake_llm import FaultInjectingTransport
     from kgx.pipelines.docs_kg import extract_documents
     from kgx.stages.extract import LLMExtractor
 
+    import os
+
+    job = (ray.get_runtime_context().get_job_id()
+           if ray.is_initialized() else None)
+    key = (job, os.path.abspath(sf_dir), _FAULT_SEED, _FAULT_POISON_PPM)
+    hit = _FAULTY_EXTRACTED_CACHE.get(key)
+    if hit is not None:
+        return hit
     ncpu = int(ray.cluster_resources().get("CPU", 4))
-    return extract_documents(
+    out = extract_documents(
         sf_dir, extractor=LLMExtractor,
         extractor_kwargs={"transport": FaultInjectingTransport(**_FAULT_KW),
                           "extract_claims": False,
                           # injectable no-op sleep: the backoff LOGIC
                           # runs, the test box doesn't wait 2^n seconds
                           "client_kwargs": {"sleep": lambda _s: None}},
-        concurrency=(1, max(2, ncpu - 2)))
+        concurrency=(1, max(2, ncpu - 2))).materialize()
+    _FAULTY_EXTRACTED_CACHE[key] = out
+    return out
 
 
 def _q_kg_nodes_llm_faulty(sf_dir: str):
@@ -2982,19 +3011,7 @@ def _q_kg_nodes_llm_faulty(sf_dir: str):
     and malformed faults must recover to the fault-free tables exactly;
     poisoned chunks drop out via quarantine, and the oracle excludes
     exactly those chunks with the same md5 poison predicate."""
-    from kgx.stages.states import (make_combine_extracted_fn,
-                                   nodes_from_states)
-    import ray
-
-    ncpu = int(ray.cluster_resources().get("CPU", 4))
-    extracted = _faulty_extracted(sf_dir)
-    states = extracted.map_batches(
-        make_combine_extracted_fn(n_salts=16, cap=200, min_strength=0.5),
-        batch_format="pyarrow", batch_size=None)
-    states = states.materialize() \
-        .repartition(max(8, ncpu // 2)).materialize()
-    return nodes_from_states(states, cap=200) \
-        .select_columns(["name", "type", "n_instances"])
+    return _nodes_from_extracted(_faulty_extracted(sf_dir))
 
 
 def _q_kg_llm_quarantine(sf_dir: str):
@@ -3028,8 +3045,6 @@ def _q_kg_nodes_pipe(sf_dir: str):
     from kgx.functions.fake_llm import PipeTermTransport
     from kgx.pipelines.docs_kg import extract_documents
     from kgx.stages.extract import LLMExtractor
-    from kgx.stages.states import (make_combine_extracted_fn,
-                                   nodes_from_states)
 
     ncpu = int(ray.cluster_resources().get("CPU", 4))
     extracted = extract_documents(
@@ -3038,13 +3053,7 @@ def _q_kg_nodes_pipe(sf_dir: str):
                           "prompt_format": "pipe",
                           "extract_claims": False},
         concurrency=(1, max(2, ncpu - 2)))
-    states = extracted.map_batches(
-        make_combine_extracted_fn(n_salts=16, cap=200, min_strength=0.5),
-        batch_format="pyarrow", batch_size=None)
-    states = states.materialize() \
-        .repartition(max(8, ncpu // 2)).materialize()
-    return nodes_from_states(states, cap=200) \
-        .select_columns(["name", "type", "n_instances"])
+    return _nodes_from_extracted(extracted)
 
 
 def _q_kg_claims_pipe(sf_dir: str):

@@ -136,11 +136,13 @@ def run_headline(sf_dir: str, num_cpus: int, repeats: int = 2,
     least-interfered estimate of the engine."""
     from kgx.pipelines.kg import KGConfig, stream_kg
 
-    n_pages = int(os.environ.get("GRAFT_HEADLINE_PAGES", "0")) \
-        or max(200, int(_sf_of(sf_dir) * PAGES_PER_SF)) or 1000
-    if corpus == "hard":
-        # hard pages carry ~10x the tokens: page count drops 10x so the
-        # two corpora push a comparable token volume through the engine
+    env_pages = int(os.environ.get("GRAFT_HEADLINE_PAGES", "0"))
+    n_pages = env_pages or max(200, int(_sf_of(sf_dir) * PAGES_PER_SF)) \
+        or 1000
+    if corpus == "hard" and not env_pages:
+        # hard pages carry ~10x the tokens: the sf-derived DEFAULT page
+        # count drops 10x so the two corpora push a comparable token
+        # volume; an explicit GRAFT_HEADLINE_PAGES is honored as-is
         n_pages = max(200, n_pages // 10)
     pages_path = _pages_corpus(n_pages, hard=(corpus == "hard"))
 

@@ -20,13 +20,14 @@ from __future__ import annotations
 import json
 import re
 
+# LLMClient.extract_json appends JSON_SUFFIX AFTER the prompt and uses
+# RETRY_PREFIX on its parse-retry; both are imported from llm_client so a
+# rewording there cannot silently break the transports here.
+from kgx.functions.llm_client import JSON_SUFFIX, RETRY_PREFIX  # noqa: E402
+
 # The prompt templates (kgx/functions/prompts.py) all place the document
 # text after this marker, at the end of the prompt.
 TEXT_MARKER = "\nText:\n"
-# LLMClient.extract_json appends this strict-JSON instruction AFTER the
-# prompt (kgx/functions/llm_client.py:extract_json); it follows the text
-# segment and must be cut before term extraction.
-JSON_SUFFIX = "\n\nYour response must be a valid, parseable JSON object."
 
 
 class TermEmulatingTransport:
@@ -141,12 +142,6 @@ class PipeTermTransport:
         recs = "**".join(f'("entity"|{t}|TERM|term {t})'
                          for t in self.term_re.findall(text))
         return recs + "\nEND_OF_EXTRACTION"
-
-
-# LLMClient.extract_json's temperature-0 retry prompt prefix
-# (kgx/functions/llm_client.py:extract_json) — the fault transport
-# answers the RETRY validly so the parse-retry path is exercised.
-RETRY_PREFIX = "Please return the following as a valid JSON object"
 
 
 class FaultInjectingTransport:

@@ -26,6 +26,17 @@ class TransportError(Exception):
     """Retryable transport failure (analog of aiohttp/timeout errors)."""
 
 
+# Prompt literals shared with the sandbox transports: fake_llm.py keys its
+# text-segment extraction and malformed-band retry detection on these
+# exact strings, so they live here (single definition) and are imported
+# there — rewording them cannot silently desynchronize the transport.
+JSON_SUFFIX = ("\n\nYour response must be a valid, parseable JSON "
+               "object. Do not include any explanations or text "
+               "outside of the JSON object.")
+RETRY_PREFIX = ("Please return the following as a valid JSON "
+                "object with no additional text.\n\n")
+
+
 class LLMClient:
     """Retrying completion client with injected transport.
 
@@ -75,17 +86,12 @@ class LLMClient:
         a simplified prompt, then the error-dict fallback."""
         json_temp = (temperature if temperature is not None
                      else max(0.1, self.temperature / 2))
-        enhanced = (prompt.strip() +
-                    "\n\nYour response must be a valid, parseable JSON "
-                    "object. Do not include any explanations or text "
-                    "outside of the JSON object.")
+        enhanced = prompt.strip() + JSON_SUFFIX
         text = self.generate(enhanced, temperature=json_temp)
         parsed = _substring_json(text)
         if parsed is not None:
             return parsed
-        retry_prompt = ("Please return the following as a valid JSON "
-                        "object with no additional text.\n\n" +
-                        prompt.strip())
+        retry_prompt = RETRY_PREFIX + prompt.strip()
         retry_text = self.generate(retry_prompt, temperature=0.0)
         parsed = _substring_json(retry_text)
         if parsed is not None:

@@ -38,6 +38,11 @@ _REPS = 3          # stretch each worker's window so short co-tenant
 
 
 def _work(args: tuple[str, int]) -> float:
+    """Pages/sec this worker actually sustained.  The rate uses the
+    slice's REAL row count (``.slice`` clamps silently when the shard is
+    smaller than the request, and directory mode hands workers
+    different-sized shards), so small corpora can't inflate the
+    ceiling."""
     path, n = args
     import pyarrow.parquet as pq
 
@@ -57,7 +62,7 @@ def _work(args: tuple[str, int]) -> float:
     t0 = time.perf_counter()
     for _ in range(_REPS):
         combine(extract(chunk(extract_text_batch(t))))
-    return (time.perf_counter() - t0) / _REPS
+    return t.num_rows / ((time.perf_counter() - t0) / _REPS)
 
 
 def probe(pages_path: str, levels: tuple[int, ...] = (1, 8, 32),
@@ -79,11 +84,11 @@ def probe(pages_path: str, levels: tuple[int, ...] = (1, 8, 32),
     for k in levels:
         args = [(files[i % len(files)], n_pages) for i in range(k)]
         with mp.Pool(k) as pool:
-            secs = pool.map(_work, args)
-        # median inner time across the K concurrent workers
-        secs.sort()
-        med = secs[len(secs) // 2]
-        per_core[str(k)] = round(n_pages / med, 1)
+            rates = pool.map(_work, args)
+        # median per-worker pages/sec across the K concurrent workers
+        # (each rate is normalized by that worker's OWN row count)
+        rates.sort()
+        per_core[str(k)] = round(rates[len(rates) // 2], 1)
     out = {"pages_per_sec_per_core": per_core, "n_pages": n_pages}
     if "8" in per_core and "32" in per_core:
         out["hw_ceiling_8_to_32"] = round(
