@@ -195,10 +195,17 @@ def _fold_state_rows(jsons, cap: int) -> dict:
 
 def reduce_partial_group(group: pa.Table, *,
                          cap: int = DEFAULT_INSTANCE_CAP) -> pa.Table:
-    """Phase-1 reducer: merge all states of one (norm, salt) group."""
+    """Phase-1 reducer: merge all states of one (norm, salt) group.
+
+    Also emits ``entity_id`` (the deterministic 1:1 hash of the
+    normalized mention) so phase 2 can group directly by it — the
+    sort-based groupby shuffle then delivers the nodes already in
+    entity_id order, making a trailing global sort unnecessary."""
+    norm = group["norm_mention"][0].as_py()
     acc = _fold_state_rows(group["state"].to_pylist(), cap)
     return pa.table({
-        "norm_mention": pa.array([group["norm_mention"][0].as_py()], pa.string()),
+        "norm_mention": pa.array([norm], pa.string()),
+        "entity_id": pa.array([entity_id(norm)], pa.string()),
         "state": pa.array([json.dumps(acc, sort_keys=True)], pa.string()),
     })
 
@@ -237,6 +244,9 @@ def canonicalize(mentions_ds, *, n_salts: int = DEFAULT_N_SALTS,
         batch_format="pyarrow", batch_size=combine_batch_size)
     partial = combined.groupby(["norm_mention", "salt"]).map_groups(
         lambda g: reduce_partial_group(g, cap=cap), batch_format="pyarrow")
-    nodes = partial.groupby("norm_mention").map_groups(
+    # Phase 2 groups by the 1:1 entity_id hash the phase-1 reducer emits:
+    # the sort-based groupby shuffle leaves the output globally sorted by
+    # entity_id, so the former trailing ``.sort("entity_id")`` was a
+    # redundant all-to-all (see kgx/stages/states.py:nodes_from_states).
+    return partial.groupby("entity_id").map_groups(
         lambda g: finalize_group(g, cap=cap), batch_format="pyarrow")
-    return nodes.sort("entity_id")

@@ -207,9 +207,12 @@ def resolve_and_dedup_edges(triples_ds, alias_ref, *,
             concurrency=concurrency,
             fn_constructor_kwargs={"alias_ref": alias_ref,
                                    "min_strength": min_strength, "cap": cap})
-    edges = combined.groupby(["subj_id", "pred", "obj_id"]).map_groups(
+    # groupby.map_groups shuffles via a global sort on the group key, so
+    # the output is already ordered by (subj_id, pred, obj_id); a trailing
+    # ds.sort on the same key was a redundant all-to-all (invariant pinned
+    # by tests/test_states.py::test_map_groups_output_key_sorted).
+    return combined.groupby(["subj_id", "pred", "obj_id"]).map_groups(
         lambda g: _finalize_edge_group(g, cap), batch_format="pyarrow")
-    return edges.sort(["subj_id", "pred", "obj_id"])
 
 
 # ---------------------------------------------------------------------------
@@ -431,9 +434,10 @@ def resolve_and_dedup_edges_coshuffle_from_states(combined_ds, nodes_ds, *,
 
     resolved = phase_b.map_batches(_resolved_to_combined,
                                    batch_format="pyarrow")
-    edges = resolved.groupby(["subj_id", "pred", "obj_id"]).map_groups(
+    # Already (subj_id, pred, obj_id)-sorted by the groupby's sort-based
+    # shuffle — no trailing ds.sort (see resolve_and_dedup_edges).
+    return resolved.groupby(["subj_id", "pred", "obj_id"]).map_groups(
         lambda g: _finalize_edge_group(g, cap), batch_format="pyarrow")
-    return edges.sort(["subj_id", "pred", "obj_id"])
 
 
 DEFAULT_BROADCAST_MAX_NODES = 5_000_000
@@ -490,8 +494,12 @@ class ResolveClaims:
         for k in keys:
             states[k]["ids"] = sorted(set(states[k]["ids"]))
             states[k]["inst"] = _cap_instances(states[k]["inst"], self.cap)
+        # claim_id is the deterministic 1:1 hash of content_key: emitting
+        # it here lets the dedup groupby key on it directly, so the
+        # sort-based shuffle delivers claims already in claim_id order.
         return pa.table({
             "content_key": pa.array(keys, pa.string()),
+            "claim_id": pa.array([claim_id(k) for k in keys], pa.string()),
             "state": pa.array([json.dumps(states[k], sort_keys=True)
                                for k in keys], pa.string()),
         })
@@ -534,6 +542,8 @@ def resolve_and_dedup_claims(claims_ds, alias_ref, *,
             ResolveClaims, batch_format="pyarrow", batch_size=batch_size,
             concurrency=concurrency,
             fn_constructor_kwargs={"alias_ref": alias_ref, "cap": cap})
-    claims = combined.groupby("content_key").map_groups(
+    # Grouping by claim_id (1:1 with content_key) makes the groupby's
+    # sort-based shuffle deliver the output already in claim_id order —
+    # the former trailing ds.sort was a redundant all-to-all.
+    return combined.groupby("claim_id").map_groups(
         lambda g: _finalize_claim_group(g, cap), batch_format="pyarrow")
-    return claims.sort("claim_id")

@@ -90,9 +90,15 @@ def nodes_from_states(states_ds, *, cap: int = DEFAULT_INSTANCE_CAP):
         batch_format="pyarrow")
     partial = m.groupby(["norm_mention", "salt"]).map_groups(
         lambda g: reduce_partial_group(g, cap=cap), batch_format="pyarrow")
-    nodes = partial.groupby("norm_mention").map_groups(
+    # Phase 2 groups by entity_id (the 1:1 hash of norm_mention the
+    # phase-1 reducer now emits): groupby.map_groups on this Ray version
+    # shuffles via a GLOBAL SORT on the group key, so the output arrives
+    # already sorted by entity_id and the former trailing
+    # ``.sort("entity_id")`` was a redundant extra all-to-all — pure fixed
+    # per-run latency at every cluster size (~1 s here; the invariant is
+    # pinned by tests/test_states.py::test_map_groups_output_key_sorted).
+    return partial.groupby("entity_id").map_groups(
         lambda g: finalize_group(g, cap=cap), batch_format="pyarrow")
-    return nodes.sort("entity_id")
 
 
 class _ResolveTripleStates:
@@ -143,6 +149,8 @@ def edges_from_states(states_ds, alias_ref, *,
     resolved = states_ds.map_batches(
         make_task_resolver(_ResolveTripleStates, alias_ref),
         batch_format="pyarrow")
-    edges = resolved.groupby(["subj_id", "pred", "obj_id"]).map_groups(
+    # The groupby's sort-based shuffle already leaves the output globally
+    # sorted by (subj_id, pred, obj_id) — no trailing ds.sort needed (see
+    # nodes_from_states; same invariant, same pinned test).
+    return resolved.groupby(["subj_id", "pred", "obj_id"]).map_groups(
         lambda g: _finalize_edge_group(g, cap), batch_format="pyarrow")
-    return edges.sort(["subj_id", "pred", "obj_id"])
