@@ -397,12 +397,25 @@ def run_scaling(sf_dir: str, repeats: int = 3,
     import statistics
 
     lo, hi = levels
+    # The scaling legs run a DOUBLED corpus (both legs, same input) unless
+    # GRAFT_SCALING_PAGES overrides: the north-rule criterion is sustained
+    # throughput at 10^12-document scale, where per-session fixed costs
+    # (Ray session + executor bring-up, the final KB-scale canonical
+    # barriers) are amortized to nothing.  At the sf0.1 default the
+    # 16-CPU leg is a ~21 s job, so those fixed ~2-4 s read as a ~15%
+    # "scaling loss" that no long-running cluster job would see; doubling
+    # the corpus halves that bias while keeping both legs comparable.
+    # The headline block keeps the sf-derived size for round-over-round
+    # comparability; every sample reports its n_pages.
+    scale_pages = int(os.environ.get("GRAFT_SCALING_PAGES", "0")) or \
+        2 * (max(200, int(_sf_of(sf_dir) * PAGES_PER_SF)) or 1000)
     samples: dict[int, list] = {lo: [], hi: []}
     for _ in range(repeats):
         for ncpu in (lo, hi):
             # one timed run per subprocess; steal measured over its window
             env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu),
-                       GRAFT_SF_DIR=sf_dir, GRAFT_HEADLINE_REPEATS="1")
+                       GRAFT_SF_DIR=sf_dir, GRAFT_HEADLINE_REPEATS="1",
+                       GRAFT_HEADLINE_PAGES=str(scale_pages))
             t_before, s_before = _cpu_times()
             out = subprocess.run(
                 [sys.executable, os.path.abspath(__file__),
