@@ -359,7 +359,8 @@ CALIB_TOLERANCE = 1.15
 
 def run_scaling(sf_dir: str, repeats: int = 3,
                 steal_clean_pct: float = 1.0,
-                levels: tuple[int, int] = (4, 16)) -> dict:
+                levels: tuple[int, int] = (4, 16),
+                pages: int | None = None) -> dict:
     """Same headline job in fresh processes at N and 4N CPUs.
 
     DEFAULT PAIRING 4->16 (not 8->32), for a hardware reason the embedded
@@ -407,8 +408,8 @@ def run_scaling(sf_dir: str, repeats: int = 3,
     # the corpus halves that bias while keeping both legs comparable.
     # The headline block keeps the sf-derived size for round-over-round
     # comparability; every sample reports its n_pages.
-    scale_pages = int(os.environ.get("GRAFT_SCALING_PAGES", "0")) or \
-        2 * (max(200, int(_sf_of(sf_dir) * PAGES_PER_SF)) or 1000)
+    scale_pages = pages or int(os.environ.get("GRAFT_SCALING_PAGES", "0")) \
+        or 2 * (max(200, int(_sf_of(sf_dir) * PAGES_PER_SF)) or 1000)
     samples: dict[int, list] = {lo: [], hi: []}
     for _ in range(repeats):
         for ncpu in (lo, hi):
@@ -675,10 +676,14 @@ def main() -> None:
             res["scaling"] = run_scaling(
                 sf_dir,
                 repeats=int(os.environ.get("GRAFT_SCALING_REPEATS", "2")))
+            # the historical-pairing reference block keeps the sf-derived
+            # (undoubled) corpus so it stays comparable with the r1-r4
+            # 8->32 artifacts it exists to preserve
             res["scaling_8_32"] = run_scaling(
                 sf_dir, levels=(8, 32),
                 repeats=int(os.environ.get("GRAFT_SCALING_8_32_REPEATS",
-                                           "1")))
+                                           "1")),
+                pages=max(200, int(_sf_of(sf_dir) * PAGES_PER_SF)) or 1000)
         print(json.dumps(res))
 
 
