@@ -173,7 +173,12 @@ def run_headline(sf_dir: str, num_cpus: int, repeats: int = 2,
             while fh.read(1 << 24):
                 pass
 
-    calib = _calibrate_single_core(pages_path)
+    # Wait (bounded) for a quiet window before the timed samples: the
+    # driver may invoke the bench during a co-tenant burst, and a dirty
+    # start costs a full artifact.  Scaling-leg subprocesses disable this
+    # (the parent gates the window once per sample round instead).
+    quiet_wait = float(os.environ.get("GRAFT_QUIET_WAIT_S", "120"))
+    calib = _wait_for_quiet(pages_path, max_wait_s=quiet_wait)
     walls, n_nodes, n_triples = [], 0, 0
     nodes_tbl = edges_tbl = None
     reps = max(1, repeats)
@@ -356,6 +361,31 @@ def _cpu_times() -> tuple[int, int]:
 
 CALIB_TOLERANCE = 1.15
 
+# A quiet box reads ~0.70-0.86 ms/page on the single-core calibration
+# probe since the round-4 kernel work (BASELINE.md); readings above this
+# mean the window is already under co-tenant pressure, so a sample taken
+# now would only mis-measure the engine.  Interference is one-sided (it
+# only ever slows a run), so waiting for a quiet probe before sampling
+# is a pure noise filter, never a thumb on the scale.
+QUIET_CALIB_MS = float(os.environ.get("GRAFT_QUIET_CALIB_MS", "0.9"))
+
+
+def _wait_for_quiet(pages_path: str, max_wait_s: float,
+                    probe_every_s: float = 12.0) -> float:
+    """Block (bounded) until the single-core calibration probe reads a
+    quiet window, then return the last probe value.
+
+    A quiet reading NOW doesn't guarantee the sample window stays quiet
+    — the per-sample calib/steal annotations still gate cleanliness —
+    but starting inside a burst guarantees a dirty sample.  ``max_wait_s
+    <= 0`` disables the wait (one probe, returned as-is)."""
+    calib = _calibrate_single_core(pages_path)
+    deadline = time.monotonic() + max_wait_s
+    while calib > QUIET_CALIB_MS and time.monotonic() < deadline:
+        time.sleep(probe_every_s)
+        calib = _calibrate_single_core(pages_path)
+    return calib
+
 
 def run_scaling(sf_dir: str, repeats: int = 3,
                 steal_clean_pct: float = 1.0,
@@ -394,6 +424,16 @@ def run_scaling(sf_dir: str, repeats: int = 3,
     both annotations is reported in the JSON for inspection, along with
     the unfiltered medians.  Throughputs are never rescaled by the
     calibration — it only selects samples.
+
+    Two bounded noise defenses (round 5): each sample round waits up to
+    ``GRAFT_SCALING_QUIET_WAIT_S`` (default 90 s) for the single-core
+    calibration probe to read a quiet window before launching the legs,
+    and if a level still ends with ZERO clean samples, up to
+    ``GRAFT_SCALING_MAX_EXTRA`` (default 2) extra quiet-gated samples
+    are taken at that level.  Both defenses only choose WHEN to sample —
+    interference is one-sided (it can only slow a run), so they filter
+    noise without inflating the engine's reading; all samples taken are
+    reported.
     """
     import statistics
 
@@ -411,28 +451,64 @@ def run_scaling(sf_dir: str, repeats: int = 3,
     scale_pages = pages or int(os.environ.get("GRAFT_SCALING_PAGES", "0")) \
         or 2 * (max(200, int(_sf_of(sf_dir) * PAGES_PER_SF)) or 1000)
     samples: dict[int, list] = {lo: [], hi: []}
+    # Parent-side quiet gate: probe for a quiet window ONCE per sample
+    # round (the legs themselves run with the in-leg wait disabled so a
+    # burst can't stall every subprocess independently).
+    probe_pages = _pages_corpus(max(200, int(_sf_of(sf_dir) * PAGES_PER_SF))
+                                or 1000)
+    round_wait = float(os.environ.get("GRAFT_SCALING_QUIET_WAIT_S", "90"))
+
+    def take_sample(ncpu: int) -> None:
+        # one timed run per subprocess; steal measured over its window
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu),
+                   GRAFT_SF_DIR=sf_dir, GRAFT_HEADLINE_REPEATS="1",
+                   GRAFT_HEADLINE_PAGES=str(scale_pages),
+                   GRAFT_QUIET_WAIT_S="0")
+        t_before, s_before = _cpu_times()
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__),
+             "--headline-only"],
+            env=env, capture_output=True, text=True)
+        t_after, s_after = _cpu_times()
+        if out.returncode != 0:
+            sys.stderr.write(out.stderr[-4000:])
+            raise RuntimeError(
+                f"headline subprocess failed at {ncpu} cpus")
+        line = [ln for ln in out.stdout.strip().splitlines()
+                if ln.startswith("{")][-1]
+        h = json.loads(line)["headline"]
+        h["steal_pct"] = round(
+            100.0 * (s_after - s_before) / max(1, t_after - t_before), 3)
+        samples[ncpu].append(h)
+
     for _ in range(repeats):
+        _wait_for_quiet(probe_pages, max_wait_s=round_wait)
         for ncpu in (lo, hi):
-            # one timed run per subprocess; steal measured over its window
-            env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu),
-                       GRAFT_SF_DIR=sf_dir, GRAFT_HEADLINE_REPEATS="1",
-                       GRAFT_HEADLINE_PAGES=str(scale_pages))
-            t_before, s_before = _cpu_times()
-            out = subprocess.run(
-                [sys.executable, os.path.abspath(__file__),
-                 "--headline-only"],
-                env=env, capture_output=True, text=True)
-            t_after, s_after = _cpu_times()
-            if out.returncode != 0:
-                sys.stderr.write(out.stderr[-4000:])
-                raise RuntimeError(
-                    f"headline subprocess failed at {ncpu} cpus")
-            line = [ln for ln in out.stdout.strip().splitlines()
-                    if ln.startswith("{")][-1]
-            h = json.loads(line)["headline"]
-            h["steal_pct"] = round(
-                100.0 * (s_after - s_before) / max(1, t_after - t_before), 3)
-            samples[ncpu].append(h)
+            take_sample(ncpu)
+
+    # Adaptive extras: a level with ZERO clean samples means every one
+    # of its windows was interfered with, and the statistic would
+    # silently fall back to that level's least-interfered DIRTY sample
+    # (this produced the 0.50 reading archived in BASELINE.md round 5 —
+    # clean_samples {4: 2, 16: 0} in a sustained burst).  Take up to
+    # GRAFT_SCALING_MAX_EXTRA more quiet-gated samples at any still-dirty
+    # level; every sample taken is reported either way.
+    def _n_clean_at(ncpu: int) -> int:
+        m = min(h["calib_ms_per_page"]
+                for hs in samples.values() for h in hs)
+        return sum(1 for h in samples[ncpu]
+                   if h["steal_pct"] < steal_clean_pct
+                   and h["calib_ms_per_page"] <= m * CALIB_TOLERANCE)
+
+    max_extra = int(os.environ.get("GRAFT_SCALING_MAX_EXTRA", "2"))
+    extra_rounds = 0
+    while (extra_rounds < max_extra
+           and (_n_clean_at(lo) == 0 or _n_clean_at(hi) == 0)):
+        _wait_for_quiet(probe_pages, max_wait_s=round_wait)
+        for ncpu in (lo, hi):
+            if _n_clean_at(ncpu) == 0:
+                take_sample(ncpu)
+        extra_rounds += 1
 
     # Engine-independent hardware ceiling, measured in the SAME window:
     # the identical kernel chain under pure multiprocessing (no Ray) at
@@ -501,6 +577,7 @@ def run_scaling(sf_dir: str, repeats: int = 3,
         "num_cpus": hi,
         "levels": [lo, hi],
         "repeats": repeats,
+        "extra_rounds": extra_rounds,
         "steal_clean_pct": steal_clean_pct,
         "calib_tolerance": CALIB_TOLERANCE,
         "calib_min_ms_per_page": min_calib,
