@@ -177,7 +177,7 @@ def run_headline(sf_dir: str, num_cpus: int, repeats: int = 2,
     # driver may invoke the bench during a co-tenant burst, and a dirty
     # start costs a full artifact.  Scaling-leg subprocesses disable this
     # (the parent gates the window once per sample round instead).
-    quiet_wait = float(os.environ.get("GRAFT_QUIET_WAIT_S", "120"))
+    quiet_wait = float(os.environ.get("GRAFT_QUIET_WAIT_S", "90"))
     calib = _wait_for_quiet(pages_path, max_wait_s=quiet_wait)
     walls, n_nodes, n_triples = [], 0, 0
     nodes_tbl = edges_tbl = None
@@ -456,7 +456,9 @@ def run_scaling(sf_dir: str, repeats: int = 3,
     # burst can't stall every subprocess independently).
     probe_pages = _pages_corpus(max(200, int(_sf_of(sf_dir) * PAGES_PER_SF))
                                 or 1000)
-    round_wait = float(os.environ.get("GRAFT_SCALING_QUIET_WAIT_S", "90"))
+    # bounded so a sustained burst can't add more than ~8 min to a full
+    # default run (headline 90 s + up to 7 gated rounds x 60 s)
+    round_wait = float(os.environ.get("GRAFT_SCALING_QUIET_WAIT_S", "60"))
 
     def take_sample(ncpu: int) -> None:
         # one timed run per subprocess; steal measured over its window
