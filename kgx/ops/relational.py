@@ -997,31 +997,43 @@ def volume_shipping(sf_dir: str, *, nation_a: str = "NATION_11",
                  "l_extendedprice", "l_discount"]) \
         .map_batches(line_side, batch_format="pyarrow")
 
-    orders = rd.read_parquet(
-        f"{sf_dir}/orders.parquet",
-        columns=["o_orderkey", "o_custkey"])
-
-    joined = hash_equijoin(orders, line, left_on="o_orderkey",
-                           right_on="l_orderkey")
-
-    def partial(batch: pa.Table, _d=dref) -> pa.Table:
+    # Orders pre-filters map-side to customers of the two nations
+    # (broadcast custkey->nation) BEFORE the fact-fact co-shuffle, so
+    # only ~2/N of the orders table (and the matching join output) is
+    # exchanged — same rows survive, the cust filter just moves ahead
+    # of the join instead of after it.
+    def order_side(batch: pa.Table, _d=dref) -> pa.Table:
         _, _, ck_a, cn_a, _ = ray.get(_d)
         ci = pc.index_in(batch["o_custkey"].combine_chunks()
                          .cast(pa.int64()), value_set=ck_a) \
                .to_numpy(zero_copy_only=False).astype(np.float64)
         keep = ~np.isnan(ci)
-        snat = batch["snat"].to_numpy(zero_copy_only=False)[keep]
-        cnat = cn_a[ci[keep].astype(np.int64)]
+        return pa.table({
+            "o_orderkey": batch["o_orderkey"].filter(pa.array(keep)),
+            "cnat": pa.array(cn_a[ci[keep].astype(np.int64)], pa.int64()),
+        })
+
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey"]) \
+        .map_batches(order_side, batch_format="pyarrow")
+
+    joined = hash_equijoin(orders, line, left_on="o_orderkey",
+                           right_on="l_orderkey")
+
+    def partial(batch: pa.Table) -> pa.Table:
+        snat = batch["snat"].to_numpy(zero_copy_only=False)
+        cnat = batch["cnat"].to_numpy(zero_copy_only=False)
         cross = snat != cnat          # the two directed pairs only
         t = pa.table({
             "snat": pa.array(snat[cross], pa.int64()),
             "cnat": pa.array(cnat[cross], pa.int64()),
             "l_year": pa.array(
                 batch["l_year"].to_numpy(
-                    zero_copy_only=False)[keep][cross], pa.int64()),
+                    zero_copy_only=False)[cross], pa.int64()),
             "rev": pa.array(
                 batch["rev_units"].to_numpy(
-                    zero_copy_only=False)[keep][cross], pa.int64()),
+                    zero_copy_only=False)[cross], pa.int64()),
         })
         agg = t.group_by(["snat", "cnat", "l_year"]).aggregate(
             [("rev", "sum")])
