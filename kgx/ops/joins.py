@@ -303,10 +303,13 @@ def hash_equijoin(left_ds, right_ds, *, left_on: str, right_on: str,
                         is_hot,
                         np.arange(n, dtype=np.int64) % n_salts, 0)
                 cols["__salt"] = pa.array(salt, pa.int64())
-            for name, _ in own:
-                cols[name] = batch[name]
-            for name, typ in other:
-                cols[name] = pa.nulls(n, typ)
+            own_names = {name for name, _ in own}
+            # Canonical payload order (left fields then right fields) on
+            # BOTH sides, so every block in the union shares one schema —
+            # otherwise Ray re-unifies schemas per block pair and warns.
+            for name, typ in l_fields + r_fields:
+                cols[name] = batch[name] if name in own_names \
+                    else pa.nulls(n, typ)
             return pa.table(cols)
         return fn
 

@@ -646,25 +646,44 @@ def regional_revenue(sf_dir: str, *, region: str = "ASIA",
     nname_arr = pa.array([nat_name[k] for k in nk_sorted], pa.string())
     dref = ray.put((sk_arr, sn_arr, ck_arr, cn_arr, nk_arr, nname_arr))
 
-    def orders_side(batch: pa.Table) -> pa.Table:
+    # Both region-membership filters move map-side BEFORE the fact-fact
+    # co-shuffle: orders keep only customers of the region's nations
+    # (attaching cnat), lineitems keep only the region's suppliers
+    # (attaching snat) — ~4/5 of each fact table drops before the
+    # exchange; the residual same-nation test runs post-join.
+    def orders_side(batch: pa.Table, _dref=dref) -> pa.Table:
+        _, _, ck_a, cn_a, _, _ = ray.get(_dref)
         od = pc.cast(batch["o_orderdate"], pa.int64())
         m = pc.and_(pc.greater_equal(od, lo), pc.less(od, hi))
         b = batch.filter(m)
-        return pa.table({"o_orderkey": b["o_orderkey"],
-                         "o_custkey": b["o_custkey"]})
+        ci = pc.index_in(b["o_custkey"].combine_chunks()
+                         .cast(pa.int64()), value_set=ck_a) \
+               .to_numpy(zero_copy_only=False).astype(np.float64)
+        keep = ~np.isnan(ci)
+        return pa.table({
+            "o_orderkey": b["o_orderkey"].filter(pa.array(keep)),
+            "cnat": pa.array(cn_a[ci[keep].astype(np.int64)], pa.int64()),
+        })
 
     orders = rd.read_parquet(
         f"{sf_dir}/orders.parquet",
         columns=["o_orderkey", "o_custkey", "o_orderdate"]) \
         .map_batches(orders_side, batch_format="pyarrow")
 
-    def line_side(batch: pa.Table) -> pa.Table:
-        ext_c = _cents(batch["l_extendedprice"]) \
+    def line_side(batch: pa.Table, _dref=dref) -> pa.Table:
+        sk_a, sn_a, _, _, _, _ = ray.get(_dref)
+        si = pc.index_in(batch["l_suppkey"].combine_chunks()
+                         .cast(pa.int64()), value_set=sk_a) \
+               .to_numpy(zero_copy_only=False).astype(np.float64)
+        keep = ~np.isnan(si)
+        km = pa.array(keep)
+        ext_c = _cents(batch["l_extendedprice"].filter(km)) \
             .to_numpy(zero_copy_only=False)
-        disc_c = _cents(batch["l_discount"]).to_numpy(zero_copy_only=False)
+        disc_c = _cents(batch["l_discount"].filter(km)) \
+            .to_numpy(zero_copy_only=False)
         return pa.table({
-            "l_orderkey": batch["l_orderkey"],
-            "l_suppkey": batch["l_suppkey"],
+            "l_orderkey": batch["l_orderkey"].filter(km),
+            "snat": pa.array(sn_a[si[keep].astype(np.int64)], pa.int64()),
             "rev_units": pa.array(ext_c * (100 - disc_c), pa.int64()),
         })
 
@@ -678,19 +697,12 @@ def regional_revenue(sf_dir: str, *, region: str = "ASIA",
                            right_on="l_orderkey")
 
     def resolve_partial(batch: pa.Table, _dref=dref) -> pa.Table:
-        sk_a, sn_a, ck_a, cn_a, nk_a, nm_a = ray.get(_dref)
-        ci = pc.index_in(batch["o_custkey"].combine_chunks()
-                         .cast(pa.int64()), value_set=ck_a) \
-               .to_numpy(zero_copy_only=False).astype(np.float64)
-        si = pc.index_in(batch["l_suppkey"].combine_chunks()
-                         .cast(pa.int64()), value_set=sk_a) \
-               .to_numpy(zero_copy_only=False).astype(np.float64)
-        ok = ~(np.isnan(ci) | np.isnan(si))
-        cii, sii = ci[ok].astype(np.int64), si[ok].astype(np.int64)
-        same = cn_a[cii] == sn_a[sii]
-        rev = batch["rev_units"].to_numpy(zero_copy_only=False)[ok][same]
-        nat = cii[same]
-        ni = pc.index_in(pa.array(cn_a[nat], pa.int64()), value_set=nk_a)
+        _, _, _, _, nk_a, nm_a = ray.get(_dref)
+        cnat = batch["cnat"].to_numpy(zero_copy_only=False)
+        snat = batch["snat"].to_numpy(zero_copy_only=False)
+        same = cnat == snat
+        rev = batch["rev_units"].to_numpy(zero_copy_only=False)[same]
+        ni = pc.index_in(pa.array(cnat[same], pa.int64()), value_set=nk_a)
         t = pa.table({"n_name": pc.take(nm_a, ni),
                       "rev": pa.array(rev, pa.int64())})
         agg = t.group_by(["n_name"]).aggregate([("rev", "sum")])
