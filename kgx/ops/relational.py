@@ -95,14 +95,20 @@ def top_customers(sf_dir: str, *, n: int = 10):
     Returns the top-n (c_custkey, c_name, revenue_cents, n_orders) by
     (revenue desc, custkey asc).
 
-    Merge shape: per-batch Arrow partials -> Ray native ``Sum``
-    aggregates (vectorized per sorted block) -> one vectorized
-    ``index_in``/``take`` name join per OUTPUT BATCH against the
-    broadcast customer table — no per-group Python anywhere (at sf0.1
-    the previous per-customer ``map_groups`` made ~15k one-row Python
-    calls and dominated the query's wall time).
+    Merge shape: per-batch Arrow partials -> coalesce to ~ncpu/2 blocks
+    (Ray's sort-based aggregate materializes B_in x B_out partition
+    slices, so 64 tiny partial blocks cost 4096 slices of pure
+    machinery; 16 blocks cost 256) -> Ray native ``Sum`` aggregates ->
+    one vectorized ``index_in``/``take`` name join + LOCAL top-n per
+    output block (each block holds complete keys post-aggregate, so
+    per-block top-n is lossless) -> single-block final sort over
+    <= n x blocks candidate rows.  No per-group Python anywhere; the
+    global Sort barrier over every customer is gone.
     """
     from ray.data.aggregate import Sum
+
+    ncpu = int(ray.cluster_resources().get("CPU", 4))
+    sort_keys = [("revenue_cents", "descending"), ("c_custkey", "ascending")]
 
     cust = rd.read_parquet(f"{sf_dir}/customer.parquet",
                            columns=["c_custkey", "c_name"])
@@ -120,7 +126,7 @@ def top_customers(sf_dir: str, *, n: int = 10):
         return (t.group_by(["o_custkey"])
                  .aggregate([("price_c", "sum"), ("one", "sum")]))
 
-    def attach_names(batch: pa.Table) -> pa.Table:
+    def attach_topn(batch: pa.Table) -> pa.Table:
         # broadcast join: the customer table ships once per worker via
         # the object store; index_in/take are vectorized Arrow kernels
         ctab = ray.get(cref)
@@ -135,16 +141,23 @@ def top_customers(sf_dir: str, *, n: int = 10):
             "n_orders": batch["sum(one_sum)"].combine_chunks()
                              .cast(pa.int64()),
         })
-        return out.filter(pc.is_valid(idx))   # inner-join: drop unknowns
+        out = out.filter(pc.is_valid(idx))    # inner-join: drop unknowns
+        order = pc.sort_indices(out, sort_keys=sort_keys)
+        return out.take(order.slice(0, n))    # lossless local top-n
+
+    def final_topn(batch: pa.Table) -> pa.Table:
+        order = pc.sort_indices(batch, sort_keys=sort_keys)
+        return batch.take(order.slice(0, n))
 
     orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
                              columns=["o_custkey", "o_totalprice"])
-    per_cust = orders.map_batches(partial, batch_format="pyarrow")
+    per_cust = orders.map_batches(partial, batch_format="pyarrow") \
+                     .repartition(max(8, ncpu // 2))
     agg = per_cust.groupby("o_custkey").aggregate(
         Sum("price_c_sum"), Sum("one_sum"))
-    top = agg.map_batches(attach_names, batch_format="pyarrow") \
-        .sort(["revenue_cents", "c_custkey"], descending=[True, False]) \
-        .limit(n)
+    top = agg.map_batches(attach_topn, batch_format="pyarrow") \
+        .repartition(1) \
+        .map_batches(final_topn, batch_format="pyarrow", batch_size=None)
     return top
 
 
