@@ -33,6 +33,21 @@ def coalesce_small(ds, *, min_blocks: int = 8,
     return ds
 
 
+def shuffle_coalesce(ds, *, min_blocks: int = 8):
+    """Lazily repartition REDUCED rows to ~ncpu/2 blocks ahead of a key
+    shuffle.  Ray's sort-based groupby/sort materializes B_in x B_out
+    partition slices, so shuffling a narrow partial/hash table that
+    arrives as 64 tiny blocks pays thousands of slices of machinery;
+    ~ncpu/2 blocks move the same bytes in a few hundred.  Unlike
+    ``coalesce_small`` this adds no materialize barrier — use it only
+    where the rows are already provably narrow (hash rows, per-batch
+    partials), NOT on full-payload corpora whose blocks are
+    production-size."""
+    import ray as _ray
+    ncpu = int(_ray.cluster_resources().get("CPU", 4))
+    return ds.repartition(max(min_blocks, ncpu // 2))
+
+
 def collect_arrow(ds) -> pa.Table:
     tbls = [ray.get(r) for r in ds.to_arrow_refs()]
     real = [t for t in tbls if t.num_columns > 0]

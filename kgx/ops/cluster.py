@@ -34,18 +34,31 @@ from __future__ import annotations
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 import ray
 
 from kgx.ops.simsearch import emb_matrix
 
 
 def _init_centroids(emb_ds, k: int) -> np.ndarray:
-    """Deterministic init: embeddings of the k smallest vec_ids."""
+    """Deterministic init: embeddings of the k smallest vec_ids.
+
+    Lossless per-block bottom-k then one driver-side merge of
+    <= k x blocks narrow rows — a global ``sort().limit(k)`` here paid
+    a full range-exchange barrier over every embedding just to pick k
+    rows."""
     from kgx.functions.collect import collect_arrow
-    # sort+limit pushes down: only k narrow rows reach the driver
+
+    def local_bottomk(batch: pa.Table) -> pa.Table:
+        order = pc.sort_indices(batch["vec_id"].combine_chunks())
+        return batch.take(order.slice(0, k))
+
     tbl = collect_arrow(
-        emb_ds.select_columns(["vec_id", "embedding"]).sort("vec_id").limit(k))
-    C = emb_matrix(tbl["embedding"])
+        emb_ds.select_columns(["vec_id", "embedding"])
+              .map_batches(local_bottomk, batch_format="pyarrow"))
+    ids = np.asarray(tbl["vec_id"].to_pylist(), dtype=np.int64)
+    top = np.argsort(ids, kind="stable")[:k]
+    C = emb_matrix(tbl["embedding"])[top]
     return np.round(C, 6)
 
 
@@ -98,8 +111,15 @@ def _make_final_fn(cref):
 
 
 def _lloyd_centroids(emb_ds, *, k: int, iters: int) -> np.ndarray:
-    """Run ``iters`` Lloyd updates; returns the final (k, d) centroids."""
+    """Run ``iters`` Lloyd updates; returns the final (k, d) centroids.
+
+    The input is materialized ONCE up front: every Lloyd iteration (and
+    the init scan) re-reads the corpus, so without caching each pass
+    repeats the parquet read+decode.  The object store spills oversize
+    corpora to disk, which is still cheaper than iters x decode — the
+    standard iterative-refinement trade."""
     from kgx.functions.collect import collect_arrow
+    emb_ds = emb_ds.materialize()
     C = _init_centroids(emb_ds, k)
     for _ in range(iters):
         cref = ray.put(C)
@@ -139,7 +159,10 @@ def semantic_dedup(emb_ds, *, k: int = 10, iters: int = 3,
     threshold test so both engines agree at the boundary.
     """
     # one fused tag pass (assignment + embedding stay in the same row)
-    # instead of kmeans_assign + a corpus-wide re-join on vec_id:
+    # instead of kmeans_assign + a corpus-wide re-join on vec_id; the
+    # cache is shared with the Lloyd passes (materialize is a no-op on
+    # an already-materialized dataset)
+    emb_ds = emb_ds.materialize()
     C = _lloyd_centroids(emb_ds, k=k, iters=iters)
     cref = ray.put(C)
 
@@ -148,7 +171,11 @@ def semantic_dedup(emb_ds, *, k: int = 10, iters: int = 3,
         a, _ = _assign(M, ray.get(cref))
         return batch.append_column("cluster", pa.array(a, pa.int64()))
 
-    tagged = emb_ds.map_batches(tag, batch_format="pyarrow")
+    ncpu = int(ray.cluster_resources().get("CPU", 4))
+    # post-tag rows are narrow and the cluster count is k: coalesce the
+    # tiny blocks before the key shuffle (B_in x B_out slice machinery)
+    tagged = emb_ds.map_batches(tag, batch_format="pyarrow") \
+                   .repartition(max(8, ncpu // 2))
 
     def dedup_group(group: pa.Table) -> pa.Table:
         ids = np.asarray(group["vec_id"].to_pylist(), dtype=np.int64)

@@ -200,7 +200,7 @@ def detect_hot_keys(ds, key_col: str, *, frac: int = 16,
 
 def hash_equijoin(left_ds, right_ds, *, left_on: str, right_on: str,
                   how: str = "inner", hot_keys=None, n_salts: int = 8,
-                  n_buckets: int = 1024):
+                  n_buckets: int = 1024, coalesce: int | None = None):
     """General distributed hash equi-join (inner, left outer, or full
     outer).
 
@@ -236,6 +236,16 @@ def hash_equijoin(left_ds, right_ds, *, left_on: str, right_on: str,
 
     Output columns: ``left_on`` (the key, left side's name), then the
     left payload, then the right payload (nulls on left-outer misses).
+
+    ``coalesce``: optional block count to repartition the tagged union
+    to before the bucket shuffle.  Ray's sort-based groupby
+    materializes B_in x B_out partition slices, so when the tagged
+    sides arrive as many TINY blocks (e.g. heavily pre-filtered fact
+    residuals: 128 blocks -> 16k slices of pure machinery) coalescing
+    to ~ncpu/2 blocks removes seconds of fixed cost.  Leave ``None``
+    (the default) when the tagged sides carry production-size blocks —
+    the extra all-to-all pass over full-size data costs more bandwidth
+    than the slice machinery it saves.
     """
     import numpy as np
 
@@ -397,6 +407,8 @@ def hash_equijoin(left_ds, right_ds, *, left_on: str, right_on: str,
              **{n: lt[n] for n in l_names},
              **{n: rt[n] for n in r_names}}).select(out_names)
 
+    if coalesce is not None:
+        tagged = tagged.repartition(coalesce)
     group_keys = ["__bucket", "__salt"] if hot_set is not None \
         else "__bucket"
     return tagged.groupby(group_keys).map_groups(

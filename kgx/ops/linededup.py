@@ -135,8 +135,9 @@ def duplicated_spans(docs_ds, *, window: int = 16):
         return pa.table({"doc_id": pa.array(ids, pa.int64()),
                          "n_windows": pa.array(ns, pa.int64())})
 
-    from kgx.functions.collect import collect_arrow
-    exploded = docs_ds.map_batches(explode, batch_format="pyarrow")
+    from kgx.functions.collect import collect_arrow, shuffle_coalesce
+    exploded = shuffle_coalesce(
+        docs_ds.map_batches(explode, batch_format="pyarrow"))
     dup_parts = collect_arrow(
         exploded.groupby("b").map_groups(rank_group,
                                          batch_format="pyarrow"))
@@ -225,11 +226,11 @@ def segment_dedup(docs_ds, *, seg_tokens: int = 10):
             "seg_no": pa.array(segs[lose], pa.int64()),
         })
 
-    from kgx.functions.collect import collect_arrow
+    from kgx.functions.collect import collect_arrow, shuffle_coalesce
     loser_tbl = collect_arrow(
-        docs_ds.map_batches(explode, batch_format="pyarrow")
-               .groupby("b").map_groups(losers,
-                                        batch_format="pyarrow"))
+        shuffle_coalesce(docs_ds.map_batches(explode,
+                                             batch_format="pyarrow"))
+        .groupby("b").map_groups(losers, batch_format="pyarrow"))
     if loser_tbl.num_rows:
         drop_keys = (np.asarray(loser_tbl["doc_id"].to_pylist(),
                                 dtype=np.int64) * _SEG_CAP
@@ -325,11 +326,12 @@ def boilerplate_scrub(docs_ds, *, seg_tokens: int = 10, min_docs: int = 2):
         return group.take(pa.array(keep_first_rows, pa.int64())) \
             .select(["source", "seg_md5"])
 
-    from kgx.functions.collect import collect_arrow
+    from kgx.functions.collect import collect_arrow, shuffle_coalesce
     boiler = collect_arrow(
-        docs_ds.map_batches(explode, batch_format="pyarrow")
-               .groupby("b")
-               .map_groups(frequent, batch_format="pyarrow"))
+        shuffle_coalesce(docs_ds.map_batches(explode,
+                                             batch_format="pyarrow"))
+        .groupby("b")
+        .map_groups(frequent, batch_format="pyarrow"))
     bset = frozenset(zip(boiler["source"].to_pylist(),
                          boiler["seg_md5"].to_pylist()))
     bref = ray.put(bset)

@@ -100,5 +100,6 @@ def pack_offsets(docs_ds, *, seq_len: int = 2048,
             "seq_id": pa.array(begin // seq_len, pa.int64()),
         })
 
-    return counts.groupby("rng").map_groups(scan_range,
-                                            batch_format="pyarrow")
+    from kgx.functions.collect import shuffle_coalesce
+    return shuffle_coalesce(counts).groupby("rng").map_groups(
+        scan_range, batch_format="pyarrow")

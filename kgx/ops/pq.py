@@ -153,6 +153,9 @@ def pq_topk(emb_ds, query_ids: list[int], *, k: int = 10, m: int = 16,
 
     Output: (query_id, neighbor_id, score 6dp, rank).
     """
+    # four passes share one cached read (queries, train sample, encode,
+    # exact refine) — without it each pass re-executes the read graph
+    emb_ds = emb_ds.materialize()
     qids, Q = _pull_queries(emb_ds, query_ids)
     encoded, cref, bref = pq_encode(
         emb_ds, m=m, k_sub=k_sub, n_cells=n_cells, train_mod=train_mod,

@@ -706,8 +706,13 @@ def regional_revenue(sf_dir: str, *, region: str = "ASIA",
                  "l_discount"]).map_batches(line_side,
                                             batch_format="pyarrow")
 
+    ncpu = int(ray.cluster_resources().get("CPU", 4))
+    # both fact sides are ~4/5 pre-filtered map-side above, so the
+    # tagged blocks are tiny: coalesce before the bucket shuffle
+    # (see hash_equijoin's coalesce doc for the B_in x B_out rationale)
     joined = hash_equijoin(orders, line, left_on="o_orderkey",
-                           right_on="l_orderkey")
+                           right_on="l_orderkey",
+                           coalesce=max(8, ncpu // 2))
 
     def resolve_partial(batch: pa.Table, _dref=dref) -> pa.Table:
         _, _, _, _, nk_a, nm_a = ray.get(_dref)
@@ -1043,8 +1048,13 @@ def volume_shipping(sf_dir: str, *, nation_a: str = "NATION_11",
         columns=["o_orderkey", "o_custkey"]) \
         .map_batches(order_side, batch_format="pyarrow")
 
+    ncpu = int(ray.cluster_resources().get("CPU", 4))
+    # both fact sides are nation-filtered map-side above, so the tagged
+    # blocks are tiny: coalesce before the bucket shuffle (see
+    # hash_equijoin's coalesce doc for the B_in x B_out rationale)
     joined = hash_equijoin(orders, line, left_on="o_orderkey",
-                           right_on="l_orderkey")
+                           right_on="l_orderkey",
+                           coalesce=max(8, ncpu // 2))
 
     def partial(batch: pa.Table) -> pa.Table:
         snat = batch["snat"].to_numpy(zero_copy_only=False)

@@ -113,6 +113,8 @@ def cosine_topk(emb_ds, query_ids: list[int], *, k: int = 10):
     Returns (query_id, neighbor_id, score rounded 6dp, rank 1..k) with the
     deterministic tie-break (score desc, neighbor_id asc).
     """
+    # two passes (query pull + scoring) share one cached read
+    emb_ds = emb_ds.materialize()
     qref = ray.put(_pull_queries(emb_ds, query_ids))
     partial = emb_ds.map_batches(
         _BlockTopK, batch_format="pyarrow", concurrency=(1, 8),
@@ -163,6 +165,9 @@ def ivf_topk(emb_ds, query_ids: list[int], *, k: int = 10,
     """
     import ray
 
+    # three passes (query pull, quantizer sample, cell tagging) share
+    # one cached read of the corpus
+    emb_ds = emb_ds.materialize()
     qids, Q = _pull_queries(emb_ds, query_ids)
 
     def train_sample(batch: pa.Table) -> pa.Table:

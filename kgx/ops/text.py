@@ -229,7 +229,9 @@ def source_stats(docs_ds):
             "mean_chars_milli": pa.array([(chars * 1000) // n], pa.int64()),
         })
 
-    partial_ds = docs_ds.map_batches(partial, batch_format="pyarrow")
+    from kgx.functions.collect import shuffle_coalesce
+    partial_ds = shuffle_coalesce(
+        docs_ds.map_batches(partial, batch_format="pyarrow"))
     return partial_ds.groupby("source").map_groups(
         final, batch_format="pyarrow")
 
@@ -309,11 +311,11 @@ def quality_gate(docs_ds, *, q_num: int = 1, q_den: int = 4,
             "threshold_ppm": pa.array([int(s[pos])], pa.int64()),
         })
 
-    from kgx.functions.collect import collect_arrow
+    from kgx.functions.collect import collect_arrow, shuffle_coalesce
     thr = collect_arrow(
-        scored.map_batches(
+        shuffle_coalesce(scored.map_batches(
             lambda t: t.select(["source", "quality_score_ppm"]),
-            batch_format="pyarrow")
+            batch_format="pyarrow"))
         .groupby("source").map_groups(threshold, batch_format="pyarrow"))
     tref = ray.put((thr["source"].combine_chunks(),
                     thr["threshold_ppm"].combine_chunks()))

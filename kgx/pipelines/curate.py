@@ -128,9 +128,11 @@ def curate_corpus(sf_dir: str, *, lang: str = "en", min_docs: int = 2,
         return pa.table({"doc_id": pa.array(ids[order[~first]],
                                             pa.int64())})
 
+    from kgx.functions.collect import shuffle_coalesce
     loser_tbl = collect_arrow(
-        deduped.map_batches(fp_rows, batch_format="pyarrow")
-               .groupby("b").map_groups(losers, batch_format="pyarrow"))
+        shuffle_coalesce(deduped.map_batches(fp_rows,
+                                             batch_format="pyarrow"))
+        .groupby("b").map_groups(losers, batch_format="pyarrow"))
     drop = ray.put(pa.array(sorted(loser_tbl["doc_id"].to_pylist()),
                             pa.int64()))
 
