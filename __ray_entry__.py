@@ -109,32 +109,36 @@ def _q_kg_claims(sf_dir: str):
 
 def _q_text_tokens(sf_dir: str):
     import ray.data as rd
+    from kgx.sources.pages import read_table
     from kgx.ops.text import token_stats_batch
-    return rd.read_parquet(f"{sf_dir}/documents.parquet",
+    return read_table(f"{sf_dir}/documents.parquet",
                            columns=["doc_id", "text"]).map_batches(
         token_stats_batch, batch_format="pyarrow")
 
 
 def _q_text_quality(sf_dir: str):
     import ray.data as rd
+    from kgx.sources.pages import read_table
     from kgx.ops.text import quality_batch
-    return rd.read_parquet(f"{sf_dir}/documents.parquet",
+    return read_table(f"{sf_dir}/documents.parquet",
                            columns=["doc_id", "text"]).map_batches(
         quality_batch, batch_format="pyarrow")
 
 
 def _q_text_lang(sf_dir: str):
     import ray.data as rd
+    from kgx.sources.pages import read_table
     from kgx.ops.text import lang_id_batch
-    return rd.read_parquet(f"{sf_dir}/documents.parquet",
+    return read_table(f"{sf_dir}/documents.parquet",
                            columns=["doc_id", "text"]).map_batches(
         lang_id_batch, batch_format="pyarrow")
 
 
 def _q_text_fingerprint(sf_dir: str):
     import ray.data as rd
+    from kgx.sources.pages import read_table
     from kgx.ops.text import fingerprint_batch
-    return rd.read_parquet(f"{sf_dir}/documents.parquet",
+    return read_table(f"{sf_dir}/documents.parquet",
                            columns=["doc_id", "text"]).map_batches(
         fingerprint_batch, batch_format="pyarrow")
 
@@ -146,6 +150,7 @@ def _q_text_winnow(sf_dir: str):
     import polars as pl
     import pyarrow as pa
     import ray.data as rd
+    from kgx.sources.pages import read_table
     from kgx.ops.text import winnow_batch
 
     def agg(batch: pa.Table) -> pa.Table:
@@ -162,7 +167,7 @@ def _q_text_winnow(sf_dir: str):
         )
         return out.to_arrow()
 
-    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+    ds = read_table(f"{sf_dir}/documents.parquet",
                          columns=["doc_id", "text"]).map_batches(
         winnow_batch, batch_format="pyarrow")
     return ds.map_batches(agg, batch_format="pyarrow")
@@ -170,16 +175,18 @@ def _q_text_winnow(sf_dir: str):
 
 def _q_dedup_exact(sf_dir: str):
     import ray.data as rd
+    from kgx.sources.pages import read_table
     from kgx.ops.dedup import exact_dup_groups
-    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+    docs = read_table(f"{sf_dir}/documents.parquet",
                            columns=["doc_id", "text"])
     return exact_dup_groups(docs)
 
 
 def _q_dedup_jaccard(sf_dir: str):
     import ray.data as rd
+    from kgx.sources.pages import read_table
     from kgx.ops.dedup import jaccard_pairs
-    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+    docs = read_table(f"{sf_dir}/documents.parquet",
                            columns=["doc_id", "text"])
     return jaccard_pairs(docs, threshold=0.8)
 
@@ -210,9 +217,10 @@ def _q_events_dcount(sf_dir: str):
     """Exact COUNT(DISTINCT user) per (tumbling hour, event_type) —
     map-side triple dedupe, shuffle bounded by distinct triples."""
     import ray.data as rd
+    from kgx.sources.pages import read_table
 
     from kgx.ops.window import window_distinct_users
-    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+    ev = read_table(f"{sf_dir}/events.parquet",
                          columns=["ts", "event_type", "user_id"])
     return window_distinct_users(ev)
 
@@ -220,9 +228,10 @@ def _q_events_dcount(sf_dir: str):
 def _q_events_lag(sf_dir: str):
     """Per-user LAG() window: previous event id + gap seconds."""
     import ray.data as rd
+    from kgx.sources.pages import read_table
 
     from kgx.ops.window import lag_deltas
-    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+    ev = read_table(f"{sf_dir}/events.parquet",
                          columns=["event_id", "user_id", "ts"])
     return lag_deltas(ev)
 
@@ -276,9 +285,10 @@ def _q_events_rank(sf_dir: str):
     """SQL ranking-window family (rank / dense_rank / percent_rank ppm
     / NTILE) per user over event value desc — one narrow groupby."""
     import ray.data as rd
+    from kgx.sources.pages import read_table
 
     from kgx.ops.sequence import rank_features
-    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+    ev = read_table(f"{sf_dir}/events.parquet",
                          columns=["event_id", "user_id", "value"])
     return rank_features(ev)
 
@@ -460,9 +470,10 @@ def _q_events_throttle(sf_dir: str):
     keep events >= 1 week after the last KEPT one — searchsorted jump
     walk per group; exact recursive next-survivor CTE oracle."""
     import ray.data as rd
+    from kgx.sources.pages import read_table
 
     from kgx.ops.window import throttle_dedup
-    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+    ev = read_table(f"{sf_dir}/events.parquet",
                          columns=["event_id", "user_id", "ts"])
     return throttle_dedup(ev, gap_s=604_800)
 
@@ -472,9 +483,10 @@ def _q_dedup_fuzzy(sf_dir: str):
     pigeonhole chunk blocking — every qualifying pair found, no recall
     caveat; oracle brute-forces the O(n^2) hamming join."""
     import ray.data as rd
+    from kgx.sources.pages import read_table
 
     from kgx.ops.dedup import prefix_hamming_pairs
-    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+    docs = read_table(f"{sf_dir}/documents.parquet",
                            columns=["doc_id", "text"])
     return prefix_hamming_pairs(docs)
 
@@ -540,9 +552,10 @@ def _q_events_moving(sf_dir: str):
     """Per-user ROWS-frame moving sum/count (3 PRECEDING..CURRENT) in
     exact integer cents — cumulative-sum difference per group."""
     import ray.data as rd
+    from kgx.sources.pages import read_table
 
     from kgx.ops.window import moving_frame_agg
-    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+    ev = read_table(f"{sf_dir}/events.parquet",
                          columns=["event_id", "user_id", "ts", "value"])
     return moving_frame_agg(ev)
 
@@ -551,9 +564,10 @@ def _q_events_streaks(sf_dir: str):
     """Gaps-and-islands: distinct active days + longest consecutive-day
     run per user; map-side day dedup bounds the shuffle."""
     import ray.data as rd
+    from kgx.sources.pages import read_table
 
     from kgx.ops.window import activity_streaks
-    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+    ev = read_table(f"{sf_dir}/events.parquet",
                          columns=["user_id", "ts"])
     return activity_streaks(ev)
 
@@ -562,9 +576,10 @@ def _q_events_mode(sf_dir: str):
     """Per-type MODE with explicit deterministic ties (count desc,
     value asc) — map-side distinct-value counting."""
     import ray.data as rd
+    from kgx.sources.pages import read_table
 
     from kgx.ops.window import mode_by_key
-    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+    ev = read_table(f"{sf_dir}/events.parquet",
                          columns=["event_type", "value"])
     return mode_by_key(ev)
 
@@ -581,9 +596,10 @@ def _q_events_firstlast(sf_dir: str):
     """Per-user FIRST_VALUE/LAST_VALUE over (ts, id) order + row count;
     map-side fold keeps at most one candidate row per key per batch."""
     import ray.data as rd
+    from kgx.sources.pages import read_table
 
     from kgx.ops.window import first_last_by_key
-    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+    ev = read_table(f"{sf_dir}/events.parquet",
                          columns=["event_id", "user_id", "ts", "value"])
     return first_last_by_key(ev)
 
@@ -616,9 +632,10 @@ def _q_events_corr(sf_dir: str):
     int64 moment sums — one deterministic double expression at the end,
     integer ppm both sides."""
     import ray.data as rd
+    from kgx.sources.pages import read_table
 
     from kgx.ops.window import corr_by_key
-    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+    ev = read_table(f"{sf_dir}/events.parquet",
                          columns=["event_type", "value", "ts"])
     return corr_by_key(ev)
 
@@ -631,12 +648,13 @@ def _q_recall_lsh(sf_dir: str):
     driver-visible."""
     import pyarrow as pa
     import ray.data as rd
+    from kgx.sources.pages import read_table
 
     from kgx.functions.collect import collect_arrow
     from kgx.ops.simsearch import cosine_topk, lsh_topk
 
     def emb():
-        return rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+        return read_table(f"{sf_dir}/embeddings.parquet",
                                columns=["vec_id", "embedding"])
 
     qids = list(range(8))
@@ -666,12 +684,13 @@ def _q_recall_ivf(sf_dir: str):
     query's sf0.01 shape) is now driver-visible per round."""
     import pyarrow as pa
     import ray.data as rd
+    from kgx.sources.pages import read_table
 
     from kgx.functions.collect import collect_arrow
     from kgx.ops.simsearch import cosine_topk, ivf_topk
 
     def emb():
-        return rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+        return read_table(f"{sf_dir}/embeddings.parquet",
                                columns=["vec_id", "embedding"])
 
     qids = list(range(8))
@@ -700,13 +719,14 @@ def _q_recall_pq(sf_dir: str):
     reads ~0.62 at sf0.01."""
     import pyarrow as pa
     import ray.data as rd
+    from kgx.sources.pages import read_table
 
     from kgx.functions.collect import collect_arrow
     from kgx.ops.pq import pq_topk
     from kgx.ops.simsearch import cosine_topk
 
     def emb():
-        return rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+        return read_table(f"{sf_dir}/embeddings.parquet",
                                columns=["vec_id", "embedding"])
 
     qids = list(range(8))
@@ -738,11 +758,12 @@ def _q_recall_minhash(sf_dir: str):
     import pyarrow as pa
     import pyarrow.parquet as pq
     import ray.data as rd
+    from kgx.sources.pages import read_table
 
     from kgx.functions.collect import collect_arrow
     from kgx.ops.dedup import _shingle_hashes, minhash_lsh_pairs
 
-    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+    docs = read_table(f"{sf_dir}/documents.parquet",
                            columns=["doc_id", "text"])
     cand_tbl = collect_arrow(minhash_lsh_pairs(docs))
     cand = set(zip(cand_tbl["doc_a"].to_pylist(),
@@ -776,16 +797,18 @@ def _q_recall_minhash(sf_dir: str):
 
 def _q_dedup_minhash(sf_dir: str):
     import ray.data as rd
+    from kgx.sources.pages import read_table
     from kgx.ops.dedup import minhash_lsh_pairs
-    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+    docs = read_table(f"{sf_dir}/documents.parquet",
                            columns=["doc_id", "text"])
     return minhash_lsh_pairs(docs)
 
 
 def _q_dedup_simhash(sf_dir: str):
     import ray.data as rd
+    from kgx.sources.pages import read_table
     from kgx.ops.dedup import simhash_pairs
-    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+    docs = read_table(f"{sf_dir}/documents.parquet",
                            columns=["doc_id", "text"])
     return simhash_pairs(docs, max_hamming=8)
 
@@ -796,8 +819,9 @@ def _q_dedup_embedding(sf_dir: str):
     method="bucketed" — no corpus broadcast, identical output to the
     retained method="matrix" baseline)."""
     import ray.data as rd
+    from kgx.sources.pages import read_table
     from kgx.ops.dedup import embedding_dup_pairs
-    emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+    emb = read_table(f"{sf_dir}/embeddings.parquet",
                           columns=["vec_id", "embedding"])
     return embedding_dup_pairs(emb, threshold=0.45)
 
@@ -806,8 +830,9 @@ def _q_dedup_components(sf_dir: str):
     """Near-dup clusters: exact-Jaccard pairs -> distributed min-label
     propagation -> (doc_id, component_id = smallest doc in cluster)."""
     import ray.data as rd
+    from kgx.sources.pages import read_table
     from kgx.ops.components import neardup_components
-    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+    docs = read_table(f"{sf_dir}/documents.parquet",
                            columns=["doc_id", "text"])
     return neardup_components(docs, threshold=0.8)
 
@@ -818,8 +843,9 @@ def _q_simsearch_knn(sf_dir: str):
     method="blocked"); the recall baseline the LSH/IVF paths are
     audited against."""
     import ray.data as rd
+    from kgx.sources.pages import read_table
     from kgx.ops.simsearch import knn_self_join
-    emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+    emb = read_table(f"{sf_dir}/embeddings.parquet",
                           columns=["vec_id", "embedding"])
     return knn_self_join(emb, k=3)
 
@@ -831,8 +857,9 @@ def _q_text_perplexity(sf_dir: str):
     scored map-side with zero shuffle — integer micro-unit logprobs
     shared bit-for-bit with the SQL oracle."""
     import ray.data as rd
+    from kgx.sources.pages import read_table
     from kgx.ops.vocab import bigram_logprob
-    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+    docs = read_table(f"{sf_dir}/documents.parquet",
                            columns=["doc_id", "text"])
     return bigram_logprob(docs, train_mod=4)
 
@@ -852,8 +879,9 @@ def _q_text_span_dup(sf_dir: str):
     substring-dedup signal: narrow (hash, doc, pos) shuffle, first
     occurrence owns, per-doc duplicated-window fraction in ppm."""
     import ray.data as rd
+    from kgx.sources.pages import read_table
     from kgx.ops.linededup import duplicated_spans
-    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+    docs = read_table(f"{sf_dir}/documents.parquet",
                            columns=["doc_id", "text"])
     return duplicated_spans(docs, window=16)
 
@@ -866,8 +894,9 @@ def _q_simsearch_pq(sf_dir: str):
     rows-only check; the recall floor vs the exact baseline is pinned in
     tests/test_ops.py."""
     import ray.data as rd
+    from kgx.sources.pages import read_table
     from kgx.ops.pq import pq_topk
-    emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+    emb = read_table(f"{sf_dir}/embeddings.parquet",
                           columns=["vec_id", "embedding"])
     return pq_topk(emb, query_ids=list(range(8)), k=10)
 
@@ -876,8 +905,9 @@ def _q_text_quality_gate(sf_dir: str):
     """Per-source adaptive quality floor: keep docs at or above their
     source's exact lower-quartile score (kgx/ops/text.py:quality_gate)."""
     import ray.data as rd
+    from kgx.sources.pages import read_table
     from kgx.ops.text import quality_gate
-    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+    docs = read_table(f"{sf_dir}/documents.parquet",
                            columns=["doc_id", "text", "source"])
     return quality_gate(docs)
 
@@ -1007,8 +1037,9 @@ def _q_text_boilerplate(sf_dir: str):
     shuffle, broadcast boilerplate set, map-side rebuild
     (kgx/ops/linededup.py:boilerplate_scrub)."""
     import ray.data as rd
+    from kgx.sources.pages import read_table
     from kgx.ops.linededup import boilerplate_scrub
-    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+    docs = read_table(f"{sf_dir}/documents.parquet",
                            columns=["doc_id", "text", "source"])
     return boilerplate_scrub(docs, seg_tokens=10, min_docs=2)
 
@@ -1018,8 +1049,9 @@ def _q_embed_kmeans(sf_dir: str):
     (kgx/ops/cluster.py): broadcast centroids + map-side partial sums,
     the corpus is read-streamed once per iteration and never shuffled."""
     import ray.data as rd
+    from kgx.sources.pages import read_table
     from kgx.ops.cluster import kmeans_assign
-    emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+    emb = read_table(f"{sf_dir}/embeddings.parquet",
                           columns=["vec_id", "embedding"])
     return kmeans_assign(emb, k=_KMEANS_K, iters=_KMEANS_ITERS)
 
@@ -1028,8 +1060,9 @@ def _q_dedup_semantic(sf_dir: str):
     """SemDeDup: kmeans clusters, then within-cluster cosine >= 0.4 to an
     earlier member marks a semantic duplicate (kgx/ops/cluster.py)."""
     import ray.data as rd
+    from kgx.sources.pages import read_table
     from kgx.ops.cluster import semantic_dedup
-    emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+    emb = read_table(f"{sf_dir}/embeddings.parquet",
                           columns=["vec_id", "embedding"])
     return semantic_dedup(emb, k=_KMEANS_K, iters=_KMEANS_ITERS,
                           threshold=_SEMDEDUP_TAU)
@@ -1040,8 +1073,9 @@ def _q_embed_labels(sf_dir: str):
     (kgx/ops/cluster.py:label_stats) — two streamed passes, kilobyte
     partial folds."""
     import ray.data as rd
+    from kgx.sources.pages import read_table
     from kgx.ops.cluster import label_stats
-    emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+    emb = read_table(f"{sf_dir}/embeddings.parquet",
                           columns=["vec_id", "embedding", "label"])
     return label_stats(emb)
 
@@ -1051,8 +1085,9 @@ def _q_embed_sample(sf_dir: str):
     by a deterministic vectorized integer lottery (kgx/ops/cluster.py:
     cluster_balanced_sample)."""
     import ray.data as rd
+    from kgx.sources.pages import read_table
     from kgx.ops.cluster import cluster_balanced_sample
-    emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+    emb = read_table(f"{sf_dir}/embeddings.parquet",
                           columns=["vec_id", "embedding"])
     return cluster_balanced_sample(emb, k=_KMEANS_K, iters=_KMEANS_ITERS,
                                    cap=_SAMPLE_CAP)
@@ -1185,24 +1220,27 @@ def _q_text_weighted_sample(sf_dir: str):
     by char count (kgx/ops/sampling.py:weighted_sample) — per-block
     partial top-k, single vectorized merge."""
     import ray.data as rd
+    from kgx.sources.pages import read_table
     from kgx.ops.sampling import weighted_sample
-    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+    docs = read_table(f"{sf_dir}/documents.parquet",
                            columns=["doc_id", "n_chars"])
     return weighted_sample(docs, k=100)
 
 
 def _q_text_split(sf_dir: str):
     import ray.data as rd
+    from kgx.sources.pages import read_table
     from kgx.ops.sampling import hash_split
-    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+    docs = read_table(f"{sf_dir}/documents.parquet",
                            columns=["doc_id"])
     return hash_split(docs)
 
 
 def _q_text_source_cap(sf_dir: str):
     import ray.data as rd
+    from kgx.sources.pages import read_table
     from kgx.ops.sampling import cap_per_source
-    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+    docs = read_table(f"{sf_dir}/documents.parquet",
                            columns=["doc_id", "source", "text"])
     return cap_per_source(docs, k=10)
 
@@ -1212,8 +1250,9 @@ def _q_text_contaminate(sf_dir: str):
     deterministic benchmark slice (doc_id % 97 == 0) are flagged."""
     import pyarrow as pa
     import ray.data as rd
+    from kgx.sources.pages import read_table
     from kgx.ops.decontam import benchmark_gram_set, contamination_flags
-    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+    docs = read_table(f"{sf_dir}/documents.parquet",
                            columns=["doc_id", "text"])
 
     def bench_slice(b: pa.Table) -> pa.Table:
@@ -1229,24 +1268,27 @@ def _q_text_pack(sf_dir: str):
     """Contiguous sequence packing: global token offset + fixed-length
     sequence id per doc via a distributed exclusive prefix sum."""
     import ray.data as rd
+    from kgx.sources.pages import read_table
     from kgx.ops.packing import pack_offsets
-    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+    docs = read_table(f"{sf_dir}/documents.parquet",
                            columns=["doc_id", "text"])
     return pack_offsets(docs, seq_len=2048)
 
 
 def _q_simsearch_topk(sf_dir: str):
     import ray.data as rd
+    from kgx.sources.pages import read_table
     from kgx.ops.simsearch import cosine_topk
-    emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+    emb = read_table(f"{sf_dir}/embeddings.parquet",
                           columns=["vec_id", "embedding"])
     return cosine_topk(emb, query_ids=list(range(8)), k=10)
 
 
 def _q_simsearch_lsh(sf_dir: str):
     import ray.data as rd
+    from kgx.sources.pages import read_table
     from kgx.ops.simsearch import lsh_topk
-    emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+    emb = read_table(f"{sf_dir}/embeddings.parquet",
                           columns=["vec_id", "embedding"])
     return lsh_topk(emb, query_ids=list(range(8)), k=10)
 
@@ -1255,8 +1297,9 @@ def _q_simsearch_ivf(sf_dir: str):
     """IVF ANN: k-means cells + probed-cell exact scoring.  Approximate by
     design — rows-only check (recall tested in tests/test_ops_extra)."""
     import ray.data as rd
+    from kgx.sources.pages import read_table
     from kgx.ops.simsearch import ivf_topk
-    emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+    emb = read_table(f"{sf_dir}/embeddings.parquet",
                           columns=["vec_id", "embedding"])
     return ivf_topk(emb, query_ids=list(range(8)), k=10)
 
@@ -1333,8 +1376,9 @@ def _q_kg_lift(sf_dir: str):
     documents corpus (kgx/ops/vocab.py:cooccurrence_lift) — the
     association weighting for co-occurrence KG edges."""
     import ray.data as rd
+    from kgx.sources.pages import read_table
     from kgx.ops.vocab import cooccurrence_lift
-    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+    docs = read_table(f"{sf_dir}/documents.parquet",
                            columns=["doc_id", "text"])
     return cooccurrence_lift(docs)
 
@@ -1522,8 +1566,9 @@ def _q_events_quantile(sf_dir: str):
     """Exact p50/p90/p99 of events.value via three streaming passes
     (histogram-refine, kgx/ops/quantile.py) — no global sort."""
     import ray.data as rd
+    from kgx.sources.pages import read_table
     from kgx.ops.quantile import exact_quantiles
-    ev = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["value"])
+    ev = read_table(f"{sf_dir}/events.parquet", columns=["value"])
     return exact_quantiles(ev, "value", [0.5, 0.9, 0.99])
 
 
@@ -1532,6 +1577,7 @@ def _q_rel_join(sf_dir: str):
     customer on custkey with both sides streamed — neither broadcast."""
     import pyarrow as pa
     import ray.data as rd
+    from kgx.sources.pages import read_table
     from kgx.ops.joins import hash_equijoin
     from kgx.ops.relational import _cents
 
@@ -1542,11 +1588,11 @@ def _q_rel_join(sf_dir: str):
             "price_cents": _cents(b["o_totalprice"]),
         })
 
-    orders = rd.read_parquet(
+    orders = read_table(
         f"{sf_dir}/orders.parquet",
         columns=["o_custkey", "o_orderkey", "o_totalprice"]
     ).map_batches(to_cents, batch_format="pyarrow")
-    cust = rd.read_parquet(f"{sf_dir}/customer.parquet",
+    cust = read_table(f"{sf_dir}/customer.parquet",
                            columns=["c_custkey", "c_name"])
     return hash_equijoin(orders, cust, left_on="o_custkey",
                          right_on="c_custkey", how="inner")
@@ -1556,8 +1602,9 @@ def _q_text_ngrams(sf_dir: str):
     """Corpus-wide top-20 word bigrams (kgx/ops/vocab.py): per-batch
     Counter partials -> narrow gram groupby -> sort/limit."""
     import ray.data as rd
+    from kgx.sources.pages import read_table
     from kgx.ops.vocab import ngram_topk
-    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+    docs = read_table(f"{sf_dir}/documents.parquet",
                            columns=["doc_id", "text"])
     return ngram_topk(docs, n=2, k=20)
 
@@ -1566,8 +1613,9 @@ def _q_text_tfidf(sf_dir: str):
     """Per-document top-5 TF-IDF terms (kgx/ops/vocab.py): broadcast
     vocabulary df table + shuffle-free per-doc scoring."""
     import ray.data as rd
+    from kgx.sources.pages import read_table
     from kgx.ops.vocab import tfidf_top_terms
-    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+    docs = read_table(f"{sf_dir}/documents.parquet",
                            columns=["doc_id", "text"])
     return tfidf_top_terms(docs, k=5)
 
@@ -1577,8 +1625,9 @@ def _q_text_dsir(sf_dir: str):
     slice (kgx/ops/dsir.py): one count pass folding a fixed 4096-bucket
     model, one broadcast, one shuffle-free scoring pass."""
     import ray.data as rd
+    from kgx.sources.pages import read_table
     from kgx.ops.dsir import dsir_weights
-    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+    docs = read_table(f"{sf_dir}/documents.parquet",
                            columns=["doc_id", "text", "lang"])
     return dsir_weights(docs, target_lang="en", n_buckets=4096)
 
@@ -1587,8 +1636,9 @@ def _q_text_wordfreq(sf_dir: str):
     """Corpus word-frequency top-100 (ngram_topk at n=1) — the exact
     driver gate for the word-count fold that text_bpe trains on."""
     import ray.data as rd
+    from kgx.sources.pages import read_table
     from kgx.ops.vocab import ngram_topk
-    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+    docs = read_table(f"{sf_dir}/documents.parquet",
                            columns=["doc_id", "text"])
     return ngram_topk(docs, n=1, k=100)
 
@@ -1603,8 +1653,9 @@ def _q_text_bpe(sf_dir: str):
     same treatment kg_lpa's rounds got; the distributed corpus fold is
     additionally driver-gated via text_wordfreq."""
     import ray.data as rd
+    from kgx.sources.pages import read_table
     from kgx.ops.vocab import bpe_merges
-    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+    docs = read_table(f"{sf_dir}/documents.parquet",
                            columns=["doc_id", "text"])
     return bpe_merges(docs, n_merges=_BPE_MERGES, min_count=_BPE_MIN_COUNT)
 
@@ -1648,8 +1699,9 @@ def _q_bm25_topk(sf_dir: str):
     import pyarrow as pa
     import pyarrow.compute as pc
     import ray.data as rd
+    from kgx.sources.pages import read_table
     from kgx.ops.bm25 import bm25_topk
-    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+    docs = read_table(f"{sf_dir}/documents.parquet",
                            columns=["doc_id", "text"])
     top = bm25_topk(docs, list(_BM25_QUERIES), k=10)
 
@@ -2084,16 +2136,18 @@ def _bm25_oracle(queries, *, k=10, k1=1.2, b=0.75) -> str:
 
 def _q_text_source_stats(sf_dir: str):
     import ray.data as rd
+    from kgx.sources.pages import read_table
     from kgx.ops.text import source_stats
-    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+    docs = read_table(f"{sf_dir}/documents.parquet",
                            columns=["source", "text"])
     return source_stats(docs)
 
 
 def _q_text_filter(sf_dir: str):
     import ray.data as rd
+    from kgx.sources.pages import read_table
     from kgx.ops.text import filter_quality
-    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+    docs = read_table(f"{sf_dir}/documents.parquet",
                            columns=["doc_id", "text"])
     return filter_quality(docs, min_score_ppm=300_000,
                           langs=("en",)).select_columns(
@@ -2102,32 +2156,36 @@ def _q_text_filter(sf_dir: str):
 
 def _q_events_window(sf_dir: str):
     import ray.data as rd
+    from kgx.sources.pages import read_table
     from kgx.ops.window import tumbling_window_agg
-    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+    ev = read_table(f"{sf_dir}/events.parquet",
                          columns=["ts", "event_type", "value"])
     return tumbling_window_agg(ev, width_s=3600)
 
 
 def _q_events_sliding(sf_dir: str):
     import ray.data as rd
+    from kgx.sources.pages import read_table
     from kgx.ops.window import sliding_window_agg
-    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+    ev = read_table(f"{sf_dir}/events.parquet",
                          columns=["ts", "event_type", "value"])
     return sliding_window_agg(ev, width_s=3600, slide_s=900)
 
 
 def _q_events_session(sf_dir: str):
     import ray.data as rd
+    from kgx.sources.pages import read_table
     from kgx.ops.window import session_window_agg
-    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+    ev = read_table(f"{sf_dir}/events.parquet",
                          columns=["user_id", "ts", "value"])
     return session_window_agg(ev, gap_s=1800)
 
 
 def _q_events_asof(sf_dir: str):
     import ray.data as rd
+    from kgx.sources.pages import read_table
     from kgx.ops.joins import asof_join_events
-    ev = rd.read_parquet(
+    ev = read_table(
         f"{sf_dir}/events.parquet",
         columns=["event_id", "user_id", "ts", "event_type", "value"])
     return asof_join_events(ev, left_type="click", right_type="view")
@@ -2135,8 +2193,9 @@ def _q_events_asof(sf_dir: str):
 
 def _q_events_interval(sf_dir: str):
     import ray.data as rd
+    from kgx.sources.pages import read_table
     from kgx.ops.joins import interval_join_events
-    ev = rd.read_parquet(
+    ev = read_table(
         f"{sf_dir}/events.parquet",
         columns=["event_id", "user_id", "ts", "event_type"])
     return interval_join_events(ev, left_type="purchase",
@@ -2147,8 +2206,9 @@ def _q_sketch_distinct(sf_dir: str):
     """HyperLogLog approximate distinct users over events — approximate
     by design, rows-only check (error-bound tested in tests/test_sketch)."""
     import ray.data as rd
+    from kgx.sources.pages import read_table
     from kgx.ops.sketch import approx_distinct
-    ev = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id"])
+    ev = read_table(f"{sf_dir}/events.parquet", columns=["user_id"])
     return approx_distinct(ev, "user_id")
 
 
@@ -2158,8 +2218,9 @@ def _q_embed_negatives(sf_dir: str):
     mix32 integer lottery over the sorted id directory — map-side,
     shuffle-free, hash-exact against the same arithmetic in SQL."""
     import ray.data as rd
+    from kgx.sources.pages import read_table
     from kgx.ops.training import negative_samples
-    emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+    emb = read_table(f"{sf_dir}/embeddings.parquet",
                           columns=["vec_id"])
     return negative_samples(emb, k=4, seed=101)
 
@@ -2169,8 +2230,9 @@ def _q_embed_triplets(sf_dir: str):
     positive = exact rank-1 cosine neighbor via the blocked kNN join,
     negatives = 2 mix32 draws, joined on a narrow (vec_id) co-shuffle."""
     import ray.data as rd
+    from kgx.sources.pages import read_table
     from kgx.ops.training import contrastive_triplets
-    emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+    emb = read_table(f"{sf_dir}/embeddings.parquet",
                           columns=["vec_id", "embedding"])
     return contrastive_triplets(emb, k_neg=2, seed=101)
 
@@ -2185,8 +2247,9 @@ def _q_sketch_cms(sf_dir: str):
     min-over-rows estimate bit for bit (``_cms_oracle``); the one-sided
     error bound stays pinned in tests/test_sketch.py."""
     import ray.data as rd
+    from kgx.sources.pages import read_table
     from kgx.ops.sketch import cms_estimates
-    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+    ev = read_table(f"{sf_dir}/events.parquet",
                          columns=["event_type"])
     return cms_estimates(ev, "event_type", _CMS_QUERY_TYPES)
 
@@ -2198,8 +2261,9 @@ def _q_sketch_distinct_by_type(sf_dir: str):
     elementwise-max merge per key.  Approximate by design, rows-only;
     the per-key error bound is pinned in tests/test_sketch.py."""
     import ray.data as rd
+    from kgx.sources.pages import read_table
     from kgx.ops.sketch import approx_distinct_by_key
-    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+    ev = read_table(f"{sf_dir}/events.parquet",
                          columns=["event_type", "user_id"])
     return approx_distinct_by_key(ev, "event_type", "user_id")
 
@@ -2215,8 +2279,9 @@ def _q_sketch_heavy(sf_dir: str):
     capacity, lower-bound counts) stays tolerance-tested in
     tests/test_sketch.py."""
     import ray.data as rd
+    from kgx.sources.pages import read_table
     from kgx.ops.sketch import heavy_hitters
-    ev = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_type"])
+    ev = read_table(f"{sf_dir}/events.parquet", columns=["event_type"])
     return heavy_hitters(ev, "event_type", k=5)
 
 
@@ -2225,8 +2290,9 @@ def _q_sketch_quantile(sf_dir: str):
     sketch row per batch, kilobyte reduce; approximate by design
     (rows-only; tolerance vs exact_quantiles in pytest)."""
     import ray.data as rd
+    from kgx.sources.pages import read_table
     from kgx.ops.sketch import quantile_sketch
-    ev = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["value"])
+    ev = read_table(f"{sf_dir}/events.parquet", columns=["value"])
     return quantile_sketch(ev, "value")
 
 
@@ -2269,12 +2335,13 @@ def _q_kg_synth_nodes(sf_dir: str):
     Rows-only check — the corpus is not a driver view."""
     import pyarrow.compute as pc
     import ray.data as rd
+    from kgx.sources.pages import read_table
     from kgx.pipelines.kg import make_chunk_batch_fn, extract_text_batch
     from kgx.stages.canonicalize import canonicalize
     from kgx.stages.extract import GazetteerExtractor
     from kgx.synth import write_pages
     pages_dir = write_pages("/tmp/kgx_entry_synth", 300, seed=11)
-    ds = rd.read_parquet(pages_dir, columns=["url", "html", "text", "lang"])
+    ds = read_table(pages_dir, columns=["url", "html", "text", "lang"])
     ds = ds.map_batches(extract_text_batch, batch_format="pyarrow")
     ds = ds.map_batches(make_chunk_batch_fn(200, 50), batch_format="pyarrow")
     ds = ds.map_batches(GazetteerExtractor, batch_format="pyarrow",
@@ -2449,8 +2516,9 @@ def _q_events_ordered(sf_dir: str):
     in integer cents) — one groupby(user) shuffle, vectorized in-group
     kernel (kgx/ops/sequence.py)."""
     import ray.data as rd
+    from kgx.sources.pages import read_table
     from kgx.ops.sequence import ordered_window
-    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+    ev = read_table(f"{sf_dir}/events.parquet",
                          columns=["event_id", "ts", "user_id", "value"])
     return ordered_window(ev)
 
@@ -2459,8 +2527,9 @@ def _q_events_histogram(sf_dir: str):
     """Fixed-width value histogram: map-side per-bin partials, one
     narrow bin-key shuffle (kgx/ops/quantile.py:value_histogram)."""
     import ray.data as rd
+    from kgx.sources.pages import read_table
     from kgx.ops.quantile import value_histogram
-    ev = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["value"])
+    ev = read_table(f"{sf_dir}/events.parquet", columns=["value"])
     return value_histogram(ev, "value", width=25.0)
 
 
@@ -2469,8 +2538,9 @@ def _q_events_retention(sf_dir: str):
     in-batch (user, day) distinct -> per-user offset emission -> partial
     counts; the event payload never shuffles."""
     import ray.data as rd
+    from kgx.sources.pages import read_table
     from kgx.ops.window import cohort_retention
-    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+    ev = read_table(f"{sf_dir}/events.parquet",
                          columns=["user_id", "ts"])
     return cohort_retention(ev)
 
@@ -2481,8 +2551,9 @@ def _q_events_json(sf_dir: str):
     aggregate incl. distinct values (kgx/ops/sequence.py:
     json_field_stats)."""
     import ray.data as rd
+    from kgx.sources.pages import read_table
     from kgx.ops.sequence import json_field_stats
-    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+    ev = read_table(f"{sf_dir}/events.parquet",
                          columns=["event_type", "props"])
     return json_field_stats(ev)
 
@@ -2494,7 +2565,8 @@ def _q_events_stream(sf_dir: str):
     lateness bound, so the oracle is the events_window SQL."""
     from kgx.ops.streaming import stream_tumbling
     import ray.data as rd
-    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+    from kgx.sources.pages import read_table
+    ev = read_table(f"{sf_dir}/events.parquet",
                          columns=["ts", "event_type", "value"])
     return stream_tumbling(ev, width_s=3600)
 
@@ -2507,8 +2579,9 @@ def _q_events_stream_sharded(sf_dir: str):
     the union equals the batch aggregate — same SQL oracle as
     events_stream/events_window."""
     import ray.data as rd
+    from kgx.sources.pages import read_table
     from kgx.ops.streaming import stream_sharded
-    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+    ev = read_table(f"{sf_dir}/events.parquet",
                          columns=["ts", "event_type", "value"])
     return stream_sharded(ev, width_s=3600)
 
@@ -2517,8 +2590,9 @@ def _q_events_zscore(sf_dir: str):
     """Per-type z-score anomaly flags: one moment-partial pass, broadcast
     (mean, std) map, map-side verdict (kgx/ops/window.py:zscore_flags)."""
     import ray.data as rd
+    from kgx.sources.pages import read_table
     from kgx.ops.window import zscore_flags
-    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+    ev = read_table(f"{sf_dir}/events.parquet",
                          columns=["event_id", "event_type", "value"])
     return zscore_flags(ev)
 
@@ -2528,8 +2602,9 @@ def _q_events_funnel(sf_dir: str):
     events die map-side, one narrow groupby(user) shuffle, numpy chain
     per group (kgx/ops/sequence.py:funnel_steps)."""
     import ray.data as rd
+    from kgx.sources.pages import read_table
     from kgx.ops.sequence import funnel_steps
-    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+    ev = read_table(f"{sf_dir}/events.parquet",
                          columns=["user_id", "ts", "event_type"])
     return funnel_steps(ev, steps=("view", "click", "purchase"))
 
@@ -2538,8 +2613,9 @@ def _q_rel_topn(sf_dir: str):
     """Top-3 orders per customer by price: map-side per-key top-n
     combiner, the shuffle moves <= 3 rows per (customer, block)."""
     import ray.data as rd
+    from kgx.sources.pages import read_table
     from kgx.ops.sequence import topn_per_key
-    orders = rd.read_parquet(
+    orders = read_table(
         f"{sf_dir}/orders.parquet",
         columns=["o_custkey", "o_orderkey", "o_totalprice"])
     return topn_per_key(orders, key="o_custkey", order_col="o_totalprice",
@@ -2552,17 +2628,18 @@ def _q_rel_semijoin(sf_dir: str):
     lineitems die map-side at the Bloom bitmap before any shuffle."""
     import pyarrow as pa
     import ray.data as rd
+    from kgx.sources.pages import read_table
     from kgx.ops.joins import bloom_semijoin
 
     def urgent(b: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
         return b.filter(pc.equal(b["o_orderpriority"], "1-URGENT"))
 
-    orders = rd.read_parquet(
+    orders = read_table(
         f"{sf_dir}/orders.parquet",
         columns=["o_orderkey", "o_orderpriority"]
     ).map_batches(urgent, batch_format="pyarrow")
-    items = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+    items = read_table(f"{sf_dir}/lineitem.parquet",
                             columns=["l_orderkey", "l_returnflag",
                                      "l_linestatus", "l_quantity"])
     matched = bloom_semijoin(items, orders, probe_on="l_orderkey",
@@ -2657,6 +2734,7 @@ def _q_rel_outerjoin(sf_dir: str):
     import pyarrow as pa
     import pyarrow.compute as pc
     import ray.data as rd
+    from kgx.sources.pages import read_table
     from ray.data.aggregate import Sum
     from kgx.ops.joins import hash_equijoin
 
@@ -2666,7 +2744,7 @@ def _q_rel_outerjoin(sf_dir: str):
                       "one": pa.array([1] * b.num_rows, pa.int64())})
         return t.group_by(["custkey"]).aggregate([("one", "sum")])
 
-    left = (rd.read_parquet(f"{sf_dir}/orders.parquet",
+    left = (read_table(f"{sf_dir}/orders.parquet",
                             columns=["o_custkey", "o_totalprice"])
             .map_batches(big_partial, batch_format="pyarrow")
             .groupby("custkey").aggregate(Sum("one_sum"))
@@ -2681,7 +2759,7 @@ def _q_rel_outerjoin(sf_dir: str):
         return pa.table({"c_custkey": b["c_custkey"],
                          "acctbal_cents": _cents(b["c_acctbal"])})
 
-    right = rd.read_parquet(f"{sf_dir}/customer.parquet",
+    right = read_table(f"{sf_dir}/customer.parquet",
                             columns=["c_custkey", "c_acctbal"]) \
         .map_batches(low_bal, batch_format="pyarrow")
     return hash_equijoin(left, right, left_on="custkey",
@@ -2703,6 +2781,7 @@ def _q_text_pii(sf_dir: str):
     import pyarrow as pa
     import pyarrow.compute as pc
     import ray.data as rd
+    from kgx.sources.pages import read_table
     from kgx.ops.pii import scrub_pii
 
     def augment(batch: pa.Table) -> pa.Table:
@@ -2720,7 +2799,7 @@ def _q_text_pii(sf_dir: str):
         return pc.subtract(col, pc.multiply(pc.divide(col, m),
                                             pa.scalar(m, pa.int64())))
 
-    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+    docs = read_table(f"{sf_dir}/documents.parquet",
                            columns=["doc_id", "text"])
     return scrub_pii(docs.map_batches(augment, batch_format="pyarrow"))
 
@@ -2729,8 +2808,9 @@ def _q_text_logprob(sf_dir: str):
     """Unigram LM quality proxy: corpus token counts broadcast, per-doc
     mean token logprob in integer micro units (kgx/ops/vocab.py)."""
     import ray.data as rd
+    from kgx.sources.pages import read_table
     from kgx.ops.vocab import unigram_logprob
-    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+    docs = read_table(f"{sf_dir}/documents.parquet",
                            columns=["doc_id", "text"])
     return unigram_logprob(docs)
 
@@ -2739,8 +2819,9 @@ def _q_events_quantile_by_type(sf_dir: str):
     """Exact per-type value quantiles (integer cents): one narrow
     (key, cents) shuffle + in-group sort (kgx/ops/quantile.py)."""
     import ray.data as rd
+    from kgx.sources.pages import read_table
     from kgx.ops.quantile import grouped_quantiles
-    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+    ev = read_table(f"{sf_dir}/events.parquet",
                          columns=["event_type", "value"])
     return grouped_quantiles(ev, key="event_type", value_col="value")
 
@@ -2749,8 +2830,9 @@ def _q_text_repetition(sf_dir: str):
     """Gopher-style repetition features (top bigram / trigram fraction in
     exact integer ppm) — map-only (kgx/ops/text.py:repetition_batch)."""
     import ray.data as rd
+    from kgx.sources.pages import read_table
     from kgx.ops.text import repetition_batch
-    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+    docs = read_table(f"{sf_dir}/documents.parquet",
                            columns=["doc_id", "text"])
     return docs.map_batches(repetition_batch, batch_format="pyarrow")
 
@@ -2765,8 +2847,9 @@ def _q_text_mix(sf_dir: str):
     """Deterministic source-weighted mixture sampling (16-bit md5 bucket
     vs per-source ppm cutoff) — kgx/ops/sampling.py:mix_sources."""
     import ray.data as rd
+    from kgx.sources.pages import read_table
     from kgx.ops.sampling import mix_sources
-    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+    docs = read_table(f"{sf_dir}/documents.parquet",
                            columns=["doc_id", "source"])
     return mix_sources(docs, weights_ppm=_MIX_WEIGHTS_PPM,
                        default_ppm=_MIX_DEFAULT_PPM)
@@ -2777,8 +2860,9 @@ def _q_dedup_lines(sf_dir: str):
     shuffle finds winners; losers broadcast; docs rebuilt map-side
     (kgx/ops/linededup.py)."""
     import ray.data as rd
+    from kgx.sources.pages import read_table
     from kgx.ops.linededup import segment_dedup
-    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+    docs = read_table(f"{sf_dir}/documents.parquet",
                            columns=["doc_id", "text"])
     return segment_dedup(docs, seg_tokens=10)
 

@@ -153,6 +153,7 @@ def run_headline(sf_dir: str, num_cpus: int, repeats: int = 2,
     # timed wave (at 32 CPUs that wave is ~4% of the run; on a real
     # cluster imports happen once per long-lived worker).
     import ray.data as rd
+    from kgx.sources.pages import read_table
 
     def _warm(b):
         import kgx.pipelines.kg    # noqa: F401
@@ -225,13 +226,14 @@ def run_headline(sf_dir: str, num_cpus: int, repeats: int = 2,
 def _operator_queries(sf_dir: str) -> dict:
     """name -> thunk returning a Dataset to consume (timed individually)."""
     import ray.data as rd
+    from kgx.sources.pages import read_table
 
     def docs():
-        return rd.read_parquet(f"{sf_dir}/documents.parquet",
+        return read_table(f"{sf_dir}/documents.parquet",
                                columns=["doc_id", "text"])
 
     def emb():
-        return rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+        return read_table(f"{sf_dir}/embeddings.parquet",
                                columns=["vec_id", "embedding"])
 
     from kgx.ops import (bm25, cluster, dedup, dsir, graph, linededup, pii,
@@ -260,7 +262,7 @@ def _operator_queries(sf_dir: str) -> dict:
             docs(), ["fast vector scan", "window stream query",
                      "customer order join"], k=10),
         "events_window": lambda: window.tumbling_window_agg(
-            rd.read_parquet(f"{sf_dir}/events.parquet",
+            read_table(f"{sf_dir}/events.parquet",
                             columns=["ts", "event_type", "value"]),
             width_s=3600),
         "text_pii": lambda: pii.scrub_pii(docs()),
@@ -274,7 +276,7 @@ def _operator_queries(sf_dir: str) -> dict:
             kg_tables(sf_dir)["edges"]),
         "rel_regional": lambda: relational.regional_revenue(sf_dir),
         "events_retention": lambda: window.cohort_retention(
-            rd.read_parquet(f"{sf_dir}/events.parquet",
+            read_table(f"{sf_dir}/events.parquet",
                             columns=["user_id", "ts"])),
         "text_curate": lambda: curate_corpus(sf_dir),
         # round-3 additions: repeated-span report, bigram-LM scoring,
@@ -291,7 +293,7 @@ def _operator_queries(sf_dir: str) -> dict:
         # round-4 session-4 addition: DSIR two-pass broadcast scoring
         # (suite grew 25 -> 26; see BASELINE.md composition note)
         "text_dsir": lambda: dsir.dsir_weights(
-            rd.read_parquet(f"{sf_dir}/documents.parquet",
+            read_table(f"{sf_dir}/documents.parquet",
                             columns=["doc_id", "text", "lang"])),
     }
 
@@ -653,10 +655,11 @@ def run_llm_bench(sf_dir: str, num_cpus: int) -> dict:
              ignore_reinit_error=True, logging_level="ERROR")
     try:
         import ray.data as rd
+        from kgx.sources.pages import read_table
         from kgx.pipelines.kg import make_chunk_batch_fn
         from kgx.stages.extract import LLMExtractor
 
-        docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+        docs = read_table(f"{sf_dir}/documents.parquet",
                                columns=["doc_id", "text"])
         chunks = docs.map_batches(
             lambda t: make_chunk_batch_fn(200, 50)(

@@ -17,6 +17,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 import ray
 import ray.data as rd
+from kgx.sources.pages import read_table
 
 from kgx.functions.collect import collect_arrow
 
@@ -49,7 +50,7 @@ def pricing_summary(sf_dir: str, *, cutoff: str = "1998-09-01"):
                  .aggregate([("qty_c", "sum"), ("ext_c", "sum"),
                              ("disc_c", "sum"), ("qty_c", "count")]))
 
-    ds = rd.read_parquet(
+    ds = read_table(
         f"{sf_dir}/lineitem.parquet",
         columns=["l_returnflag", "l_linestatus", "l_quantity",
                  "l_extendedprice", "l_discount", "l_shipdate"])
@@ -110,7 +111,7 @@ def top_customers(sf_dir: str, *, n: int = 10):
     ncpu = int(ray.cluster_resources().get("CPU", 4))
     sort_keys = [("revenue_cents", "descending"), ("c_custkey", "ascending")]
 
-    cust = rd.read_parquet(f"{sf_dir}/customer.parquet",
+    cust = read_table(f"{sf_dir}/customer.parquet",
                            columns=["c_custkey", "c_name"])
     cust_tbl = pa.concat_tables([
         t for t in (ray.get(r) for r in cust.to_arrow_refs())
@@ -149,7 +150,7 @@ def top_customers(sf_dir: str, *, n: int = 10):
         order = pc.sort_indices(batch, sort_keys=sort_keys)
         return batch.take(order.slice(0, n))
 
-    orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
+    orders = read_table(f"{sf_dir}/orders.parquet",
                              columns=["o_custkey", "o_totalprice"])
     per_cust = orders.map_batches(partial, batch_format="pyarrow") \
                      .repartition(max(8, ncpu // 2))
@@ -164,7 +165,7 @@ def top_customers(sf_dir: str, *, n: int = 10):
 def distinct_pairs(sf_dir: str, table: str, cols: list[str]):
     """Distinct combinations of ``cols`` via in-batch distinct + groupby
     (never ships duplicate rows into the shuffle)."""
-    ds = rd.read_parquet(f"{sf_dir}/{table}.parquet", columns=cols)
+    ds = read_table(f"{sf_dir}/{table}.parquet", columns=cols)
     pre = ds.map_batches(
         lambda b: b.group_by(cols).aggregate([]), batch_format="pyarrow")
     return pre.groupby(cols).map_groups(
@@ -173,7 +174,7 @@ def distinct_pairs(sf_dir: str, table: str, cols: list[str]):
 
 def order_priority_counts(sf_dir: str):
     """Orders per (o_orderstatus, o_orderpriority) — partial-agg groupby."""
-    ds = rd.read_parquet(f"{sf_dir}/orders.parquet",
+    ds = read_table(f"{sf_dir}/orders.parquet",
                          columns=["o_orderstatus", "o_orderpriority"])
 
     def partial(batch: pa.Table) -> pa.Table:
@@ -208,7 +209,7 @@ def pricing_rollup(sf_dir: str):
     Output: (l_returnflag, l_linestatus, sum_qty_cents, sum_price_cents,
     n_rows) — money/quantity in integer cents (order-independent sums).
     """
-    ds = rd.read_parquet(
+    ds = read_table(
         f"{sf_dir}/lineitem.parquet",
         columns=["l_returnflag", "l_linestatus", "l_quantity",
                  "l_extendedprice"])
@@ -310,7 +311,7 @@ def priority_pivot(sf_dir: str):
                 [sum(group[f"{name}_sum"].to_pylist())], pa.int64())
         return pa.table(cols)
 
-    ds = rd.read_parquet(f"{sf_dir}/orders.parquet",
+    ds = read_table(f"{sf_dir}/orders.parquet",
                          columns=["o_orderstatus", "o_orderpriority"])
     return (ds.map_batches(partial, batch_format="pyarrow")
               .groupby("o_orderstatus")
@@ -332,7 +333,7 @@ def customers_without_orders(sf_dir: str, *, min_totalprice: float = 0.0):
     """
     from kgx.functions.collect import collect_arrow
 
-    orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
+    orders = read_table(f"{sf_dir}/orders.parquet",
                              columns=["o_custkey", "o_totalprice"])
 
     def distinct_partial(batch: pa.Table) -> pa.Table:
@@ -354,7 +355,7 @@ def customers_without_orders(sf_dir: str, *, min_totalprice: float = 0.0):
                                   value_set=ks))
         return batch.filter(mask)
 
-    cust = rd.read_parquet(f"{sf_dir}/customer.parquet",
+    cust = read_table(f"{sf_dir}/customer.parquet",
                            columns=["c_custkey", "c_name"])
     return cust.map_batches(anti, batch_format="pyarrow")
 
@@ -387,7 +388,7 @@ def shipping_priority(sf_dir: str, *, segment: str = "BUILDING",
 
     cutoff_ts = np.datetime64(cutoff).astype("datetime64[us]").astype("int64")
 
-    cust = rd.read_parquet(f"{sf_dir}/customer.parquet",
+    cust = read_table(f"{sf_dir}/customer.parquet",
                            columns=["c_custkey", "c_mktsegment"])
 
     def seg_keys(batch: pa.Table) -> pa.Table:
@@ -440,11 +441,11 @@ def shipping_priority(sf_dir: str, *, segment: str = "BUILDING",
             "is_order": pa.array(np.zeros(nrow, dtype=np.int64)),
         })
 
-    orders = rd.read_parquet(
+    orders = read_table(
         f"{sf_dir}/orders.parquet",
         columns=["o_orderkey", "o_custkey", "o_orderdate"]
     ).map_batches(orders_tag, batch_format="pyarrow")
-    items = rd.read_parquet(
+    items = read_table(
         f"{sf_dir}/lineitem.parquet",
         columns=["l_orderkey", "l_extendedprice", "l_discount",
                  "l_shipdate"]
@@ -512,7 +513,7 @@ def forecast_revenue(sf_dir: str, *, date_lo: str = "1996-01-01",
                 [pc.sum(batch["n"]).as_py() or 0], pa.int64()),
         })
 
-    li = rd.read_parquet(
+    li = read_table(
         f"{sf_dir}/lineitem.parquet",
         columns=["l_shipdate", "l_discount", "l_quantity",
                  "l_extendedprice"])
@@ -536,7 +537,7 @@ def big_orders(sf_dir: str, *, min_qty_c: int = 25000, n: int = 100):
     """
     from ray.data.aggregate import Sum
 
-    li = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+    li = read_table(f"{sf_dir}/lineitem.parquet",
                          columns=["l_orderkey", "l_quantity"])
 
     def partial(batch: pa.Table) -> pa.Table:
@@ -577,12 +578,12 @@ def big_orders(sf_dir: str, *, min_qty_c: int = 25000, n: int = 100):
             "qty_cents": qty,
         })
 
-    orders = rd.read_parquet(
+    orders = read_table(
         f"{sf_dir}/orders.parquet",
         columns=["o_orderkey", "o_custkey", "o_totalprice", "o_orderdate"])
     hits = orders.map_batches(attach_orders, batch_format="pyarrow")
 
-    cust = collect_arrow(rd.read_parquet(
+    cust = collect_arrow(read_table(
         f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_name"]))
     nref = ray.put((cust["c_custkey"].combine_chunks().cast(pa.int64()),
                     cust["c_name"].combine_chunks()))
@@ -678,7 +679,7 @@ def regional_revenue(sf_dir: str, *, region: str = "ASIA",
             "cnat": pa.array(cn_a[ci[keep].astype(np.int64)], pa.int64()),
         })
 
-    orders = rd.read_parquet(
+    orders = read_table(
         f"{sf_dir}/orders.parquet",
         columns=["o_orderkey", "o_custkey", "o_orderdate"]) \
         .map_batches(orders_side, batch_format="pyarrow")
@@ -700,7 +701,7 @@ def regional_revenue(sf_dir: str, *, region: str = "ASIA",
             "rev_units": pa.array(ext_c * (100 - disc_c), pa.int64()),
         })
 
-    line = rd.read_parquet(
+    line = read_table(
         f"{sf_dir}/lineitem.parquet",
         columns=["l_orderkey", "l_suppkey", "l_extendedprice",
                  "l_discount"]).map_batches(line_side,
@@ -783,7 +784,7 @@ def returned_revenue(sf_dir: str, *, date_lo: str = "1996-01-01",
         return pa.table({"o_orderkey": b["o_orderkey"],
                          "o_custkey": b["o_custkey"]})
 
-    orders = rd.read_parquet(
+    orders = read_table(
         f"{sf_dir}/orders.parquet",
         columns=["o_orderkey", "o_custkey", "o_orderdate"]) \
         .map_batches(orders_side, batch_format="pyarrow")
@@ -797,7 +798,7 @@ def returned_revenue(sf_dir: str, *, date_lo: str = "1996-01-01",
             "rev_units": pa.array(ext_c * (100 - disc_c), pa.int64()),
         })
 
-    line = rd.read_parquet(
+    line = read_table(
         f"{sf_dir}/lineitem.parquet",
         columns=["l_orderkey", "l_returnflag", "l_extendedprice",
                  "l_discount"]).map_batches(line_side,
@@ -898,7 +899,7 @@ def promo_revenue(sf_dir: str, *, date_lo: str = "1996-01-01",
                 [0 if t == 0 else (p * 1_000_000) // t], pa.int64()),
         })
 
-    li = rd.read_parquet(
+    li = read_table(
         f"{sf_dir}/lineitem.parquet",
         columns=["l_partkey", "l_shipdate", "l_extendedprice",
                  "l_discount"])
@@ -923,7 +924,7 @@ def priority_exists(sf_dir: str, *, min_qty: float = 49.0):
 
     from kgx.ops.joins import bloom_semijoin
 
-    big = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+    big = read_table(f"{sf_dir}/lineitem.parquet",
                           columns=["l_orderkey", "l_quantity"]) \
         .map_batches(
             lambda t: pa.table({
@@ -931,7 +932,7 @@ def priority_exists(sf_dir: str, *, min_qty: float = 49.0):
                     pc.greater(t["l_quantity"], min_qty))["l_orderkey"]}),
             batch_format="pyarrow")
 
-    orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
+    orders = read_table(f"{sf_dir}/orders.parquet",
                              columns=["o_orderkey", "o_orderpriority"])
     hits = bloom_semijoin(orders, big, probe_on="o_orderkey",
                           build_on="l_orderkey")
@@ -1021,7 +1022,7 @@ def volume_shipping(sf_dir: str, *, nation_a: str = "NATION_11",
             "rev_units": pa.array(ext_c * (100 - disc_c), pa.int64()),
         })
 
-    line = rd.read_parquet(
+    line = read_table(
         f"{sf_dir}/lineitem.parquet",
         columns=["l_orderkey", "l_suppkey", "l_shipdate",
                  "l_extendedprice", "l_discount"]) \
@@ -1043,7 +1044,7 @@ def volume_shipping(sf_dir: str, *, nation_a: str = "NATION_11",
             "cnat": pa.array(cn_a[ci[keep].astype(np.int64)], pa.int64()),
         })
 
-    orders = rd.read_parquet(
+    orders = read_table(
         f"{sf_dir}/orders.parquet",
         columns=["o_orderkey", "o_custkey"]) \
         .map_batches(order_side, batch_format="pyarrow")
@@ -1167,7 +1168,7 @@ def market_share(sf_dir: str, *, region: str = "ASIA",
             "nat_units": pa.array(np.where(is_nat, rev, 0), pa.int64()),
         })
 
-    line = rd.read_parquet(
+    line = read_table(
         f"{sf_dir}/lineitem.parquet",
         columns=["l_orderkey", "l_partkey", "l_suppkey",
                  "l_extendedprice", "l_discount"]) \
@@ -1186,7 +1187,7 @@ def market_share(sf_dir: str, *, region: str = "ASIA",
                         .cast(pa.int64()),
         })
 
-    orders = rd.read_parquet(
+    orders = read_table(
         f"{sf_dir}/orders.parquet",
         columns=["o_orderkey", "o_custkey", "o_orderdate"]) \
         .map_batches(orders_side, batch_format="pyarrow")
@@ -1258,7 +1259,7 @@ def running_revenue(sf_dir: str, *, date_lo: str = "1996-01-01",
             "running_cents": pa.array(np.cumsum(c[order]), pa.int64()),
         })
 
-    return rd.read_parquet(
+    return read_table(
         f"{sf_dir}/orders.parquet",
         columns=["o_custkey", "o_orderkey", "o_orderdate",
                  "o_totalprice"]) \
@@ -1286,7 +1287,7 @@ def customer_distribution(sf_dir: str):
         agg = t.group_by(["k"]).aggregate([("one", "sum")])
         return pa.table({"k": agg["k"], "n_part": agg["one_sum"]})
 
-    counts = rd.read_parquet(f"{sf_dir}/orders.parquet",
+    counts = read_table(f"{sf_dir}/orders.parquet",
                              columns=["o_custkey"]) \
         .map_batches(o_partial, batch_format="pyarrow") \
         .groupby("k").aggregate(Sum("n_part"))
@@ -1297,7 +1298,7 @@ def customer_distribution(sf_dir: str):
                          .cast(pa.int64())}),
         batch_format="pyarrow")
 
-    cust = rd.read_parquet(f"{sf_dir}/customer.parquet",
+    cust = read_table(f"{sf_dir}/customer.parquet",
                            columns=["c_custkey"])
     joined = hash_equijoin(cust, counts, left_on="c_custkey",
                            right_on="k", how="left")
@@ -1353,7 +1354,7 @@ def top_supplier(sf_dir: str, *, date_lo: str = "1996-01-01",
         agg = t.group_by(["s"]).aggregate([("rev", "sum")])
         return pa.table({"s": agg["s"], "rev": agg["rev_sum"]})
 
-    per_supp = rd.read_parquet(
+    per_supp = read_table(
         f"{sf_dir}/lineitem.parquet",
         columns=["l_suppkey", "l_shipdate", "l_extendedprice",
                  "l_discount"]) \
@@ -1432,7 +1433,7 @@ def small_order_revenue(sf_dir: str, *, p_type: str = "SMALL"):
                 [sum(batch["rev"].to_pylist())], pa.int64()),
         })
 
-    return rd.read_parquet(
+    return read_table(
         f"{sf_dir}/lineitem.parquet",
         columns=["l_partkey", "l_quantity", "l_extendedprice"]) \
         .map_batches(project, batch_format="pyarrow") \
@@ -1471,12 +1472,12 @@ def late_priority_lines(sf_dir: str, *, min_delay_days: int = 60):
             "is_high": pc.cast(hi, pa.int64()),
         })
 
-    orders = rd.read_parquet(
+    orders = read_table(
         f"{sf_dir}/orders.parquet",
         columns=["o_orderkey", "o_orderdate", "o_orderpriority"]) \
         .map_batches(orders_side, batch_format="pyarrow")
 
-    line = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+    line = read_table(f"{sf_dir}/lineitem.parquet",
                            columns=["l_orderkey", "l_shipdate"])
 
     joined = hash_equijoin(orders, line, left_on="o_orderkey",
@@ -1579,7 +1580,7 @@ def brand_discount_revenue(sf_dir: str, *, clauses=_Q19_CLAUSES):
                 [sum(batch["n"].to_pylist())], pa.int64()),
         })
 
-    return rd.read_parquet(
+    return read_table(
         f"{sf_dir}/lineitem.parquet",
         columns=["l_partkey", "l_quantity", "l_extendedprice",
                  "l_discount"]) \
@@ -1630,7 +1631,7 @@ def global_sales_opportunity(sf_dir: str, *, since: str = "1999-01-01"):
 
     cust_path = f"{sf_dir}/customer.parquet"
     avg_tbl = collect_arrow(
-        rd.read_parquet(cust_path, columns=["c_acctbal"])
+        read_table(cust_path, columns=["c_acctbal"])
           .map_batches(avg_partial, batch_format="pyarrow"))
     sum_c = sum(avg_tbl["s"].to_pylist())
     n_pos = max(sum(avg_tbl["n"].to_pylist()), 1)
@@ -1645,7 +1646,7 @@ def global_sales_opportunity(sf_dir: str, *, since: str = "1999-01-01"):
                                         .combine_chunks())})
 
     keys_tbl = collect_arrow(
-        rd.read_parquet(f"{sf_dir}/orders.parquet",
+        read_table(f"{sf_dir}/orders.parquet",
                         columns=["o_custkey", "o_orderdate"])
           .map_batches(okeys_partial, batch_format="pyarrow")
           .groupby("k").count())
@@ -1687,7 +1688,7 @@ def global_sales_opportunity(sf_dir: str, *, since: str = "1999-01-01"):
                                      .cast(pa.int64()),
         })
 
-    return (rd.read_parquet(cust_path, columns=cust_cols)
+    return (read_table(cust_path, columns=cust_cols)
             .map_batches(partial, batch_format="pyarrow")
             .groupby("cntry").aggregate(Sum("one_sum"), Sum("bal_sum"))
             .map_batches(finish, batch_format="pyarrow"))
@@ -1706,7 +1707,7 @@ def pricing_cube(sf_dir: str):
     Output: (l_returnflag, l_linestatus, sum_qty_cents,
     sum_price_cents, n_rows).
     """
-    ds = rd.read_parquet(
+    ds = read_table(
         f"{sf_dir}/lineitem.parquet",
         columns=["l_returnflag", "l_linestatus", "l_quantity",
                  "l_extendedprice"])
@@ -1814,12 +1815,12 @@ def waiting_suppliers(sf_dir: str, *, delay_days: int = 90,
             "o_date_us": pc.cast(b["o_orderdate"], pa.int64()),
         })
 
-    orders = rd.read_parquet(
+    orders = read_table(
         f"{sf_dir}/orders.parquet",
         columns=["o_orderkey", "o_orderstatus", "o_orderdate"]) \
         .map_batches(orders_side, batch_format="pyarrow")
 
-    line = rd.read_parquet(
+    line = read_table(
         f"{sf_dir}/lineitem.parquet",
         columns=["l_orderkey", "l_suppkey", "l_shipdate"])
 
@@ -1957,7 +1958,7 @@ def nation_profit(sf_dir: str, *, name_frag: str = "red"):
             "profit_part": pa.array(ext_c * (100 - disc_c), pa.int64()),
         })
 
-    line = rd.read_parquet(
+    line = read_table(
         f"{sf_dir}/lineitem.parquet",
         columns=["l_orderkey", "l_partkey", "l_suppkey",
                  "l_extendedprice", "l_discount"]) \
@@ -1970,7 +1971,7 @@ def nation_profit(sf_dir: str, *, name_frag: str = "red"):
                                       .combine_chunks()), pa.int64()),
         })
 
-    orders = rd.read_parquet(
+    orders = read_table(
         f"{sf_dir}/orders.parquet",
         columns=["o_orderkey", "o_orderdate"]) \
         .map_batches(order_side, batch_format="pyarrow")
@@ -2045,7 +2046,7 @@ def important_parts(sf_dir: str, *, nation: str = "NATION_3",
         return pa.table({"l_partkey": agg["l_partkey"],
                          "v": agg["v_sum"]})
 
-    per_part = rd.read_parquet(
+    per_part = read_table(
         f"{sf_dir}/lineitem.parquet",
         columns=["l_partkey", "l_suppkey", "l_extendedprice",
                  "l_discount"]) \
@@ -2155,7 +2156,7 @@ def min_cost_supplier(sf_dir: str, *, size: int = 25,
             "cost_cents": batch["cost_cents"].combine_chunks(),
         })
 
-    return (rd.read_parquet(
+    return (read_table(
                 f"{sf_dir}/lineitem.parquet",
                 columns=["l_partkey", "l_suppkey", "l_extendedprice"])
             .map_batches(line_side, batch_format="pyarrow")
@@ -2227,7 +2228,7 @@ def supplier_part_counts(sf_dir: str, *, brand_excl: str = "Brand#1",
             "supplier_cnt": pa.array([np.unique(sk).size], pa.int64()),
         })
 
-    return (rd.read_parquet(
+    return (read_table(
                 f"{sf_dir}/lineitem.parquet",
                 columns=["l_partkey", "l_suppkey"])
             .map_batches(pairs, batch_format="pyarrow")
@@ -2316,7 +2317,7 @@ def dominant_suppliers(sf_dir: str, *, name_frag: str = "bolt",
         return pa.table({"s_name": sname.take(si),
                          "s_acctbal_cents": sbal.take(si)})
 
-    return (rd.read_parquet(
+    return (read_table(
                 f"{sf_dir}/lineitem.parquet",
                 columns=["l_partkey", "l_suppkey", "l_quantity",
                          "l_shipdate"])
@@ -2366,7 +2367,7 @@ def active_both_years(sf_dir: str, *, year_a: int = 1996,
         return pa.table({"c_custkey": group["k"].slice(0, 1),
                          "c_name": cn.take(ci)})
 
-    return (rd.read_parquet(f"{sf_dir}/orders.parquet",
+    return (read_table(f"{sf_dir}/orders.parquet",
                             columns=["o_custkey", "o_orderdate"])
             .map_batches(pairs, batch_format="pyarrow")
             .groupby("k").map_groups(fold, batch_format="pyarrow"))

@@ -29,6 +29,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 import ray
 import ray.data as rd
+from kgx.sources.pages import read_table
 
 
 def curate_corpus(sf_dir: str, *, lang: str = "en", min_docs: int = 2,
@@ -57,7 +58,7 @@ def curate_corpus(sf_dir: str, *, lang: str = "en", min_docs: int = 2,
     from kgx.ops.packing import pack_offsets
     from kgx.ops.text import quality_gate
 
-    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+    docs = read_table(f"{sf_dir}/documents.parquet",
                            columns=["doc_id", "text", "lang", "source"])
     docs = docs.map_batches(
         lambda t: t.filter(pc.equal(t["lang"], lang))

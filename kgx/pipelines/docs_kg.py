@@ -18,6 +18,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 import ray
 import ray.data as rd
+from kgx.sources.pages import read_table
 
 from kgx.pipelines.kg import make_chunk_batch_fn
 from kgx.stages.canonicalize import canonicalize
@@ -33,7 +34,7 @@ def read_documents(sf_dir: str):
             "url": pa.array(urls, pa.string()),
             "text": batch["text"].combine_chunks(),
         })
-    return rd.read_parquet(f"{sf_dir}/documents.parquet",
+    return read_table(f"{sf_dir}/documents.parquet",
                            columns=["doc_id", "text"]).map_batches(
         to_pages, batch_format="pyarrow")
 

@@ -11,6 +11,38 @@ import ray.data as rd
 
 PAGES_COLUMNS = ["url", "warc_ts", "html", "text", "lang"]
 
+# Below this compressed size a table's read is dominated by Ray's
+# per-task/per-block fixed costs, not bytes: Ray's default parallelism
+# splits even a 600 KB file into ~2*ncpu blocks, and every downstream
+# task pays ~40 ms of scheduling for microseconds of compute (measured:
+# the sf0.1 extract chain runs 3.1 s at 64 blocks vs 1.2 s at 16).
+_SMALL_TABLE_BYTES = 64 << 20
+
+
+def read_table(path: str, *, columns: list[str] | None = None):
+    """``read_parquet`` with a size-aware block-count override.
+
+    Small single-file tables (< ~64 MiB compressed) are read into
+    ``max(8, ncpu // 2)`` blocks so fixed per-task costs stay bounded;
+    anything larger keeps Ray's default sizing (at corpus scale the
+    default ~128 MiB target blocks are correct and an override would
+    create oversize blocks).  Directories always use the default.
+    """
+    import os
+
+    import ray
+
+    nb = None
+    try:
+        if os.path.isfile(path) and \
+                os.path.getsize(path) < _SMALL_TABLE_BYTES:
+            ncpu = int(ray.cluster_resources().get("CPU", 4)) \
+                if ray.is_initialized() else 4
+            nb = max(8, ncpu // 2)
+    except OSError:
+        pass
+    return rd.read_parquet(path, columns=columns, override_num_blocks=nb)
+
 
 def read_pages(path: str, *, columns: list[str] | None = None):
     """Read the sharded pages Parquet; prune to the columns a stage needs."""
