@@ -280,15 +280,17 @@ def stream_kg(pages_path: str, cfg: KGConfig | None = None) -> dict:
                                    make_combine_extracted_fn,
                                    nodes_from_states)
 
-    # Block count tracks the cluster: ~8 waves of fused
-    # read->text->chunk->extract tasks.  More, smaller blocks shorten the
-    # straggler tail — on a co-tenant-noisy box individual tasks run up to
-    # 4x slower than the median for the same work, and work stealing
-    # re-levels around them only at task granularity (measured at 32 CPUs:
-    # 4 waves 28.4 s, 8 waves 24.6 s, 16 waves 23.6 s for the states stage;
-    # 8 picked as the knee — driver scheduling overhead grows past it).
+    # Block count tracks the cluster: ~4 waves of fused
+    # read->text->chunk->extract tasks.  The wave knee moved as the
+    # kernels got faster: the original sweep (round 2, ~1.2 ms/page
+    # kernels) read 4/8/16 waves = 28.4/24.6/23.6 s — smaller blocks
+    # shortened the straggler tail; at the round-5 ~0.6 ms/page kernels
+    # the per-task fixed cost dominates instead (re-measured at 32 CPUs:
+    # 4 waves 8.9 s, 8 waves 10.5 s, 16 waves 10.4 s for the same
+    # stage), so fewer, larger blocks win.  Straggler re-leveling still
+    # has 4 tasks per core to work with.
     ds = rd.read_parquet(pages_path, columns=["url", "html", "text", "lang"],
-                         override_num_blocks=8 * ncpu)
+                         override_num_blocks=4 * ncpu)
     ds = ds.map_batches(extract_text_batch, batch_format="pyarrow")
     if cfg.lang_filter:
         ds = ds.map_batches(
