@@ -153,7 +153,6 @@ def run_headline(sf_dir: str, num_cpus: int, repeats: int = 2,
     # timed wave (at 32 CPUs that wave is ~4% of the run; on a real
     # cluster imports happen once per long-lived worker).
     import ray.data as rd
-    from kgx.sources.pages import read_table
 
     def _warm(b):
         import kgx.pipelines.kg    # noqa: F401

@@ -143,6 +143,7 @@ def _lloyd_centroids(emb_ds, *, k: int, iters: int) -> np.ndarray:
 def kmeans_assign(emb_ds, *, k: int = 10, iters: int = 3):
     """(vec_id, embedding) -> (vec_id, cluster, dist rounded 6dp) after
     ``iters`` deterministic Lloyd iterations."""
+    emb_ds = emb_ds.materialize()   # shared with the Lloyd passes
     C = _lloyd_centroids(emb_ds, k=k, iters=iters)
     return emb_ds.map_batches(_make_final_fn(ray.put(C)),
                               batch_format="pyarrow")
@@ -171,11 +172,13 @@ def semantic_dedup(emb_ds, *, k: int = 10, iters: int = 3,
         a, _ = _assign(M, ray.get(cref))
         return batch.append_column("cluster", pa.array(a, pa.int64()))
 
-    ncpu = int(ray.cluster_resources().get("CPU", 4))
-    # post-tag rows are narrow and the cluster count is k: coalesce the
-    # tiny blocks before the key shuffle (B_in x B_out slice machinery)
-    tagged = emb_ds.map_batches(tag, batch_format="pyarrow") \
-                   .repartition(max(8, ncpu // 2))
+    from kgx.functions.collect import shuffle_coalesce
+
+    # coalesce the tagged blocks (still full embedding payload — the
+    # size-aware helper leaves production-size blocks alone) before the
+    # key shuffle's B_in x B_out slice machinery
+    tagged = shuffle_coalesce(
+        emb_ds.map_batches(tag, batch_format="pyarrow"))
 
     def dedup_group(group: pa.Table) -> pa.Table:
         ids = np.asarray(group["vec_id"].to_pylist(), dtype=np.int64)
@@ -234,6 +237,7 @@ def cluster_balanced_sample(emb_ds, *, k: int = 10, iters: int = 3,
     :func:`semantic_dedup` (one cluster per worker); the ranking is a
     vectorized argsort per group.
     """
+    emb_ds = emb_ds.materialize()   # shared with the Lloyd passes
     C = _lloyd_centroids(emb_ds, k=k, iters=iters)
     cref = ray.put(C)
 
@@ -256,7 +260,9 @@ def cluster_balanced_sample(emb_ds, *, k: int = 10, iters: int = 3,
             "keep": pa.array(keep, pa.bool_()),
         })
 
-    return (emb_ds.map_batches(tag, batch_format="pyarrow")
+    from kgx.functions.collect import shuffle_coalesce
+    return (shuffle_coalesce(emb_ds.map_batches(tag,
+                                                batch_format="pyarrow"))
             .groupby("cluster").map_groups(sample_group,
                                            batch_format="pyarrow"))
 

@@ -583,14 +583,14 @@ def minhash_lsh_pairs(docs_ds, *, num_perm: int = 64, bands: int = 16,
               % np.uint64(256)).astype(np.int64)
         return t.append_column("gb", pa.array(gb, pa.int64()))
 
-    import ray
-    ncpu = int(ray.cluster_resources().get("CPU", 4))
+    from kgx.functions.collect import shuffle_coalesce
+
     # Coalesce the banded rows before the key shuffle: Ray's sort-based
     # groupby materializes B_in x B_out partition slices, so 64 tiny
     # blocks cost 4096 slices of machinery while ~ncpu/2 blocks cost
     # a few hundred for the same bytes moved.
-    cand = banded.map_batches(add_gb, batch_format="pyarrow") \
-        .repartition(max(8, ncpu // 2)) \
+    cand = shuffle_coalesce(
+        banded.map_batches(add_gb, batch_format="pyarrow")) \
         .groupby("gb").map_groups(
             lambda g: _band_group_pairs(g, max_bucket_pairs),
             batch_format="pyarrow")

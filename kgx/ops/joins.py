@@ -200,7 +200,8 @@ def detect_hot_keys(ds, key_col: str, *, frac: int = 16,
 
 def hash_equijoin(left_ds, right_ds, *, left_on: str, right_on: str,
                   how: str = "inner", hot_keys=None, n_salts: int = 8,
-                  n_buckets: int = 1024, coalesce: int | None = None):
+                  n_buckets: int = 1024,
+                  coalesce: int | str | None = None):
     """General distributed hash equi-join (inner, left outer, or full
     outer).
 
@@ -237,15 +238,15 @@ def hash_equijoin(left_ds, right_ds, *, left_on: str, right_on: str,
     Output columns: ``left_on`` (the key, left side's name), then the
     left payload, then the right payload (nulls on left-outer misses).
 
-    ``coalesce``: optional block count to repartition the tagged union
-    to before the bucket shuffle.  Ray's sort-based groupby
-    materializes B_in x B_out partition slices, so when the tagged
-    sides arrive as many TINY blocks (e.g. heavily pre-filtered fact
-    residuals: 128 blocks -> 16k slices of pure machinery) coalescing
-    to ~ncpu/2 blocks removes seconds of fixed cost.  Leave ``None``
-    (the default) when the tagged sides carry production-size blocks —
-    the extra all-to-all pass over full-size data costs more bandwidth
-    than the slice machinery it saves.
+    ``coalesce``: coalesce the tagged union before the bucket shuffle.
+    Ray's sort-based groupby materializes B_in x B_out partition
+    slices, so when the tagged sides arrive as many TINY blocks (e.g.
+    heavily pre-filtered fact residuals: 128 blocks -> 16k slices of
+    pure machinery) coalescing to ~ncpu/2 blocks removes seconds of
+    fixed cost.  ``"auto"`` uses the size-aware
+    :func:`kgx.functions.collect.shuffle_coalesce` (production-size
+    tagged blocks are left alone); an int forces that block count;
+    ``None`` (the default) skips the extra pass entirely.
     """
     import numpy as np
 
@@ -273,7 +274,9 @@ def hash_equijoin(left_ds, right_ds, *, left_on: str, right_on: str,
     if overlap:
         raise ValueError(f"payload column collision: {sorted(overlap)}")
 
-    def tag(side: str, key_col: str, own, other):
+    def tag(side: str, key_col: str, own):
+        own_names = {name for name, _ in own}
+
         def fn(batch: pa.Table) -> pa.Table:
             # SQL semantics: a null key never matches.  Drop null-key
             # rows map-side when they cannot appear in the output
@@ -313,7 +316,6 @@ def hash_equijoin(left_ds, right_ds, *, left_on: str, right_on: str,
                         is_hot,
                         np.arange(n, dtype=np.int64) % n_salts, 0)
                 cols["__salt"] = pa.array(salt, pa.int64())
-            own_names = {name for name, _ in own}
             # Canonical payload order (left fields then right fields) on
             # BOTH sides, so every block in the union shares one schema —
             # otherwise Ray re-unifies schemas per block pair and warns.
@@ -324,9 +326,9 @@ def hash_equijoin(left_ds, right_ds, *, left_on: str, right_on: str,
         return fn
 
     tagged = left_ds.map_batches(
-        tag("l", left_on, l_fields, r_fields), batch_format="pyarrow"
+        tag("l", left_on, l_fields), batch_format="pyarrow"
     ).union(right_ds.map_batches(
-        tag("r", right_on, r_fields, l_fields), batch_format="pyarrow"))
+        tag("r", right_on, r_fields), batch_format="pyarrow"))
 
     out_names = [left_on] + l_names + r_names
 
@@ -407,7 +409,10 @@ def hash_equijoin(left_ds, right_ds, *, left_on: str, right_on: str,
              **{n: lt[n] for n in l_names},
              **{n: rt[n] for n in r_names}}).select(out_names)
 
-    if coalesce is not None:
+    if coalesce == "auto":
+        from kgx.functions.collect import shuffle_coalesce
+        tagged = shuffle_coalesce(tagged)
+    elif coalesce is not None:
         tagged = tagged.repartition(coalesce)
     group_keys = ["__bucket", "__salt"] if hot_set is not None \
         else "__bucket"

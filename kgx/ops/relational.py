@@ -108,7 +108,8 @@ def top_customers(sf_dir: str, *, n: int = 10):
     """
     from ray.data.aggregate import Sum
 
-    ncpu = int(ray.cluster_resources().get("CPU", 4))
+    from kgx.functions.collect import shuffle_coalesce
+
     sort_keys = [("revenue_cents", "descending"), ("c_custkey", "ascending")]
 
     cust = read_table(f"{sf_dir}/customer.parquet",
@@ -152,8 +153,8 @@ def top_customers(sf_dir: str, *, n: int = 10):
 
     orders = read_table(f"{sf_dir}/orders.parquet",
                              columns=["o_custkey", "o_totalprice"])
-    per_cust = orders.map_batches(partial, batch_format="pyarrow") \
-                     .repartition(max(8, ncpu // 2))
+    per_cust = shuffle_coalesce(
+        orders.map_batches(partial, batch_format="pyarrow"))
     agg = per_cust.groupby("o_custkey").aggregate(
         Sum("price_c_sum"), Sum("one_sum"))
     top = agg.map_batches(attach_topn, batch_format="pyarrow") \
@@ -707,13 +708,11 @@ def regional_revenue(sf_dir: str, *, region: str = "ASIA",
                  "l_discount"]).map_batches(line_side,
                                             batch_format="pyarrow")
 
-    ncpu = int(ray.cluster_resources().get("CPU", 4))
     # both fact sides are ~4/5 pre-filtered map-side above, so the
     # tagged blocks are tiny: coalesce before the bucket shuffle
     # (see hash_equijoin's coalesce doc for the B_in x B_out rationale)
     joined = hash_equijoin(orders, line, left_on="o_orderkey",
-                           right_on="l_orderkey",
-                           coalesce=max(8, ncpu // 2))
+                           right_on="l_orderkey", coalesce="auto")
 
     def resolve_partial(batch: pa.Table, _dref=dref) -> pa.Table:
         _, _, _, _, nk_a, nm_a = ray.get(_dref)
@@ -1049,13 +1048,11 @@ def volume_shipping(sf_dir: str, *, nation_a: str = "NATION_11",
         columns=["o_orderkey", "o_custkey"]) \
         .map_batches(order_side, batch_format="pyarrow")
 
-    ncpu = int(ray.cluster_resources().get("CPU", 4))
     # both fact sides are nation-filtered map-side above, so the tagged
     # blocks are tiny: coalesce before the bucket shuffle (see
     # hash_equijoin's coalesce doc for the B_in x B_out rationale)
     joined = hash_equijoin(orders, line, left_on="o_orderkey",
-                           right_on="l_orderkey",
-                           coalesce=max(8, ncpu // 2))
+                           right_on="l_orderkey", coalesce="auto")
 
     def partial(batch: pa.Table) -> pa.Table:
         snat = batch["snat"].to_numpy(zero_copy_only=False)

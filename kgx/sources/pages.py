@@ -34,10 +34,12 @@ def read_table(path: str, *, columns: list[str] | None = None):
 
     nb = None
     try:
-        if os.path.isfile(path) and \
+        # only override once the caller's Ray session exists — guessing
+        # a CPU count before init would bake a wrong block count into
+        # the plan (the session is always owned by the caller)
+        if ray.is_initialized() and os.path.isfile(path) and \
                 os.path.getsize(path) < _SMALL_TABLE_BYTES:
-            ncpu = int(ray.cluster_resources().get("CPU", 4)) \
-                if ray.is_initialized() else 4
+            ncpu = int(ray.cluster_resources().get("CPU", 4))
             nb = max(8, ncpu // 2)
     except OSError:
         pass
