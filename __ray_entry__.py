@@ -108,7 +108,6 @@ def _q_kg_claims(sf_dir: str):
 
 
 def _q_text_tokens(sf_dir: str):
-    import ray.data as rd
     from kgx.sources.pages import read_table
     from kgx.ops.text import token_stats_batch
     return read_table(f"{sf_dir}/documents.parquet",
@@ -117,7 +116,6 @@ def _q_text_tokens(sf_dir: str):
 
 
 def _q_text_quality(sf_dir: str):
-    import ray.data as rd
     from kgx.sources.pages import read_table
     from kgx.ops.text import quality_batch
     return read_table(f"{sf_dir}/documents.parquet",
@@ -126,7 +124,6 @@ def _q_text_quality(sf_dir: str):
 
 
 def _q_text_lang(sf_dir: str):
-    import ray.data as rd
     from kgx.sources.pages import read_table
     from kgx.ops.text import lang_id_batch
     return read_table(f"{sf_dir}/documents.parquet",
@@ -135,7 +132,6 @@ def _q_text_lang(sf_dir: str):
 
 
 def _q_text_fingerprint(sf_dir: str):
-    import ray.data as rd
     from kgx.sources.pages import read_table
     from kgx.ops.text import fingerprint_batch
     return read_table(f"{sf_dir}/documents.parquet",
@@ -149,7 +145,6 @@ def _q_text_winnow(sf_dir: str):
     the selection exactly mirrorable by the SQL window-min oracle."""
     import polars as pl
     import pyarrow as pa
-    import ray.data as rd
     from kgx.sources.pages import read_table
     from kgx.ops.text import winnow_batch
 
@@ -174,7 +169,6 @@ def _q_text_winnow(sf_dir: str):
 
 
 def _q_dedup_exact(sf_dir: str):
-    import ray.data as rd
     from kgx.sources.pages import read_table
     from kgx.ops.dedup import exact_dup_groups
     docs = read_table(f"{sf_dir}/documents.parquet",
@@ -183,7 +177,6 @@ def _q_dedup_exact(sf_dir: str):
 
 
 def _q_dedup_jaccard(sf_dir: str):
-    import ray.data as rd
     from kgx.sources.pages import read_table
     from kgx.ops.dedup import jaccard_pairs
     docs = read_table(f"{sf_dir}/documents.parquet",
@@ -216,7 +209,6 @@ def _q_rel_running(sf_dir: str):
 def _q_events_dcount(sf_dir: str):
     """Exact COUNT(DISTINCT user) per (tumbling hour, event_type) —
     map-side triple dedupe, shuffle bounded by distinct triples."""
-    import ray.data as rd
     from kgx.sources.pages import read_table
 
     from kgx.ops.window import window_distinct_users
@@ -227,7 +219,6 @@ def _q_events_dcount(sf_dir: str):
 
 def _q_events_lag(sf_dir: str):
     """Per-user LAG() window: previous event id + gap seconds."""
-    import ray.data as rd
     from kgx.sources.pages import read_table
 
     from kgx.ops.window import lag_deltas
@@ -284,7 +275,6 @@ def _q_rel_global_sales(sf_dir: str):
 def _q_events_rank(sf_dir: str):
     """SQL ranking-window family (rank / dense_rank / percent_rank ppm
     / NTILE) per user over event value desc — one narrow groupby."""
-    import ray.data as rd
     from kgx.sources.pages import read_table
 
     from kgx.ops.sequence import rank_features
@@ -469,7 +459,6 @@ def _q_events_throttle(sf_dir: str):
     """Rate-limit dedup (kgx/ops/window.py:throttle_dedup): per user,
     keep events >= 1 week after the last KEPT one — searchsorted jump
     walk per group; exact recursive next-survivor CTE oracle."""
-    import ray.data as rd
     from kgx.sources.pages import read_table
 
     from kgx.ops.window import throttle_dedup
@@ -482,7 +471,6 @@ def _q_dedup_fuzzy(sf_dir: str):
     """Fuzzy-string near-dup pairs (prefix Hamming <= 2) with EXACT
     pigeonhole chunk blocking — every qualifying pair found, no recall
     caveat; oracle brute-forces the O(n^2) hamming join."""
-    import ray.data as rd
     from kgx.sources.pages import read_table
 
     from kgx.ops.dedup import prefix_hamming_pairs
@@ -551,7 +539,6 @@ def _q_rel_dominant(sf_dir: str):
 def _q_events_moving(sf_dir: str):
     """Per-user ROWS-frame moving sum/count (3 PRECEDING..CURRENT) in
     exact integer cents — cumulative-sum difference per group."""
-    import ray.data as rd
     from kgx.sources.pages import read_table
 
     from kgx.ops.window import moving_frame_agg
@@ -563,7 +550,6 @@ def _q_events_moving(sf_dir: str):
 def _q_events_streaks(sf_dir: str):
     """Gaps-and-islands: distinct active days + longest consecutive-day
     run per user; map-side day dedup bounds the shuffle."""
-    import ray.data as rd
     from kgx.sources.pages import read_table
 
     from kgx.ops.window import activity_streaks
@@ -575,7 +561,6 @@ def _q_events_streaks(sf_dir: str):
 def _q_events_mode(sf_dir: str):
     """Per-type MODE with explicit deterministic ties (count desc,
     value asc) — map-side distinct-value counting."""
-    import ray.data as rd
     from kgx.sources.pages import read_table
 
     from kgx.ops.window import mode_by_key
@@ -595,7 +580,6 @@ def _q_kg_assortativity(sf_dir: str):
 def _q_events_firstlast(sf_dir: str):
     """Per-user FIRST_VALUE/LAST_VALUE over (ts, id) order + row count;
     map-side fold keeps at most one candidate row per key per batch."""
-    import ray.data as rd
     from kgx.sources.pages import read_table
 
     from kgx.ops.window import first_last_by_key
@@ -631,7 +615,6 @@ def _q_events_corr(sf_dir: str):
     """Per-type Pearson correlation (hour-of-day vs value) from exact
     int64 moment sums — one deterministic double expression at the end,
     integer ppm both sides."""
-    import ray.data as rd
     from kgx.sources.pages import read_table
 
     from kgx.ops.window import corr_by_key
@@ -647,7 +630,6 @@ def _q_recall_lsh(sf_dir: str):
     recomputes approx AND exact in SQL — the pytest recall floor,
     driver-visible."""
     import pyarrow as pa
-    import ray.data as rd
     from kgx.sources.pages import read_table
 
     from kgx.functions.collect import collect_arrow
@@ -683,7 +665,6 @@ def _q_recall_ivf(sf_dir: str):
     itself (pytest floor 0.6 at the test's probe setting; ~0.49 at this
     query's sf0.01 shape) is now driver-visible per round."""
     import pyarrow as pa
-    import ray.data as rd
     from kgx.sources.pages import read_table
 
     from kgx.functions.collect import collect_arrow
@@ -718,7 +699,6 @@ def _q_recall_pq(sf_dir: str):
     the exact re-rank raises recall above raw-ADC — pytest floor 0.45,
     reads ~0.62 at sf0.01."""
     import pyarrow as pa
-    import ray.data as rd
     from kgx.sources.pages import read_table
 
     from kgx.functions.collect import collect_arrow
@@ -757,7 +737,6 @@ def _q_recall_minhash(sf_dir: str):
     import numpy as np
     import pyarrow as pa
     import pyarrow.parquet as pq
-    import ray.data as rd
     from kgx.sources.pages import read_table
 
     from kgx.functions.collect import collect_arrow
@@ -796,7 +775,6 @@ def _q_recall_minhash(sf_dir: str):
 
 
 def _q_dedup_minhash(sf_dir: str):
-    import ray.data as rd
     from kgx.sources.pages import read_table
     from kgx.ops.dedup import minhash_lsh_pairs
     docs = read_table(f"{sf_dir}/documents.parquet",
@@ -805,7 +783,6 @@ def _q_dedup_minhash(sf_dir: str):
 
 
 def _q_dedup_simhash(sf_dir: str):
-    import ray.data as rd
     from kgx.sources.pages import read_table
     from kgx.ops.dedup import simhash_pairs
     docs = read_table(f"{sf_dir}/documents.parquet",
@@ -818,7 +795,6 @@ def _q_dedup_embedding(sf_dir: str):
     cell-pair pruning (kgx/ops/dedup.py:embedding_dup_pairs, default
     method="bucketed" — no corpus broadcast, identical output to the
     retained method="matrix" baseline)."""
-    import ray.data as rd
     from kgx.sources.pages import read_table
     from kgx.ops.dedup import embedding_dup_pairs
     emb = read_table(f"{sf_dir}/embeddings.parquet",
@@ -829,7 +805,6 @@ def _q_dedup_embedding(sf_dir: str):
 def _q_dedup_components(sf_dir: str):
     """Near-dup clusters: exact-Jaccard pairs -> distributed min-label
     propagation -> (doc_id, component_id = smallest doc in cluster)."""
-    import ray.data as rd
     from kgx.sources.pages import read_table
     from kgx.ops.components import neardup_components
     docs = read_table(f"{sf_dir}/documents.parquet",
@@ -842,7 +817,6 @@ def _q_simsearch_knn(sf_dir: str):
     block join (kgx/ops/simsearch.py:knn_self_join, default
     method="blocked"); the recall baseline the LSH/IVF paths are
     audited against."""
-    import ray.data as rd
     from kgx.sources.pages import read_table
     from kgx.ops.simsearch import knn_self_join
     emb = read_table(f"{sf_dir}/embeddings.parquet",
@@ -856,7 +830,6 @@ def _q_text_perplexity(sf_dir: str):
     reference corpus" stand-in), broadcasts once, and every document is
     scored map-side with zero shuffle — integer micro-unit logprobs
     shared bit-for-bit with the SQL oracle."""
-    import ray.data as rd
     from kgx.sources.pages import read_table
     from kgx.ops.vocab import bigram_logprob
     docs = read_table(f"{sf_dir}/documents.parquet",
@@ -878,7 +851,6 @@ def _q_text_span_dup(sf_dir: str):
     (kgx/ops/linededup.py:duplicated_spans) — the Lee-et-al exact
     substring-dedup signal: narrow (hash, doc, pos) shuffle, first
     occurrence owns, per-doc duplicated-window fraction in ppm."""
-    import ray.data as rd
     from kgx.sources.pages import read_table
     from kgx.ops.linededup import duplicated_spans
     docs = read_table(f"{sf_dir}/documents.parquet",
@@ -893,7 +865,6 @@ def _q_simsearch_pq(sf_dir: str):
     shortlist exactly.  Approximate by construction (cell pruning):
     rows-only check; the recall floor vs the exact baseline is pinned in
     tests/test_ops.py."""
-    import ray.data as rd
     from kgx.sources.pages import read_table
     from kgx.ops.pq import pq_topk
     emb = read_table(f"{sf_dir}/embeddings.parquet",
@@ -904,7 +875,6 @@ def _q_simsearch_pq(sf_dir: str):
 def _q_text_quality_gate(sf_dir: str):
     """Per-source adaptive quality floor: keep docs at or above their
     source's exact lower-quartile score (kgx/ops/text.py:quality_gate)."""
-    import ray.data as rd
     from kgx.sources.pages import read_table
     from kgx.ops.text import quality_gate
     docs = read_table(f"{sf_dir}/documents.parquet",
@@ -1036,7 +1006,6 @@ def _q_text_boilerplate(sf_dir: str):
     """CCNet-style per-source boilerplate scrub: narrow (source, seg)
     shuffle, broadcast boilerplate set, map-side rebuild
     (kgx/ops/linededup.py:boilerplate_scrub)."""
-    import ray.data as rd
     from kgx.sources.pages import read_table
     from kgx.ops.linededup import boilerplate_scrub
     docs = read_table(f"{sf_dir}/documents.parquet",
@@ -1048,7 +1017,6 @@ def _q_embed_kmeans(sf_dir: str):
     """Deterministic Lloyd's k-means over the embedding column
     (kgx/ops/cluster.py): broadcast centroids + map-side partial sums,
     the corpus is read-streamed once per iteration and never shuffled."""
-    import ray.data as rd
     from kgx.sources.pages import read_table
     from kgx.ops.cluster import kmeans_assign
     emb = read_table(f"{sf_dir}/embeddings.parquet",
@@ -1059,7 +1027,6 @@ def _q_embed_kmeans(sf_dir: str):
 def _q_dedup_semantic(sf_dir: str):
     """SemDeDup: kmeans clusters, then within-cluster cosine >= 0.4 to an
     earlier member marks a semantic duplicate (kgx/ops/cluster.py)."""
-    import ray.data as rd
     from kgx.sources.pages import read_table
     from kgx.ops.cluster import semantic_dedup
     emb = read_table(f"{sf_dir}/embeddings.parquet",
@@ -1072,7 +1039,6 @@ def _q_embed_labels(sf_dir: str):
     """Per-label centroid norm + cohesion over the labeled embeddings
     (kgx/ops/cluster.py:label_stats) — two streamed passes, kilobyte
     partial folds."""
-    import ray.data as rd
     from kgx.sources.pages import read_table
     from kgx.ops.cluster import label_stats
     emb = read_table(f"{sf_dir}/embeddings.parquet",
@@ -1084,7 +1050,6 @@ def _q_embed_sample(sf_dir: str):
     """Cluster-balanced subsample: cap each kmeans cluster at 32 members
     by a deterministic vectorized integer lottery (kgx/ops/cluster.py:
     cluster_balanced_sample)."""
-    import ray.data as rd
     from kgx.sources.pages import read_table
     from kgx.ops.cluster import cluster_balanced_sample
     emb = read_table(f"{sf_dir}/embeddings.parquet",
@@ -1219,7 +1184,6 @@ def _q_text_weighted_sample(sf_dir: str):
     """Efraimidis-Spirakis weighted sampling without replacement, top-100
     by char count (kgx/ops/sampling.py:weighted_sample) — per-block
     partial top-k, single vectorized merge."""
-    import ray.data as rd
     from kgx.sources.pages import read_table
     from kgx.ops.sampling import weighted_sample
     docs = read_table(f"{sf_dir}/documents.parquet",
@@ -1228,7 +1192,6 @@ def _q_text_weighted_sample(sf_dir: str):
 
 
 def _q_text_split(sf_dir: str):
-    import ray.data as rd
     from kgx.sources.pages import read_table
     from kgx.ops.sampling import hash_split
     docs = read_table(f"{sf_dir}/documents.parquet",
@@ -1237,7 +1200,6 @@ def _q_text_split(sf_dir: str):
 
 
 def _q_text_source_cap(sf_dir: str):
-    import ray.data as rd
     from kgx.sources.pages import read_table
     from kgx.ops.sampling import cap_per_source
     docs = read_table(f"{sf_dir}/documents.parquet",
@@ -1249,7 +1211,6 @@ def _q_text_contaminate(sf_dir: str):
     """Benchmark decontamination: docs sharing an 8-gram with the
     deterministic benchmark slice (doc_id % 97 == 0) are flagged."""
     import pyarrow as pa
-    import ray.data as rd
     from kgx.sources.pages import read_table
     from kgx.ops.decontam import benchmark_gram_set, contamination_flags
     docs = read_table(f"{sf_dir}/documents.parquet",
@@ -1267,7 +1228,6 @@ def _q_text_contaminate(sf_dir: str):
 def _q_text_pack(sf_dir: str):
     """Contiguous sequence packing: global token offset + fixed-length
     sequence id per doc via a distributed exclusive prefix sum."""
-    import ray.data as rd
     from kgx.sources.pages import read_table
     from kgx.ops.packing import pack_offsets
     docs = read_table(f"{sf_dir}/documents.parquet",
@@ -1276,7 +1236,6 @@ def _q_text_pack(sf_dir: str):
 
 
 def _q_simsearch_topk(sf_dir: str):
-    import ray.data as rd
     from kgx.sources.pages import read_table
     from kgx.ops.simsearch import cosine_topk
     emb = read_table(f"{sf_dir}/embeddings.parquet",
@@ -1285,7 +1244,6 @@ def _q_simsearch_topk(sf_dir: str):
 
 
 def _q_simsearch_lsh(sf_dir: str):
-    import ray.data as rd
     from kgx.sources.pages import read_table
     from kgx.ops.simsearch import lsh_topk
     emb = read_table(f"{sf_dir}/embeddings.parquet",
@@ -1296,7 +1254,6 @@ def _q_simsearch_lsh(sf_dir: str):
 def _q_simsearch_ivf(sf_dir: str):
     """IVF ANN: k-means cells + probed-cell exact scoring.  Approximate by
     design — rows-only check (recall tested in tests/test_ops_extra)."""
-    import ray.data as rd
     from kgx.sources.pages import read_table
     from kgx.ops.simsearch import ivf_topk
     emb = read_table(f"{sf_dir}/embeddings.parquet",
@@ -1375,7 +1332,6 @@ def _q_kg_lift(sf_dir: str):
     """Term-pair co-occurrence LIFT in integer 1e-6 units over the
     documents corpus (kgx/ops/vocab.py:cooccurrence_lift) — the
     association weighting for co-occurrence KG edges."""
-    import ray.data as rd
     from kgx.sources.pages import read_table
     from kgx.ops.vocab import cooccurrence_lift
     docs = read_table(f"{sf_dir}/documents.parquet",
@@ -1565,7 +1521,6 @@ def _q_rel_antijoin(sf_dir: str):
 def _q_events_quantile(sf_dir: str):
     """Exact p50/p90/p99 of events.value via three streaming passes
     (histogram-refine, kgx/ops/quantile.py) — no global sort."""
-    import ray.data as rd
     from kgx.sources.pages import read_table
     from kgx.ops.quantile import exact_quantiles
     ev = read_table(f"{sf_dir}/events.parquet", columns=["value"])
@@ -1576,7 +1531,6 @@ def _q_rel_join(sf_dir: str):
     """General co-shuffle hash equi-join (kgx/ops/joins.py): orders x
     customer on custkey with both sides streamed — neither broadcast."""
     import pyarrow as pa
-    import ray.data as rd
     from kgx.sources.pages import read_table
     from kgx.ops.joins import hash_equijoin
     from kgx.ops.relational import _cents
@@ -1601,7 +1555,6 @@ def _q_rel_join(sf_dir: str):
 def _q_text_ngrams(sf_dir: str):
     """Corpus-wide top-20 word bigrams (kgx/ops/vocab.py): per-batch
     Counter partials -> narrow gram groupby -> sort/limit."""
-    import ray.data as rd
     from kgx.sources.pages import read_table
     from kgx.ops.vocab import ngram_topk
     docs = read_table(f"{sf_dir}/documents.parquet",
@@ -1612,7 +1565,6 @@ def _q_text_ngrams(sf_dir: str):
 def _q_text_tfidf(sf_dir: str):
     """Per-document top-5 TF-IDF terms (kgx/ops/vocab.py): broadcast
     vocabulary df table + shuffle-free per-doc scoring."""
-    import ray.data as rd
     from kgx.sources.pages import read_table
     from kgx.ops.vocab import tfidf_top_terms
     docs = read_table(f"{sf_dir}/documents.parquet",
@@ -1624,7 +1576,6 @@ def _q_text_dsir(sf_dir: str):
     """DSIR hashed-unigram importance weights vs the lang='en' target
     slice (kgx/ops/dsir.py): one count pass folding a fixed 4096-bucket
     model, one broadcast, one shuffle-free scoring pass."""
-    import ray.data as rd
     from kgx.sources.pages import read_table
     from kgx.ops.dsir import dsir_weights
     docs = read_table(f"{sf_dir}/documents.parquet",
@@ -1635,7 +1586,6 @@ def _q_text_dsir(sf_dir: str):
 def _q_text_wordfreq(sf_dir: str):
     """Corpus word-frequency top-100 (ngram_topk at n=1) — the exact
     driver gate for the word-count fold that text_bpe trains on."""
-    import ray.data as rd
     from kgx.sources.pages import read_table
     from kgx.ops.vocab import ngram_topk
     docs = read_table(f"{sf_dir}/documents.parquet",
@@ -1652,7 +1602,6 @@ def _q_text_bpe(sf_dir: str):
     unrolls into SQL argmax + greedy-rewrite rounds (_bpe_oracle), the
     same treatment kg_lpa's rounds got; the distributed corpus fold is
     additionally driver-gated via text_wordfreq."""
-    import ray.data as rd
     from kgx.sources.pages import read_table
     from kgx.ops.vocab import bpe_merges
     docs = read_table(f"{sf_dir}/documents.parquet",
@@ -1698,7 +1647,6 @@ def _q_bm25_topk(sf_dir: str):
     never depends on float formatting."""
     import pyarrow as pa
     import pyarrow.compute as pc
-    import ray.data as rd
     from kgx.sources.pages import read_table
     from kgx.ops.bm25 import bm25_topk
     docs = read_table(f"{sf_dir}/documents.parquet",
@@ -2135,7 +2083,6 @@ def _bm25_oracle(queries, *, k=10, k1=1.2, b=0.75) -> str:
 
 
 def _q_text_source_stats(sf_dir: str):
-    import ray.data as rd
     from kgx.sources.pages import read_table
     from kgx.ops.text import source_stats
     docs = read_table(f"{sf_dir}/documents.parquet",
@@ -2144,7 +2091,6 @@ def _q_text_source_stats(sf_dir: str):
 
 
 def _q_text_filter(sf_dir: str):
-    import ray.data as rd
     from kgx.sources.pages import read_table
     from kgx.ops.text import filter_quality
     docs = read_table(f"{sf_dir}/documents.parquet",
@@ -2155,7 +2101,6 @@ def _q_text_filter(sf_dir: str):
 
 
 def _q_events_window(sf_dir: str):
-    import ray.data as rd
     from kgx.sources.pages import read_table
     from kgx.ops.window import tumbling_window_agg
     ev = read_table(f"{sf_dir}/events.parquet",
@@ -2164,7 +2109,6 @@ def _q_events_window(sf_dir: str):
 
 
 def _q_events_sliding(sf_dir: str):
-    import ray.data as rd
     from kgx.sources.pages import read_table
     from kgx.ops.window import sliding_window_agg
     ev = read_table(f"{sf_dir}/events.parquet",
@@ -2173,7 +2117,6 @@ def _q_events_sliding(sf_dir: str):
 
 
 def _q_events_session(sf_dir: str):
-    import ray.data as rd
     from kgx.sources.pages import read_table
     from kgx.ops.window import session_window_agg
     ev = read_table(f"{sf_dir}/events.parquet",
@@ -2182,7 +2125,6 @@ def _q_events_session(sf_dir: str):
 
 
 def _q_events_asof(sf_dir: str):
-    import ray.data as rd
     from kgx.sources.pages import read_table
     from kgx.ops.joins import asof_join_events
     ev = read_table(
@@ -2192,7 +2134,6 @@ def _q_events_asof(sf_dir: str):
 
 
 def _q_events_interval(sf_dir: str):
-    import ray.data as rd
     from kgx.sources.pages import read_table
     from kgx.ops.joins import interval_join_events
     ev = read_table(
@@ -2205,7 +2146,6 @@ def _q_events_interval(sf_dir: str):
 def _q_sketch_distinct(sf_dir: str):
     """HyperLogLog approximate distinct users over events — approximate
     by design, rows-only check (error-bound tested in tests/test_sketch)."""
-    import ray.data as rd
     from kgx.sources.pages import read_table
     from kgx.ops.sketch import approx_distinct
     ev = read_table(f"{sf_dir}/events.parquet", columns=["user_id"])
@@ -2217,7 +2157,6 @@ def _q_embed_negatives(sf_dir: str):
     (kgx/ops/training.py:negative_samples): k=4 draws per anchor via the
     mix32 integer lottery over the sorted id directory — map-side,
     shuffle-free, hash-exact against the same arithmetic in SQL."""
-    import ray.data as rd
     from kgx.sources.pages import read_table
     from kgx.ops.training import negative_samples
     emb = read_table(f"{sf_dir}/embeddings.parquet",
@@ -2229,7 +2168,6 @@ def _q_embed_triplets(sf_dir: str):
     """Contrastive triplets (kgx/ops/training.py:contrastive_triplets):
     positive = exact rank-1 cosine neighbor via the blocked kNN join,
     negatives = 2 mix32 draws, joined on a narrow (vec_id) co-shuffle."""
-    import ray.data as rd
     from kgx.sources.pages import read_table
     from kgx.ops.training import contrastive_triplets
     emb = read_table(f"{sf_dir}/embeddings.parquet",
@@ -2246,7 +2184,6 @@ def _q_sketch_cms(sf_dir: str):
     mixing constants, so DuckDB recomputes the bucket histogram and the
     min-over-rows estimate bit for bit (``_cms_oracle``); the one-sided
     error bound stays pinned in tests/test_sketch.py."""
-    import ray.data as rd
     from kgx.sources.pages import read_table
     from kgx.ops.sketch import cms_estimates
     ev = read_table(f"{sf_dir}/events.parquet",
@@ -2260,7 +2197,6 @@ def _q_sketch_distinct_by_type(sf_dir: str):
     per-key register folds, a narrow (key, 4 KB registers) shuffle,
     elementwise-max merge per key.  Approximate by design, rows-only;
     the per-key error bound is pinned in tests/test_sketch.py."""
-    import ray.data as rd
     from kgx.sources.pages import read_table
     from kgx.ops.sketch import approx_distinct_by_key
     ev = read_table(f"{sf_dir}/events.parquet",
@@ -2278,7 +2214,6 @@ def _q_sketch_heavy(sf_dir: str):
     (count desc, value asc).  The approximate regime (distinct >
     capacity, lower-bound counts) stays tolerance-tested in
     tests/test_sketch.py."""
-    import ray.data as rd
     from kgx.sources.pages import read_table
     from kgx.ops.sketch import heavy_hitters
     ev = read_table(f"{sf_dir}/events.parquet", columns=["event_type"])
@@ -2289,7 +2224,6 @@ def _q_sketch_quantile(sf_dir: str):
     """Mergeable compaction quantile sketch over event values — one
     sketch row per batch, kilobyte reduce; approximate by design
     (rows-only; tolerance vs exact_quantiles in pytest)."""
-    import ray.data as rd
     from kgx.sources.pages import read_table
     from kgx.ops.sketch import quantile_sketch
     ev = read_table(f"{sf_dir}/events.parquet", columns=["value"])
@@ -2334,7 +2268,6 @@ def _q_kg_synth_nodes(sf_dir: str):
     (the sandbox stand-in for Common-Crawl shards); sf_dir is unused.
     Rows-only check — the corpus is not a driver view."""
     import pyarrow.compute as pc
-    import ray.data as rd
     from kgx.sources.pages import read_table
     from kgx.pipelines.kg import make_chunk_batch_fn, extract_text_batch
     from kgx.stages.canonicalize import canonicalize
@@ -2515,7 +2448,6 @@ def _q_events_ordered(sf_dir: str):
     """Per-user ordered window functions (row_number / lag / running sum
     in integer cents) — one groupby(user) shuffle, vectorized in-group
     kernel (kgx/ops/sequence.py)."""
-    import ray.data as rd
     from kgx.sources.pages import read_table
     from kgx.ops.sequence import ordered_window
     ev = read_table(f"{sf_dir}/events.parquet",
@@ -2526,7 +2458,6 @@ def _q_events_ordered(sf_dir: str):
 def _q_events_histogram(sf_dir: str):
     """Fixed-width value histogram: map-side per-bin partials, one
     narrow bin-key shuffle (kgx/ops/quantile.py:value_histogram)."""
-    import ray.data as rd
     from kgx.sources.pages import read_table
     from kgx.ops.quantile import value_histogram
     ev = read_table(f"{sf_dir}/events.parquet", columns=["value"])
@@ -2537,7 +2468,6 @@ def _q_events_retention(sf_dir: str):
     """Cohort retention matrix (kgx/ops/window.py:cohort_retention):
     in-batch (user, day) distinct -> per-user offset emission -> partial
     counts; the event payload never shuffles."""
-    import ray.data as rd
     from kgx.sources.pages import read_table
     from kgx.ops.window import cohort_retention
     ev = read_table(f"{sf_dir}/events.parquet",
@@ -2550,7 +2480,6 @@ def _q_events_json(sf_dir: str):
     payload (vectorized polars json_path_match) + exact per-type
     aggregate incl. distinct values (kgx/ops/sequence.py:
     json_field_stats)."""
-    import ray.data as rd
     from kgx.sources.pages import read_table
     from kgx.ops.sequence import json_field_stats
     ev = read_table(f"{sf_dir}/events.parquet",
@@ -2564,7 +2493,6 @@ def _q_events_stream(sf_dir: str):
     equals the distributed batch aggregate when nothing violates the
     lateness bound, so the oracle is the events_window SQL."""
     from kgx.ops.streaming import stream_tumbling
-    import ray.data as rd
     from kgx.sources.pages import read_table
     ev = read_table(f"{sf_dir}/events.parquet",
                          columns=["ts", "event_type", "value"])
@@ -2578,7 +2506,6 @@ def _q_events_stream_sharded(sf_dir: str):
     stream_sharded).  Each (window, key) lives on exactly one shard, so
     the union equals the batch aggregate — same SQL oracle as
     events_stream/events_window."""
-    import ray.data as rd
     from kgx.sources.pages import read_table
     from kgx.ops.streaming import stream_sharded
     ev = read_table(f"{sf_dir}/events.parquet",
@@ -2589,7 +2516,6 @@ def _q_events_stream_sharded(sf_dir: str):
 def _q_events_zscore(sf_dir: str):
     """Per-type z-score anomaly flags: one moment-partial pass, broadcast
     (mean, std) map, map-side verdict (kgx/ops/window.py:zscore_flags)."""
-    import ray.data as rd
     from kgx.sources.pages import read_table
     from kgx.ops.window import zscore_flags
     ev = read_table(f"{sf_dir}/events.parquet",
@@ -2601,7 +2527,6 @@ def _q_events_funnel(sf_dir: str):
     """Min-chain funnel view -> click -> purchase per user: non-step
     events die map-side, one narrow groupby(user) shuffle, numpy chain
     per group (kgx/ops/sequence.py:funnel_steps)."""
-    import ray.data as rd
     from kgx.sources.pages import read_table
     from kgx.ops.sequence import funnel_steps
     ev = read_table(f"{sf_dir}/events.parquet",
@@ -2612,7 +2537,6 @@ def _q_events_funnel(sf_dir: str):
 def _q_rel_topn(sf_dir: str):
     """Top-3 orders per customer by price: map-side per-key top-n
     combiner, the shuffle moves <= 3 rows per (customer, block)."""
-    import ray.data as rd
     from kgx.sources.pages import read_table
     from kgx.ops.sequence import topn_per_key
     orders = read_table(
@@ -2627,7 +2551,6 @@ def _q_rel_semijoin(sf_dir: str):
     URGENT orders, aggregated per (returnflag, linestatus) — non-matching
     lineitems die map-side at the Bloom bitmap before any shuffle."""
     import pyarrow as pa
-    import ray.data as rd
     from kgx.sources.pages import read_table
     from kgx.ops.joins import bloom_semijoin
 
@@ -2733,7 +2656,6 @@ def _q_rel_outerjoin(sf_dir: str):
     other (kgx/ops/joins.py:hash_equijoin how='outer')."""
     import pyarrow as pa
     import pyarrow.compute as pc
-    import ray.data as rd
     from kgx.sources.pages import read_table
     from ray.data.aggregate import Sum
     from kgx.ops.joins import hash_equijoin
@@ -2780,7 +2702,6 @@ def _q_text_pii(sf_dir: str):
     the SQL side) so the redaction paths are actually exercised."""
     import pyarrow as pa
     import pyarrow.compute as pc
-    import ray.data as rd
     from kgx.sources.pages import read_table
     from kgx.ops.pii import scrub_pii
 
@@ -2807,7 +2728,6 @@ def _q_text_pii(sf_dir: str):
 def _q_text_logprob(sf_dir: str):
     """Unigram LM quality proxy: corpus token counts broadcast, per-doc
     mean token logprob in integer micro units (kgx/ops/vocab.py)."""
-    import ray.data as rd
     from kgx.sources.pages import read_table
     from kgx.ops.vocab import unigram_logprob
     docs = read_table(f"{sf_dir}/documents.parquet",
@@ -2818,7 +2738,6 @@ def _q_text_logprob(sf_dir: str):
 def _q_events_quantile_by_type(sf_dir: str):
     """Exact per-type value quantiles (integer cents): one narrow
     (key, cents) shuffle + in-group sort (kgx/ops/quantile.py)."""
-    import ray.data as rd
     from kgx.sources.pages import read_table
     from kgx.ops.quantile import grouped_quantiles
     ev = read_table(f"{sf_dir}/events.parquet",
@@ -2829,7 +2748,6 @@ def _q_events_quantile_by_type(sf_dir: str):
 def _q_text_repetition(sf_dir: str):
     """Gopher-style repetition features (top bigram / trigram fraction in
     exact integer ppm) — map-only (kgx/ops/text.py:repetition_batch)."""
-    import ray.data as rd
     from kgx.sources.pages import read_table
     from kgx.ops.text import repetition_batch
     docs = read_table(f"{sf_dir}/documents.parquet",
@@ -2846,7 +2764,6 @@ _MIX_DEFAULT_PPM = 900_000
 def _q_text_mix(sf_dir: str):
     """Deterministic source-weighted mixture sampling (16-bit md5 bucket
     vs per-source ppm cutoff) — kgx/ops/sampling.py:mix_sources."""
-    import ray.data as rd
     from kgx.sources.pages import read_table
     from kgx.ops.sampling import mix_sources
     docs = read_table(f"{sf_dir}/documents.parquet",
@@ -2859,7 +2776,6 @@ def _q_dedup_lines(sf_dir: str):
     """CCNet-style corpus-wide segment dedup: narrow (md5, doc, seg)
     shuffle finds winners; losers broadcast; docs rebuilt map-side
     (kgx/ops/linededup.py)."""
-    import ray.data as rd
     from kgx.sources.pages import read_table
     from kgx.ops.linededup import segment_dedup
     docs = read_table(f"{sf_dir}/documents.parquet",

@@ -224,7 +224,6 @@ def run_headline(sf_dir: str, num_cpus: int, repeats: int = 2,
 
 def _operator_queries(sf_dir: str) -> dict:
     """name -> thunk returning a Dataset to consume (timed individually)."""
-    import ray.data as rd
     from kgx.sources.pages import read_table
 
     def docs():
@@ -653,7 +652,6 @@ def run_llm_bench(sf_dir: str, num_cpus: int) -> dict:
     ray.init(address="local", num_cpus=num_cpus, include_dashboard=False,
              ignore_reinit_error=True, logging_level="ERROR")
     try:
-        import ray.data as rd
         from kgx.sources.pages import read_table
         from kgx.pipelines.kg import make_chunk_batch_fn
         from kgx.stages.extract import LLMExtractor
