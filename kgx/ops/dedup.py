@@ -186,9 +186,13 @@ def _jaccard_pairs_matrix(docs_ds, *, threshold: float, pattern: str):
                 "jaccard": pa.array(j[ai, bi], pa.float64()),
             })
 
+    from kgx.stages.extract import make_task_extractor
+    # task-based with a per-worker cached instance: an actor pool here
+    # pays ~1 s spin-up per query invocation for KB-scale ctor state
+    # (the kmeans stages document the same choice)
     return sets_ds.map_batches(
-        ScoreBlock, batch_format="pyarrow", concurrency=(1, 8),
-        fn_constructor_kwargs={"bref": bref})
+        make_task_extractor(ScoreBlock, bref=bref),
+        batch_format="pyarrow")
 
 
 def _band_hashes(sig: np.ndarray, bands: int,
@@ -571,10 +575,13 @@ def minhash_lsh_pairs(docs_ds, *, num_perm: int = 64, bands: int = 16,
     Skewed buckets are capped at ``max_bucket_pairs`` pairs each, with
     drops logged (never silent).
     """
+    from kgx.stages.extract import make_task_extractor
+    # task-based per-worker cached instance (no actor-pool spin-up per
+    # query; the permutation params re-derive once per worker)
     banded = docs_ds.map_batches(
-        MinHashBands, batch_format="pyarrow", concurrency=(1, 8),
-        fn_constructor_kwargs={"num_perm": num_perm, "bands": bands,
-                               "k": k, "seed": seed})
+        make_task_extractor(MinHashBands, num_perm=num_perm, bands=bands,
+                            k=k, seed=seed),
+        batch_format="pyarrow")
 
     def add_gb(t: pa.Table) -> pa.Table:
         b = np.asarray(t["band"].to_pylist(), dtype=np.uint64)
@@ -788,9 +795,10 @@ def embedding_dup_pairs(emb_ds, *, threshold: float = 0.45,
                 "cosine": pa.array(np.round(S[ai, bi], 6), pa.float64()),
             })
 
+    from kgx.stages.extract import make_task_extractor
     return emb_ds.map_batches(
-        ScoreBlock, batch_format="pyarrow", concurrency=(1, 8),
-        fn_constructor_kwargs={"mref": mref})
+        make_task_extractor(ScoreBlock, mref=mref),
+        batch_format="pyarrow")
 
 
 def _embedding_dup_pairs_bucketed(emb_ds, *, threshold: float,

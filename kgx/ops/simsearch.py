@@ -116,9 +116,11 @@ def cosine_topk(emb_ds, query_ids: list[int], *, k: int = 10):
     # two passes (query pull + scoring) share one cached read
     emb_ds = emb_ds.materialize()
     qref = ray.put(_pull_queries(emb_ds, query_ids))
+    from kgx.stages.extract import make_task_extractor
+    # task-based per-worker cached instance (no actor-pool spin-up)
     partial = emb_ds.map_batches(
-        _BlockTopK, batch_format="pyarrow", concurrency=(1, 8),
-        fn_constructor_kwargs={"qref": qref, "k": k})
+        make_task_extractor(_BlockTopK, qref=qref, k=k),
+        batch_format="pyarrow")
     return partial.repartition(1).map_batches(
         lambda b: _merge_topk_all(b, k), batch_format="pyarrow",
         batch_size=None)
