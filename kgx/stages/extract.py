@@ -29,6 +29,7 @@ from __future__ import annotations
 
 import json
 import re
+from collections import OrderedDict
 
 import pyarrow as pa
 
@@ -249,7 +250,14 @@ class GazetteerExtractor:
 # with a once-per-worker-process build beat an actor pool (no pool
 # startup, work stealing across all CPUs).  Stateful extractors that hold
 # a model/client (LLMExtractor) still run as an actor pool.
-_WORKER_EXTRACTOR_CACHE: dict[str, object] = {}
+# Bounded LRU: scoring stages key their entry on per-query ObjectRefs
+# (a fresh key every invocation), and some instances pin sizable
+# broadcast state (incidence/embedding matrices) — an unbounded dict
+# would grow per query for the life of the worker.  16 keeps every
+# stage of any one pipeline warm; an evicted extractor just re-derives
+# its state on next use.
+_WORKER_EXTRACTOR_CACHE: "OrderedDict[str, object]" = OrderedDict()
+_WORKER_EXTRACTOR_CACHE_MAX = 16
 
 
 def make_task_extractor(cls, **kwargs):
@@ -260,6 +268,10 @@ def make_task_extractor(cls, **kwargs):
         ex = _WORKER_EXTRACTOR_CACHE.get(key)
         if ex is None:
             ex = _WORKER_EXTRACTOR_CACHE[key] = cls(**kwargs)
+            while len(_WORKER_EXTRACTOR_CACHE) > _WORKER_EXTRACTOR_CACHE_MAX:
+                _WORKER_EXTRACTOR_CACHE.popitem(last=False)
+        else:
+            _WORKER_EXTRACTOR_CACHE.move_to_end(key)
         return ex(batch)
 
     return extract_batch
