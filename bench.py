@@ -658,12 +658,17 @@ def run_llm_bench(sf_dir: str, num_cpus: int) -> dict:
 
         docs = read_table(f"{sf_dir}/documents.parquet",
                                columns=["doc_id", "text"])
+        # repartition to ~2 blocks per potential actor: the small-table
+        # read yields ~ncpu/2 blocks, which would starve the pool's
+        # fan-out (the pool, not the block count, should bound
+        # concurrency here)
         chunks = docs.map_batches(
             lambda t: make_chunk_batch_fn(200, 50)(
                 __import__("pyarrow").table(
                     {"url": [f"doc://{d}" for d in t["doc_id"].to_pylist()],
                      "text": t["text"].combine_chunks()})),
-            batch_format="pyarrow").materialize()
+            batch_format="pyarrow") \
+            .repartition(max(64, 2 * (num_cpus - 2))).materialize()
         n_chunks = chunks.count()
         pool = (max(1, (num_cpus - 2) // 2), max(1, num_cpus - 2))
         out = {}
