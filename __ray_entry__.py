@@ -659,11 +659,10 @@ def _q_recall_lsh(sf_dir: str):
 
 
 def _q_recall_ivf(sf_dir: str):
-    """IVF recall vs the exact cosine top-k as ONE driver row.
-    Rows-only by design: the IVF cells are k-means state, so unlike
-    recall_lsh the approx side has no SQL twin — but the recall number
-    itself (pytest floor 0.6 at the test's probe setting; ~0.49 at this
-    query's sf0.01 shape) is now driver-visible per round."""
+    """IVF recall vs the exact cosine top-k as ONE driver row —
+    EXACT since round 5: the deterministic quantizer init gave the
+    approx side a full SQL twin (``_recall_ivf_oracle`` recomputes both
+    sides in DuckDB), so the recall number itself is oracle-gated."""
     import pyarrow as pa
     from kgx.sources.pages import read_table
 
@@ -1180,6 +1179,92 @@ def _semdedup_oracle(*, k: int, iters: int, tau: float) -> str:
     """
 
 
+def _ivf_oracle(*, n_q: int, k: int, n_cells: int, n_probe: int,
+                train_mod: int, iters: int) -> str:
+    """Unrolled IVF-ANN oracle (mirrors kgx/ops/simsearch.py ivf_topk
+    exactly since the round-5 deterministic-quantizer change: init = the
+    first n_cells vec_id-ordered normalized sample rows rounded 6 dp;
+    assignment = argmax of the 6dp-rounded dot with ties to the lowest
+    cell; update = renormalized member mean rounded 6 dp; empty cells
+    keep their previous centroid; query probing and corpus cell tagging
+    use the same rounded dots; the final ranking orders on the raw
+    cosine with vec_id tie-break and emits the 6dp-rounded score —
+    the simsearch_topk conventions)."""
+    parts = [f"""
+            en AS (
+              SELECT vec_id,
+                     list_transform(CAST(embedding AS DOUBLE[]),
+                       x -> x / sqrt(list_dot_product(
+                              CAST(embedding AS DOUBLE[]),
+                              CAST(embedding AS DOUBLE[])))) AS vn
+              FROM embeddings),
+            s AS (SELECT vec_id, vn FROM en WHERE vec_id % {train_mod} = 0),
+            c0 AS (
+              SELECT row_number() OVER (ORDER BY vec_id) - 1 AS c,
+                     list_transform(vn, x -> round(x, 6)) AS cv
+              FROM (SELECT vec_id, vn FROM s ORDER BY vec_id
+                    LIMIT {n_cells}))"""]
+    for t in range(1, iters + 1):
+        parts.append(f"""
+            a{t} AS (
+              SELECT vec_id, vn, c FROM (
+                SELECT s.vec_id, s.vn, c{t - 1}.c,
+                       row_number() OVER (PARTITION BY s.vec_id
+                         ORDER BY round(list_dot_product(s.vn,
+                                        c{t - 1}.cv), 6) DESC,
+                                  c{t - 1}.c) AS rn
+                FROM s CROSS JOIN c{t - 1}) WHERE rn = 1),
+            u{t} AS (
+              SELECT c, i, avg(x) AS m
+              FROM (SELECT c, unnest(vn) AS x,
+                           unnest(range(1, len(vn) + 1)) AS i FROM a{t})
+              GROUP BY c, i),
+            n{t} AS (SELECT c, sqrt(sum(m * m)) AS nrm
+                     FROM u{t} GROUP BY c),
+            c{t} AS (
+              SELECT u{t}.c AS c,
+                     list(round(m / nrm, 6) ORDER BY i) AS cv
+              FROM u{t} JOIN n{t} ON u{t}.c = n{t}.c
+              WHERE nrm > 0 GROUP BY u{t}.c, nrm
+              UNION ALL
+              SELECT c, cv FROM c{t - 1}
+              WHERE c NOT IN (SELECT c FROM n{t} WHERE nrm > 0))""")
+    parts.append(f"""
+            q AS (SELECT vec_id AS qid, vn AS qv FROM en
+                  WHERE vec_id < {n_q}),
+            pc AS (
+              SELECT qid, c FROM (
+                SELECT q.qid, c{iters}.c,
+                       row_number() OVER (PARTITION BY q.qid
+                         ORDER BY round(list_dot_product(q.qv,
+                                        c{iters}.cv), 6) DESC,
+                                  c{iters}.c) AS rn
+                FROM q CROSS JOIN c{iters}) WHERE rn <= {n_probe}),
+            cell AS (
+              SELECT vec_id, c FROM (
+                SELECT en.vec_id, c{iters}.c,
+                       row_number() OVER (PARTITION BY en.vec_id
+                         ORDER BY round(list_dot_product(en.vn,
+                                        c{iters}.cv), 6) DESC,
+                                  c{iters}.c) AS rn
+                FROM en CROSS JOIN c{iters}) WHERE rn = 1),
+            ranked AS (
+              SELECT q.qid, en.vec_id,
+                     round(list_dot_product(q.qv, en.vn), 6) AS score,
+                     row_number() OVER (PARTITION BY q.qid
+                       ORDER BY list_dot_product(q.qv, en.vn) DESC,
+                                en.vec_id) AS rank
+              FROM q
+              JOIN pc ON pc.qid = q.qid
+              JOIN cell ON cell.c = pc.c
+              JOIN en ON en.vec_id = cell.vec_id
+              WHERE en.vec_id <> q.qid)""")
+    return "\n            WITH " + ",".join(parts) + f"""
+            SELECT qid AS query_id, vec_id AS neighbor_id, score, rank
+            FROM ranked WHERE rank <= {k}
+    """
+
+
 def _q_text_weighted_sample(sf_dir: str):
     """Efraimidis-Spirakis weighted sampling without replacement, top-100
     by char count (kgx/ops/sampling.py:weighted_sample) — per-block
@@ -1252,8 +1337,10 @@ def _q_simsearch_lsh(sf_dir: str):
 
 
 def _q_simsearch_ivf(sf_dir: str):
-    """IVF ANN: k-means cells + probed-cell exact scoring.  Approximate by
-    design — rows-only check (recall tested in tests/test_ops_extra)."""
+    """IVF ANN: k-means cells + probed-cell exact scoring.  Approximate
+    vs the true top-k, but fully deterministic — EXACT driver row since
+    the round-5 deterministic quantizer init (the unrolled
+    ``_ivf_oracle`` reproduces cells, probing and scores in SQL)."""
     from kgx.sources.pages import read_table
     from kgx.ops.simsearch import ivf_topk
     emb = read_table(f"{sf_dir}/embeddings.parquet",
@@ -1973,6 +2060,26 @@ def _recall_lsh_oracle() -> str:
              AND a.neighbor_id = e.neighbor_id),
         ne AS (SELECT count(*) AS n_exact FROM ex)
         SELECT 'lsh' AS op, CAST(8 AS BIGINT) AS n_queries,
+               CAST(10 AS BIGINT) AS k, ne.n_exact, h.hits,
+               h.hits * 1000000 // ne.n_exact AS recall_ppm
+        FROM h, ne
+    """
+
+
+def _recall_ivf_oracle() -> str:
+    """Recall-vs-exact report with BOTH sides recomputed in SQL — the
+    IVF side via the unrolled deterministic-quantizer oracle
+    (``_ivf_oracle``), the exact side via the brute cosine top-k; the
+    rows-only gap closed by the round-5 deterministic k-means init."""
+    return f"""
+        WITH approx AS ({_ivf_oracle(n_q=8, k=10, n_cells=16, n_probe=4,
+                                     train_mod=4, iters=5)}),
+        ex AS ({_EXACT_TOPK_SQL}),
+        h AS (SELECT count(*) AS hits FROM approx a JOIN ex e
+              ON a.query_id = e.query_id
+             AND a.neighbor_id = e.neighbor_id),
+        ne AS (SELECT count(*) AS n_exact FROM ex)
+        SELECT 'ivf' AS op, CAST(8 AS BIGINT) AS n_queries,
                CAST(10 AS BIGINT) AS k, ne.n_exact, h.hits,
                h.hits * 1000000 // ne.n_exact AS recall_ppm
         FROM h, ne
@@ -3728,7 +3835,10 @@ def oracle_sql() -> dict[str, str]:
             WHERE list_cosine_similarity(a.v, b.v) >= 0.45
         """,
         "simsearch_lsh": _lsh_oracle(),
+        "simsearch_ivf": _ivf_oracle(n_q=8, k=10, n_cells=16, n_probe=4,
+                                     train_mod=4, iters=5),
         "recall_lsh": _recall_lsh_oracle(),
+        "recall_ivf": _recall_ivf_oracle(),
         "recall_minhash": _recall_minhash_oracle(),
         "simsearch_topk": """
             WITH e AS (

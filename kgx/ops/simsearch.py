@@ -132,21 +132,28 @@ def cosine_topk(emb_ds, query_ids: list[int], *, k: int = 10):
 
 def _kmeans(sample: np.ndarray, n_centroids: int, iters: int,
             seed: int) -> np.ndarray:
-    """Deterministic k-means on L2-normalized vectors (seeded init, fixed
-    iteration count, stable argmax tie-break via argmin of -dot)."""
-    rng = np.random.default_rng(seed)
-    idx = rng.choice(len(sample), size=min(n_centroids, len(sample)),
-                     replace=False)
-    C = sample[np.sort(idx)].copy()
+    """Deterministic, SQL-twinnable k-means on L2-normalized vectors.
+
+    Init = the first ``n_centroids`` sample rows (the sample arrives
+    vec_id-ordered), assignment = argmax of the 6dp-ROUNDED dot product
+    (ties -> lowest cluster id, numpy argmax-first), update =
+    renormalized member mean rounded to 6dp, empty clusters keep their
+    previous centroid.  The 6dp rounding at every step is what lets the
+    DuckDB oracle reproduce the iteration exactly (the embed_kmeans
+    unroll pattern, kgx/ops/cluster.py); ``seed`` is retained for API
+    compatibility but no longer consumed — the previous seeded-choice
+    init had no SQL twin, which kept every IVF consumer rows-only."""
+    del seed
+    C = np.round(sample[:min(n_centroids, len(sample))].copy(), 6)
     for _ in range(iters):
-        assign = np.argmax(sample @ C.T, axis=1)
+        assign = np.argmax(np.round(sample @ C.T, 6), axis=1)
         for c in range(len(C)):
             members = sample[assign == c]
             if len(members):
                 m = members.mean(axis=0)
                 n = np.linalg.norm(m)
                 if n > 0:
-                    C[c] = m / n
+                    C[c] = np.round(m / n, 6)
     return C
 
 
@@ -187,7 +194,10 @@ def ivf_topk(emb_ds, query_ids: list[int], *, k: int = 10,
     C = _kmeans(S, n_centroids, iters, seed)
     cref = ray.put(C)
 
-    q_cells = np.argsort(-(Q @ C.T), axis=1)[:, :n_probe]
+    # rounded + stable so the probing order has an exact SQL twin
+    # (round-6 dot desc, cell id asc)
+    q_cells = np.argsort(-np.round(Q @ C.T, 6), axis=1,
+                         kind="stable")[:, :n_probe]
     probed = sorted({int(c) for row in q_cells for c in row})
     probed_set = set(probed)
     qref = ray.put((qids, Q, q_cells))
@@ -198,7 +208,8 @@ def ivf_topk(emb_ds, query_ids: list[int], *, k: int = 10,
         Cm = ray.get(cref)
         M = emb_matrix(batch["embedding"])
         M = M / np.linalg.norm(M, axis=1, keepdims=True)
-        cells = np.argmax(M @ Cm.T, axis=1).astype(np.int64)
+        # round-6 before argmax: same tie semantics as the SQL twin
+        cells = np.argmax(np.round(M @ Cm.T, 6), axis=1).astype(np.int64)
         keep = np.flatnonzero(np.isin(cells, probed_arr))
         kept = batch.take(pa.array(keep, pa.int64()))   # zero-copy-ish gather
         return pa.table({
