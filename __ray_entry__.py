@@ -694,9 +694,9 @@ def _q_recall_ivf(sf_dir: str):
 
 def _q_recall_pq(sf_dir: str):
     """PQ (IVFADC+R) recall vs the exact cosine top-k as ONE driver
-    row.  Rows-only by design (k-means codebooks have no SQL twin);
-    the exact re-rank raises recall above raw-ADC — pytest floor 0.45,
-    reads ~0.62 at sf0.01."""
+    row — EXACT since round 5 (``_recall_pq_oracle`` recomputes both
+    sides in DuckDB); the exact re-rank raises recall above raw-ADC —
+    pytest floor 0.45."""
     import pyarrow as pa
     from kgx.sources.pages import read_table
 
@@ -861,9 +861,12 @@ def _q_simsearch_pq(sf_dir: str):
     """Product-quantized ANN (IVFADC+R, kgx/ops/pq.py): 16-byte PQ codes
     + per-query ADC lookup tables shortlist candidates inside probed IVF
     cells; one filtered pass over the float column re-ranks the
-    shortlist exactly.  Approximate by construction (cell pruning):
-    rows-only check; the recall floor vs the exact baseline is pinned in
-    tests/test_ops.py."""
+    shortlist exactly.  Approximate vs the true top-k (cell pruning)
+    but fully deterministic — EXACT driver row since the round-5
+    deterministic codebook/quantizer init (``_pq_oracle`` unrolls all
+    m per-subspace Lloyd chains, the encode, the ADC scoring and the
+    exact re-rank in SQL); the recall floor vs the exact baseline is
+    additionally pinned in tests/test_ops.py."""
     from kgx.sources.pages import read_table
     from kgx.ops.pq import pq_topk
     emb = read_table(f"{sf_dir}/embeddings.parquet",
@@ -1179,17 +1182,26 @@ def _semdedup_oracle(*, k: int, iters: int, tau: float) -> str:
     """
 
 
-def _ivf_oracle(*, n_q: int, k: int, n_cells: int, n_probe: int,
-                train_mod: int, iters: int) -> str:
-    """Unrolled IVF-ANN oracle (mirrors kgx/ops/simsearch.py ivf_topk
-    exactly since the round-5 deterministic-quantizer change: init = the
-    first n_cells vec_id-ordered normalized sample rows rounded 6 dp;
-    assignment = argmax of the 6dp-rounded dot with ties to the lowest
-    cell; update = renormalized member mean rounded 6 dp; empty cells
-    keep their previous centroid; query probing and corpus cell tagging
-    use the same rounded dots; the final ranking orders on the raw
-    cosine with vec_id tie-break and emits the 6dp-rounded score —
-    the simsearch_topk conventions)."""
+def _materialize_ctes(sql: str) -> str:
+    """Force ``AS MATERIALIZED`` on every CTE: the unrolled iteration
+    chains reference each level 2-3x, and DuckDB's default inlining
+    re-evaluates the whole prefix per reference — exponential in the
+    iteration count (measured: the 5-round IVF quantizer chain 136 s
+    inlined vs 0.3 s materialized)."""
+    import re as _re
+    return _re.sub(r"(\b[a-z_]+\d*\b) AS \(", r"\1 AS MATERIALIZED (",
+                   sql)
+
+
+def _ann_quantizer_ctes(*, n_cells: int, train_mod: int,
+                        iters: int) -> str:
+    """Shared unrolled IVF quantizer chain (en/s/c0..c{iters}) mirroring
+    kgx/ops/simsearch.py _kmeans exactly since the round-5
+    deterministic-init change: init = the first n_cells vec_id-ordered
+    normalized sample rows rounded 6 dp; assignment = argmax of the
+    6dp-rounded dot with ties to the lowest cell; update = renormalized
+    member mean rounded 6 dp; empty cells keep their previous
+    centroid."""
     parts = [f"""
             en AS (
               SELECT vec_id,
@@ -1229,7 +1241,13 @@ def _ivf_oracle(*, n_q: int, k: int, n_cells: int, n_probe: int,
               UNION ALL
               SELECT c, cv FROM c{t - 1}
               WHERE c NOT IN (SELECT c FROM n{t} WHERE nrm > 0))""")
-    parts.append(f"""
+    return ",".join(parts)
+
+
+def _ann_probe_ctes(*, n_q: int, n_probe: int, iters: int) -> str:
+    """Query probing (pc) + corpus cell tagging (cell) against the final
+    quantizer centroids c{iters} — shared by the IVF and PQ oracles."""
+    return f"""
             q AS (SELECT vec_id AS qid, vn AS qv FROM en
                   WHERE vec_id < {n_q}),
             pc AS (
@@ -1247,7 +1265,19 @@ def _ivf_oracle(*, n_q: int, k: int, n_cells: int, n_probe: int,
                          ORDER BY round(list_dot_product(en.vn,
                                         c{iters}.cv), 6) DESC,
                                   c{iters}.c) AS rn
-                FROM en CROSS JOIN c{iters}) WHERE rn = 1),
+                FROM en CROSS JOIN c{iters}) WHERE rn = 1)"""
+
+
+def _ivf_oracle(*, n_q: int, k: int, n_cells: int, n_probe: int,
+                train_mod: int, iters: int) -> str:
+    """Unrolled IVF-ANN oracle (mirrors kgx/ops/simsearch.py ivf_topk
+    exactly since the round-5 deterministic-quantizer change); the
+    final ranking orders on the raw cosine with vec_id tie-break and
+    emits the 6dp-rounded score — the simsearch_topk conventions."""
+    return _materialize_ctes(f"""
+            WITH {_ann_quantizer_ctes(n_cells=n_cells,
+                                      train_mod=train_mod, iters=iters)},
+            {_ann_probe_ctes(n_q=n_q, n_probe=n_probe, iters=iters)},
             ranked AS (
               SELECT q.qid, en.vec_id,
                      round(list_dot_product(q.qv, en.vn), 6) AS score,
@@ -1258,12 +1288,122 @@ def _ivf_oracle(*, n_q: int, k: int, n_cells: int, n_probe: int,
               JOIN pc ON pc.qid = q.qid
               JOIN cell ON cell.c = pc.c
               JOIN en ON en.vec_id = cell.vec_id
-              WHERE en.vec_id <> q.qid)""")
-    return "\n            WITH " + ",".join(parts) + f"""
+              WHERE en.vec_id <> q.qid)
             SELECT qid AS query_id, vec_id AS neighbor_id, score, rank
             FROM ranked WHERE rank <= {k}
-    """
+    """)
 
+
+def _pq_oracle(*, n_q: int, k: int, m: int, k_sub: int, n_cells: int,
+               n_probe: int, train_mod: int, iters: int,
+               refine: int, dim: int = 64) -> str:
+    """Unrolled IVFADC+R oracle (mirrors kgx/ops/pq.py pq_topk exactly
+    since the round-5 deterministic-init change): one chained CTE
+    family trains ALL m per-subspace codebooks together (init = first
+    k_sub sample rows per subspace rounded 6 dp; assignment = argmin of
+    the 6dp-rounded squared euclidean with ties to the lowest code;
+    update = member mean rounded 6 dp), encodes the corpus, probes
+    n_probe cells per query, ADC-scores codes via per-query lookup
+    tables (round-6 of the m-term sum), shortlists k*refine candidates
+    and exactly re-ranks the shortlist on the raw cosine."""
+    d_sub = dim // m
+    shortlist = k * refine
+    sub_expr = f"list_slice(vn, j * {d_sub} + 1, (j + 1) * {d_sub})"
+    parts = [f"""
+            js AS (SELECT unnest(range({m})) AS j),
+            pqsub AS (
+              SELECT vec_id, j, {sub_expr} AS sv
+              FROM s CROSS JOIN js),
+            b0 AS (
+              SELECT j, row_number() OVER (PARTITION BY j
+                       ORDER BY vec_id) - 1 AS c,
+                     list_transform(sv, x -> round(x, 6)) AS cw
+              FROM (SELECT vec_id, j, sv,
+                           row_number() OVER (PARTITION BY j
+                             ORDER BY vec_id) AS rn0
+                    FROM pqsub) WHERE rn0 <= {k_sub})"""]
+    for t in range(1, iters + 1):
+        parts.append(f"""
+            ba{t} AS (
+              SELECT vec_id, j, sv, c FROM (
+                SELECT p.vec_id, p.j, p.sv, b.c,
+                       row_number() OVER (PARTITION BY p.j, p.vec_id
+                         ORDER BY round(list_dot_product(p.sv, p.sv)
+                               - 2 * list_dot_product(p.sv, b.cw)
+                               + list_dot_product(b.cw, b.cw), 6) ASC,
+                                  b.c ASC) AS rn
+                FROM pqsub p JOIN b{t - 1} b ON b.j = p.j)
+              WHERE rn = 1),
+            bu{t} AS (
+              SELECT j, c, i, round(avg(x), 6) AS mv
+              FROM (SELECT j, c, unnest(sv) AS x,
+                           unnest(range(1, len(sv) + 1)) AS i
+                    FROM ba{t})
+              GROUP BY j, c, i),
+            b{t} AS (
+              SELECT j, c, list(mv ORDER BY i) AS cw
+              FROM bu{t} GROUP BY j, c
+              UNION ALL
+              SELECT bp.j, bp.c, bp.cw FROM b{t - 1} bp
+              WHERE NOT EXISTS (SELECT 1 FROM bu{t} u
+                                WHERE u.j = bp.j AND u.c = bp.c))""")
+    parts.append(f"""
+            esub AS (
+              SELECT vec_id, j, {sub_expr} AS sv
+              FROM en CROSS JOIN js),
+            codes AS (
+              SELECT vec_id, j, c AS code FROM (
+                SELECT e.vec_id, e.j, b.c,
+                       row_number() OVER (PARTITION BY e.j, e.vec_id
+                         ORDER BY round(list_dot_product(e.sv, e.sv)
+                               - 2 * list_dot_product(e.sv, b.cw)
+                               + list_dot_product(b.cw, b.cw), 6) ASC,
+                                  b.c ASC) AS rn
+                FROM esub e JOIN b{iters} b ON b.j = e.j)
+              WHERE rn = 1),
+            qsub AS (
+              SELECT qid, j,
+                     list_slice(qv, j * {d_sub} + 1,
+                                (j + 1) * {d_sub}) AS qsv
+              FROM q CROSS JOIN js),
+            lut AS (
+              SELECT qid, qsub.j AS j, c,
+                     list_dot_product(qsv, cw) AS lv
+              FROM qsub JOIN b{iters} ON b{iters}.j = qsub.j),
+            adc AS (
+              SELECT l.qid, cd.vec_id, round(sum(l.lv), 6) AS adc_score
+              FROM codes cd
+              JOIN lut l ON l.j = cd.j AND l.c = cd.code
+              GROUP BY l.qid, cd.vec_id),
+            cand AS (
+              SELECT a.qid, a.vec_id, a.adc_score
+              FROM adc a
+              JOIN cell ca ON ca.vec_id = a.vec_id
+              JOIN pc p ON p.qid = a.qid AND p.c = ca.c
+              WHERE a.vec_id <> a.qid),
+            short AS (
+              SELECT qid, vec_id FROM (
+                SELECT qid, vec_id,
+                       row_number() OVER (PARTITION BY qid
+                         ORDER BY adc_score DESC, vec_id ASC) AS rn
+                FROM cand) WHERE rn <= {shortlist}),
+            ranked AS (
+              SELECT sh.qid, sh.vec_id,
+                     round(list_dot_product(q.qv, en.vn), 6) AS score,
+                     row_number() OVER (PARTITION BY sh.qid
+                       ORDER BY list_dot_product(q.qv, en.vn) DESC,
+                                sh.vec_id ASC) AS rank
+              FROM short sh
+              JOIN q ON q.qid = sh.qid
+              JOIN en ON en.vec_id = sh.vec_id)""")
+    return _materialize_ctes(f"""
+            WITH {_ann_quantizer_ctes(n_cells=n_cells,
+                                      train_mod=train_mod, iters=iters)},
+            {_ann_probe_ctes(n_q=n_q, n_probe=n_probe, iters=iters)},
+            {",".join(parts)}
+            SELECT qid AS query_id, vec_id AS neighbor_id, score, rank
+            FROM ranked WHERE rank <= {k}
+    """)
 
 def _q_text_weighted_sample(sf_dir: str):
     """Efraimidis-Spirakis weighted sampling without replacement, top-100
@@ -2080,6 +2220,26 @@ def _recall_ivf_oracle() -> str:
              AND a.neighbor_id = e.neighbor_id),
         ne AS (SELECT count(*) AS n_exact FROM ex)
         SELECT 'ivf' AS op, CAST(8 AS BIGINT) AS n_queries,
+               CAST(10 AS BIGINT) AS k, ne.n_exact, h.hits,
+               h.hits * 1000000 // ne.n_exact AS recall_ppm
+        FROM h, ne
+    """
+
+
+def _recall_pq_oracle() -> str:
+    """Recall-vs-exact report with BOTH sides recomputed in SQL — the
+    PQ side via the unrolled IVFADC+R oracle (``_pq_oracle``), the
+    exact side via the brute cosine top-k."""
+    return f"""
+        WITH approx AS ({_pq_oracle(n_q=8, k=10, m=16, k_sub=32,
+                                    n_cells=16, n_probe=8, train_mod=4,
+                                    iters=5, refine=4)}),
+        ex AS ({_EXACT_TOPK_SQL}),
+        h AS (SELECT count(*) AS hits FROM approx a JOIN ex e
+              ON a.query_id = e.query_id
+             AND a.neighbor_id = e.neighbor_id),
+        ne AS (SELECT count(*) AS n_exact FROM ex)
+        SELECT 'pq' AS op, CAST(8 AS BIGINT) AS n_queries,
                CAST(10 AS BIGINT) AS k, ne.n_exact, h.hits,
                h.hits * 1000000 // ne.n_exact AS recall_ppm
         FROM h, ne
@@ -3837,8 +3997,12 @@ def oracle_sql() -> dict[str, str]:
         "simsearch_lsh": _lsh_oracle(),
         "simsearch_ivf": _ivf_oracle(n_q=8, k=10, n_cells=16, n_probe=4,
                                      train_mod=4, iters=5),
+        "simsearch_pq": _pq_oracle(n_q=8, k=10, m=16, k_sub=32,
+                                   n_cells=16, n_probe=8, train_mod=4,
+                                   iters=5, refine=4),
         "recall_lsh": _recall_lsh_oracle(),
         "recall_ivf": _recall_ivf_oracle(),
+        "recall_pq": _recall_pq_oracle(),
         "recall_minhash": _recall_minhash_oracle(),
         "simsearch_topk": """
             WITH e AS (

@@ -25,10 +25,11 @@ Scale shape (all driver state is KB-sized):
    ``groupby(cell) -> partial top-k -> single small merge`` shape as
    ``ivf_topk``; nothing corpus-sized is broadcast or materialized.
 
-Approximate by construction (quantization error + cell pruning):
-rows-only driver check (``simsearch_pq``), recall floor pinned against
-the exact baseline in tests.  Deterministic: seeded k-means, stable
-tie-breaks (score desc, vec_id asc), scores rounded 6 dp.
+Approximate by construction (quantization error + cell pruning) but
+fully deterministic, and since round 5 EXACT against an unrolled DuckDB
+oracle (deterministic-init k-means, 6dp rounding at every train/encode
+step, stable tie-breaks score desc / vec_id asc); the recall floor vs
+the exact baseline is additionally pinned in tests.
 
 The reference has no ANN surface; this extends its VectorRAG brute-force
 retrieval (/root/reference/baselines/vector_rag.py:34-38) the way a
@@ -67,27 +68,30 @@ def train_pq(sample: np.ndarray, *, m: int, k_sub: int, iters: int,
 
     Subspace vectors are NOT re-normalized (they are residual-free
     slices of unit vectors); k-means here is plain Lloyd's on the
-    euclidean geometry via the dot-product assignment of ``_kmeans``
-    applied per subspace — deterministic under the fixed seed."""
+    euclidean geometry.  Deterministic AND SQL-twinnable since round 5:
+    init = the first ``k_sub`` sample rows per subspace, assignment =
+    argmin of the 6dp-rounded squared distance (ties -> lowest code),
+    update = member mean rounded 6dp — the same rounding discipline as
+    :func:`kgx.ops.simsearch._kmeans`, which lets the DuckDB oracle
+    reproduce every codebook exactly.  ``seed`` retained for API
+    compatibility, no longer consumed."""
+    del seed
     dim = sample.shape[1]
     assert dim % m == 0, (dim, m)
     d_sub = dim // m
     books = np.zeros((m, k_sub, d_sub))
     for j in range(m):
         sub = sample[:, j * d_sub:(j + 1) * d_sub]
-        rng = np.random.default_rng(seed + j)
-        idx = rng.choice(len(sub), size=min(k_sub, len(sub)),
-                         replace=False)
-        C = sub[np.sort(idx)].copy()
+        C = np.round(sub[:min(k_sub, len(sub))].copy(), 6)
         for _ in range(iters):
             # euclidean assignment (argmin ||x - c||^2), stable ties
             d2 = (sub ** 2).sum(1, keepdims=True) \
                 - 2.0 * (sub @ C.T) + (C ** 2).sum(1)[None, :]
-            assign = np.argmin(d2, axis=1)
+            assign = np.argmin(np.round(d2, 6), axis=1)
             for c in range(len(C)):
                 members = sub[assign == c]
                 if len(members):
-                    C[c] = members.mean(axis=0)
+                    C[c] = np.round(members.mean(axis=0), 6)
         books[j, :len(C)] = C
     return books
 
@@ -102,7 +106,8 @@ def _encode(M: np.ndarray, books: np.ndarray) -> np.ndarray:
         C = books[j]
         d2 = (sub ** 2).sum(1, keepdims=True) - 2.0 * (sub @ C.T) \
             + (C ** 2).sum(1)[None, :]
-        codes[:, j] = np.argmin(d2, axis=1).astype(np.uint8)
+        # round-6 before argmin: same tie semantics as the SQL twin
+        codes[:, j] = np.argmin(np.round(d2, 6), axis=1).astype(np.uint8)
     return codes
 
 
@@ -120,7 +125,8 @@ def pq_encode(emb_ds, *, m: int = 8, k_sub: int = 32, n_cells: int = 16,
         C, B = ray.get(cref), ray.get(bref)
         M = emb_matrix(batch["embedding"])
         M = M / np.linalg.norm(M, axis=1, keepdims=True)
-        cell = np.argmax(M @ C.T, axis=1).astype(np.int64)
+        # round-6 before argmax: same tie semantics as the SQL twin
+        cell = np.argmax(np.round(M @ C.T, 6), axis=1).astype(np.int64)
         codes = _encode(M, B)
         return pa.table({
             "vec_id": batch["vec_id"].combine_chunks(),
@@ -163,7 +169,8 @@ def pq_topk(emb_ds, query_ids: list[int], *, k: int = 10, m: int = 16,
 
     shortlist_k = k if refine <= 0 else k * refine
     cells = ray.get(cref)
-    q_cells = np.argsort(-(Q @ cells.T), axis=1, kind="stable")[:, :n_probe]
+    q_cells = np.argsort(-np.round(Q @ cells.T, 6), axis=1,
+                         kind="stable")[:, :n_probe]
     probed = np.unique(q_cells)
     books = ray.get(bref)
     m_, k_sub_, d_sub = books.shape
