@@ -7,9 +7,15 @@ Every SQL string is the exact semantic mirror of its Ray pipeline — same
 tokenization regexes (RE2 on both sides), same float operation order, and
 integer arithmetic (``floor(x*100+0.5)`` cents, integer floor-division
 averages) wherever distributed summation order could otherwise flip a
-bit.  Approximate/stateful operators (MinHash-LSH, SimHash, LSH/IVF
-top-k, sketches, gazetteer KG over the synthetic corpus) have no oracle
-entry → rows-only check, by design.
+bit.  Most once-approximate operators now carry full SQL twins
+(MinHash-LSH/SimHash via md5/seeded-literal hashing; LSH, IVF and PQ
+top-k + their recall reports via deterministic-init quantizer chains
+unrolled into materialized CTEs — keep kgx/ops/simsearch.py / pq.py in
+lockstep with those oracles); only genuinely environment- or
+state-dependent rows (Louvain KG reports, the synth-corpus gazetteer
+row, the JSONL file sink, the block-partition-dependent quantile
+sketch, the hash-embedding VectorRAG baseline) remain rows-only, by
+design.
 """
 
 from __future__ import annotations

@@ -73,16 +73,24 @@ def train_pq(sample: np.ndarray, *, m: int, k_sub: int, iters: int,
     argmin of the 6dp-rounded squared distance (ties -> lowest code),
     update = member mean rounded 6dp — the same rounding discipline as
     :func:`kgx.ops.simsearch._kmeans`, which lets the DuckDB oracle
-    reproduce every codebook exactly.  ``seed`` retained for API
+    reproduce every codebook exactly.  (Like every 6dp-rounded oracle
+    in this repo, exactness assumes no value lands within the two
+    engines' float-sum residue of a 0.5e-6 rounding boundary — the
+    synthetic embeddings keep comfortable margins, and the gate would
+    flag a violation rather than hide it.)  ``seed`` retained for API
     compatibility, no longer consumed."""
     del seed
     dim = sample.shape[1]
     assert dim % m == 0, (dim, m)
     d_sub = dim // m
-    books = np.zeros((m, k_sub, d_sub))
+    # codebook height = min(k_sub, sample size): zero-PADDING to k_sub
+    # would let _encode pick phantom all-zero codewords the SQL twin
+    # does not contain (its init CTE naturally holds only real rows)
+    n_codes = min(k_sub, len(sample))
+    books = np.zeros((m, n_codes, d_sub))
     for j in range(m):
         sub = sample[:, j * d_sub:(j + 1) * d_sub]
-        C = np.round(sub[:min(k_sub, len(sub))].copy(), 6)
+        C = np.round(sub[:n_codes].copy(), 6)
         for _ in range(iters):
             # euclidean assignment (argmin ||x - c||^2), stable ties
             d2 = (sub ** 2).sum(1, keepdims=True) \
